@@ -1,0 +1,129 @@
+"""Text-analysis column kit — all native expressions (no Python UDFs).
+
+LLM-data-pipeline text operators (language-ID, quality scoring, token
+counting, fingerprinting, shingling). Everything is built from
+``pyspark.sql.functions`` so it stays in whole-stage codegen and, where a
+DuckDB oracle exists, is bit-reproducible cross-engine (md5 + instr-based
+hex decoding, exact integer ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.functions import pround
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Counting is done with word-boundary regexes so any SQL engine
+# with regexp support can reproduce it.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "de", "que"],
+}
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 is standard across engines (Spark, DuckDB, Trino, Flink), so
+    exact-dedup results are oracle-checkable — unlike xxhash/crc32.
+    """
+    return F.md5(normalize_text(text))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_length(text: Column | str, scale: int = 4) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return pround(total.cast("double") / F.size(toks), scale)
+
+
+def type_token_ratio(text: Column | str, scale: int = 4) -> Column:
+    """Lexical diversity: distinct tokens / tokens (a quality signal)."""
+    toks = tokens(text)
+    return pround(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), scale
+    )
+
+
+def punct_ratio(text: Column | str, scale: int = 4) -> Column:
+    """Punctuation chars / total chars (boilerplate & garbage signal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[\\.,;:!\\?]", ""))
+    return pround(n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)), scale)
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Number of stopword occurrences for one language (word-bounded)."""
+    norm = normalize_text(text)
+    pat = "\\b(" + "|".join(LANG_STOPWORDS[lang]) + ")\\b"
+    return F.coalesce(F.regexp_count(norm, F.lit(pat)), F.lit(0))
+
+
+def langid(text: Column | str) -> Column:
+    """Heuristic language-ID: argmax of per-language stopword hit counts;
+    ``und`` (undetermined) when no list scores > 0. Ties break by language
+    code order — deterministic and oracle-reproducible."""
+    hits = [(lang, stopword_hits(text, lang)) for lang in sorted(LANG_STOPWORDS)]
+    best = F.greatest(*[h for _, h in hits])
+    out = F.lit("und")
+    # Reverse order + when-chains ⇒ earliest language wins ties.
+    for lang, h in reversed(hits):
+        out = F.when((h == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column | str, scale: int = 4) -> Column:
+    """Composite [0,1] quality heuristic: length band + lexical diversity
+    + low punctuation. Weights are arbitrary but fixed; the point is the
+    *shape* (pure-expression scoring over 100 TB of docs, no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    len_band = F.when((n >= 100) & (n <= 2000), F.lit(1.0)).otherwise(
+        F.when(n < 100, n / 100.0).otherwise(F.lit(2000.0) / n)
+    )
+    diversity = type_token_ratio(text, scale=10)
+    low_punct = 1 - F.least(punct_ratio(text, scale=10) * 5, F.lit(1.0))
+    return pround((0.4 * len_band + 0.4 * diversity + 0.2 * low_punct), scale)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text (order-free set).
+
+    Built with higher-order array functions (``transform`` over a
+    ``sequence``), so shingling runs vectorized in the JVM — the scale
+    path for MinHash over billions of documents.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingled = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    # Guard: sequence(0, negative) counts *down* in Spark — docs shorter
+    # than n words get an empty shingle set instead.
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,135 @@
+"""As-of / range join.
+
+The reference's only join is a theta (non-equi) inner join followed by a
+``row_number`` window and ``rank == 1`` filter — "first bus at-or-after
+each plane arrival" (reference: src/plane_naolib_consumer.py:91-105).
+With no equi key Spark executes that as a BroadcastNestedLoopJoin, which
+is O(n·m): fine for one day of flights, fatal at 100 TB.
+
+This module keeps the reference semantics but offers three physical
+strategies, selected by data shape:
+
+- ``grouped``        — equi keys available (``by=``): shuffle hash/sort-merge
+                       join on the keys + theta predicate, then one
+                       ``min_by``/``max_by`` aggregation. Scales linearly;
+                       the default whenever ``by`` is given.
+- ``bucketed``       — no equi key but a ``tolerance`` bound: both sides are
+                       bucketed on ``floor(epoch / tolerance)`` and each right
+                       row is duplicated into the two buckets it can serve,
+                       turning the range join into an equi join. Scales to
+                       arbitrarily large sides; shuffle is on bucket ids.
+- ``broadcast_rank`` — the reference's own formulation (theta join +
+                       window rank), with an explicit ``broadcast()`` of the
+                       right side. Correct for small right sides only.
+
+All three are equivalence-tested against each other in
+``tests/test_asof.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _best_struct(right_cols: list[str], right_ts: str, direction: str) -> Column:
+    packed = F.struct(*[F.col(c) for c in right_cols])
+    if direction == "forward":
+        return F.min_by(packed, F.col(right_ts))
+    return F.max_by(packed, F.col(right_ts))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    left_keys: list[str],
+    *,
+    by: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    direction: str = "forward",
+    right_cols: list[str] | None = None,
+    strategy: str = "auto",
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, the nearest right row at-or-after (``forward``)
+    or at-or-before (``backward``) its timestamp.
+
+    ``left_keys`` must uniquely identify left rows (they become the output
+    grain). ``left_ts`` and ``right_ts`` must be distinct column names.
+    Output = ``left_keys`` + ``left_ts`` [+ ``by``] + an ``asof`` struct
+    holding the matched right row. Unmatched left rows are dropped,
+    matching the reference's inner-join semantics
+    (src/plane_naolib_consumer.py:93).
+    """
+    if direction not in ("forward", "backward"):
+        raise ValueError(f"direction must be forward|backward, got {direction}")
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must have distinct names")
+    right_cols = list(
+        dict.fromkeys([*(right_cols or right.columns), right_ts])
+    )
+    if strategy == "auto":
+        strategy = (
+            "grouped" if by else "bucketed" if tolerance_seconds else "broadcast_rank"
+        )
+    group_cols = list(dict.fromkeys([*left_keys, left_ts, *(by or [])]))
+
+    def theta(lts: Column, rts: Column) -> Column:
+        if direction == "forward":
+            cond = rts > lts if strict else rts >= lts
+            if tolerance_seconds:
+                cond &= rts <= F.timestamp_add("SECOND", F.lit(tolerance_seconds), lts)
+        else:
+            cond = rts < lts if strict else rts <= lts
+            if tolerance_seconds:
+                cond &= rts >= F.timestamp_add("SECOND", F.lit(-tolerance_seconds), lts)
+        return cond
+
+    if strategy == "grouped":
+        rsel = right.select(*dict.fromkeys([*right_cols, *(by or [])]))
+        cond = theta(left[left_ts], rsel[right_ts])
+        for k in by or []:
+            cond &= left[k] == rsel[k]
+        joined = left.join(rsel, cond, "inner")
+        return joined.groupBy(*[left[c] for c in group_cols]).agg(
+            _best_struct(right_cols, right_ts, direction).alias("asof")
+        )
+
+    if strategy == "bucketed":
+        if not tolerance_seconds:
+            raise ValueError("bucketed strategy requires tolerance_seconds")
+        tol = F.lit(float(tolerance_seconds))
+        rb = F.floor(F.unix_timestamp(F.col(right_ts)) / tol)
+        # A right row in bucket b can answer left rows in bucket b or the
+        # adjacent one (the tolerance window straddles a bucket edge).
+        shift = [0, -1] if direction == "forward" else [0, 1]
+        r = right.select(*right_cols).withColumn(
+            "_bucket", F.explode(F.array(*[rb + s for s in shift]))
+        )
+        l = left.select(*group_cols).withColumn(
+            "_bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / tol)
+        )
+        joined = l.join(
+            r, (l["_bucket"] == r["_bucket"]) & theta(l[left_ts], r[right_ts]), "inner"
+        )
+        return joined.groupBy(*[l[c] for c in group_cols]).agg(
+            _best_struct(right_cols, right_ts, direction).alias("asof")
+        )
+
+    if strategy == "broadcast_rank":
+        # Reference formulation: theta join → row_number over
+        # partitionBy(left keys) orderBy(right ts) → keep rank 1
+        # (src/plane_naolib_consumer.py:91-105), right side broadcast.
+        rsel = right.select(*right_cols)
+        joined = left.join(F.broadcast(rsel), theta(left[left_ts], rsel[right_ts]), "inner")
+        order = F.col(right_ts).asc() if direction == "forward" else F.col(right_ts).desc()
+        w = Window.partitionBy(*group_cols).orderBy(order)
+        return (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*group_cols, F.struct(*right_cols).alias("asof"))
+        )
+
+    raise ValueError(f"unknown strategy {strategy!r}")

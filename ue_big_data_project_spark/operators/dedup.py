@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four families, all expressed as DataFrame pipelines (no driver-side
+loops, no Python UDFs), each scaling to 100 TB by shuffling on bounded
+keys (fingerprints, shingles, band buckets) instead of comparing all
+pairs:
+
+- **exact**: md5 fingerprint of normalized text → groupBy. One shuffle.
+- **MinHash + LSH**: shingle → 8 min-hashes → 4 banded buckets →
+  bucket equi-join. Only documents sharing a band bucket are paired, so
+  the candidate set is ~linear for realistic corpora instead of O(n²).
+- **SimHash**: 16-bit signature from token hash-bit majorities; near-dup
+  pairs = signatures within a Hamming radius.
+- **n-gram Jaccard**: exact set overlap via a shingle-keyed equi-join
+  (inverted-index join, not a cross product).
+
+Hash discipline: every hash is md5 (cross-engine standard) and hex→int
+decoding is ``instr``-based (``functions.hex_digit_value``), so the
+DuckDB oracle reproduces results bit-for-bit. xxhash/crc32 would be
+faster but unverifiable; at 100 TB you'd swap one constant.
+
+The reference's own dedup is ``dropDuplicates(["entry_id"])``
+(src/previous_tp_code.py:149,212); ``exact_dedup`` generalizes it to
+content-addressed dedup; the streaming keyed form lives in
+``streaming.dedup_stream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.functions import hex_digit_value, pround
+from ue_big_data_project_spark.functions.text import (
+    fingerprint,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-exact dedup groups: one row per distinct normalized text.
+
+    Output: ``fingerprint``, ``n_docs``, ``keep_id`` (min id = canonical
+    representative — deterministic, unlike ``dropDuplicates``).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded rows — the inverted-index building block."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: ``h0..h{k-1}``.
+
+    hᵢ = min over shingles of ``md5(i || ':' || shingle)``. Lexicographic
+    min over a uniform hex hash is a valid min-hash family and is exactly
+    reproducible in any engine with md5. One explode + one grouped
+    aggregation (map-side partial min ⇒ the shuffle carries k hashes per
+    doc, not the shingles).
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash.
+
+    ``bands`` bands of ``num_hashes/bands`` rows; a pair is a candidate if
+    any band hashes identically. The pair join is an equi-join on
+    (band_idx, band_val) — the only shuffle keys — so no O(n²) compare.
+    Output: ``id_a < id_b`` distinct pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index join: explode shingles, equi-join on the shingle, count
+    intersections, then |A∪B| = |A|+|B|−|A∩B|. The shuffle key is the
+    shingle, so hot shingles (stopword runs) are the skew risk — at scale,
+    drop ultra-frequent shingles first (df-style pruning).
+    Output: id_a, id_b, jaccard (rounded 4), filtered ≥ threshold.
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash signature (``bits`` ≤ 32).
+
+    Bit i's vote per token is the parity of hex digit i of md5(token):
+    +1 / −1; the signature bit is the sign of the summed votes. All
+    integer ops ⇒ bit-identical across engines. One explode + one grouped
+    sum (map-side combine), shuffle carries ``bits`` ints per doc.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.md5(F.col("tok"))
+    votes = [
+        F.sum(
+            (hex_digit_value(F.substring(h, i + 1, 1)) % 2) * 2 - 1
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    summed = tok.groupBy(id_col).agg(*votes)
+    sig: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * (1 << i)
+    return summed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    This demo form compares all pairs (fine to ~10⁵ docs). The 100 TB
+    path is standard: split the signature into (max_hamming+1) bands and
+    equi-join on each band (pigeonhole: any pair within the radius shares
+    ≥1 exact band), then verify Hamming on the candidates only.
+    """
+    sig = simhash(df, id_col, text_col, bits)
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

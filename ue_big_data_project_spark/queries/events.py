@@ -1,0 +1,241 @@
+"""Event-stream-shaped queries over the ``events`` table.
+
+``events`` stands in for the reference's Kafka feeds (FIXTURES.md §mapping):
+tumbling windows, keyed dedup, JSON parsing, and the theta/as-of join
+shape — here in batch form so the DuckDB oracle can check them; the same
+logic runs in streaming via ``ue_big_data_project_spark.streaming``
+(tested batch-vs-stream in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark import schemas
+from ue_big_data_project_spark.operators.asof import asof_join
+from ue_big_data_project_spark.queries import QuerySpec
+from ue_big_data_project_spark.queries.tpch import d2, davg, sql_d2, sql_davg
+from ue_big_data_project_spark.session import load_tables
+
+
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: grouped count + avg per (event_type, hour-of-day) — the Q2
+    bus-affluence shape (batch_bus_affluence.ipynb cell 4 line 77) with
+    hour bucketing as a native expression (U3 rewrite, SURVEY §2.10)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(
+            "event_type",
+            F.format_string("%02d:00", F.hour("ts")).alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(d2(F.col("value"))).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT event_type,
+       lpad(CAST(hour(ts) AS VARCHAR), 2, '0') || ':00' AS hour_bucket,
+       count(*) AS n_events,
+       {sql_davg(sql_d2("value"))} AS avg_value
+FROM events
+GROUP BY event_type, hour(ts)
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/X12 batch form: tumbling event-time window aggregation.
+
+    Same ``F.window(ts, '15 minutes')`` the streaming pipelines use
+    (src/naolib_consumer.py:79-85, src/bike_consumer.py:91-100); in
+    streaming it becomes a stateful agg behind a watermark
+    (streaming.windowed_agg). Window start leaves as epoch micros.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(d2(F.col("value"))).alias("avg_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+EVENTS_TUMBLING_SQL = f"""
+SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       {sql_davg(sql_d2("value"))} AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 keyed dedup, deterministic form: earliest event per
+    (user_id, event_type).
+
+    ``dropDuplicates(key)`` (src/previous_tp_code.py:149,212) keeps an
+    *arbitrary* row per key; the engine's batch form pins "first by event
+    time, then id" so results are reproducible across engines and runs.
+    The streaming form (state-backed dropDuplicates) is in
+    streaming.dedup_stream.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+EVENTS_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: ``from_json`` with a declared StructType (schema registry),
+    PERMISSIVE nulls — the reference's universal parse step
+    (src/naolib_consumer.py:57 et al.). Grouped count over the extracted
+    field."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    parsed = e.withColumn("p", F.from_json("props", schemas.EVENT_PROPS))
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) % 10 AS k_mod,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def theta_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 reference-exact shape: pure non-equi theta join (no key) +
+    rank-1, right side broadcast — "first error event platform-wide
+    strictly after each day-1 signup" (the plane→bus query shape,
+    src/plane_naolib_consumer.py:91-105)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    signups = e.filter(
+        (F.col("event_type") == "signup")
+        & (F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    ).select("event_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("err_ts")
+    )
+    out = asof_join(
+        signups,
+        errors,
+        left_ts="ts",
+        right_ts="err_ts",
+        left_keys=["event_id"],
+        right_cols=["err_ts"],
+        strategy="broadcast_rank",
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.col("asof.err_ts")).alias("next_error_us"),
+        ((F.unix_micros(F.col("asof.err_ts")) - F.unix_micros("ts")) / 60_000_000)
+        .cast("long")
+        .alias("wait_minutes"),
+    )
+
+
+THETA_NEXT_ERROR_SQL = """
+WITH s AS (
+  SELECT event_id, ts FROM events
+  WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-02'
+), e AS (
+  SELECT ts AS err_ts FROM events WHERE event_type = 'error'
+)
+SELECT s.event_id,
+       epoch_us(s.ts) AS ts_us,
+       epoch_us(min(e.err_ts)) AS next_error_us,
+       CAST((epoch_us(min(e.err_ts)) - epoch_us(s.ts)) // 60000000 AS BIGINT) AS wait_minutes
+FROM s JOIN e ON e.err_ts > s.ts
+GROUP BY s.event_id, s.ts
+"""
+
+
+def asof_bucketed_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 at scale, ``bucketed`` strategy: range join → equi join on time
+    buckets. "Nearest click at-or-before each purchase, within 30 min" —
+    no equi key, both sides unbounded; shuffle is on bucket ids, O(n+m)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="click_ts",
+        left_keys=["event_id"],
+        right_cols=["click_ts"],
+        tolerance_seconds=1800,
+        direction="backward",
+        strategy="bucketed",
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.col("asof.click_ts")).alias("prev_click_us"),
+    )
+
+
+ASOF_BUCKETED_SQL = """
+WITH p AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(max(c.click_ts)) AS prev_click_us
+FROM p JOIN c
+  ON c.click_ts <= p.ts AND c.click_ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY p.event_id, p.ts
+"""
+
+
+QUERIES = {
+    "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
+    "events_tumbling_window": QuerySpec(events_tumbling_window, EVENTS_TUMBLING_SQL),
+    "events_dedup_first": QuerySpec(events_dedup_first, EVENTS_DEDUP_SQL),
+    "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_SQL),
+    "theta_join_next_error": QuerySpec(theta_join_next_error, THETA_NEXT_ERROR_SQL),
+    "asof_bucketed_prev_click": QuerySpec(asof_bucketed_prev_click, ASOF_BUCKETED_SQL),
+}

@@ -1,0 +1,340 @@
+"""LLM-data-pipeline queries: dedup, text analysis, similarity search.
+
+These run over the ``documents`` and ``embeddings`` testdata tables and
+are first-class engine capabilities (BASELINE.json north-star), not
+demos: every pipeline is shuffle-bounded (fingerprint / shingle / band /
+bucket keys) and UDF-free.
+
+The DuckDB oracles reproduce the exact same hash math (md5 + strpos hex
+decode, fold-left double accumulation), so even the sketch-based
+operators are value-hash-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.functions import sql_round
+from ue_big_data_project_spark.functions import text as TX
+from ue_big_data_project_spark.operators import dedup as DD
+from ue_big_data_project_spark.operators.similarity import brute_force_knn, lsh_knn
+from ue_big_data_project_spark.queries import QuerySpec
+from ue_big_data_project_spark.session import load_tables
+
+# Shared SQL fragments ------------------------------------------------------
+# Normalization must mirror functions.text.normalize_text exactly.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+# Distinct 3-word shingles, mirroring functions.text.word_shingles(n=3).
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(words) - 1, 1)),
+           i -> array_to_string(words[i:i+2], ' ')
+         ))) AS shingle
+  FROM toks
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via md5 fingerprint (one shuffle)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return DD.exact_dedup(d, "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM}) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2) candidate near-dup pairs."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return DD.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+
+
+_MINHASH_AGGS = ",\n    ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || h{2 * b + 1}) AS band_val FROM mh"
+    for b in range(4)
+)
+DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+mh AS (
+  SELECT doc_id,
+    {_MINHASH_AGGS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.8 pairs via inverted-index equi-join."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       {sql_round("common * 1.0 / (sa.n_sh + sb.n_sh - common)", 4)} AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {sql_round("common * 1.0 / (sa.n_sh + sb.n_sh - common)", 4)} >= 0.8
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signatures."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return DD.simhash(d, "doc_id", "text", bits=16)
+
+
+_SIMHASH_VOTES = ",\n    ".join(
+    f"sum((strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) % 2 * 2 - 1) AS v{i}"
+    for i in range(16)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END) * {1 << i}" for i in range(16)
+)
+DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id,
+    {_SIMHASH_VOTES}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 3."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return DD.simhash_pairs(d, "doc_id", "text", bits=16, max_hamming=3)
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id,
+    {_SIMHASH_VOTES}
+  FROM tok GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring, pure expressions (no UDF)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.distinct_token_count("text").alias("n_distinct"),
+        TX.avg_token_length("text").alias("avg_token_len"),
+        TX.type_token_ratio("text").alias("ttr"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+_TTR10 = sql_round("CAST(len(list_distinct(words)) AS DOUBLE) / len(words)", 10)
+_PUNCT10 = sql_round(
+    "(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))"
+    " * 1.0 / greatest(length(text), 1)",
+    10,
+)
+_QUALITY = sql_round(
+    "0.4 * (CASE WHEN n >= 100 AND n <= 2000 THEN 1.0"
+    " WHEN n < 100 THEN n / 100.0"
+    " ELSE 2000.0 / n END)"
+    f" + 0.4 * {_TTR10}"
+    f" + 0.2 * (1 - least({_PUNCT10} * 5, 1.0))",
+    4,
+)
+TEXT_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_WORDS} AS words, length(text) AS n FROM documents
+)
+SELECT doc_id,
+  CAST(len(words) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct,
+  {sql_round("CAST(list_reduce(list_transform(words, w -> length(w)), (a, b) -> a + b) AS DOUBLE) / len(words)", 4)} AS avg_token_len,
+  {sql_round("CAST(len(list_distinct(words)) AS DOUBLE) / len(words)", 4)} AS ttr,
+  {_QUALITY} AS quality
+FROM t
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID with per-language scores."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cols = [F.col("doc_id")]
+    for lang in sorted(TX.LANG_STOPWORDS):
+        cols.append(TX.stopword_hits("text", lang).alias(f"{lang}_hits"))
+    cols.append(TX.langid("text").alias("lang_pred"))
+    return d.select(*cols)
+
+
+def _langid_sql() -> str:
+    hit_exprs = []
+    for lang in sorted(TX.LANG_STOPWORDS):
+        pat = "\\b(" + "|".join(TX.LANG_STOPWORDS[lang]) + ")\\b"
+        hit_exprs.append(
+            f"CAST(len(regexp_extract_all({_NORM}, '{pat}')) AS INTEGER) AS {lang}_hits"
+        )
+    langs = sorted(TX.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND {lang}_hits = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH hits AS (
+  SELECT doc_id, {", ".join(hit_exprs)} FROM documents
+)
+SELECT doc_id, {", ".join(f"{lang}_hits" for lang in langs)}, {case} AS lang_pred
+FROM hits
+"""
+
+
+TEXT_LANGID_SQL = _langid_sql()
+
+
+def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 10 (broadcast side)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_knn(e, queries, k=5)
+
+
+_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> a.embedding[i]::DOUBLE * q.query_vec[i]::DOUBLE), (x, y) -> x + y)"
+)
+_NORM_A = (
+    "sqrt(list_reduce(list_transform(a.embedding, "
+    "x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+)
+_NORM_Q = (
+    "sqrt(list_reduce(list_transform(q.query_vec, "
+    "x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+)
+KNN_BRUTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         {sql_round(f"CASE WHEN {_NORM_A} * {_NORM_Q} > 0 THEN {_DOT} / ({_NORM_A} * {_NORM_Q}) ELSE 0.0 END", 6)} AS cosine_sim
+  FROM embeddings a, q
+  WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via deterministic random-hyperplane LSH buckets."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_knn(e, queries, k=5, planes=4, dim=64)
+
+
+def _lsh_sql() -> str:
+    from ue_big_data_project_spark.operators.similarity import _md5_parity
+
+    plane_terms = []
+    for p in range(4):
+        coeffs = ", ".join(
+            "1" if _md5_parity(f"{p}:{d}") else "-1" for d in range(64)
+        )
+        proj = (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ([{coeffs}])[i]), (x, y) -> x + y)"
+        )
+        plane_terms.append(f"(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END) * {1 << p}")
+    bucket = " + ".join(plane_terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec, bucket
+  FROM b WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         {sql_round(f"CASE WHEN {_NORM_A} * {_NORM_Q} > 0 THEN {_DOT} / ({_NORM_A} * {_NORM_Q}) ELSE 0.0 END", 6)} AS cosine_sim
+  FROM b a JOIN q ON a.bucket = q.bucket AND a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+KNN_LSH_SQL = _lsh_sql()
+
+
+QUERIES = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
+    "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
+    "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
+    "knn_cosine_brute": QuerySpec(knn_cosine_brute, KNN_BRUTE_SQL),
+    "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
+}

@@ -1,0 +1,387 @@
+"""Batch relational queries over the TPC-H-ish testdata.
+
+These exercise the SURVEY §2 batch inventory on neutral data: projection
+(P1-P6), filters (F1-F5), equi + theta joins (J1/J2), aggregation (A1-A3),
+window functions (W1), sort/limit/top-k (O1-O3), and the scalar kit
+(X3-X10, X15). Each query's docstring says which rows it covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.functions import pround, sql_round
+from ue_big_data_project_spark.operators.asof import asof_join
+from ue_big_data_project_spark.operators.geo import nearest_points
+from ue_big_data_project_spark.queries import QuerySpec
+from ue_big_data_project_spark.session import load_tables
+
+
+# Exact-aggregation discipline: cast the BASE columns (whose values are
+# true 2-decimal decimals in the testdata) to DECIMAL, then keep all
+# arithmetic in decimal — exact and associative, so Spark and DuckDB agree
+# bit-for-bit regardless of partitioning. Casting a *computed* double
+# product to decimal instead would round at engine-specific boundaries
+# (Spark re-parses the shortest repr, DuckDB rounds the binary value).
+
+
+def d2(c: Column) -> Column:
+    """Amount column → DECIMAL(12,2) (exact for 2-decimal source data)."""
+    return c.cast("decimal(12,2)")
+
+
+def d4(c: Column) -> Column:
+    """Rate column (discount/tax, < 10) → DECIMAL(4,2)."""
+    return c.cast("decimal(4,2)")
+
+
+def sql_d2(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(12,2))"
+
+
+def sql_d4(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(4,2))"
+
+
+def dsum(term: Column, scale: int = 2) -> Column:
+    """Σ of an exact decimal term → double, portably rounded."""
+    return pround(F.sum(term).cast("double"), scale)
+
+
+def davg(term: Column, scale: int = 4) -> Column:
+    return pround(F.sum(term).cast("double") / F.count(F.lit(1)), scale)
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """Oracle twin of :func:`dsum` (``expr`` must be a decimal term)."""
+    return sql_round(f"CAST(sum({expr}) AS DOUBLE)", scale)
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    """Oracle twin of :func:`davg`."""
+    return sql_round(f"CAST(sum({expr}) AS DOUBLE) / count(*)", scale)
+
+
+# The revenue/charge terms used across the TPC-H-shaped queries.
+def disc_price_dec() -> Column:
+    return d2(F.col("l_extendedprice")) * (F.lit(1) - d4(F.col("l_discount")))
+
+
+def charge_dec() -> Column:
+    return disc_price_dec() * (F.lit(1) + d4(F.col("l_tax")))
+
+
+SQL_DISC_PRICE = (
+    f"{sql_d2('l_extendedprice')} * (1 - {sql_d4('l_discount')})"
+)
+SQL_CHARGE = f"({SQL_DISC_PRICE}) * (1 + {sql_d4('l_tax')})"
+
+
+# --------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg (A1/A2 grouped multi-agg at scale).
+
+    Covers P1/P4/P5, F2 (range predicate pushed to parquet), grouped
+    sum/avg/count. One shuffle on (returnflag, linestatus); partial
+    aggregation is map-side so the shuffle moves 6 groups, not 60k rows.
+    """
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(d2(F.col("l_quantity"))).alias("sum_qty"),
+            dsum(d2(F.col("l_extendedprice"))).alias("sum_base_price"),
+            dsum(disc_price_dec()).alias("sum_disc_price"),
+            dsum(charge_dec()).alias("sum_charge"),
+            davg(d2(F.col("l_quantity"))).alias("avg_qty"),
+            davg(d2(F.col("l_extendedprice"))).alias("avg_price"),
+            davg(d4(F.col("l_discount"))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum(sql_d2("l_quantity"))} AS sum_qty,
+  {sql_dsum(sql_d2("l_extendedprice"))} AS sum_base_price,
+  {sql_dsum(SQL_DISC_PRICE)} AS sum_disc_price,
+  {sql_dsum(SQL_CHARGE)} AS sum_charge,
+  {sql_davg(sql_d2("l_quantity"))} AS avg_qty,
+  {sql_davg(sql_d2("l_extendedprice"))} AS avg_price,
+  {sql_davg(sql_d4("l_discount"))} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way equi join + agg + global top-k (O3 analog).
+
+    customer is the small side → broadcast hint; orders⋈lineitem is a
+    shuffle join on the order key. Final top-10 compiles to
+    TakeOrderedAndProject (no global sort). Deterministic tie-break on
+    o_orderkey.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    lines = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        lines.join(orders, lines["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(disc_price_dec()).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join through the dimension chain.
+
+    region/nation/supplier are broadcast (tiny dims); the fact-side joins
+    shuffle on their keys. Covers multi-join planning + dim broadcast.
+    """
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("region", "nation", "customer", "orders", "lineitem", "supplier"),
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(disc_price_dec()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q5_SQL = f"""
+SELECT r_name, n_name,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+def asof_first_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, ``grouped`` strategy (J2 at scale).
+
+    "First lineitem shipped at-or-after each order's date" — the Q1
+    plane→bus shape (src/plane_naolib_consumer.py:91-105) with an equi key
+    available, so the theta join rides a scalable shuffle join + min_by
+    instead of a nested loop.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    right = t["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_shipdate"),
+        F.col("l_linenumber"),
+    )
+    out = asof_join(
+        t["orders"],
+        right,
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        left_keys=["o_orderkey"],
+        by=["o_orderkey"],
+        right_cols=["l_shipdate"],
+        strategy="grouped",
+    )
+    return out.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.col("asof.l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.datediff(F.col("asof.l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("wait_days"),
+    )
+
+
+ASOF_FIRST_SHIP_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+       CAST(date_diff('day', o_orderdate, min(l_shipdate)) AS BIGINT) AS wait_days
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+GROUP BY o_orderkey, o_orderdate
+"""
+
+
+# --------------------------------------------------------------------------
+def window_top1_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/F4/O2: row_number over partitionBy/orderBy, keep rank 1.
+
+    The reference's exact window shape (src/plane_naolib_consumer.py:102-104)
+    — here: the priciest line of each order, ties broken by line number.
+    """
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            pround(F.col("l_extendedprice"), 2).alias("top_price"),
+        )
+    )
+
+
+WINDOW_TOP1_SQL = f"""
+SELECT l_orderkey, l_linenumber, {sql_round("l_extendedprice", 2)} AS top_price
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_extendedprice DESC, l_linenumber ASC
+         ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+def haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/X15/S5: k-NN by haversine distance, in-engine.
+
+    Internalizes the geo pushdown the reference delegates to the REST API
+    (``within_distance`` + ``order_by=distance`` + ``limit=5``,
+    src/bike_producer.py:23-40). Coordinates are derived deterministically
+    from c_custkey so the oracle can reproduce them.
+    """
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    pts = c.select(
+        "c_custkey",
+        "c_name",
+        (((F.col("c_custkey") * 7919) % 3600) / 10.0 - 180.0).alias("lon"),
+        (((F.col("c_custkey") * 104729) % 1700) / 10.0 - 85.0).alias("lat"),
+    )
+    out = nearest_points(
+        pts, "lon", "lat", center_lon=-1.5457, center_lat=47.2154,
+        k=5, tie_breaker="c_custkey",
+    )
+    return out.select(
+        "c_custkey", "c_name", "lon", "lat",
+        pround(F.col("distance_km"), 3).alias("distance_km"),
+    )
+
+
+HAVERSINE_KNN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, c_name,
+         ((c_custkey * 7919) % 3600) / 10.0 - 180.0 AS lon,
+         ((c_custkey * 104729) % 1700) / 10.0 - 85.0 AS lat
+  FROM customer
+), d AS (
+  SELECT *,
+    2 * 6371.0088 * asin(sqrt(
+      pow(sin(radians(47.2154 - lat) / 2), 2)
+      + cos(radians(lat)) * cos(radians(47.2154))
+        * pow(sin(radians(-1.5457 - lon) / 2), 2)
+    )) AS dist
+  FROM pts
+)
+SELECT c_custkey, c_name, lon, lat, {sql_round("dist", 3)} AS distance_km
+FROM d
+ORDER BY dist ASC, c_custkey ASC
+LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+def scalar_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-X10 scalar kit over orders: regexp_replace, when/otherwise,
+    concat, lpad, date_format, epoch conversion — all native expressions
+    (no Python UDFs in the hot path)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.select(
+        "o_orderkey",
+        F.regexp_replace("o_orderpriority", "[^0-9]", "")
+        .cast("int")
+        .alias("priority_num"),
+        F.when(F.col("o_totalprice") > 200000, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+        F.concat(
+            F.lit("O-"), F.lpad(F.col("o_custkey").cast("string"), 6, "0")
+        ).alias("cust_tag"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.date_format("o_orderdate", "H'h'mm'm'").alias("time_fr"),
+    )
+
+
+SCALAR_KIT_SQL = """
+SELECT o_orderkey,
+       CAST(regexp_replace(o_orderpriority, '[^0-9]', '', 'g') AS INTEGER) AS priority_num,
+       CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END AS price_band,
+       concat('O-', lpad(CAST(o_custkey AS VARCHAR), 6, '0')) AS cust_tag,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       epoch_us(o_orderdate) // 1000000 AS order_epoch,
+       concat(CAST(hour(o_orderdate) AS VARCHAR), 'h',
+              lpad(CAST(minute(o_orderdate) AS VARCHAR), 2, '0'), 'm') AS time_fr
+FROM orders
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": QuerySpec(q5_region_revenue, Q5_SQL),
+    "asof_first_ship": QuerySpec(asof_first_ship, ASOF_FIRST_SHIP_SQL),
+    "window_top1_per_order": QuerySpec(window_top1_per_order, WINDOW_TOP1_SQL),
+    "haversine_knn": QuerySpec(haversine_knn, HAVERSINE_KNN_SQL),
+    "scalar_kit": QuerySpec(scalar_kit, SCALAR_KIT_SQL),
+}

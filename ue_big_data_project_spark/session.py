@@ -1,0 +1,114 @@
+"""SparkSession factory.
+
+The reference builds its sessions by hand in every consumer with
+``SparkConf().setMaster("spark://spark:7077").set("spark.sql.shuffle.partitions",
+"10")`` (reference: src/naolib_consumer.py:25-29, src/bike_consumer.py:27-37,
+src/plane_naolib_consumer.py:14-24). We centralize that into one factory with
+scale-appropriate defaults:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE fixes it.
+- Arrow on — every ``toPandas``/pandas-UDF boundary is Arrow-batched.
+- Session timezone pinned UTC — the reference mixes naive ISO strings,
+  epoch seconds and Europe/Paris offsets (src/bike_producer.py:39); we
+  convert at the edges instead (SURVEY §7 watch-items).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ue_big_data_project_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local-mode defaults come from env: ``SPARK_GRAFT_CPUS`` (threads) and
+    ``SPARK_GRAFT_DRIVER_MEM``. On a real cluster, pass ``master`` or set
+    it via spark-submit and everything else still applies.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp type, so read as long and rebuild micros in
+        # load_tables (DuckDB coerces the same way → values agree).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
+        .config("spark.ui.enabled", "false")
+        # Streaming: deterministic micro-batch tests need a stable checkpoint root.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the driver's parquet tables and register them as temp views.
+
+    Returns ``{name: DataFrame}``. Mirrors DuckDB's pre-registered views so
+    that ``spark.sql`` text matches the oracle SQL shape.
+    """
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # Runtime-set so these also hold on sessions we didn't build (the
+    # graft driver creates its own plain SparkSession and passes it in):
+    # nanos parquet decoding, and UTC so hour()/epoch extraction agrees
+    # with DuckDB's UTC-naive timestamps on any host JVM timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events" and isinstance(
+                df.schema["ts"].dataType, T.LongType
+            ):
+                # TIMESTAMP(NANOS) read as long nanos (see get_spark);
+                # truncate to micros exactly like DuckDB's coercion.
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
