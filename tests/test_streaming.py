@@ -1,0 +1,156 @@
+"""Streaming core tests: file-replay sources, watermarked windows,
+streaming dedup, foreachBatch, batch-vs-stream equivalence.
+
+Strategy (SURVEY §7 step 4): drive with deterministic file batches +
+``processAllAvailable`` so watermark timing is reproducible, and check
+the streaming result equals the same logic run in batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ue_big_data_project_spark import streaming as S
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def write_batches(tmpdir: str, batches: list[list[dict]]) -> str:
+    path = os.path.join(tmpdir, "stream_in")
+    os.makedirs(path, exist_ok=True)
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        fpath = os.path.join(path, f"batch_{i:03d}.json")
+        with open(fpath, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # The file source orders by modification time; pin strictly
+        # increasing mtimes so micro-batch order is deterministic.
+        os.utime(fpath, (base + i * 60, base + i * 60))
+    return path
+
+
+def row(i, minute, etype="click", user=1, value=1.0):
+    return {
+        "event_id": i,
+        "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+    }
+
+
+@pytest.fixture()
+def stream_rows():
+    # Two event-time minutes; late row for minute 0 arrives in batch 2.
+    return [
+        [row(1, 0), row(2, 0), row(3, 1)],
+        [row(4, 1), row(5, 0), row(6, 2)],
+        [row(7, 3), row(8, 3)],
+    ]
+
+
+def test_windowed_agg_stream_equals_batch(spark, tmp_path, stream_rows):
+    path = write_batches(str(tmp_path), stream_rows)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    ]
+
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    out = S.windowed_agg(
+        sdf, "ts", "1 minute", aggs, ["event_type"], watermark="10 seconds"
+    )
+    q = S.to_memory(out, "win_complete", mode="complete")
+    S.run_until_drained(q)
+    got = {
+        (r["window"]["start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_complete").collect()
+    }
+
+    bdf = spark.read.schema(EVENTS_SCHEMA).json(path)
+    want = {
+        (r["window"]["start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+        for r in S.windowed_agg(bdf, "ts", "1 minute", aggs, ["event_type"]).collect()
+    }
+    assert got == want
+    assert len(got) == 4  # minutes 0..3
+
+
+def test_append_mode_emits_closed_windows_once(spark, tmp_path, stream_rows):
+    path = write_batches(str(tmp_path), stream_rows)
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    out = S.windowed_agg(
+        sdf,
+        "ts",
+        "1 minute",
+        [F.count(F.lit(1)).alias("n")],
+        watermark="10 seconds",
+    )
+    q = S.to_memory(out, "win_append", mode="append")
+    S.run_until_drained(q)
+    rows = spark.sql("SELECT * FROM win_append").collect()
+    starts = [r["window"]["start"].minute for r in rows]
+    # Final watermark = max event time (03:00) − 10 s = 02:50: windows 0
+    # and 1 (ends 01:00, 02:00) are closed and final; windows 2 and 3 stay
+    # open — append mode emits nothing for them.
+    assert sorted(starts) == [0, 1]
+    by_min = {r["window"]["start"].minute: r["n"] for r in rows}
+    # Late minute-0 row from batch 2 arrived before the watermark passed
+    # (file source processes in order) so the closed window counts it.
+    assert by_min[0] == 3 and by_min[1] == 2
+
+
+def test_streaming_dedup(spark, tmp_path):
+    batches = [
+        [row(1, 0), row(1, 0), row(2, 0)],
+        [row(1, 0), row(3, 1)],  # replay of id 1 across batches
+        [row(3, 2), row(4, 2)],  # id 3 replayed with different minute
+    ]
+    path = write_batches(str(tmp_path), batches)
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    out = S.dedup_stream(sdf, ["event_id"], "ts", "10 minutes")
+    q = S.to_memory(out, "dedup_out", mode="append")
+    S.run_until_drained(q)
+    ids = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()
+    )
+    assert ids == [1, 2, 3, 4]
+
+
+def test_foreach_batch_sink(spark, tmp_path, stream_rows):
+    path = write_batches(str(tmp_path), stream_rows)
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    seen: list[tuple[int, int]] = []
+
+    def collect_batch(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    q = S.foreach_batch(sdf, collect_batch)
+    S.run_until_drained(q)
+    assert sum(n for _, n in seen) == 8
+    assert len(seen) >= 3  # one per file with maxFilesPerTrigger=1
+
+
+def test_parse_json_value_flat_and_array(spark):
+    flat_schema = T.StructType([T.StructField("a", T.IntegerType())])
+    df = spark.createDataFrame([('{"a": 1}',)], ["value"])
+    assert S.parse_json_value(df, flat_schema).collect()[0]["a"] == 1
+
+    arr_schema = T.ArrayType(flat_schema)
+    df2 = spark.createDataFrame([('[{"a": 1}, {"a": 2}]',)], ["value"])
+    got = sorted(r["a"] for r in S.parse_json_value(df2, arr_schema).collect())
+    assert got == [1, 2]

@@ -63,14 +63,14 @@ def parse_wait_minutes(temps: Column | str) -> Column:
     """
     c = F.col(temps) if isinstance(temps, str) else temps
     return F.when(c == "proche", F.lit(0)).otherwise(
-        F.regexp_replace(c, "[^0-9]", "").cast("int")
+        F.regexp_replace(c, "[^0-9]", "").try_cast("int")
     )
 
 
 def digits_only(col: Column | str) -> Column:
     """Strip every non-digit: ``"50d"`` → 50 (src/plane_naolib_consumer.py:81)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, "[^0-9]", "").cast("int")
+    return F.regexp_replace(c, "[^0-9]", "").try_cast("int")
 
 
 def occupancy_bar(

@@ -141,5 +141,7 @@ def apply_casts(df, source: str):
 
     for col, typ in CASTS.get(source, {}).items():
         if col in df.columns:
-            df = df.withColumn(col, F.col(col).cast(typ))
+            # try_cast: malformed values → null even under ANSI mode,
+            # preserving the reference's PERMISSIVE contract.
+            df = df.withColumn(col, F.col(col).try_cast(typ))
     return df

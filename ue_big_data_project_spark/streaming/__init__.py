@@ -1,0 +1,174 @@
+"""Structured Streaming layer (SURVEY §2.1 S2, §2.2 K1-K3/K7, §2.6 A4, X13).
+
+The reference's streaming surface is: Kafka stream scan → ``from_json``
+parse → watermark → tumbling-window stateful agg → console/foreachBatch
+sink → ``awaitTermination`` (src/naolib_consumer.py:49-175,
+src/bike_consumer.py:62-151, src/previous_tp_code.py:191-240).
+
+This engine exposes the same shapes source-agnostically: any streaming
+DataFrame (file-stream, rate, kafka, memory) flows through the same
+operators, so every streaming pipeline is testable without Kafka by
+replaying files — and the *logic* is shared with batch (same column
+expressions), giving batch-vs-stream equivalence tests for free.
+
+Scale notes: stateful aggs shuffle on (window, keys); the watermark
+bounds state. For large state, RocksDB state store (set in
+``session.get_spark``). Late data beyond the watermark is dropped —
+identical semantics to the reference's append-mode pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-replay streaming source — the Kafka-less test/dev source.
+
+    Each file dropped into ``path`` becomes (part of) a micro-batch,
+    mirroring the producer cadence the reference gets from
+    ``threading.Thread`` polling loops (src/naolib_producer.py:207-256).
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Synthetic ``rate`` source (timestamp, value) for load tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka stream scan with the reference's options
+    (src/naolib_consumer.py:49-54). Requires the kafka connector jar on
+    the classpath; everything downstream is source-agnostic."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def parse_json_value(
+    df: DataFrame, schema: T.DataType, value_col: str = "value"
+) -> DataFrame:
+    """Kafka-style payload parse: binary/str ``value`` → columns.
+
+    ``from_json`` PERMISSIVE (malformed → nulls), then ``data.*``
+    expansion — the universal first step of every reference consumer
+    (e.g. src/naolib_consumer.py:56-59). Array-typed schemas (the bike
+    feed's message-is-an-array, src/bike_consumer.py:60-74) are exploded
+    to one row per element.
+    """
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("data")
+    )
+    if isinstance(schema, T.ArrayType):
+        return parsed.select(F.explode("data").alias("record")).select("record.*")
+    return parsed.select("data.*")
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: list[Column],
+    group_cols: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation (A4/X12).
+
+    Works identically on batch and streaming inputs; on streams pass
+    ``watermark`` to bound state and enable append-mode emission
+    (src/naolib_consumer.py:79-85 shape).
+    """
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(ts_col, window_duration).alias("window")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def dedup_stream(
+    df: DataFrame, keys: list[str], watermark_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Keyed dedup (X13): state-backed on streams.
+
+    With a watermark the state for old keys is dropped
+    (``dropDuplicatesWithinWatermark`` semantics via dropDuplicates on
+    key+event-time bound) — the reference's unbounded-state
+    ``dropDuplicates(["entry_id"])`` (src/previous_tp_code.py:212) leaks
+    state forever on a stream; bounding it is the intended fix.
+    """
+    if df.isStreaming and watermark_col and watermark:
+        return df.withWatermark(watermark_col, watermark).dropDuplicates(keys)
+    return df.dropDuplicates(keys)
+
+
+def to_console(
+    df: DataFrame, mode: str = "append", truncate: bool = False
+) -> StreamingQuery:
+    """K1/K2 console sink (append or complete)."""
+    return (
+        df.writeStream.outputMode(mode)
+        .format("console")
+        .option("truncate", str(truncate).lower())
+        .start()
+    )
+
+
+def to_memory(
+    df: DataFrame, name: str, mode: str = "append"
+) -> StreamingQuery:
+    """Memory sink — the deterministic test sink; query results with
+    ``spark.sql(f"SELECT * FROM {name}")``."""
+    return (
+        df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    )
+
+
+def foreach_batch(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    mode: str = "append",
+) -> StreamingQuery:
+    """K3 callback sink: per-micro-batch ``fn(batch_df, batch_id)``.
+
+    The reference uses this to ``toPandas()`` + matplotlib-render each
+    micro-batch (plot_bus_positions, src/naolib_consumer.py:119-162);
+    any driver-side consumer fits.
+    """
+    return df.writeStream.outputMode(mode).foreachBatch(fn).start()
+
+
+def run_until_drained(query: StreamingQuery) -> None:
+    """Process everything currently available, then stop (K7 lifecycle,
+    deterministic test variant of ``awaitTermination``)."""
+    query.processAllAvailable()
+    query.stop()
