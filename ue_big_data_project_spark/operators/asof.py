@@ -132,4 +132,15 @@ def asof_join(
             .select(*group_cols, F.struct(*right_cols).alias("asof"))
         )
 
+    if strategy == "broadcast_agg":
+        # Same BNLJ theta join, but the top-1 is a min_by/max_by grouped
+        # aggregation instead of a window: partial aggregation runs
+        # map-side, so the shuffle moves one row per left key instead of
+        # every joined pair — the faster form of the reference shape.
+        rsel = right.select(*right_cols)
+        joined = left.join(F.broadcast(rsel), theta(left[left_ts], rsel[right_ts]), "inner")
+        return joined.groupBy(*[left[c] for c in group_cols]).agg(
+            _best_struct(right_cols, right_ts, direction).alias("asof")
+        )
+
     raise ValueError(f"unknown strategy {strategy!r}")

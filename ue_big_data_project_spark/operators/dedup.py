@@ -144,29 +144,38 @@ def ngram_jaccard_pairs(
     intersections, then |A∪B| = |A|+|B|−|A∩B|. The shuffle key is the
     shingle, so hot shingles (stopword runs) are the skew risk — at scale,
     drop ultra-frequent shingles first (df-style pruning).
+
+    Pair pruning: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so the join keeps
+    only size-compatible pairs — a *sound* bound (identical results),
+    which cuts the pair shuffle by the fraction of size-mismatched pairs.
     Output: id_a, id_b, jaccard (rounded 4), filtered ≥ threshold.
     """
     sh = shingle_rows(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sized = sh.join(F.broadcast(sizes), id_col)
+    a, b = sized.alias("a"), sized.alias("b")
     common = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= threshold * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.max(F.col("a.n_sh")).alias("n_a"),
+            F.max(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             pround(
                 F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),

@@ -160,7 +160,7 @@ def theta_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="err_ts",
         left_keys=["event_id"],
         right_cols=["err_ts"],
-        strategy="broadcast_rank",
+        strategy="broadcast_agg",
         strict=True,
     )
     return out.select(

@@ -95,17 +95,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+sized AS (
+  SELECT sh.doc_id, shingle, n_sh FROM sh JOIN sizes USING (doc_id)
+),
 common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
+         max(a.n_sh) AS n_a, max(b.n_sh) AS n_b
+  FROM sized a
+  JOIN sized b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND least(a.n_sh, b.n_sh) >= 0.8 * greatest(a.n_sh, b.n_sh)
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       {sql_round("common * 1.0 / (sa.n_sh + sb.n_sh - common)", 4)} AS jaccard
+       {sql_round("common * 1.0 / (n_a + n_b - common)", 4)} AS jaccard
 FROM common
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE {sql_round("common * 1.0 / (sa.n_sh + sb.n_sh - common)", 4)} >= 0.8
+WHERE {sql_round("common * 1.0 / (n_a + n_b - common)", 4)} >= 0.8
 """
 
 
