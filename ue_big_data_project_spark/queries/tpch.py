@@ -376,8 +376,226 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — the pushdown benchmark.
+
+    All three predicates (shipdate range, discount band, quantity cap) are
+    parquet-pushable, so at 100 TB the scan skips whole row groups via
+    min/max stats; zero shuffle (global agg is partial → single combine).
+    """
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(d2(F.col("l_extendedprice")) * d4(F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT {sql_dsum(f"{sql_d2('l_extendedprice')} * {sql_d4('l_discount')}")} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+def semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join + grouped count.
+
+    Orders with at least one lineitem shipped >60 days after the order
+    date, counted per priority. The semi join short-circuits per key
+    (no row multiplication) and its equi part shuffles on the order key —
+    at scale this is a shuffle-hash semi join, never a nested loop.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o, l = t["orders"], t["lineitem"]
+    cond = (o["o_orderkey"] == l["l_orderkey"]) & (
+        l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SEMI_LATE_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+def anti_join_small_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join: customers with no order > 300k,
+    counted per market segment. The anti probe shuffles on custkey with
+    the filter applied *before* the join (orders side shrinks first)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(d2(F.col("c_acctbal"))).alias("sum_acctbal"),
+        )
+    )
+
+
+ANTI_SMALL_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {sql_dsum(sql_d2("c_acctbal"))} AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact equi join + dim broadcast + top-k.
+
+    Revenue lost to returned items ('R') per customer, top 20. The
+    returnflag filter lands in the parquet scan; customer/nation are
+    broadcast; the only shuffle is lineitem⋈orders on the order key and
+    the final grouped agg. limit compiles to TakeOrderedAndProject.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(disc_price_dec()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped subquery + join back.
+
+    Orders whose total quantity exceeds 150, with customer attribution.
+    The heavy agg (sum per orderkey) runs FIRST and map-side-combines, so
+    the join back to orders/customer moves only qualifying keys — the
+    scale-correct order of operations (agg-then-join, not join-then-agg).
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum(d2(F.col("l_quantity"))).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            pround(F.col("o_totalprice"), 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum(sql_d2("l_quantity"))} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum(sql_d2("l_quantity"))} > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       {sql_round("o_totalprice", 2)} AS total_price,
+       sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: anti-join exclusion + COUNT(DISTINCT).
+
+    Distinct suppliers per (brand, type), excluding "complaint" suppliers
+    (negative balance) via a broadcast anti join. count(DISTINCT key)
+    expands to a two-phase agg (distinct shuffle then count) — Catalyst
+    plans it; we keep the exclusion before the join so excluded rows
+    never shuffle.
+    """
+    t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem"))
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
+    "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL),
+    "q16_supplier_variety": QuerySpec(q16_supplier_variety, Q16_SQL),
+    "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL),
+    "semi_join_late_orders": QuerySpec(semi_join_late_orders, SEMI_LATE_SQL),
+    "anti_join_small_customers": QuerySpec(anti_join_small_customers, ANTI_SMALL_SQL),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": QuerySpec(q5_region_revenue, Q5_SQL),
     "asof_first_ship": QuerySpec(asof_first_ship, ASOF_FIRST_SHIP_SQL),
