@@ -110,6 +110,61 @@ def quality_score(text: Column | str, scale: int = 4) -> Column:
     return pround((0.4 * len_band + 0.4 * diversity + 0.2 * low_punct), scale)
 
 
+# BPE-ish subword pre-tokenization regex (GPT-2-style, simplified to the
+# RE2-compatible subset so DuckDB/Trino can reproduce it: no lookahead,
+# no unicode property classes). Alternatives are ordered longest-first so
+# leftmost-first engines (Java regex, RE2) agree on every match.
+BPE_SPLIT_PATTERN = "'(?:re|ve|ll|s|t|m|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Subword-level token count via the BPE-ish pre-tokenizer regex.
+
+    Counts matches of :data:`BPE_SPLIT_PATTERN` over the normalized text
+    — the standard first pass of BPE tokenizers (contractions split off,
+    letter runs / digit runs / punctuation runs are separate tokens).
+    A cheap, UDF-free proxy for "LLM tokens" good enough for corpus
+    budgeting at 100 TB; swap in a real vocab via pandas UDF if exact
+    counts are needed.
+    """
+    return F.coalesce(
+        F.regexp_count(normalize_text(text), F.lit(BPE_SPLIT_PATTERN)),
+        F.lit(0),
+    )
+
+
+ROLL_MOD = (1 << 61) - 1
+_HEX8_POWS = [16**(7 - k) for k in range(8)]
+
+
+def _hash32(tok: Column) -> Column:
+    """Token → 32-bit int: first 8 hex digits of md5, base-16 decoded.
+
+    md5 + base conversion are engine-portable (unlike xxhash64), so
+    fingerprints are oracle-checkable bit-for-bit.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint (Karp–Rabin-style).
+
+    ``Σᵢ (i+1)·h(tokᵢ) mod (2⁶¹−1)`` with ``h`` = 32-bit md5 prefix:
+    positional weights make it order-sensitive (unlike a bag-of-words
+    hash), and every term stays < 2⁴⁶ so the BIGINT sum is exact in any
+    engine — no overflow, no float drift. Computed entirely with
+    higher-order array functions (one pass, no shuffle, no UDF).
+    """
+    toks = tokens(text)
+    terms = F.transform(
+        toks, lambda t, i: (i + F.lit(1)).cast("long") * _hash32(t)
+    )
+    total = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return F.pmod(total, F.lit(ROLL_MOD))
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of the normalized text (order-free set).
 

@@ -1,0 +1,59 @@
+"""Multimodal pipeline queries: binary payload plumbing, feature
+extraction, frame sampling — the ``mapInPandas`` surface of the engine.
+
+Payloads are synthesized deterministically from the documents table
+(:func:`operators.multimodal.attach_media`), so the Arrow-batched Python
+path is value-hash-checked against a pure-SQL oracle: the Spark side
+really does ship bytes through ``mapInPandas`` workers and hash them
+with ``hashlib``; DuckDB reproduces the results from the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ue_big_data_project_spark.operators import multimodal as MM
+from ue_big_data_project_spark.queries import QuerySpec
+from ue_big_data_project_spark.session import load_tables
+
+_MEDIA_TYPE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-level features of every payload through the Arrow UDF path."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return MM.media_features(MM.attach_media(d))
+
+
+MULTIMODAL_FEATURES_SQL = f"""
+SELECT doc_id,
+       {_MEDIA_TYPE_SQL} AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(64 + doc_id % 512 AS INTEGER) AS width,
+       CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height
+FROM documents
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling: one row per kept frame per video."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return MM.sample_frames(MM.attach_media(d), every=2)
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(unnest(range(0, 1 + doc_id % 16, 2)) AS INTEGER) AS frame_idx,
+       md5(text || ':' || CAST(unnest(range(0, 1 + doc_id % 16, 2)) AS VARCHAR)) AS frame_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
+}

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from ue_big_data_project_spark.functions import sql_round
 from ue_big_data_project_spark.functions import text as TX
 from ue_big_data_project_spark.operators import dedup as DD
-from ue_big_data_project_spark.operators.similarity import brute_force_knn, lsh_knn
+from ue_big_data_project_spark.operators.similarity import (
+    brute_force_knn,
+    cosine_pairs,
+    ivf_knn,
+    lsh_knn,
+)
 from ue_big_data_project_spark.queries import QuerySpec
 from ue_big_data_project_spark.session import load_tables
 
@@ -332,14 +337,158 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 KNN_LSH_SQL = _lsh_sql()
 
 
+def _cos_sql(va: str, vb: str, dim: int = 64) -> str:
+    """Rounded, zero-guarded cosine between two SQL list expressions —
+    the oracle twin of ``functions.vectors.cosine`` + ``pround(·, 6)``."""
+    dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {va}[i]::DOUBLE * {vb}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+    na = (
+        f"sqrt(list_reduce(list_transform({va}, "
+        "x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+    )
+    nb = (
+        f"sqrt(list_reduce(list_transform({vb}, "
+        "x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+    )
+    return sql_round(
+        f"CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END", 6
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs, cos ≥ 0.4)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return cosine_pairs(e, threshold=0.4)
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql("a.embedding", "b.embedding")} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
+"""
+
+
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index (16 cells, nprobe=2)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_knn(e, queries, k=5, n_centroids=16, nprobe=2)
+
+
+KNN_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cent_vec
+  FROM embeddings WHERE vec_id < 16
+),
+item_sc AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {_cos_sql("e.embedding", "c.cent_vec")} AS cent_sim
+  FROM embeddings e, cent c
+),
+tagged AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id ASC) AS rn
+    FROM item_sc
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 10
+),
+q_sc AS (
+  SELECT q.query_id, q.query_vec, c.cent_id,
+         {_cos_sql("q.query_vec", "c.cent_vec")} AS cent_sim
+  FROM q, cent c
+),
+probes AS (
+  SELECT query_id, query_vec, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cent_sim DESC, cent_id ASC) AS rn
+    FROM q_sc
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, t.vec_id,
+         {_cos_sql("t.embedding", "p.query_vec")} AS cosine_sim
+  FROM tagged t JOIN probes p ON t.cell = p.cell AND t.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words + BPE-ish subword regex."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_count("text").alias("n_tokens_bpe"),
+    )
+
+
+# SQL-escape the embedded single quote in the BPE pattern.
+_BPE_SQL_PAT = TX.BPE_SPLIT_PATTERN.replace("'", "''")
+TEXT_TOKENS_SQL = f"""
+SELECT doc_id,
+  CAST(len({_WORDS}) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all({_NORM}, '{_BPE_SQL_PAT}')) AS INTEGER) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash + positional rolling hash."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp_md5"),
+        TX.rolling_fingerprint("text").alias("fp_roll"),
+    )
+
+
+_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hs[i], {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+    for k in range(8)
+)
+TEXT_FINGERPRINT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, md5({_NORM}) AS fp_md5,
+         list_transform({_WORDS}, w -> md5(w)) AS hs
+  FROM documents
+)
+SELECT doc_id, fp_md5,
+  list_reduce(
+    list_transform(range(1, len(hs) + 1), i -> i * ({_HEX8})),
+    (a, b) -> a + b
+  ) % {TX.ROLL_MOD} AS fp_roll
+FROM t
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
+    "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL),
+    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
     "knn_cosine_brute": QuerySpec(knn_cosine_brute, KNN_BRUTE_SQL),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
+    "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_IVF_SQL),
 }
