@@ -231,8 +231,55 @@ GROUP BY p.event_id, p.ts
 """
 
 
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window agg run END-TO-END through Structured
+    Streaming: file-replay source → watermark → stateful windowed agg →
+    memory sink drain — and the final table hash-matches the same SQL
+    oracle as the batch form (events_tumbling_window), proving
+    batch/stream semantic equivalence on real data.
+
+    Scale shape: state is keyed by (window, event_type); the watermark
+    bounds it on unbounded input. Complete mode here because the drain
+    snapshot is the product; production pipelines use append + sink.
+    """
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ue_big_data_project_spark import streaming as ST
+
+    # Vanilla sessions need the nanos decode + UTC contract (same runtime
+    # settings load_tables applies for batch reads).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sdf = ST.replay_parquet(spark, _os.path.join(sf_dir, "events.parquet"))
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = ST.windowed_agg(
+        sdf,
+        ts_col="ts",
+        window_duration="15 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            davg(d2(F.col("value"))).alias("avg_value"),
+        ],
+        group_cols=["event_type"],
+        watermark="1 hour",
+    )
+    out = agg.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "avg_value",
+    )
+    return ST.drain_to_table(spark, out, mode="complete")
+
+
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
+    "streaming_tumbling_window": QuerySpec(
+        streaming_tumbling_window, EVENTS_TUMBLING_SQL
+    ),
     "events_tumbling_window": QuerySpec(events_tumbling_window, EVENTS_TUMBLING_SQL),
     "events_dedup_first": QuerySpec(events_dedup_first, EVENTS_DEDUP_SQL),
     "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_SQL),

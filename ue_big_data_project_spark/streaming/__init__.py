@@ -19,6 +19,7 @@ identical semantics to the reference's append-mode pipelines.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -172,3 +173,52 @@ def run_until_drained(query: StreamingQuery) -> None:
     deterministic test variant of ``awaitTermination``)."""
     query.processAllAvailable()
     query.stop()
+
+
+def replay_parquet(
+    spark: SparkSession, *files: str
+) -> DataFrame:
+    """Replay existing parquet file(s) as a bounded stream.
+
+    Spark's file-stream source only accepts directories, so the files are
+    symlinked into a scratch staging dir — zero copy, the source still
+    reads the original bytes. This is how the engine replays any batch
+    table through its streaming operators (batch-vs-stream equivalence
+    testing, backfill-through-the-streaming-path).
+    """
+    import tempfile
+
+    schema = spark.read.parquet(files[0]).schema
+    stage = tempfile.mkdtemp(prefix="spark_graft_replay_")
+    for f in files:
+        os.symlink(
+            os.path.abspath(f), os.path.join(stage, os.path.basename(f))
+        )
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def drain_to_table(
+    spark: SparkSession, df: DataFrame, mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame until the source is drained; return the
+    final result as a BATCH DataFrame (memory sink snapshot).
+
+    The deterministic end-to-end harness: bounded replay in, one
+    ``processAllAvailable`` drain, stable table out — which makes whole
+    streaming pipelines value-hash-checkable against a SQL oracle.
+    """
+    import tempfile
+    import uuid
+
+    name = f"drain_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
