@@ -63,6 +63,44 @@ def test_forward_strategies_agree(spark, sides):
     assert results["broadcast_rank"][2] == "2024-01-01T10:05:00"
 
 
+def test_sorted_array_agrees_with_reference_shape(spark, sides):
+    left, right = sides
+    results = {}
+    for strategy in [
+        "broadcast_rank", "broadcast_agg", "sorted_array", "bucket_minima",
+    ]:
+        out = asof_join(
+            left,
+            right.drop("grp"),
+            left_ts="lts",
+            right_ts="rts",
+            left_keys=["id"],
+            right_cols=["rts"],
+            strategy=strategy,
+        )
+        results[strategy] = collect_asof(out)
+    assert results["sorted_array"] == results["broadcast_rank"]
+    assert results["sorted_array"] == results["broadcast_agg"]
+    assert results["bucket_minima"] == results["broadcast_rank"]
+
+
+@pytest.mark.parametrize("strategy", ["sorted_array", "bucket_minima"])
+def test_ts_only_strategies_strict_and_backward(spark, sides, strategy):
+    left, right = sides
+    for kwargs in [{"strict": True}, {"direction": "backward"}]:
+        got = asof_join(
+            left, right.drop("grp"),
+            left_ts="lts", right_ts="rts", left_keys=["id"],
+            right_cols=["rts"], strategy=strategy, **kwargs,
+        )
+        ref = asof_join(
+            left, right.drop("grp"),
+            left_ts="lts", right_ts="rts", left_keys=["id"],
+            right_cols=["rts"], strategy="broadcast_rank", **kwargs,
+        )
+        assert collect_asof(got) == collect_asof(ref), kwargs
+
+
 def test_grouped_respects_by_keys(spark, sides):
     left, right = sides
     out = asof_join(

@@ -132,6 +132,143 @@ def asof_join(
             .select(*group_cols, F.struct(*right_cols).alias("asof"))
         )
 
+    if strategy == "sorted_array":
+        # For a bounded right side that contributes only its timestamp
+        # (the reference case: one day's bus schedule), skip the join
+        # entirely: aggregate the right timestamps into ONE sorted array,
+        # broadcast it, and pick each left row's match with array
+        # expressions. O(n·m) comparisons like the BNLJ, but as a single
+        # scan over left with zero join machinery, zero row
+        # multiplication, and zero shuffle of pair rows.
+        if right_cols != [right_ts]:
+            raise ValueError("sorted_array strategy returns only right_ts")
+        arr = right.agg(F.sort_array(F.collect_list(right_ts)).alias("_arr"))
+        joined = left.select(*group_cols).join(F.broadcast(arr))
+        lts = F.col(left_ts)
+
+        def ok(x: Column) -> Column:
+            if direction == "forward":
+                cond = x > lts if strict else x >= lts
+                if tolerance_seconds:
+                    cond &= x <= F.timestamp_add(
+                        "SECOND", F.lit(tolerance_seconds), lts
+                    )
+            else:
+                cond = x < lts if strict else x <= lts
+                if tolerance_seconds:
+                    cond &= x >= F.timestamp_add(
+                        "SECOND", F.lit(-tolerance_seconds), lts
+                    )
+            return cond
+
+        # The array is sorted ascending, so the first (forward) / last
+        # (backward) qualifying element IS the as-of match; try_element_at
+        # yields NULL (→ row dropped, inner-join semantics) when no
+        # element qualifies.
+        pick = F.try_element_at(
+            F.filter(F.col("_arr"), ok), F.lit(1 if direction == "forward" else -1)
+        )
+        return (
+            joined.withColumn("_m", pick)
+            .filter(F.col("_m").isNotNull())
+            .select(
+                *group_cols,
+                F.struct(F.col("_m").alias(right_ts)).alias("asof"),
+            )
+        )
+
+    if strategy == "bucket_minima":
+        # Unbounded-range as-of with NO nested loop and NO wide array
+        # scans: bucket right timestamps (1 bucket = `bucket_seconds`),
+        # reduce to one min (forward) / max (backward) per bucket, and
+        # take a running suffix/prefix extremum over the (dense, tiny —
+        # O(time-range/width), independent of row count) bucket table.
+        # Each left row then needs only (a) the broadcast bucket-table
+        # lookup for "best in strictly-later/earlier buckets" and (b) an
+        # equi join on its OWN bucket for same-bucket candidates. Every
+        # join is an equi join; every shuffle key is a bucket id.
+        if right_cols != [right_ts]:
+            raise ValueError("bucket_minima strategy returns only right_ts")
+        if tolerance_seconds:
+            raise ValueError(
+                "bucket_minima is for unbounded as-of; use bucketed with a tolerance"
+            )
+        width = F.lit(3600.0)
+        fwd = direction == "forward"
+        rb = right.select(
+            F.floor(F.unix_timestamp(F.col(right_ts)) / width)
+            .cast("long")
+            .alias("_b"),
+            F.col(right_ts),
+        )
+        best = F.min(right_ts) if fwd else F.max(right_ts)
+        mins = rb.groupBy("_b").agg(best.alias("_bbest"))
+        rng = mins.agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        dense = (
+            rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_b"))
+            .join(mins, "_b", "left")
+        )
+        # Running best over buckets ≥/≤ b. The window is over the BUCKET
+        # table (thousands of rows), never the data — a driver-bounded
+        # global window, like any dimension build.
+        w = (
+            Window.orderBy(F.asc("_b")).rowsBetween(0, Window.unboundedFollowing)
+            if fwd
+            else Window.orderBy(F.asc("_b")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        dense = dense.select(
+            "_b", (F.min("_bbest") if fwd else F.max("_bbest")).over(w).alias("_adj")
+        )
+        l = left.select(*group_cols).withColumn(
+            "_b",
+            F.floor(F.unix_timestamp(F.col(left_ts)) / width).cast("long"),
+        )
+        l = l.join(F.broadcast(rng))
+        # Adjacent-bucket pointer: strictly-later (earlier) buckets start
+        # at b±1, clamped into the dense range on the far side only — a
+        # miss past the near edge correctly yields NULL (no candidate).
+        bj = (
+            F.greatest(F.col("_b") + 1, F.col("_lo"))
+            if fwd
+            else F.least(F.col("_b") - 1, F.col("_hi"))
+        )
+        l = l.withColumn("_bj", bj).join(
+            F.broadcast(dense.withColumnRenamed("_b", "_bj")), "_bj", "left"
+        )
+        # Same-bucket candidates: equi join on the bucket id + theta.
+        # (Fresh aliases — rb also feeds the bucket table, and Spark
+        # rejects ambiguous self-join lineage otherwise.)
+        rbs = right.select(
+            F.floor(F.unix_timestamp(F.col(right_ts)) / width)
+            .cast("long")
+            .alias("_rb"),
+            F.col(right_ts).alias("_rts"),
+        )
+        same = l.join(
+            rbs,
+            (l["_b"] == rbs["_rb"]) & theta(l[left_ts], rbs["_rts"]),
+            "left",
+        )
+        agg_same = (F.min("_rts") if fwd else F.max("_rts")).alias("_same")
+        combined = same.groupBy(
+            *[l[c] for c in group_cols], l["_adj"]
+        ).agg(agg_same)
+        # least/greatest skip NULLs, so whichever side has a candidate wins.
+        m = (
+            F.least(F.col("_same"), F.col("_adj"))
+            if fwd
+            else F.greatest(F.col("_same"), F.col("_adj"))
+        )
+        return (
+            combined.withColumn("_m", m)
+            .filter(F.col("_m").isNotNull())
+            .select(
+                *group_cols, F.struct(F.col("_m").alias(right_ts)).alias("asof")
+            )
+        )
+
     if strategy == "broadcast_agg":
         # Same BNLJ theta join, but the top-1 is a min_by/max_by grouped
         # aggregation instead of a window: partial aggregation runs

@@ -145,16 +145,45 @@ def ngram_jaccard_pairs(
     shingle, so hot shingles (stopword runs) are the skew risk — at scale,
     drop ultra-frequent shingles first (df-style pruning).
 
-    Pair pruning: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so the join keeps
-    only size-compatible pairs — a *sound* bound (identical results),
-    which cuts the pair shuffle by the fraction of size-mismatched pairs.
+    Prefix filtering (Bayardo/PPJoin, lossless): order each document's
+    shingles globally by (document frequency asc, shingle asc) and index
+    only its first ``n − ⌈t·n⌉ + 1`` shingles. If J(A,B) ≥ t then
+    |A∩B| ≥ t·|A|, so the intersection cannot fit inside A's unindexed
+    ⌈t·|A|⌉−1 suffix — every qualifying pair shares a *prefix* shingle.
+    Candidates therefore come from an inverted-index join over ~(1−t) of
+    the shingle volume (rarest shingles first ⇒ smallest postings), with
+    the size-compatibility bound J ≤ min/max(|A|,|B|) applied in the
+    join. Candidates are then verified EXACTLY by intersecting the full
+    (sorted, distinct) shingle arrays — results are identical to the
+    naive all-postings join, at a fraction of the shuffle.
     Output: id_a, id_b, jaccard (rounded 4), filtered ≥ threshold.
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sized = sh.join(F.broadcast(sizes), id_col)
-    a, b = sized.alias("a"), sized.alias("b")
-    common = (
+    from pyspark.sql import Window
+
+    # The shingle explosion feeds four subtrees (frequencies, ranking,
+    # and both verification sides); cache it so the regex/explode work
+    # runs once. Storage is ~|corpus shingles| rows — the same order as
+    # one shuffle of the naive join, and LRU-evicted under pressure.
+    sh = shingle_rows(df, id_col, text_col, shingle_n).cache()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(freq, "shingle").select(
+        id_col,
+        "shingle",
+        F.row_number()
+        .over(
+            Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+        )
+        .alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_sh"),
+    )
+    # ⌈t·n⌉ computed with a tiny downward nudge so float error can only
+    # LENGTHEN the prefix (more candidates, never a missed pair).
+    prefix_len = F.col("n_sh") - F.ceil(
+        F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)
+    ) + 1
+    prefix = ranked.filter(F.col("_rn") <= prefix_len)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -164,26 +193,47 @@ def ngram_jaccard_pairs(
                 >= threshold * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
             ),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.max(F.col("a.n_sh")).alias("n_a"),
-            F.max(F.col("b.n_sh")).alias("n_b"),
-        )
+        .distinct()
     )
-    return (
-        common.withColumn(
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_arr"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_arr").alias("_arr_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_arr").alias("_arr_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # Candidate count ≪ corpus, so ship the (id → shingle set) table to
+    # the candidates rather than shuffling candidates twice. At corpus
+    # scales where `sets` outgrows broadcast, semi-join it down to the
+    # candidate ids first — candidates stay the small side by
+    # construction (prefix + size pruning).
+    verified = (
+        candidates.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "common", F.size(F.array_intersect("_arr_a", "_arr_b"))
+        )
+        .withColumn(
             "jaccard",
             pround(
                 F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
                 4,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ue_big_data_project_spark.functions import hex_digit_value, pround
 from ue_big_data_project_spark.functions.vectors import cosine
@@ -94,26 +95,86 @@ def cosine_pairs(
     item_id: str = "vec_id",
     item_vec: str = "embedding",
     score_scale: int = 6,
+    block_size: int = 2048,
+    margin: float = 1e-6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
-    cosine(a, b) ≥ ``threshold``.
+    cosine(a, b) ≥ ``threshold``. EXACT results, blocked execution.
 
-    Exact all-pairs formulation: a self-join on ``id_a < id_b``. Correct
-    at any N but O(N²) — the right tool for a bounded candidate set
-    (e.g. after LSH/IVF blocking). At corpus scale, block first:
-    ``hyperplane_signs`` buckets or the minhash band join
-    (operators.dedup) cut the pair space, then this scores survivors.
-    The broadcast on one side keeps it shuffle-free when the deduped
-    candidate set fits an executor.
+    Two stages (the block-matrix similarity join):
+
+    1. **Candidate generation** — vectors are grouped into blocks of
+       ``block_size`` by id; every block-pair (upper triangle) flows
+       through ``mapInPandas`` where one numpy matmul scores the whole
+       tile. Pairs within ``margin`` of the threshold survive. BLAS
+       summation order differs from the fold-left expression math by
+       ≤ ~64 ulp, far below ``margin``, so no true pair can be missed —
+       numpy is used only as a *sound pruner*.
+    2. **Exact rescore** — the (small) candidate set joins back to the
+       vectors and is scored with the same fold-left column expressions
+       the oracle mirrors; the rounded threshold test is exact.
+
+    Scale shape: N vectors → (N/B)² /2 tiles, each an independent task
+    whose inputs are two ~B·dim float blocks; shuffle volume is O(N·dim)
+    for the block build plus O(candidates) afterwards — never O(N²).
     """
-    a = items.select(
-        F.col(item_id).alias("id_a"), F.col(item_vec).alias("_va")
+    import pandas as pd
+
+    sid, svec = F.col(item_id), F.col(item_vec)
+    blocks = (
+        items.groupBy(F.floor(sid / block_size).alias("blk"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(sid.alias("id"), svec.alias("vec")))
+            ).alias("rows")
+        )
     )
-    b = items.select(
-        F.col(item_id).alias("id_b"), F.col(item_vec).alias("_vb")
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    tiles = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+
+    cut = threshold - margin
+
+    def score_tiles(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                ids_a = np.array([r["id"] for r in rows_a], dtype="int64")
+                ids_b = np.array([r["id"] for r in rows_b], dtype="int64")
+                ma = np.array([r["vec"] for r in rows_a], dtype="float64")
+                mb = np.array([r["vec"] for r in rows_b], dtype="float64")
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                na[na == 0] = 1.0
+                nb[nb == 0] = 1.0
+                sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+                ia, ib = np.nonzero(sims >= cut)
+                ka, kb = ids_a[ia], ids_b[ib]
+                keep = ka < kb
+                out_a.append(ka[keep])
+                out_b.append(kb[keep])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                }
+            )
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+        ]
     )
+    candidates = tiles.mapInPandas(score_tiles, cand_schema)
+
+    va = items.select(sid.alias("id_a"), svec.alias("_va"))
+    vb = items.select(sid.alias("id_b"), svec.alias("_vb"))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -160,7 +160,7 @@ def theta_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="err_ts",
         left_keys=["event_id"],
         right_cols=["err_ts"],
-        strategy="broadcast_agg",
+        strategy="bucket_minima",
         strict=True,
     )
     return out.select(
