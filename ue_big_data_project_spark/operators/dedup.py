@@ -38,6 +38,9 @@ from ue_big_data_project_spark.functions.text import (
 )
 
 
+MINHASH_PRIME = 4294967291  # largest 32-bit prime
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content-exact dedup groups: one row per distinct normalized text.
 
@@ -68,17 +71,23 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: ``h0..h{k-1}``.
+    """Per-document MinHash signature: ``h0..h{k-1}`` (bigints).
 
-    hᵢ = min over shingles of ``md5(i || ':' || shingle)``. Lexicographic
-    min over a uniform hex hash is a valid min-hash family and is exactly
-    reproducible in any engine with md5. One explode + one grouped
-    aggregation (map-side partial min ⇒ the shuffle carries k hashes per
+    ONE md5 per shingle, then the Kirsch–Mitzenmacher construction
+    ``hᵢ = (a + i·b) mod p`` with a/b = the two 32-bit halves of the md5
+    prefix and p = 4294967291 (largest 32-bit prime): k independent-enough
+    min-hash functions for the cost of one hash evaluation — an 8× cut in
+    the dominant per-shingle work. All integer ops, so any engine with
+    md5 reproduces the signatures exactly. One explode + one grouped
+    aggregation (map-side partial min ⇒ the shuffle carries k ints per
     doc, not the shingles).
     """
     sh = shingle_rows(df, id_col, text_col, shingle_n)
+    h = F.md5(F.col("shingle"))
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min((a + F.lit(i) * b) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -105,8 +114,12 @@ def minhash_lsh_pairs(
         F.struct(
             F.lit(b).alias("band_idx"),
             F.md5(
-                F.concat(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
             ).alias("band_val"),
         )

@@ -1,0 +1,77 @@
+"""Skew mitigation: salted aggregation and salted broadcast join.
+
+AQE's skew-join splitting (enabled in ``session.get_spark``) handles
+sort-merge join skew at runtime; these helpers cover the two cases AQE
+does not: a grouped aggregation whose GROUP BY key is hot, and an
+explicit salt for repeatable plans. Salting is semantics-preserving for
+any algebraic aggregate: partial-aggregate on (key, salt), then final
+aggregate on key — the shuffle spreads a hot key over ``salt_buckets``
+reducers instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted(df: DataFrame, salt_buckets: int = 32, col_name: str = "_salt") -> DataFrame:
+    """Attach a uniform salt column in [0, salt_buckets).
+
+    Derived from a hash of the whole row (via ``monotonically_increasing_id``
+    is NOT used — it breaks determinism across retries); ``rand`` with a
+    fixed seed keeps retried tasks consistent within a job.
+    """
+    return df.withColumn(
+        col_name, (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+
+
+_COMBINERS = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase grouped aggregation for hot keys.
+
+    ``aggs`` maps output name → (kind, column) with kind in
+    sum/count/min/max; the final phase recombines partials with the
+    matching combiner (count recombines with sum).
+
+    Phase 1 groups on (keys + salt): a key with 10⁹ rows becomes
+    ``salt_buckets`` partial rows. Phase 2 groups on keys alone over the
+    tiny partial table. For low-cardinality hot aggregations this is the
+    difference between one straggler reducer and an even shuffle.
+    (avg = salted sum / salted count, composed by the caller.)
+    """
+    partial_cols, final_cols = [], []
+    for name, (kind, col) in aggs.items():
+        partial_fn, final_fn = _COMBINERS[kind]
+        partial_cols.append(partial_fn(col).alias(f"_p_{name}"))
+        final_cols.append(final_fn(f"_p_{name}").alias(name))
+    phase1 = salted(df, salt_buckets).groupBy(*keys, "_salt").agg(*partial_cols)
+    return phase1.groupBy(*keys).agg(*final_cols)
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi join: broadcast the small side, no shuffle of the
+    big side at all — the degenerate (and best) salting case. Provided
+    as the named idiom so call sites say what they mean; Spark's own
+    ``broadcast()`` does the work.
+    """
+    return big.join(F.broadcast(small), on, how)

@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 from ue_big_data_project_spark import schemas
 from ue_big_data_project_spark.operators.asof import asof_join
 from ue_big_data_project_spark.queries import QuerySpec
-from ue_big_data_project_spark.queries.tpch import d2, davg, sql_d2, sql_davg
+from ue_big_data_project_spark.queries.tpch import (
+    d2,
+    davg,
+    dsum,
+    sql_d2,
+    sql_davg,
+    sql_dsum,
+)
 from ue_big_data_project_spark.session import load_tables
 
 
@@ -275,8 +282,41 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.drain_to_table(spark, out, mode="complete")
 
 
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: (event_type, hour) → (event_type) → grand
+    total in ONE pass — Catalyst expands the grouping sets so the input
+    is scanned once, with partial aggregation per set. The OLAP
+    drill-down shape the reference computes by re-running grouped counts.
+    NULL marks the rolled-up level (DuckDB ROLLUP semantics match).
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.select(
+            "event_type",
+            F.format_string("%02d:00", F.hour("ts")).alias("hour_bucket"),
+            d2(F.col("value")).alias("_v"),
+        )
+        .rollup("event_type", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("_v")).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_ROLLUP_SQL = f"""
+SELECT event_type,
+       lpad(CAST(hour(ts) AS VARCHAR), 2, '0') || ':00' AS hour_bucket,
+       count(*) AS n_events,
+       {sql_dsum(sql_d2("value"))} AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, hour_bucket)
+"""
+
+
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
+    "events_rollup": QuerySpec(events_rollup, EVENTS_ROLLUP_SQL),
     "streaming_tumbling_window": QuerySpec(
         streaming_tumbling_window, EVENTS_TUMBLING_SQL
     ),

@@ -66,11 +66,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
 
 
+def _hexval(start: int) -> str:
+    """8 hex digits of md5(shingle) from ``start`` (1-based) → bigint."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {start + k}, 1)) - 1)"
+        f" * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+
+
+# Kirsch–Mitzenmacher twin of operators.dedup.minhash_signatures:
+# hᵢ = (a + i·b) mod p over the two 32-bit md5 halves.
 _MINHASH_AGGS = ",\n    ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+    f"min((({_hexval(1)}) + {i} * ({_hexval(9)})) % 4294967291) AS h{i}"
+    for i in range(8)
 )
 _BAND_SELECTS = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || h{2 * b + 1}) AS band_val FROM mh"
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(CAST(h{2 * b} AS VARCHAR) || ':' || CAST(h{2 * b + 1} AS VARCHAR)) AS band_val FROM mh"
     for b in range(4)
 )
 DEDUP_MINHASH_SQL = f"""

@@ -588,9 +588,47 @@ GROUP BY p_brand, p_type
 """
 
 
+# --------------------------------------------------------------------------
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation on a 3-value hot key (l_returnflag).
+
+    operators.skew.salted_agg: partial-aggregate on (key, salt-32), then
+    recombine on the key — a hot key spreads over 32 reducers instead of
+    one straggler. Semantics-preserving (decimal sums are associative),
+    so the oracle is the plain GROUP BY.
+    """
+    from ue_big_data_project_spark.operators.skew import salted_agg
+
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    out = salted_agg(
+        l.select("l_returnflag", d2(F.col("l_quantity")).alias("_q")),
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty_dec": ("sum", F.col("_q")),
+            "n_lines": ("count", F.lit(1)),
+        },
+        salt_buckets=32,
+    )
+    return out.select(
+        "l_returnflag",
+        pround(F.col("sum_qty_dec").cast("double"), 2).alias("sum_qty"),
+        "n_lines",
+    )
+
+
+SALTED_AGG_SQL = f"""
+SELECT l_returnflag,
+       {sql_dsum(sql_d2("l_quantity"))} AS sum_qty,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
+    "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
     "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL),
     "q16_supplier_variety": QuerySpec(q16_supplier_variety, Q16_SQL),
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL),
