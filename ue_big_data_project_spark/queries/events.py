@@ -314,9 +314,42 @@ GROUP BY ROLLUP (event_type, hour_bucket)
 """
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag → flag → running sum →
+    per-session aggregate; one shuffle on user_id. The streaming twin
+    (applyInPandasWithState) is equivalence-tested in
+    tests/test_sessions.py."""
+    from ue_big_data_project_spark.operators.sessions import sessionize_batch
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return sessionize_batch(e, user_col="user_id", ts_col="ts", gap_seconds=1800)
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS INTEGER) AS session_idx
+  FROM t
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
     "events_rollup": QuerySpec(events_rollup, EVENTS_ROLLUP_SQL),
+    "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL),
     "streaming_tumbling_window": QuerySpec(
         streaming_tumbling_window, EVENTS_TUMBLING_SQL
     ),

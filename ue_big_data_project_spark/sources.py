@@ -73,6 +73,38 @@ def parquet_file(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Hive-style partitioned parquet layout (K-side of the storage
+    contract): queries filtering on ``partition_cols`` prune whole
+    directories (``PartitionFilters`` in the scan) — the first lever for
+    100 TB layout (partition by coarse time/tenant, NEVER by a
+    high-cardinality key).
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffled storage.
+
+    Both sides of a recurring equi join bucketed on the join key (same
+    bucket count) join with ZERO exchange — the shuffle is paid once at
+    write time instead of per query. Verified by plan assertion in
+    tests/test_storage.py.
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def rows_source(
     spark: SparkSession,
     rows: Iterable[dict],
