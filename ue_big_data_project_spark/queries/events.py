@@ -346,10 +346,72 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first later click → first later purchase.
+
+    Stage timestamps are conditional MINs per user computed in ONE
+    grouped pass each (no per-stage self-join of the raw events): stage 2
+    joins users' signup time back and takes min(click ts > signup), etc.
+    Shuffles are all on user_id. Output: one row of stage counts.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("c_ts").alias("n_click_after"),
+            F.count("p_ts").alias("n_purchase_after"),
+        )
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+  JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.s_ts GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+  JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id
+)
+SELECT count(*) AS n_signup,
+       count(c_ts) AS n_click_after,
+       count(p_ts) AS n_purchase_after
+FROM s
+LEFT JOIN c ON s.user_id = c.user_id
+LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
     "events_rollup": QuerySpec(events_rollup, EVENTS_ROLLUP_SQL),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL),
     "streaming_tumbling_window": QuerySpec(
         streaming_tumbling_window, EVENTS_TUMBLING_SQL
     ),

@@ -625,8 +625,164 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery → window min + rank-1.
+
+    "The supplier offering each part at its lowest observed price."
+    The correlated scalar subquery becomes one window over the part key —
+    a single shuffle, no re-scan per outer row (the way Catalyst would
+    also decorrelate it).
+    """
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_suppkey"), F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    )
+    return (
+        l.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            pround(F.col("l_extendedprice"), 2).alias("best_price"),
+        )
+    )
+
+
+CHEAPEST_SUPPLIER_SQL = f"""
+SELECT l_partkey, l_suppkey, {sql_round("l_extendedprice", 2)} AS best_price
+FROM (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_extendedprice ASC, l_suppkey ASC, l_orderkey ASC,
+                    l_linenumber ASC
+         ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional (CASE) aggregation after an equi join.
+
+    High- vs low-priority line counts per line status; the CASE terms are
+    computed map-side inside the partial aggregation.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share (promo %) for one month.
+
+    Both sums ride one aggregation; part is broadcast; the shipdate
+    filter prunes the scan. The ratio divides the two exact decimal sums
+    as doubles and rounds portably.
+    """
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    joined = l.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price_dec()).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return joined.agg(
+        pround(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(disc_price_dec()).cast("double"),
+            4,
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q14_SQL = f"""
+SELECT {sql_round(
+    "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN " + SQL_DISC_PRICE +
+    " ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)"
+    " / CAST(sum(" + SQL_DISC_PRICE + ") AS DOUBLE)", 4)} AS promo_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+# --------------------------------------------------------------------------
+def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive bands inside the join.
+
+    Catalyst extracts the common ``l_partkey = p_partkey`` equi key and
+    keeps the OR-of-ANDs as a post-join filter, so this stays a hash
+    join (the naive reading is a nested loop). Part is broadcast.
+    """
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    l, p = t["lineitem"], t["part"]
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return l.join(F.broadcast(p), cond).agg(
+        dsum(disc_price_dec()).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {sql_dsum(SQL_DISC_PRICE)} AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "cheapest_supplier_per_part": QuerySpec(
+        cheapest_supplier_per_part, CHEAPEST_SUPPLIER_SQL
+    ),
+    "q12_priority_by_status": QuerySpec(q12_priority_by_status, Q12_SQL),
+    "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL),
+    "q19_or_predicates": QuerySpec(q19_or_predicates, Q19_SQL),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
     "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
     "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL),
