@@ -140,6 +140,11 @@ def asof_join(
         # expressions. O(n·m) comparisons like the BNLJ, but as a single
         # scan over left with zero join machinery, zero row
         # multiplication, and zero shuffle of pair rows.
+        # Caveat: the lambda below captures a column of the outer row
+        # (`left_ts`); Spark occasionally hits a transient binding error
+        # on such outer references under rapid AQE replanning. Prefer
+        # bucket_minima when the right side is large or the job is
+        # long-running.
         if right_cols != [right_ts]:
             raise ValueError("sorted_array strategy returns only right_ts")
         arr = right.agg(F.sort_array(F.collect_list(right_ts)).alias("_arr"))

@@ -284,22 +284,53 @@ def simhash_pairs(
     bits: int = 16,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance.
+    """Near-duplicate pairs by SimHash Hamming distance — EXACT results
+    via pigeonhole banding (no all-pairs join).
 
-    This demo form compares all pairs (fine to ~10⁵ docs). The 100 TB
-    path is standard: split the signature into (max_hamming+1) bands and
-    equi-join on each band (pigeonhole: any pair within the radius shares
-    ≥1 exact band), then verify Hamming on the candidates only.
+    The signature splits into ``max_hamming + 1`` bit-bands: a pair
+    within the radius differs in ≤ ``max_hamming`` bits, which can touch
+    at most ``max_hamming`` bands, so at least one band matches EXACTLY
+    — candidates come from equi-joins on (band_idx, band_value), the
+    only shuffle keys, and are then verified with the full Hamming test.
+    Identical output to the naive O(n²) join at any corpus size.
     """
-    sig = simhash(df, id_col, text_col, bits)
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")
+    sig = simhash(df, id_col, text_col, bits).cache()
+    n_bands = max_hamming + 1
+    base = bits // n_bands
+    # Distribute remainder bits over the leading bands.
+    widths = [base + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias("band_val"),
+        )
+        for i in range(n_bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.band_idx", "b.band_val")
+    ba, bb = banded.alias("a"), banded.alias("b")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
     )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")
-    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        candidates.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),

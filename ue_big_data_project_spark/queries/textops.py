@@ -490,7 +490,41 @@ FROM t
 """
 
 
+def pipeline_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: quality filter → exact dedup → token
+    accounting as ONE fused plan (pipelines.prep_documents)."""
+    from ue_big_data_project_spark.pipelines import prep_documents
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return prep_documents(d, min_quality=0.75)
+
+
+PIPELINE_PREP_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, {_QUALITY} AS quality,
+         CAST(len(words) AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(norm, '{_BPE_SQL_PAT}')) AS INTEGER) AS n_tokens_bpe,
+         md5(norm) AS fingerprint
+  FROM (
+    SELECT doc_id, text, {_WORDS} AS words, {_NORM} AS norm,
+           length(text) AS n
+    FROM documents
+  )
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.75
+), canonical AS (
+  SELECT fingerprint, min(doc_id) AS keep_id FROM kept GROUP BY fingerprint
+)
+SELECT k.doc_id, k.quality, k.n_tokens, k.n_tokens_bpe, k.fingerprint
+FROM kept k
+JOIN canonical c ON k.fingerprint = c.fingerprint AND k.doc_id = c.keep_id
+"""
+
+
 QUERIES = {
+    "pipeline_prep_documents": QuerySpec(
+        pipeline_prep_documents, PIPELINE_PREP_SQL
+    ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
