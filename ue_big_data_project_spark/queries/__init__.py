@@ -38,10 +38,13 @@ class QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     from ue_big_data_project_spark.queries import events as _events
     from ue_big_data_project_spark.queries import multimodal as _multimodal
+    from ue_big_data_project_spark.queries import (
+        reference_registered as _reference,
+    )
     from ue_big_data_project_spark.queries import textops as _textops
     from ue_big_data_project_spark.queries import tpch as _tpch
 
     out: dict[str, QuerySpec] = {}
-    for mod in (_tpch, _events, _textops, _multimodal):
+    for mod in (_tpch, _events, _textops, _multimodal, _reference):
         out.update(mod.QUERIES)
     return out
