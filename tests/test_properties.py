@@ -55,6 +55,59 @@ def test_asof_strategies_agree_on_random_data(spark, lts, rts, strict, fwd):
     assert out["bucket_minima"] == out["broadcast_rank"]
 
 
+words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+)
+docs_strategy = st.lists(
+    st.lists(words, min_size=3, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy, threshold=st.sampled_from([0.5, 0.8]))
+def test_jaccard_prefix_filter_is_lossless(spark, texts, threshold):
+    """The PPJoin prefix-filtered pipeline must equal a brute-force
+    Python recomputation of shingle-set Jaccard on random documents."""
+    from ue_big_data_project_spark.functions import text as TX
+    from ue_big_data_project_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=threshold
+        ).collect()
+    }
+
+    def shingles(t: str) -> set:
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    import math
+
+    expected = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            jr = math.floor(j * 10000 + 0.5) / 10000
+            if jr >= threshold:
+                expected[(a, b)] = jr
+    assert got == expected
+
+
 events_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),  # user

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ue_big_data_project_spark import schemas
+from ue_big_data_project_spark.functions import pround, sql_round
 from ue_big_data_project_spark.operators.asof import asof_join
 from ue_big_data_project_spark.queries import QuerySpec
 from ue_big_data_project_spark.queries.tpch import (
@@ -407,8 +408,65 @@ LEFT JOIN p ON s.user_id = p.user_id
 """
 
 
+def events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: signups ∩ clickers, minus purchasers — the
+    distinct-set algebra (INTERSECT/EXCEPT compile to semi/anti joins
+    under the hood, shuffling on the full row as the key)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def users(kind: str) -> DataFrame:
+        return e.filter(F.col("event_type") == kind).select("user_id").distinct()
+
+    engaged = users("signup").intersect(users("click"))
+    silent = engaged.exceptAll(users("purchase"))
+    return silent.agg(
+        F.count(F.lit(1)).alias("n_engaged_no_purchase"),
+        F.coalesce(F.min("user_id"), F.lit(-1)).alias("min_user_id"),
+    )
+
+
+EVENTS_SET_OPS_SQL = """
+WITH silent AS (
+  SELECT user_id FROM events WHERE event_type = 'signup'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT count(*) AS n_engaged_no_purchase,
+       coalesce(min(user_id), -1) AS min_user_id
+FROM silent
+"""
+
+
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (sort-based `percentile`, linear
+    interpolation — matches ANSI percentile_cont). The approx path
+    (approx_percentile / t-digest) is the 100 TB default; the exact form
+    is the oracle-checkable one.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return e.groupBy("event_type").agg(
+        pround(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        pround(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        pround(F.max("value"), 4).alias("vmax"),
+    )
+
+
+EVENTS_PERCENTILES_SQL = f"""
+SELECT event_type,
+       {sql_round("quantile_cont(value, 0.5)", 4)} AS p50,
+       {sql_round("quantile_cont(value, 0.95)", 4)} AS p95,
+       {sql_round("max(value)", 4)} AS vmax
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
+    "events_set_ops": QuerySpec(events_set_ops, EVENTS_SET_OPS_SQL),
+    "events_percentiles": QuerySpec(events_percentiles, EVENTS_PERCENTILES_SQL),
     "events_rollup": QuerySpec(events_rollup, EVENTS_ROLLUP_SQL),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL),
