@@ -57,9 +57,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Match partition count to the cluster before CPU-heavy per-row work.
+
+    A small parquet file arrives as ONE input split, which would pin the
+    whole shingle/tokenize explosion to a single core; at 100 TB the
+    scan has thousands of splits and this is a no-op. The repartition
+    shuffles only the raw documents (cheap) to unlock N-way parallelism
+    on the expensive expressions.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) exploded rows — the inverted-index building block."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
 
@@ -260,7 +275,9 @@ def simhash(
     integer ops ⇒ bit-identical across engines. One explode + one grouped
     sum (map-side combine), shuffle carries ``bits`` ints per doc.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = _spread(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     h = F.md5(F.col("tok"))
     votes = [
         F.sum(

@@ -133,15 +133,24 @@ def dedup_stream(
 
 
 def to_console(
-    df: DataFrame, mode: str = "append", truncate: bool = False
+    df: DataFrame,
+    mode: str = "append",
+    truncate: bool = False,
+    trigger_interval: str | None = None,
 ) -> StreamingQuery:
-    """K1/K2 console sink (append or complete)."""
-    return (
-        df.writeStream.outputMode(mode)
-        .format("console")
-        .option("truncate", str(truncate).lower())
-        .start()
+    """K1/K2 console sink (append or complete).
+
+    ``trigger_interval`` (e.g. ``"60 seconds"``) replaces the
+    reference's hand-rolled producer polling threads (S4,
+    src/naolib_producer.py:207-256) with a declarative micro-batch
+    cadence.
+    """
+    w = df.writeStream.outputMode(mode).format("console").option(
+        "truncate", str(truncate).lower()
     )
+    if trigger_interval:
+        w = w.trigger(processingTime=trigger_interval)
+    return w.start()
 
 
 def to_memory(
