@@ -775,8 +775,75 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+# --------------------------------------------------------------------------
+def outer_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null-aware aggregation: every customer with
+    their big-order count, INCLUDING customers with none (count = 0).
+    The classic outer-join-then-count shape where the null side must
+    not vanish (count(o_orderkey), not count(*))."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 250000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+OUTER_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_big_orders
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+def moving_avg_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    3-order moving average of each customer's order totals in date
+    order. Covers frame specs + lag-style sequential analytics; one
+    shuffle on the partition key."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        pround(
+            F.sum(d2(F.col("o_totalprice"))).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("moving_avg_price"),
+    )
+
+
+MOVING_AVG_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       {sql_round(
+           "CAST(sum(" + sql_d2("o_totalprice") + ") OVER w AS DOUBLE)"
+           " / count(*) OVER w", 4)} AS moving_avg_price
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "outer_join_customer_orders": QuerySpec(
+        outer_join_customer_orders, OUTER_JOIN_SQL
+    ),
+    "moving_avg_order_price": QuerySpec(moving_avg_order_price, MOVING_AVG_SQL),
     "cheapest_supplier_per_part": QuerySpec(
         cheapest_supplier_per_part, CHEAPEST_SUPPLIER_SQL
     ),
