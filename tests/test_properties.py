@@ -6,10 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from ue_big_data_project_spark.operators.asof import asof_join
 from ue_big_data_project_spark.operators.sessions import sessionize_batch
@@ -74,7 +72,6 @@ docs_strategy = st.lists(
 def test_jaccard_prefix_filter_is_lossless(spark, texts, threshold):
     """The PPJoin prefix-filtered pipeline must equal a brute-force
     Python recomputation of shingle-set Jaccard on random documents."""
-    from ue_big_data_project_spark.functions import text as TX
     from ue_big_data_project_spark.operators.dedup import ngram_jaccard_pairs
 
     df = spark.createDataFrame(

@@ -6,7 +6,6 @@ semantics, including the §2.11 bug fixes)."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from ue_big_data_project_spark.queries import reference as R
 

@@ -6,7 +6,6 @@ from __future__ import annotations
 import os
 import tempfile
 
-import pytest
 from pyspark.sql import functions as F
 
 from ue_big_data_project_spark import sources as S

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ue_big_data_project_spark.functions import hex_digit_value, pround
+from ue_big_data_project_spark.functions import pround
 from ue_big_data_project_spark.functions.vectors import cosine
 
 
