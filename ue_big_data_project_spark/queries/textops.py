@@ -184,6 +184,44 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → CLUSTERS via iterative distributed label
+    propagation (operators.graph.connected_components); component id =
+    min doc_id reachable. The full corpus-dedup closer: keep one doc
+    per component. Edges are the exact Jaccard ≥ 0.8 pairs (sparse,
+    true near-dups → tiny joins, diameter ~2); oracle = DuckDB
+    recursive-CTE transitive closure over the same pair SQL.
+    """
+    from ue_big_data_project_spark.operators.graph import connected_components
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+    return connected_components(
+        d.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({DEDUP_JACCARD_SQL})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring, pure expressions (no UDF)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -531,6 +569,7 @@ QUERIES = {
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+    "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL),
