@@ -105,6 +105,64 @@ def test_jaccard_prefix_filter_is_lossless(spark, texts, threshold):
     assert got == expected
 
 
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-2.0, max_value=2.0, allow_nan=False, width=32
+        ),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=vec_strategy, threshold=st.sampled_from([0.3, 0.8]))
+def test_block_cosine_pairs_match_brute_force(spark, vecs, threshold):
+    """The numpy tile pruner must be sound: block-matrix cosine_pairs
+    equals a brute-force fold-left recomputation on random vectors
+    (including zero vectors and tiny blocks)."""
+    import math
+
+    from ue_big_data_project_spark.operators.similarity import cosine_pairs
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cosine_pairs(df, threshold=threshold, block_size=4).collect()
+    }
+
+    def cos(a, b):
+        import struct
+
+        f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+        a = [f32(x) for x in a]
+        b = [f32(x) for x in b]
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na * nb > 0 else 0.0
+
+    expected = {}
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            c = math.floor(cos(vecs[a], vecs[b]) * 1e6 + 0.5) / 1e6
+            if c >= threshold:
+                expected[(a, b)] = c
+    assert got == expected
+
+
 events_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),  # user

@@ -838,8 +838,99 @@ WINDOW w AS (
 """
 
 
+# --------------------------------------------------------------------------
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery → window average.
+
+    Revenue from lineitems below 20% of their part's average quantity.
+    The per-part correlated scalar subquery decorrelates into one
+    window AVG over the part key — a single shuffle instead of a
+    re-aggregation join, the plan Catalyst itself would produce.
+    """
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(d2(F.col("l_quantity"))).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        l.withColumn("_avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            dsum(d2(F.col("l_extendedprice"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH t AS (
+  SELECT l_extendedprice, l_quantity,
+         CAST(sum({sql_d2("l_quantity")}) OVER (PARTITION BY l_partkey) AS DOUBLE)
+           / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem
+)
+SELECT {sql_dsum(sql_d2("l_extendedprice"))} AS revenue,
+       count(*) AS n_lines
+FROM t WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# --------------------------------------------------------------------------
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery + NOT EXISTS anti join.
+
+    Customers with above-average balance and no RECENT order (none on or
+    after 2000-06-01), counted per market segment. The global average
+    broadcasts as a 1-row frame (cross join); the NOT EXISTS is a
+    left-anti on the customer key with the date filter applied to the
+    orders side BEFORE the join.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"]
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(d2(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1)))
+        .alias("_avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(d2(F.col("c_acctbal"))).alias("total_bal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+WITH avg_bal AS (
+  SELECT CAST(sum({sql_d2("c_acctbal")}) AS DOUBLE) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {sql_dsum(sql_d2("c_acctbal"))} AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q17_small_quantity_revenue": QuerySpec(
+        q17_small_quantity_revenue, Q17_SQL
+    ),
+    "q22_idle_rich_customers": QuerySpec(q22_idle_rich_customers, Q22_SQL),
     "outer_join_customer_orders": QuerySpec(
         outer_join_customer_orders, OUTER_JOIN_SQL
     ),
