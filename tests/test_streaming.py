@@ -145,6 +145,25 @@ def test_foreach_batch_sink(spark, tmp_path, stream_rows):
     assert len(seen) >= 3  # one per file with maxFilesPerTrigger=1
 
 
+def test_idempotent_foreach_batch_skips_committed(spark, tmp_path, stream_rows):
+    path = write_batches(str(tmp_path), stream_rows)
+    ledger = os.path.join(str(tmp_path), "ledger")
+    calls: list[int] = []
+
+    def effect(batch_df, batch_id):
+        calls.append(batch_id)
+
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    S.run_until_drained(S.idempotent_foreach_batch(sdf, effect, ledger))
+    first = list(calls)
+    assert first  # ran at least one batch and recorded markers
+    # Replay the SAME source without a checkpoint: every batch id is
+    # re-delivered, but the ledger suppresses the side effect.
+    sdf2 = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    S.run_until_drained(S.idempotent_foreach_batch(sdf2, effect, ledger))
+    assert calls == first
+
+
 def test_parse_json_value_flat_and_array(spark):
     flat_schema = T.StructType([T.StructField("a", T.IntegerType())])
     df = spark.createDataFrame([('{"a": 1}',)], ["value"])

@@ -559,9 +559,30 @@ JOIN canonical c ON k.fingerprint = c.fingerprint AND k.doc_id = c.keep_id
 """
 
 
+def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting over the prepped corpus: the doc/token budget a
+    training run starts from (pipelines.corpus_stats over prep_documents)."""
+    from ue_big_data_project_spark.pipelines import corpus_stats, prep_documents
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus_stats(prep_documents(d, min_quality=0.75))
+
+
+PIPELINE_STATS_SQL = f"""
+WITH prepped AS ({PIPELINE_PREP_SQL})
+SELECT count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens_bpe) AS BIGINT) AS total_tokens_bpe
+FROM prepped
+"""
+
+
 QUERIES = {
     "pipeline_prep_documents": QuerySpec(
         pipeline_prep_documents, PIPELINE_PREP_SQL
+    ),
+    "pipeline_corpus_stats": QuerySpec(
+        pipeline_corpus_stats, PIPELINE_STATS_SQL
     ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),

@@ -177,6 +177,37 @@ def foreach_batch(
     return df.writeStream.outputMode(mode).foreachBatch(fn).start()
 
 
+def idempotent_foreach_batch(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    ledger_dir: str,
+    mode: str = "append",
+) -> StreamingQuery:
+    """Exactly-once ``foreachBatch``: skip batch ids already committed.
+
+    Spark's foreachBatch is at-least-once across restarts (a batch can
+    re-run after a crash between side effect and checkpoint commit).
+    The standard fix is an idempotence ledger keyed by ``batchId``: the
+    wrapper runs ``fn`` only for unseen ids and records the id AFTER the
+    side effect succeeds. The ledger here is marker files (portable to
+    object stores via atomic rename); production sinks with native
+    txn/batchId support (Delta, JDBC upsert) subsume it.
+    """
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapper(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        fn(batch_df, batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("done")
+        os.rename(tmp, marker)
+
+    return df.writeStream.outputMode(mode).foreachBatch(wrapper).start()
+
+
 def run_until_drained(query: StreamingQuery) -> None:
     """Process everything currently available, then stop (K7 lifecycle,
     deterministic test variant of ``awaitTermination``)."""
