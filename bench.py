@@ -28,11 +28,16 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="bench")
 
-    # Warmup: JVM + parquet footer caches + codegen.
+    # Warmup: JVM + parquet footer caches + codegen + the first
+    # createDataFrame conversion path (paid once per session).
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.createDataFrame([(1, "w")], "a int, b string").count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(all_queries().items()):
+        # Each query measured from a clean cache state — intermediate
+        # caches are per-query implementation details, not shared state.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

@@ -37,11 +37,16 @@ def connected_components(
     own singleton components); ``edges`` is undirected (each pair listed
     once, either direction).
     """
-    # Symmetrize once; both directions shuffle on the join key below.
+    # Symmetrize and MATERIALIZE the edge set once: the edge DataFrame
+    # is typically the tail of an expensive pair pipeline (shingling,
+    # prefix joins, verification) and every iteration would re-execute
+    # that whole lineage otherwise.
     fwd = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     )
-    sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     )
