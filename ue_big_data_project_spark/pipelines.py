@@ -15,7 +15,7 @@ semi join rides the same fingerprint key. Nothing touches the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ue_big_data_project_spark.functions import text as TX
@@ -51,6 +51,48 @@ def prep_documents(
             "left_semi",
         )
     )
+
+
+def hash_bucket(col: Column | str, buckets: int = 10_000) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from a column value.
+
+    md5-based, so sampling/splitting decisions are reproducible across
+    runs, engines, and cluster sizes — unlike ``rand()``/``sampleBy``,
+    whose draws depend on partitioning. The first 12 hex digits (48
+    bits) are more than enough uniformity for split assignment.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(buckets))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Reproducible train/val/test assignment by id hash.
+
+    A document's split NEVER changes as the corpus grows (the hash
+    depends only on the id), which is the property that matters for
+    contamination control; percentage knobs move the boundaries only.
+    """
+    b = hash_bucket(id_col, 100)
+    return df.withColumn(
+        "split",
+        F.when(b < val_pct, F.lit("val"))
+        .when(b < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def sample_deterministic(
+    df: DataFrame, rate_pct: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a reproducible ``rate_pct``% of rows by id hash (a stable
+    downsample: the kept set only shrinks/grows at the rate boundary)."""
+    return df.filter(hash_bucket(id_col, 100) < rate_pct)
 
 
 def corpus_stats(prepped: DataFrame) -> DataFrame:

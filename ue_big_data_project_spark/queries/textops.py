@@ -577,10 +577,52 @@ FROM prepped
 """
 
 
+def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50% downsample + train/val/test assignment by id
+    hash (pipelines.split_assign / sample_deterministic): reproducible
+    across runs/engines/cluster sizes, counted per (split, lang)."""
+    from ue_big_data_project_spark.pipelines import (
+        sample_deterministic,
+        split_assign,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = split_assign(sample_deterministic(d, rate_pct=50))
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_HASH100 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1)"
+        f" * {16 ** (11 - k)}"
+        for k in range(12)
+    )
+    + ") % 100"
+)
+PIPELINE_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang, {_HASH100} AS bucket FROM documents
+), sampled AS (
+  SELECT doc_id, lang,
+         CASE WHEN bucket < 5 THEN 'val'
+              WHEN bucket < 10 THEN 'test'
+              ELSE 'train' END AS split
+  FROM b WHERE bucket < 50
+)
+SELECT split, lang, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM sampled GROUP BY split, lang
+"""
+
+
 QUERIES = {
     "pipeline_prep_documents": QuerySpec(
         pipeline_prep_documents, PIPELINE_PREP_SQL
     ),
+    "pipeline_split": QuerySpec(pipeline_split, PIPELINE_SPLIT_SQL),
     "pipeline_corpus_stats": QuerySpec(
         pipeline_corpus_stats, PIPELINE_STATS_SQL
     ),
