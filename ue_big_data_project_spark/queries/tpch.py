@@ -925,8 +925,66 @@ GROUP BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-sided dimension join with an OR'd nation-pair
+    predicate + per-year conditional aggregation.
+
+    Trade volume between NATION_1 and NATION_2 in either direction,
+    grouped by (supplier nation, customer nation, ship year). Both
+    nation lookups broadcast; the year comes from the shipdate already
+    read for the range filter (no extra column).
+    """
+    t = load_tables(
+        spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum(disc_price_dec()).alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL),
     "q17_small_quantity_revenue": QuerySpec(
         q17_small_quantity_revenue, Q17_SQL
     ),
