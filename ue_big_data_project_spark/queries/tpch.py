@@ -982,8 +982,74 @@ GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
 """
 
 
+# --------------------------------------------------------------------------
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins.
+
+    Suppliers who alone shipped late (>60 days after the order date) on
+    multi-supplier orders. Both correlations decorrelate into ONE
+    grouped pass over the order: per (orderkey) count distinct suppliers
+    and distinct LATE suppliers, then the late line qualifies iff the
+    order has >1 supplier and exactly this one late supplier — the
+    aggregate-then-join plan, no per-row re-probing of lineitem.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    l = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    # per_order is O(|orders|) — no broadcast hint; the late filter
+    # shrinks the probe side first and AQE picks the join strategy.
+    return (
+        l.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# Oracle keeps the LITERAL correlated EXISTS/NOT EXISTS formulation, so
+# the hash match also proves the engine's aggregate decorrelation is
+# semantics-preserving.
+Q21_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l1.l_suppkey, count(*) AS numwait
+FROM l l1
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM l l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM l l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY l1.l_suppkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL),
     "q17_small_quantity_revenue": QuerySpec(
         q17_small_quantity_revenue, Q17_SQL
