@@ -165,6 +165,35 @@ def rolling_fingerprint(text: Column | str) -> Column:
     return F.pmod(total, F.lit(ROLL_MOD))
 
 
+# RE2-compatible (no lookbehind/lookahead) patterns so any engine agrees.
+EMAIL_PATTERN = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_PATTERN = "https?://[^\\s]+"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails and URLs with typed placeholder tokens.
+
+    The minimal scrub pass every pre-training corpus gets; placeholders
+    (not deletion) preserve token positions for dedup/fingerprint
+    stability. Pure regexp_replace — codegen, no UDF.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"),
+        URL_PATTERN,
+        "<URL>",
+    )
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(email_count, url_count) per document."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.coalesce(F.regexp_count(c, F.lit(EMAIL_PATTERN)), F.lit(0)),
+        F.coalesce(F.regexp_count(c, F.lit(URL_PATTERN)), F.lit(0)),
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of the normalized text (order-free set).
 

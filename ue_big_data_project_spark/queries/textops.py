@@ -222,6 +222,31 @@ FROM reach GROUP BY node
 """
 
 
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: email/URL redaction with placeholder tokens +
+    per-doc counts; md5 of the scrubbed text proves the exact redacted
+    bytes match cross-engine."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    emails, urls = TX.pii_counts("text")
+    return d.select(
+        "doc_id",
+        emails.alias("n_emails"),
+        urls.alias("n_urls"),
+        F.md5(TX.scrub_pii("text")).alias("scrubbed_md5"),
+    )
+
+
+TEXT_SCRUB_SQL = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{TX.EMAIL_PATTERN}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{TX.URL_PATTERN}')) AS INTEGER) AS n_urls,
+  md5(regexp_replace(
+        regexp_replace(text, '{TX.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+        '{TX.URL_PATTERN}', '<URL>', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring, pure expressions (no UDF)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -633,6 +658,7 @@ QUERIES = {
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "text_scrub": QuerySpec(text_scrub, TEXT_SCRUB_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL),
