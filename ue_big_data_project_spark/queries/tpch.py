@@ -1047,8 +1047,52 @@ GROUP BY l1.l_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + global-max scalar subquery.
+
+    Revenue per supplier for one quarter, keeping the supplier(s) whose
+    revenue equals the maximum. The "view" is just the grouped frame
+    reused twice; the global max reduces to a 1-row broadcast, so the
+    join-back is a broadcast equality filter — no second scan of
+    lineitem (the grouped frame is small, Spark recomputes or reuses
+    its exchange; at scale, persist it explicitly).
+    """
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    quarter = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = quarter.groupBy("l_suppkey").agg(
+        dsum(disc_price_dec()).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {sql_dsum(SQL_DISC_PRICE)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
     "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL),
     "q17_small_quantity_revenue": QuerySpec(
