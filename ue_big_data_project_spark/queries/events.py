@@ -463,8 +463,42 @@ GROUP BY event_type
 """
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator in the correctness gate:
+    applyInPandasWithState sessionization over a bounded replay of the
+    events table, drained and reduced to each session's final emission —
+    hash-matches the same SQL oracle as the batch window form
+    (events_sessionize), proving the per-key state machine is
+    semantics-equivalent.
+    """
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators.sessions import sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sdf = ST.replay_parquet(spark, _os.path.join(sf_dir, "events.parquet"))
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    drained = ST.drain_to_table(
+        spark, sessionize_stream(sdf, gap_seconds=1800), mode="update"
+    )
+    # Update mode re-emits a session as it grows; keep the final state
+    # per (user, session): counts and end grow monotonically, start is
+    # fixed at creation.
+    return drained.groupBy("user_id", "session_idx").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("start_us").alias("start_us"),
+        F.max("end_us").alias("end_us"),
+    )
+
+
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
+    "streaming_sessionize": QuerySpec(streaming_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_set_ops": QuerySpec(events_set_ops, EVENTS_SET_OPS_SQL),
     "events_percentiles": QuerySpec(events_percentiles, EVENTS_PERCENTILES_SQL),
     "events_rollup": QuerySpec(events_rollup, EVENTS_ROLLUP_SQL),
