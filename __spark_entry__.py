@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ue_big_data_project_spark.queries import all_queries  # noqa: E402
+from ue_big_data_project_spark.queries import gate_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,14 +30,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    The driver hashes at most 50 entries per round in dict order, so this
+    is the consolidated gate set (``gate_queries``): entries the driver
+    has not yet hashed first, near-duplicates merged into kit queries.
+    The full registry (every standalone query) runs in the local pytest
+    oracle gate, tests/test_oracle.py.
+    """
+    return {name: spec.fn for name, spec in gate_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (same column names)."""
     return {
         name: spec.oracle
-        for name, spec in all_queries().items()
+        for name, spec in gate_queries().items()
         if spec.oracle is not None
     }

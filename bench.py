@@ -1,5 +1,5 @@
-"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and print ONE JSON line:
+"""Benchmark harness: run the headline (gate) query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ...}
@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ue_big_data_project_spark import get_spark
-from ue_big_data_project_spark.queries import all_queries
+from ue_big_data_project_spark.queries import gate_queries
 
 
 def main() -> None:
@@ -34,7 +34,7 @@ def main() -> None:
     spark.createDataFrame([(1, "w")], "a int, b string").count()
 
     timings: dict[str, float] = {}
-    for name, spec in sorted(all_queries().items()):
+    for name, spec in sorted(gate_queries().items()):
         # Each query measured from a clean cache state — intermediate
         # caches are per-query implementation details, not shared state.
         spark.catalog.clearCache()

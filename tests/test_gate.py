@@ -1,0 +1,82 @@
+"""The driver-facing gate set: ≤50 entries, subset of the registry,
+never-hashed entries first, every registry entry either in the gate or
+explicitly proxied by a gate entry."""
+
+from __future__ import annotations
+
+from ue_big_data_project_spark.queries import (
+    GATE_CAP,
+    GATE_ORDER,
+    all_queries,
+    gate_queries,
+)
+
+# Registry entries intentionally NOT in the gate, each with the gate
+# entry that exercises the same operator (see queries/__init__.py).
+PROXIED = {
+    "text_langid": "text_nlp_kit",
+    "text_tokens": "text_nlp_kit",
+    "text_fingerprint": "text_nlp_kit",
+    "q6_forecast_revenue": "scan_filter_agg_kit",
+    "q14_promo_revenue": "scan_filter_agg_kit",
+    "q19_or_predicates": "scan_filter_agg_kit",
+    "semi_join_late_orders": "semi_anti_join_kit",
+    "anti_join_small_customers": "semi_anti_join_kit",
+    "events_tumbling_window": "streaming_tumbling_window",
+    "events_sessionize": "streaming_sessionize",
+    "dedup_simhash": "dedup_simhash_pairs",
+    "events_hourly_by_type": "events_rollup",
+    "cheapest_supplier_per_part": "window_top1_per_order",
+    "q10_returned_revenue": "q3_shipping_priority",
+    "q12_priority_by_status": "scan_filter_agg_kit",
+    "asof_bucketed_prev_click": "asof_first_ship",
+}
+
+
+def test_gate_within_driver_cap():
+    assert len(GATE_ORDER) <= GATE_CAP
+    assert len(set(GATE_ORDER)) == len(GATE_ORDER)
+
+
+def test_gate_is_registry_subset():
+    registry = all_queries()
+    missing = [n for n in GATE_ORDER if n not in registry]
+    assert not missing, f"gate names not in registry: {missing}"
+
+
+def test_every_registry_entry_gated_or_proxied():
+    gate = set(GATE_ORDER)
+    for name in all_queries():
+        if name in gate:
+            continue
+        proxy = PROXIED.get(name)
+        assert proxy is not None, f"{name} neither in gate nor proxied"
+        assert proxy in gate, f"{name}'s proxy {proxy} not in gate"
+
+
+def test_gate_entries_all_have_oracles():
+    # Since the ref_q3 walk oracle landed, every gate entry is fully
+    # hash-checked — none falls back to the weaker rows-only check.
+    for name, spec in gate_queries().items():
+        assert spec.oracle, f"{name} has no DuckDB oracle"
+
+
+def test_unhashed_entries_run_first():
+    # Round-1 CORRECTNESS covered registry entries 1-50; the 13 entries
+    # the driver has never hashed must lead the gate order.
+    never_hashed = GATE_ORDER[:13]
+    assert set(never_hashed) == {
+        "ref_q1_plane_bus_wait",
+        "ref_q2_affluence",
+        "ref_q3_bus_positions",
+        "ref_q4_bike_occupancy",
+        "ref_wind_rolling_avg",
+        "knn_cosine_brute",
+        "knn_cosine_lsh",
+        "knn_cosine_ivf",
+        "multimodal_features",
+        "multimodal_frames",
+        "text_nlp_kit",
+        "scan_filter_agg_kit",
+        "semi_anti_join_kit",
+    }

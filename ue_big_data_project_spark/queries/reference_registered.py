@@ -3,10 +3,10 @@
 The four transit queries + wind pipeline run on deterministic inline
 fixtures (FIXTURES.md shapes — the driver's testdata has no transit
 feeds), so the driver's DuckDB oracle hash-checks reference parity
-end-to-end, not just pytest goldens. Q3's ordered-stop walk is genuinely
-non-SQL-expressible (array walk with positional lookback); it registers
-WITHOUT an oracle and gets the rows-only check, as allowed for custom
-logic.
+end-to-end, not just pytest goldens. Q3's ordered-stop walk (an array
+walk with positional lookback) is expressed in the oracle as a
+position-vs-predecessor self-join over the fixture's literal stop
+order, so all five reference queries are fully hash-checked.
 
 Oracles are pure VALUES-based SQL, timezone-free by construction:
 timestamps compare as epoch seconds/micros, never as rendered strings.
@@ -174,9 +174,14 @@ GROUP BY 1
 
 # ---------------------------------------------------------------------------
 def ref_q3_bus_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (no oracle): the ordered-stop positional walk is
-    the engine's custom-expression escape hatch (U1), equivalence-tested
-    against its pandas-UDF twin in tests/test_reference_queries.py."""
+    """The ordered-stop positional walk (U1) — the engine's
+    custom-expression escape hatch, equivalence-tested against its
+    pandas-UDF twin in tests/test_reference_queries.py.
+
+    The general operator takes an arbitrary runtime stop list, but with
+    the fixture's literal stop order the walk IS SQL-expressible (join
+    each walk position against its predecessor), so since round 2 this
+    registers WITH a full hash-checked oracle instead of rows-only."""
     df = spark.createDataFrame(
         [
             (sens, "Term", False, temps, tr, stop, "C6", ts)
@@ -194,6 +199,49 @@ def ref_q3_bus_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start_us", "sens", F.col("p.location").alias("location"),
         F.col("p.status").alias("status"),
     )
+
+
+_STOP_IDX = ", ".join(f"({i + 1}, '{s}')" for i, s in enumerate(_STOPS))
+_N_STOPS = len(_STOPS)
+REF_Q3_SQL = f"""
+WITH src AS (
+  SELECT * FROM {_sql_values(_POSITIONS,
+                             "sens, temps, tempsReel, stop, created_at")}
+), meas AS (
+  SELECT sens, stop,
+         epoch_us(CAST(created_at AS TIMESTAMP))
+           - epoch_us(CAST(created_at AS TIMESTAMP)) % 60000000
+           AS window_start_us,
+         min(CASE WHEN temps = 'proche' THEN 0
+                  ELSE CAST(regexp_replace(temps, '[^0-9]', '', 'g') AS INTEGER)
+             END) AS minutes
+  FROM src WHERE tempsReel = 'true'
+  GROUP BY 1, 2, 3
+), windows AS (
+  SELECT DISTINCT window_start_us, sens FROM meas
+), walk AS (
+  SELECT w.window_start_us, w.sens, o.stop,
+         CASE WHEN w.sens = 1 THEN o.idx ELSE {_N_STOPS + 1} - o.idx END AS pos
+  FROM windows w, (VALUES {_STOP_IDX}) o(idx, stop)
+), lk AS (
+  SELECT k.window_start_us, k.sens, k.pos, k.stop, m.minutes AS cur
+  FROM walk k LEFT JOIN meas m
+    ON m.window_start_us = k.window_start_us
+   AND m.sens = k.sens AND m.stop = k.stop
+)
+SELECT c.window_start_us, c.sens,
+       CASE WHEN c.cur = 0 THEN c.stop
+            WHEN c.cur > 0 AND p.cur > c.cur THEN p.stop || '|' || c.stop
+       END AS location,
+       CASE WHEN c.cur = 0 THEN TRUE
+            WHEN c.cur > 0 AND p.cur > c.cur THEN FALSE
+       END AS status
+FROM lk c
+LEFT JOIN lk p
+  ON p.window_start_us = c.window_start_us
+ AND p.sens = c.sens AND p.pos = c.pos - 1
+WHERE (c.cur = 0) OR (c.cur > 0 AND p.cur > c.cur)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +326,7 @@ GROUP BY 1
 QUERIES = {
     "ref_q1_plane_bus_wait": QuerySpec(ref_q1_plane_bus_wait, REF_Q1_SQL),
     "ref_q2_affluence": QuerySpec(ref_q2_affluence, REF_Q2_SQL),
-    "ref_q3_bus_positions": QuerySpec(ref_q3_bus_positions, None),
+    "ref_q3_bus_positions": QuerySpec(ref_q3_bus_positions, REF_Q3_SQL),
     "ref_q4_bike_occupancy": QuerySpec(ref_q4_bike_occupancy, REF_Q4_SQL),
     "ref_wind_rolling_avg": QuerySpec(ref_wind_rolling_avg, REF_WIND_SQL),
 }

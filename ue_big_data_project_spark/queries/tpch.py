@@ -776,6 +776,81 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 
 
 # --------------------------------------------------------------------------
+def scan_filter_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate kit: the three scan-filter-aggregate shapes as one 3-row
+    union — Q6 (pure pushdown range scan), Q14 (broadcast-join promo
+    share), Q19 (OR-of-ANDs kept as a hash join).
+
+    Merged so each keeps a driver correctness row inside the driver's
+    50-entry window; the standalone queries stay registered for the
+    pytest oracle gate. Each union branch keeps its own physical plan
+    (pushdown / broadcast), and a union of single-row aggregates adds
+    no shuffle of its own.
+    """
+
+    def tag(df: DataFrame, metric: str, value_col: str) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"),
+            F.col(value_col).cast("double").alias("value"),
+            F.col("n_lines"),
+        )
+
+    return (
+        tag(q6_forecast_revenue(spark, sf_dir), "q6_forecast_revenue", "revenue")
+        .unionByName(
+            tag(q14_promo_revenue(spark, sf_dir), "q14_promo_pct", "promo_pct")
+        )
+        .unionByName(
+            tag(q19_or_predicates(spark, sf_dir), "q19_or_revenue", "revenue")
+        )
+    )
+
+
+SCAN_FILTER_AGG_SQL = f"""
+SELECT 'q6_forecast_revenue' AS metric, CAST(revenue AS DOUBLE) AS value, n_lines
+FROM ({Q6_SQL})
+UNION ALL
+SELECT 'q14_promo_pct' AS metric, CAST(promo_pct AS DOUBLE) AS value, n_lines
+FROM ({Q14_SQL})
+UNION ALL
+SELECT 'q19_or_revenue' AS metric, CAST(revenue AS DOUBLE) AS value, n_lines
+FROM ({Q19_SQL})
+"""
+
+
+# --------------------------------------------------------------------------
+def semi_anti_join_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate kit: EXISTS → left-semi (Q4 shape) and NOT EXISTS →
+    left-anti unioned under one uniform schema, so both join types keep
+    a driver correctness row inside the 50-entry window. Each branch
+    keeps its own shuffle-hash semi/anti plan."""
+    semi = semi_join_late_orders(spark, sf_dir).select(
+        F.lit("semi_late_orders").alias("kind"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("order_count").alias("n"),
+        F.lit(None).cast("double").alias("sum_acctbal"),
+    )
+    anti = anti_join_small_customers(spark, sf_dir).select(
+        F.lit("anti_small_customers").alias("kind"),
+        F.col("c_mktsegment").alias("grp"),
+        F.col("n_customers").alias("n"),
+        F.col("sum_acctbal").cast("double").alias("sum_acctbal"),
+    )
+    return semi.unionByName(anti)
+
+
+SEMI_ANTI_KIT_SQL = f"""
+SELECT 'semi_late_orders' AS kind, o_orderpriority AS grp,
+       order_count AS n, CAST(NULL AS DOUBLE) AS sum_acctbal
+FROM ({SEMI_LATE_SQL})
+UNION ALL
+SELECT 'anti_small_customers' AS kind, c_mktsegment AS grp,
+       n_customers AS n, CAST(sum_acctbal AS DOUBLE) AS sum_acctbal
+FROM ({ANTI_SMALL_SQL})
+"""
+
+
+# --------------------------------------------------------------------------
 def outer_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join + null-aware aggregation: every customer with
     their big-order count, INCLUDING customers with none (count = 0).
@@ -1110,6 +1185,8 @@ QUERIES = {
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL),
     "q19_or_predicates": QuerySpec(q19_or_predicates, Q19_SQL),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
+    "scan_filter_agg_kit": QuerySpec(scan_filter_agg_kit, SCAN_FILTER_AGG_SQL),
+    "semi_anti_join_kit": QuerySpec(semi_anti_join_kit, SEMI_ANTI_KIT_SQL),
     "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
     "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL),
     "q16_supplier_variety": QuerySpec(q16_supplier_variety, Q16_SQL),
