@@ -122,6 +122,35 @@ def test_grouped_respects_by_keys(spark, sides):
     }
 
 
+def test_default_right_cols_with_by_keys(spark, sides):
+    """Regression: with right_cols=None (all right columns) + by=, the
+    by column exists on both join sides; the packed struct must resolve
+    against the right side, not raise AMBIGUOUS_REFERENCE."""
+    left, right = sides
+    for strategy, kwargs in [
+        ("grouped", {}),
+        ("broadcast_rank", {}),
+        ("broadcast_agg", {}),
+    ]:
+        out = asof_join(
+            left,
+            right,
+            left_ts="lts",
+            right_ts="rts",
+            left_keys=["id"],
+            by=["grp"],
+            strategy=strategy,
+            **kwargs,
+        )
+        got = {r["id"]: (r["asof"]["rts"].isoformat(), r["asof"]["grp"])
+               for r in out.collect()}
+        assert got == {
+            1: ("2024-01-01T10:00:00", "g1"),
+            2: ("2024-01-01T10:05:00", "g1"),
+            3: ("2024-01-01T10:10:00", "g2"),
+        }, strategy
+
+
 def test_backward_direction(spark, sides):
     left, right = sides
     out = asof_join(

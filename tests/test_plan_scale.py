@@ -1,0 +1,106 @@
+"""Physical-plan assertions pinning the 100 TB scale contracts.
+
+The dedup/similarity verify stages must never *hint* a broadcast of an
+unbounded (grows-with-corpus) table: per-document shingle sets, SimHash
+signatures, or vector blocks. With the auto-broadcast threshold disabled
+(so Catalyst can't pick a broadcast on its own for the tiny test data),
+the only BroadcastExchange allowed in these plans is the explicitly
+bounded one — cosine_pairs' ids-only block list.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ue_big_data_project_spark.operators import dedup as DD
+from ue_big_data_project_spark.operators.similarity import cosine_pairs
+from ue_big_data_project_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    yield spark
+    spark.conf.set(key, old)
+
+
+def test_jaccard_verify_has_no_broadcast(no_auto_broadcast):
+    spark = no_auto_broadcast
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    plan = plan_of(DD.ngram_jaccard_pairs(d, "doc_id", "text"))
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_simhash_verify_has_no_broadcast(no_auto_broadcast):
+    spark = no_auto_broadcast
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    plan = plan_of(DD.simhash_pairs(d, "doc_id", "text"))
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_banding_parameter_guards(spark):
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    with pytest.raises(ValueError, match="zero-width"):
+        DD.simhash_pairs(d, "doc_id", "text", bits=3, max_hamming=3)
+    with pytest.raises(ValueError, match="divide evenly"):
+        DD.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, bands=3)
+
+
+def test_ivf_kmeans_recall_vs_brute(spark):
+    """k-means IVF (nprobe=2 of 16 cells) must keep reasonable recall
+    against exact brute force on the fixture corpus — guards against a
+    degenerate quantizer (the failure mode of placeholder centroids)."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+        kmeans_centroids,
+    )
+
+    e = load_tables(spark, SF, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_knn(e, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_knn(e, queries, k=5, n_centroids=16, nprobe=2).collect()
+    }
+    assert exact, "fixture produced no ground truth"
+    recall = len(exact & approx) / len(exact)
+    # The synthetic fixture embeddings are near-uniform, so the recall
+    # ceiling at nprobe=2 of 16 cells is modest; the meaningful bound is
+    # "far above the ~2/16 random-scan baseline" (a degenerate quantizer
+    # collapses to that), with headroom below the observed ~0.40.
+    assert recall >= 0.3, f"recall {recall:.2f} — quantizer degenerate?"
+    # And the quantizer itself: k distinct, non-empty, finite centroids.
+    cents = kmeans_centroids(e, n_centroids=16, iters=2).collect()
+    assert len(cents) == 16
+    assert len({r["cent_id"] for r in cents}) == 16
+    for r in cents:
+        assert all(v is not None for v in r["cent_vec"])
+
+
+def test_cosine_pairs_broadcasts_only_block_ids(no_auto_broadcast):
+    spark = no_auto_broadcast
+    e = load_tables(spark, SF, ("embeddings",))["embeddings"]
+    plan = plan_of(cosine_pairs(e, threshold=0.4))
+    # Exactly one broadcast: the ids-only (blk_a <= blk_b) pair-key
+    # build, O(N/block_size) longs. The block payloads attach via
+    # shuffle equi-joins.
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" not in plan, plan

@@ -32,11 +32,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _best_struct(right_cols: list[str], right_ts: str, direction: str) -> Column:
-    packed = F.struct(*[F.col(c) for c in right_cols])
+def _best_struct(
+    rdf: DataFrame, right_cols: list[str], right_ts: str, direction: str
+) -> Column:
+    # Resolve every field against the RIGHT side explicitly: with the
+    # default right_cols (all right columns) plus by= keys, the key
+    # columns exist on both sides of the join and unqualified F.col
+    # would raise AMBIGUOUS_REFERENCE.
+    packed = F.struct(*[rdf[c].alias(c) for c in right_cols])
     if direction == "forward":
-        return F.min_by(packed, F.col(right_ts))
-    return F.max_by(packed, F.col(right_ts))
+        return F.min_by(packed, rdf[right_ts])
+    return F.max_by(packed, rdf[right_ts])
 
 
 def asof_join(
@@ -94,7 +100,7 @@ def asof_join(
             cond &= left[k] == rsel[k]
         joined = left.join(rsel, cond, "inner")
         return joined.groupBy(*[left[c] for c in group_cols]).agg(
-            _best_struct(right_cols, right_ts, direction).alias("asof")
+            _best_struct(rsel, right_cols, right_ts, direction).alias("asof")
         )
 
     if strategy == "bucketed":
@@ -105,31 +111,39 @@ def asof_join(
         # A right row in bucket b can answer left rows in bucket b or the
         # adjacent one (the tolerance window straddles a bucket edge).
         shift = [0, -1] if direction == "forward" else [0, 1]
-        r = right.select(*right_cols).withColumn(
+        r = right.select(*dict.fromkeys([*right_cols, *(by or [])])).withColumn(
             "_bucket", F.explode(F.array(*[rb + s for s in shift]))
         )
         l = left.select(*group_cols).withColumn(
             "_bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / tol)
         )
-        joined = l.join(
-            r, (l["_bucket"] == r["_bucket"]) & theta(l[left_ts], r[right_ts]), "inner"
-        )
+        cond = (l["_bucket"] == r["_bucket"]) & theta(l[left_ts], r[right_ts])
+        for k in by or []:
+            cond &= l[k] == r[k]
+        joined = l.join(r, cond, "inner")
         return joined.groupBy(*[l[c] for c in group_cols]).agg(
-            _best_struct(right_cols, right_ts, direction).alias("asof")
+            _best_struct(r, right_cols, right_ts, direction).alias("asof")
         )
 
     if strategy == "broadcast_rank":
         # Reference formulation: theta join → row_number over
         # partitionBy(left keys) orderBy(right ts) → keep rank 1
         # (src/plane_naolib_consumer.py:91-105), right side broadcast.
-        rsel = right.select(*right_cols)
-        joined = left.join(F.broadcast(rsel), theta(left[left_ts], rsel[right_ts]), "inner")
-        order = F.col(right_ts).asc() if direction == "forward" else F.col(right_ts).desc()
-        w = Window.partitionBy(*group_cols).orderBy(order)
+        rsel = right.select(*dict.fromkeys([*right_cols, *(by or [])]))
+        cond = theta(left[left_ts], rsel[right_ts])
+        for k in by or []:
+            cond &= left[k] == rsel[k]
+        joined = left.join(F.broadcast(rsel), cond, "inner")
+        order = rsel[right_ts].asc() if direction == "forward" else rsel[right_ts].desc()
+        # Qualify both sides: by= keys may exist on left AND right.
+        w = Window.partitionBy(*[left[c] for c in group_cols]).orderBy(order)
         return (
             joined.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select(*group_cols, F.struct(*right_cols).alias("asof"))
+            .select(
+                *[left[c] for c in group_cols],
+                F.struct(*[rsel[c].alias(c) for c in right_cols]).alias("asof"),
+            )
         )
 
     if strategy == "sorted_array":
@@ -279,10 +293,13 @@ def asof_join(
         # aggregation instead of a window: partial aggregation runs
         # map-side, so the shuffle moves one row per left key instead of
         # every joined pair — the faster form of the reference shape.
-        rsel = right.select(*right_cols)
-        joined = left.join(F.broadcast(rsel), theta(left[left_ts], rsel[right_ts]), "inner")
+        rsel = right.select(*dict.fromkeys([*right_cols, *(by or [])]))
+        cond = theta(left[left_ts], rsel[right_ts])
+        for k in by or []:
+            cond &= left[k] == rsel[k]
+        joined = left.join(F.broadcast(rsel), cond, "inner")
         return joined.groupBy(*[left[c] for c in group_cols]).agg(
-            _best_struct(right_cols, right_ts, direction).alias("asof")
+            _best_struct(rsel, right_cols, right_ts, direction).alias("asof")
         )
 
     raise ValueError(f"unknown strategy {strategy!r}")

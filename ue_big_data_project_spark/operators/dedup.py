@@ -23,6 +23,13 @@ The reference's own dedup is ``dropDuplicates(["entry_id"])``
 (src/previous_tp_code.py:149,212); ``exact_dedup`` generalizes it to
 content-addressed dedup; the streaming keyed form lives in
 ``streaming.dedup_stream``.
+
+Cache lifetime: ``ngram_jaccard_pairs`` and ``simhash_pairs`` `.cache()`
+an intermediate that feeds multiple subtrees of the returned plan. The
+cache is keyed to the returned plan's lineage, so callers running many
+invocations in one long-lived session should ``spark.catalog.clearCache()``
+(or unpersist) between invocations once the result is materialized —
+the bench harness and tests do exactly that.
 """
 
 from __future__ import annotations
@@ -123,6 +130,12 @@ def minhash_lsh_pairs(
     (band_idx, band_val) — the only shuffle keys — so no O(n²) compare.
     Output: ``id_a < id_b`` distinct pairs.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands={bands}; "
+            "trailing hashes would be silently dropped, weakening the LSH "
+            "guarantee"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_structs = [
@@ -241,14 +254,15 @@ def ngram_jaccard_pairs(
         F.col("_arr").alias("_arr_b"),
         F.col("n_sh").alias("n_b"),
     )
-    # Candidate count ≪ corpus, so ship the (id → shingle set) table to
-    # the candidates rather than shuffling candidates twice. At corpus
-    # scales where `sets` outgrows broadcast, semi-join it down to the
-    # candidate ids first — candidates stay the small side by
-    # construction (prefix + size pruning).
+    # Plain shuffle joins on id: `sets` carries every document's full
+    # shingle array, which grows with the corpus, so it must never be
+    # broadcast. Candidates are the small side by construction
+    # (prefix + size pruning); AQE is free to pick a broadcast at
+    # runtime if the *measured* candidate side fits — a size-based
+    # decision, unlike a hint that pins the unbounded side.
     verified = (
-        candidates.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "common", F.size(F.array_intersect("_arr_a", "_arr_b"))
         )
@@ -311,6 +325,11 @@ def simhash_pairs(
     only shuffle keys, and are then verified with the full Hamming test.
     Identical output to the naive O(n²) join at any corpus size.
     """
+    if bits < max_hamming + 1:
+        raise ValueError(
+            f"bits={bits} < max_hamming+1={max_hamming + 1}: zero-width "
+            "bands would make every pair a candidate (quadratic blowup)"
+        )
     sig = simhash(df, id_col, text_col, bits).cache()
     n_bands = max_hamming + 1
     base = bits // n_bands
@@ -345,9 +364,12 @@ def simhash_pairs(
     )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    # Shuffle joins on id — the signature table is one row per document
+    # (unbounded at corpus scale), so it is never hinted broadcast; AQE
+    # may still broadcast the measured-small side at runtime.
     return (
-        candidates.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),

@@ -54,6 +54,7 @@ def connected_components(
     # sum strictly decreases until the fixpoint — one cheap scalar per
     # iteration instead of a join-and-compare pass.
     prev_sum: int | None = None
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -73,8 +74,18 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Unconverged labels are silently WRONG clusters (a long chain
+        # still propagating); downstream dedup would drop the wrong
+        # documents. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations; raise max_iters (iterations needed ≈ component "
+            "diameter) or pre-contract the graph (large-star/small-star)"
+        )
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("component")
     )

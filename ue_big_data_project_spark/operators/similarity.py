@@ -115,8 +115,15 @@ def cosine_pairs(
        the oracle mirrors; the rounded threshold test is exact.
 
     Scale shape: N vectors → (N/B)² /2 tiles, each an independent task
-    whose inputs are two ~B·dim float blocks; shuffle volume is O(N·dim)
-    for the block build plus O(candidates) afterwards — never O(N²).
+    whose inputs are two ~B·dim float blocks. Tile fan-out is pure
+    shuffle: only the *ids-only* block list (N/B longs) is broadcast to
+    form (blk_a, blk_b) pair keys; the block payloads then attach via
+    two equi-joins, so each block is replicated ~N/(2B) times across the
+    shuffle — total tile shuffle O(N²·dim/B) bytes spread over the
+    cluster, with no stage materializing the corpus on one node. That
+    quadratic-over-B volume is inherent to an EXACT all-pairs join; at
+    100 TB you put an LSH/band prefilter in front and feed only the
+    surviving id pairs through the exact rescore below.
     """
     import pandas as pd
 
@@ -129,9 +136,17 @@ def cosine_pairs(
             ).alias("rows")
         )
     )
+    # Upper-triangle tile keys from the ids-only block list — the ONLY
+    # broadcast side, O(N/B) longs regardless of vector width. The block
+    # payloads (unbounded) arrive by equi-join shuffle, never broadcast.
+    blk_ids = items.select(F.floor(sid / block_size).alias("blk")).distinct()
+    pair_keys = blk_ids.select(F.col("blk").alias("blk_a")).join(
+        F.broadcast(blk_ids.select(F.col("blk").alias("blk_b"))),
+        F.col("blk_a") <= F.col("blk_b"),
+    )
     a = blocks.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
     b = blocks.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
-    tiles = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+    tiles = pair_keys.join(a, "blk_a").join(b, "blk_b")
 
     cut = threshold - margin
 
@@ -215,6 +230,96 @@ def _assign_clusters(
     )
 
 
+def kmeans_centroids(
+    items: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    train_mod: int = 1,
+    score_scale: int = 6,
+) -> DataFrame:
+    """Deterministic sampled k-means centroids as pure DataFrame ops.
+
+    The IVF coarse quantizer: ``iters`` fixed Lloyd iterations (no
+    convergence test — a bounded, reproducible plan), trained on the
+    deterministic sample ``id % train_mod == 0`` (at 100 TB you train
+    the quantizer on ~1e6 sampled vectors, never the corpus). Every step
+    is cross-engine reproducible, so a SQL oracle can replay it exactly:
+
+    - **init**: the ``n_centroids`` training vectors with the smallest
+      ``md5(id)`` — a deterministic pseudo-random spread (no RNG state).
+    - **assign**: nearest centroid by cosine rounded at ``score_scale``,
+      ties to the lowest centroid id (same argmax the index itself uses).
+    - **update**: per-cell per-dimension DECIMAL sums, cast back to
+      double. Sums, not means: cosine is scale-invariant, so the summed
+      vector defines the same Voronoi cell as the mean while avoiding a
+      cross-engine division; decimal accumulation makes the result
+      independent of partition order (float sums are not associative).
+      Cells that lose all members keep their previous centroid.
+
+    Each iteration is one broadcast-assign scan + one (cell, dim)
+    shuffle of decimal scalars — O(N·dim) rows of a few bytes; the
+    centroid table (``n_centroids`` rows) is localCheckpointed per
+    iteration so the lazy plan doesn't snowball.
+    """
+    sid, svec = F.col(item_id), F.col(item_vec)
+    train = items if train_mod <= 1 else items.filter(sid % train_mod == 0)
+    cents = (
+        train.select(
+            sid.alias("cent_id"),
+            F.transform(svec, lambda x: x.cast("double")).alias("cent_vec"),
+            F.md5(sid.cast("string")).alias("_h"),
+        )
+        .orderBy(F.asc("_h"), F.asc("cent_id"))
+        .limit(n_centroids)
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _assign_clusters(
+            train, cents, item_vec, item_id, nprobe=1, score_scale=score_scale
+        ).withColumnRenamed("cent_id", "cell")
+        dims = assigned.select(
+            "cell", F.posexplode(F.col(item_vec)).alias("pos", "val")
+        )
+        sums = dims.groupBy("cell", "pos").agg(
+            F.sum(
+                F.col("val").cast("double").cast("decimal(27,10)")
+            ).alias("s")
+        )
+        newc = (
+            sums.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("s")))
+                ).alias("_ps")
+            )
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform(
+                    F.col("_ps"), lambda x: x["s"].cast("double")
+                ).alias("cent_vec"),
+            )
+        )
+        cents = (
+            cents.alias("c")
+            .join(
+                newc.alias("n"),
+                F.col("c.cent_id") == F.col("n.cent_id"),
+                "left",
+            )
+            .select(
+                F.col("c.cent_id").alias("cent_id"),
+                F.coalesce(F.col("n.cent_vec"), F.col("c.cent_vec")).alias(
+                    "cent_vec"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_knn(
     items: DataFrame,
     queries: DataFrame,
@@ -226,15 +331,15 @@ def ivf_knn(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     score_scale: int = 6,
+    kmeans_iters: int = 2,
+    train_mod: int = 1,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
     Classic two-level ANN: partition the corpus into Voronoi cells
-    around centroids, then score a query only against the ``nprobe``
-    cells nearest to it. Here centroids are the ``n_centroids``
-    lowest-id vectors — a deterministic stand-in for a sampled k-means
-    job (at scale: run k-means once, broadcast the centroid table; the
-    rest of the pipeline is unchanged).
+    around :func:`kmeans_centroids` (deterministic sampled k-means,
+    broadcast centroid table), then score a query only against the
+    ``nprobe`` cells nearest to it.
 
     Scale shape: the corpus is scanned ONCE to tag each item with its
     cell (broadcast centroids, no shuffle), then items shuffle on
@@ -242,11 +347,14 @@ def ivf_knn(
     index — repeated queries touch only ``nprobe`` partitions instead
     of the full corpus.
     """
-    centroids = (
-        items.filter(F.col(item_id) < n_centroids)
-        .select(
-            F.col(item_id).alias("cent_id"), F.col(item_vec).alias("cent_vec")
-        )
+    centroids = kmeans_centroids(
+        items,
+        n_centroids=n_centroids,
+        iters=kmeans_iters,
+        item_id=item_id,
+        item_vec=item_vec,
+        train_mod=train_mod,
+        score_scale=score_scale,
     )
     tagged = _assign_clusters(
         items, centroids, item_vec, item_id, nprobe=1, score_scale=score_scale

@@ -448,23 +448,80 @@ WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
 
 
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via an IVF index (16 cells, nprobe=2)."""
+    """Approximate top-5 via an IVF index: 16 k-means cells (2 Lloyd
+    iterations, deterministic md5 init, decimal-exact sum centroids —
+    operators/similarity.kmeans_centroids), nprobe=2."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_knn(e, queries, k=5, n_centroids=16, nprobe=2)
+    return ivf_knn(e, queries, k=5, n_centroids=16, nprobe=2, kmeans_iters=2)
 
 
-KNN_IVF_SQL = f"""
-WITH cent AS (
-  SELECT vec_id AS cent_id, embedding AS cent_vec
-  FROM embeddings WHERE vec_id < 16
+def _ivf_sql(
+    n_centroids: int = 16,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 5,
+    train_mod: int = 1,
+) -> str:
+    """DuckDB replay of kmeans_centroids + ivf_knn: the Lloyd loop is
+    UNROLLED as one CTE chain per iteration (assign → decimal sums →
+    rebuild → empty-cell coalesce), bit-equal to the Spark plan because
+    every step is decimal-exact or rounded at a fixed scale."""
+    parts = [
+        f"""
+WITH train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {train_mod} = 0
 ),
+c0 AS (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> x::DOUBLE) AS cent_vec
+  FROM train
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT {n_centroids}
+)"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT t.vec_id, t.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_cos_sql("t.embedding", "c.cent_vec")} DESC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM train t, c{it} c
+  ) WHERE rn = 1
+),
+s{it} AS (
+  SELECT cell AS cent_id, pos,
+         CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE)
+                       AS DECIMAL(27,10))) AS DOUBLE) AS v
+  FROM (
+    SELECT cell, embedding,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM a{it}
+  )
+  GROUP BY 1, 2
+),
+n{it} AS (
+  SELECT cent_id, list(v ORDER BY pos) AS cent_vec FROM s{it} GROUP BY 1
+),
+c{it + 1} AS (
+  SELECT c.cent_id, coalesce(n.cent_vec, c.cent_vec) AS cent_vec
+  FROM c{it} c LEFT JOIN n{it} n ON c.cent_id = n.cent_id
+)"""
+        )
+    cent = f"c{iters}"
+    parts.append(
+        f""",
 item_sc AS (
   SELECT e.vec_id, e.embedding, c.cent_id,
          {_cos_sql("e.embedding", "c.cent_vec")} AS cent_sim
-  FROM embeddings e, cent c
+  FROM embeddings e, {cent} c
 ),
 tagged AS (
   SELECT vec_id, embedding, cent_id AS cell FROM (
@@ -480,14 +537,14 @@ q AS (
 q_sc AS (
   SELECT q.query_id, q.query_vec, c.cent_id,
          {_cos_sql("q.query_vec", "c.cent_vec")} AS cent_sim
-  FROM q, cent c
+  FROM q, {cent} c
 ),
 probes AS (
   SELECT query_id, query_vec, cent_id AS cell FROM (
     SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cent_sim DESC, cent_id ASC) AS rn
     FROM q_sc
-  ) WHERE rn <= 2
+  ) WHERE rn <= {nprobe}
 ),
 scored AS (
   SELECT p.query_id, t.vec_id,
@@ -500,8 +557,13 @@ ranked AS (
          ) AS INTEGER) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
 """
+    )
+    return "".join(parts)
+
+
+KNN_IVF_SQL = _ivf_sql()
 
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
