@@ -57,6 +57,26 @@ def test_stream_matches_batch(spark, events):
     assert rows(_final_sessions(drained)) == rows(batch)
 
 
+def test_stream_with_eviction_matches_batch(spark, events):
+    """The event-time-timeout twin (watermark eviction enabled) must
+    produce the same final sessions as batch: timed-out keys re-emit
+    their final open session before state removal, which the
+    final-emission reduce absorbs."""
+    import os
+
+    from ue_big_data_project_spark import streaming as ST
+
+    batch = sessionize_batch(events, gap_seconds=1800)
+    sdf = ST.replay_parquet(spark, os.path.join(SF_DIR, "events.parquet"))
+    from pyspark.sql import types as T
+
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    streamed = sessionize_stream(sdf, gap_seconds=1800, watermark="1 hour")
+    drained = ST.drain_to_table(spark, streamed, mode="update")
+    assert rows(_final_sessions(drained)) == rows(batch)
+
+
 def test_batch_sessions_sane(events):
     out = sessionize_batch(events, gap_seconds=1800)
     total = out.agg(F.sum("n_events")).collect()[0][0]

@@ -164,6 +164,40 @@ def test_idempotent_foreach_batch_skips_committed(spark, tmp_path, stream_rows):
     assert calls == first
 
 
+def test_per_batch_artifact_sink(spark, tmp_path, stream_rows):
+    """The reference's render-per-micro-batch sink shape: one artifact
+    file per batch id, ledger-deduplicated across replays."""
+    path = write_batches(str(tmp_path), stream_rows)
+    out = os.path.join(str(tmp_path), "artifacts")
+
+    def render(pdf, batch_id):
+        return f"batch={batch_id} rows={len(pdf)}\n" + pdf.to_csv(index=False)
+
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    S.run_until_drained(S.per_batch_artifact_sink(sdf, out, render=render))
+    artifacts = sorted(
+        f for f in os.listdir(out) if f.startswith("batch-")
+    )
+    markers = os.listdir(os.path.join(out, "_ledger"))
+    assert len(artifacts) >= 3 and len(artifacts) == len(markers)
+    with open(os.path.join(out, artifacts[0])) as f:
+        head = f.readline()
+    assert head.startswith("batch=") and "rows=" in head
+    # Replay without a checkpoint: ledger suppresses re-rendering, so
+    # artifact mtimes (and count) are unchanged.
+    before = {
+        f: os.path.getmtime(os.path.join(out, f)) for f in artifacts
+    }
+    sdf2 = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    S.run_until_drained(S.per_batch_artifact_sink(sdf2, out, render=render))
+    after = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in sorted(os.listdir(out))
+        if f.startswith("batch-")
+    }
+    assert after == before
+
+
 def test_parse_json_value_flat_and_array(spark):
     flat_schema = T.StructType([T.StructField("a", T.IntegerType())])
     df = spark.createDataFrame([('{"a": 1}',)], ["value"])

@@ -78,6 +78,7 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming sessionization with explicit per-key state.
 
@@ -86,10 +87,21 @@ def sessionize_stream(
     emit when a later event arrives past the gap; the still-open session
     also emits each batch (complete-ish semantics) so a drained bounded
     replay reproduces the batch result exactly.
+
+    State eviction: pass ``watermark`` (e.g. ``"1 hour"``) to enable
+    event-time timeout eviction — REQUIRED on unbounded input, where
+    NoTimeout state grows with every user ever seen. Once the watermark
+    passes a key's ``last event + gap``, no in-watermark event can
+    extend its open session, so the session is final: the timeout
+    callback re-emits it (idempotent for the downstream final-emission
+    reduce) and removes the key's state. Output on a drained bounded
+    replay is identical with or without eviction.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_seconds * 1_000_000
+    evict = watermark is not None
+    cols = ["user_id", "session_idx", "n_events", "start_us", "end_us"]
 
     def update(
         key: Tuple[int],
@@ -97,6 +109,15 @@ def sessionize_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
+        if evict and state.hasTimedOut:
+            rows = []
+            if state.exists:
+                last_us, sidx, n, start_us, end_us = state.get
+                if sidx > 0:
+                    rows = [(user, sidx, n, start_us, end_us)]
+            state.remove()
+            yield pd.DataFrame(rows, columns=cols)
+            return
         if state.exists:
             last_us, sidx, n, start_us, end_us = state.get
         else:
@@ -116,23 +137,31 @@ def sessionize_stream(
             end_us = ts_us
             last_us = ts_us
         state.update((last_us, sidx, n, start_us, end_us))
+        if evict and last_us is not None:
+            # Fire once the watermark passes the point where the open
+            # session could still be extended (ms, event-time clock).
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
         open_row = [(user, sidx, n, start_us, end_us)] if sidx > 0 else []
-        yield pd.DataFrame(
-            closed + open_row,
-            columns=["user_id", "session_idx", "n_events", "start_us", "end_us"],
-        )
+        yield pd.DataFrame(closed + open_row, columns=cols)
 
     state_schema = (
         "last_us long, sidx int, n long, start_us long, end_us long"
     )
+    if evict:
+        df = df.withWatermark(ts_col, watermark)
     prepared = df.select(
         F.col(user_col).alias("user_id"),
         F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(ts_col).alias("_event_ts"),
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=SESSION_SCHEMA,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -484,7 +484,12 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(sdf.schema["ts"].dataType, T.LongType):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     drained = ST.drain_to_table(
-        spark, sessionize_stream(sdf, gap_seconds=1800), mode="update"
+        spark,
+        # watermark= enables event-time-timeout state eviction — the
+        # form an unbounded deployment must run (idle keys are removed
+        # once the watermark passes last_event + gap).
+        sessionize_stream(sdf, gap_seconds=1800, watermark="1 hour"),
+        mode="update",
     )
     # Update mode re-emits a session as it grows; keep the final state
     # per (user, session): counts and end grow monotonically, start is

@@ -208,6 +208,47 @@ def idempotent_foreach_batch(
     return df.writeStream.outputMode(mode).foreachBatch(wrapper).start()
 
 
+def per_batch_artifact_sink(
+    df: DataFrame,
+    out_dir: str,
+    render: Callable[..., str] | None = None,
+    mode: str = "append",
+    limit: int = 10_000,
+) -> StreamingQuery:
+    """Worked example of the reference's render-per-micro-batch sink
+    (plot_bus_positions, src/naolib_consumer.py:119-162): each batch, a
+    BOUNDED slice is collected to pandas driver-side, rendered by
+    ``render(pdf, batch_id) -> str``, and written to
+    ``out_dir/batch-<id>.txt`` — one artifact per micro-batch.
+
+    The reference's matplotlib figure becomes an artifact string here
+    (default: CSV) since the render payload is interchangeable; what the
+    example pins is the SINK SHAPE: ``limit()`` before ``toPandas()``
+    (a driver render must never collect an unbounded batch), and the
+    batch-id ledger from :func:`idempotent_foreach_batch`, so a batch
+    replayed after a crash does not re-write its artifact.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def default_render(pdf, batch_id: int) -> str:
+        return pdf.to_csv(index=False)
+
+    render_fn = render or default_render
+
+    def cb(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.limit(limit).toPandas()
+        artifact = render_fn(pdf, batch_id)
+        path = os.path.join(out_dir, f"batch-{batch_id}.txt")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(artifact)
+        os.rename(tmp, path)
+
+    return idempotent_foreach_batch(
+        df, cb, ledger_dir=os.path.join(out_dir, "_ledger"), mode=mode
+    )
+
+
 def run_until_drained(query: StreamingQuery) -> None:
     """Process everything currently available, then stop (K7 lifecycle,
     deterministic test variant of ``awaitTermination``)."""
@@ -238,7 +279,10 @@ def replay_parquet(
 
 
 def drain_to_table(
-    spark: SparkSession, df: DataFrame, mode: str = "complete"
+    spark: SparkSession,
+    df: DataFrame,
+    mode: str = "complete",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame until the source is drained; return the
     final result as a BATCH DataFrame (memory sink snapshot).
@@ -246,19 +290,37 @@ def drain_to_table(
     The deterministic end-to-end harness: bounded replay in, one
     ``processAllAvailable`` drain, stable table out — which makes whole
     streaming pipelines value-hash-checkable against a SQL oracle.
+
+    ``shuffle_partitions`` right-sizes the STATEFUL shuffle for a
+    bounded replay: a stateful query instantiates one state store (and,
+    for applyInPandasWithState, one Python worker round) per shuffle
+    partition per micro-batch, so a vanilla session's default 200
+    partitions pay ~25× the per-batch fixed cost for megabyte-scale
+    replays. The conf is set only for the drain (the stream binds its
+    state partitioning at start) and restored after; pass ``None`` to
+    keep the session's setting — production streams size this to state
+    key cardinality, not to the gate's replay.
     """
     import tempfile
     import uuid
 
     name = f"drain_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if shuffle_partitions:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set(key, old)
     return spark.table(name)
