@@ -1,0 +1,108 @@
+"""Connected-components: min-label propagation vs large-star/small-star
+contraction vs a driver-side union-find ground truth.
+
+The star algorithm (Kiveris et al., SoCC'14) must agree with label
+propagation everywhere both converge, and must ALSO converge on
+long-chain graphs whose diameter exceeds any reasonable label-propagation
+iteration budget — that diameter-independence is the point of having it.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _union_find(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {v: v for v in n_nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Component id = min member id.
+    comp: dict[int, int] = {}
+    members: dict[int, list[int]] = {}
+    for v in n_nodes:
+        members.setdefault(find(v), []).append(v)
+    for mem in members.values():
+        m = min(mem)
+        for v in mem:
+            comp[v] = m
+    return comp
+
+
+def _spark_result(df) -> dict[int, int]:
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_components_match_union_find(spark, algorithm):
+    rng = random.Random(7)
+    nodes = list(range(120))
+    # A mix of shapes: dense cliques, a short chain, isolated vertices.
+    edges = []
+    for base in (0, 10, 20):  # three 10-cliques
+        clique = list(range(base, base + 10))
+        edges += [(a, b) for a in clique for b in clique if a < b]
+    edges += [(i, i + 1) for i in range(40, 55)]  # chain
+    edges += [
+        (rng.randrange(60, 100), rng.randrange(60, 100)) for _ in range(50)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(nodes, edges)
+
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], "id int")
+    edges_df = spark.createDataFrame(edges, "src int, dst int")
+    got = _spark_result(
+        connected_components(nodes_df, edges_df, algorithm=algorithm)
+    )
+    assert got == expected
+
+
+def test_star_converges_on_long_chain(spark):
+    """A 400-node chain: diameter 399. Label propagation would need ~400
+    iterations; star contraction must finish in its default budget."""
+    n = 400
+    nodes_df = spark.range(n).select(F.col("id").cast("int"))
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src int, dst int"
+    )
+    got = _spark_result(
+        connected_components_star(nodes_df, edges_df, max_rounds=25)
+    )
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
+def test_label_raises_rather_than_silently_wrong(spark):
+    n = 100
+    nodes_df = spark.range(n).select(F.col("id").cast("int"))
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src int, dst int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes_df, edges_df, max_iters=5)
+
+
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_empty_edges_all_singletons(spark, algorithm):
+    nodes_df = spark.createDataFrame([(1,), (2,), (9,)], "id int")
+    edges_df = spark.createDataFrame([], "src int, dst int")
+    got = _spark_result(
+        connected_components(nodes_df, edges_df, algorithm=algorithm)
+    )
+    assert got == {1: 1, 2: 2, 9: 9}

@@ -12,9 +12,14 @@ checked with a 1-row aggregate, never by collecting labels. Iteration
 count is bounded by the component diameter (tiny for near-dup clusters,
 which are dense); ``max_iters`` caps pathological chains.
 
-Scale: every iteration shuffles on node id. For planet-scale graphs the
-large-star/small-star optimization halves iterations; not needed at
-near-dup-cluster diameters. AQE handles the shrinking label deltas.
+Scale: every iteration shuffles on node id and the iteration count of
+plain label propagation is bounded by the component DIAMETER — fine for
+near-dup clusters (dense, diameter ~2), ruinous for chain-shaped graphs.
+:func:`connected_components_star` implements the alternating
+large-star/small-star contraction (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14), which converges in O(log² n) rounds
+independent of diameter — the planet-scale path. Both share the output
+contract; ``connected_components(algorithm="star")`` dispatches.
 """
 
 from __future__ import annotations
@@ -30,23 +35,37 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     ``nodes`` must contain every vertex (isolated vertices become their
     own singleton components); ``edges`` is undirected (each pair listed
     once, either direction).
+
+    ``algorithm="label"`` (default) is min-label propagation — rounds ≈
+    component diameter, cheapest per round, right for dense near-dup
+    clusters. ``algorithm="star"`` is large-star/small-star contraction —
+    O(log² n) rounds regardless of diameter, right for unknown or
+    chain-heavy graph shapes at scale.
     """
-    # Symmetrize and MATERIALIZE the edge set once: the edge DataFrame
+    if algorithm == "star":
+        return connected_components_star(
+            nodes, edges, node_col, src_col, dst_col, max_rounds=max_iters
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    # MATERIALIZE the edge set BEFORE symmetrizing: the edge DataFrame
     # is typically the tail of an expensive pair pipeline (shingling,
-    # prefix joins, verification) and every iteration would re-execute
-    # that whole lineage otherwise.
+    # prefix joins, verification), and a union of two references to it
+    # would execute that lineage once per branch. Checkpoint the forward
+    # direction, then build the reversal from the checkpointed data.
     fwd = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    )
+    ).localCheckpoint(eager=True)
     sym = fwd.union(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     )
@@ -88,4 +107,105 @@ def connected_components(
         )
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("component")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every neighbor v > u re-attaches to m = min(N(u)∪{u}).
+
+    Output edges are already directed big→small (v > u ≥ m), so no
+    normalization is needed before the small-star step.
+    """
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nbr_min = sym.groupBy("a").agg(F.min("b").alias("nm"))
+    return (
+        sym.join(nbr_min, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(
+            F.col("b").alias("a"),
+            F.least(F.col("a"), F.col("nm")).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: for each u over its smaller neighbors N(u), attach
+    every v ∈ N(u)∪{u} except the minimum m directly to m."""
+    directed = edges.select(
+        F.greatest(F.col("a"), F.col("b")).alias("a"),
+        F.least(F.col("a"), F.col("b")).alias("b"),
+    )
+    nbr_min = directed.groupBy("a").agg(F.min("b").alias("m"))
+    moved = (
+        directed.join(nbr_min, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    kept = nbr_min.select("a", F.col("m").alias("b"))
+    return moved.union(kept).distinct()
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14): same (node, component=min reachable id) contract as
+    :func:`connected_components`, but rounds grow O(log² n) with
+    component SIZE, not linearly with diameter — a 10⁶-node chain
+    finishes in ~20 rounds where label propagation needs 10⁶.
+
+    Each round is two grouped-min shuffles plus a distinct; lineage is
+    truncated per round with an eager localCheckpoint. Convergence =
+    stable (count, xxhash64-sum) checksum of the edge set — edges move
+    monotonically toward the star form, so a stable checksum is the
+    fixpoint, at which every edge is (v, component_min).
+    """
+    cur = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col(src_col) != F.col(dst_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_chk: tuple | None = None
+    converged = cur.isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            # Decimal sum: exact and overflow-free under ANSI mode (a
+            # long sum of 64-bit hashes overflows by design).
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        chk = (row["n"], row["h"])
+        if chk == prev_chk:
+            converged = True
+        prev_chk = chk
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_rounds} rounds; raise max_rounds (needed ≈ log² of the "
+            "largest component size)"
+        )
+    # At the fixpoint every edge points v → its component min; the min
+    # itself and isolated vertices label themselves.
+    stars = cur.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("label")
+    )
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(stars, "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce("label", F.col("node")).alias("component"),
+        )
     )
