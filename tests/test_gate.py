@@ -30,6 +30,11 @@ PROXIED = {
     "q10_returned_revenue": "q3_shipping_priority",
     "q12_priority_by_status": "scan_filter_agg_kit",
     "asof_bucketed_prev_click": "asof_first_ship",
+    # Round-2 additions (gate was already at the 50-entry cap):
+    "q8_market_share": "q7_volume_shipping",  # multi-join conditional agg
+    "q11_important_parts": "q15_top_supplier",  # global-scalar threshold
+    "q13_order_count_distribution": "outer_join_customer_orders",
+    "q20_dominant_part_suppliers": "q17_small_quantity_revenue",
 }
 
 

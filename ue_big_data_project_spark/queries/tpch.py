@@ -1165,6 +1165,209 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
+# --------------------------------------------------------------------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share per year — two-level
+    CONDITIONAL aggregation (sum-if over sum) on top of a 6-way join.
+
+    Share of supplier NATION_7 in all revenue from EUROPE customers,
+    per order year. Dimensions (supplier, nation, region) broadcast;
+    the single shuffle is the groupBy on year. Numerator and
+    denominator stay decimal until the final division.
+    """
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    cn = (
+        t["nation"]
+        .join(
+            t["region"].filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    target = F.when(
+        F.col("supp_nation") == "NATION_7", disc_price_dec()
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return rev.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        pround(
+            F.sum(target).cast("double") / F.sum(disc_price_dec()).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       {sql_round(
+           "CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN " + SQL_DISC_PRICE
+           + " ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)"
+           " / CAST(sum(" + SQL_DISC_PRICE + ") AS DOUBLE)", 6)} AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY year(o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------------
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar — parts whose
+    revenue exceeds 1.5× the average part's revenue.
+
+    The global aggregate is a 1-row frame cross-joined (broadcast — it
+    is always exactly one row, the one provably-bounded broadcast
+    shape) against the per-part aggregate. The threshold compare is the
+    multiplied-out ``2·val·n > 3·total`` — pure decimal×integer, exact
+    in both engines, so no division-rounding can flip a boundary row.
+    """
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(disc_price_dec()).alias("_val")
+    )
+    total = per_part.agg(
+        F.sum("_val").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("_val") * F.col("_n") * F.lit(2)
+            > F.col("_total") * F.lit(3)
+        )
+        .select(
+            "l_partkey",
+            pround(F.col("_val").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, sum({SQL_DISC_PRICE}) AS _val
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, {sql_round("CAST(_val AS DOUBLE)", 2)} AS part_value
+FROM per_part
+WHERE _val * (SELECT count(*) FROM per_part) * 2
+      > (SELECT sum(_val) FROM per_part) * 3
+"""
+
+
+# --------------------------------------------------------------------------
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: aggregate-of-aggregate — the distribution of
+    customers by how many non-URGENT orders they have, INCLUDING
+    zero-order customers (left outer join, count of the null-able key).
+
+    Two shuffles: custkey (first agg), then the tiny n_orders domain.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer
+  LEFT JOIN (
+    SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+  ) o ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY n_orders
+"""
+
+
+# --------------------------------------------------------------------------
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: correlated agg-vs-agg threshold — suppliers who
+    shipped more than 2× the average supplier's quantity of a red part.
+
+    The correlation (per-part statistics vs per-(part,supplier)
+    subtotal) decorrelates into ONE pass: group by (part, supplier),
+    then window aggregates over part — no second scan, no re-probe
+    join. The threshold is the multiplied-out ``qty·n > 2·part_total``
+    (exact decimal×integer, no division), and it is RELATIVE, so the
+    query returns rows at every scale factor instead of fading as
+    per-part supplier counts grow. The part-name filter broadcasts and
+    prunes lineitem before the shuffle.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    red = t["part"].filter(F.col("p_name").like("red %")).select("p_partkey")
+    per_ps = (
+        t["lineitem"]
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(d2(F.col("l_quantity"))).alias("_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    heavy = per_ps.select(
+        "l_partkey",
+        "l_suppkey",
+        "_qty",
+        F.sum("_qty").over(w).alias("_part_qty"),
+        F.count(F.lit(1)).over(w).alias("_n_supp"),
+    ).filter(
+        F.col("_qty") * F.col("_n_supp") > F.col("_part_qty") * F.lit(2)
+    )
+    return (
+        load_tables(spark, sf_dir, ("supplier",))["supplier"]
+        .join(
+            heavy.select("l_suppkey").distinct(),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum({sql_d2("l_quantity")}) AS _qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+  GROUP BY l_partkey, l_suppkey
+),
+heavy AS (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, _qty,
+           sum(_qty) OVER (PARTITION BY l_partkey) AS _part_qty,
+           count(*) OVER (PARTITION BY l_partkey) AS _n_supp
+    FROM per_ps
+  ) WHERE _qty * _n_supp > _part_qty * 2
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
@@ -1185,6 +1388,14 @@ QUERIES = {
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL),
     "q19_or_predicates": QuerySpec(q19_or_predicates, Q19_SQL),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
+    "q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
+    "q11_important_parts": QuerySpec(q11_important_parts, Q11_SQL),
+    "q13_order_count_distribution": QuerySpec(
+        q13_order_count_distribution, Q13_SQL
+    ),
+    "q20_dominant_part_suppliers": QuerySpec(
+        q20_dominant_part_suppliers, Q20_SQL
+    ),
     "scan_filter_agg_kit": QuerySpec(scan_filter_agg_kit, SCAN_FILTER_AGG_SQL),
     "semi_anti_join_kit": QuerySpec(semi_anti_join_kit, SEMI_ANTI_KIT_SQL),
     "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
