@@ -207,3 +207,74 @@ def test_parse_json_value_flat_and_array(spark):
     df2 = spark.createDataFrame([('[{"a": 1}, {"a": 2}]',)], ["value"])
     got = sorted(r["a"] for r in S.parse_json_value(df2, arr_schema).collect())
     assert got == [1, 2]
+
+
+def test_stream_static_join_broadcasts_dim(spark, tmp_path, stream_rows):
+    path = write_batches(str(tmp_path), stream_rows)
+    dim = spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string"
+    )
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    joined = S.stream_static_join(sdf, dim, on=["user_id"])
+    got = S.drain_to_table(spark, joined, mode="append")
+    rows = got.collect()
+    assert len(rows) == 8  # every event user=1 enriched
+    assert all(r["tier"] == "gold" for r in rows)
+
+
+def test_stream_interval_join_multi_batch_equals_batch(spark, tmp_path):
+    # Clicks and errors interleaved across micro-batches, including a
+    # cross-batch match (click in batch 0, its error in batch 2) and an
+    # out-of-window error (21 min later).
+    batches = [
+        [row(1, 0, "click", user=1), row(2, 1, "error", user=1)],
+        [row(3, 5, "click", user=2), row(4, 8, "error", user=2)],
+        [
+            row(5, 9, "error", user=1),  # matches click 1 (9 min later)
+            row(6, 30, "error", user=2),  # 25 min after click 3: no match
+            row(7, 40, "click", user=3),  # no error ever
+        ],
+    ]
+    path = write_batches(str(tmp_path), batches)
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("cuser"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("euser"),
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        return clicks, errors
+
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    sc, se = split(sdf)
+    streamed = S.drain_to_table(
+        spark,
+        S.stream_interval_join(
+            sc, se, "click_ts", "err_ts",
+            keys=[("cuser", "euser")], within="10 minutes",
+            watermark="5 minutes",
+        ).select("click_id", "err_id"),
+        mode="append",
+    )
+    got = sorted((r["click_id"], r["err_id"]) for r in streamed.collect())
+    assert got == [(1, 2), (1, 5), (3, 4)]
+
+    # Batch twin over the same files must agree.
+    bdf = spark.read.schema(EVENTS_SCHEMA).json(path)
+    bc, be = split(bdf)
+    batch = (
+        bc.join(
+            be,
+            (F.col("cuser") == F.col("euser"))
+            & (F.col("err_ts") >= F.col("click_ts"))
+            & (F.col("err_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select("click_id", "err_id")
+        .collect()
+    )
+    assert sorted((r["click_id"], r["err_id"]) for r in batch) == got

@@ -239,6 +239,80 @@ GROUP BY p.event_id, p.ts
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join: two file-replay streams of the
+    events table (clicks, errors), joined per user on
+    ``click_ts <= err_ts <= click_ts + 10 minutes`` with watermarks on
+    both sides, drained to a table that hash-matches the equivalent
+    batch SQL — the watermarked double-stateful join Structured
+    Streaming is built for, end-to-end.
+
+    Scale shape: both streams shuffle on user_id; each side's buffered
+    state is evicted once the other side's watermark passes the join
+    window, so state is O(rate × (watermark + interval)) regardless of
+    stream length.
+    """
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ue_big_data_project_spark import streaming as ST
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _os.path.join(sf_dir, "events.parquet")
+
+    def replay(event_type: str) -> DataFrame:
+        sdf = ST.replay_parquet(spark, path)
+        if isinstance(sdf.schema["ts"].dataType, T.LongType):
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return sdf.filter(F.col("event_type") == event_type)
+
+    clicks = replay("click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = replay("error").select(
+        F.col("user_id").alias("err_user"),
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    joined = ST.stream_interval_join(
+        clicks.withColumnRenamed("user_id", "join_user"),
+        errors,
+        left_ts="click_ts",
+        right_ts="err_ts",
+        keys=[("join_user", "err_user")],
+        within="10 minutes",
+        watermark="1 hour",
+    )
+    out = joined.select(
+        F.col("join_user").alias("user_id"),
+        "click_id",
+        "err_id",
+        (F.unix_micros("err_ts") - F.unix_micros("click_ts")).alias("wait_us"),
+    )
+    return ST.drain_to_table(spark, out, mode="append")
+
+
+STREAMING_INTERVAL_JOIN_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), e AS (
+  SELECT user_id, event_id AS err_id, ts AS err_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c.click_id, e.err_id,
+       epoch_us(e.err_ts) - epoch_us(c.click_ts) AS wait_us
+FROM c JOIN e
+  ON c.user_id = e.user_id
+ AND e.err_ts >= c.click_ts
+ AND e.err_ts <= c.click_ts + INTERVAL 10 MINUTE
+"""
+
+
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window agg run END-TO-END through Structured
     Streaming: file-replay source → watermark → stateful windowed agg →
@@ -511,6 +585,9 @@ QUERIES = {
     "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL),
     "streaming_tumbling_window": QuerySpec(
         streaming_tumbling_window, EVENTS_TUMBLING_SQL
+    ),
+    "streaming_interval_join": QuerySpec(
+        streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
     ),
     "events_tumbling_window": QuerySpec(events_tumbling_window, EVENTS_TUMBLING_SQL),
     "events_dedup_first": QuerySpec(events_dedup_first, EVENTS_DEDUP_SQL),

@@ -249,6 +249,76 @@ def per_batch_artifact_sink(
     )
 
 
+def stream_static_join(
+    stream: DataFrame,
+    static: DataFrame,
+    on: list[str] | Column,
+    how: str = "inner",
+    broadcast_static: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a bounded dimension
+    table (the Spark-native form of the reference's driver-side lookup
+    dicts, e.g. the hard-coded ordered stop list of
+    src/naolib_consumer.py:16-22).
+
+    The static side is re-read per micro-batch (so slowly-changing dims
+    pick up updates) and broadcast by default — a stream-static join
+    must never shuffle the stream on the dim key, because that would
+    re-key the stateful pipeline downstream. Stateless: no watermark
+    needed, any join type Spark supports for the stream side.
+    """
+    if broadcast_static:
+        static = F.broadcast(static)
+    return stream.join(static, on, how)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    keys: list[str | tuple[str, str]] | None = None,
+    within: str = "10 minutes",
+    watermark: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: match right rows with
+    ``left_ts <= right_ts <= left_ts + within``, optionally also equal
+    on ``keys`` (a column name present on both sides, or a
+    ``(left_name, right_name)`` pair when the sides were renamed to
+    keep the output unambiguous).
+
+    Key equalities belong IN the join condition, never as a post-join
+    filter: they are what lets Spark key the join state and shuffle
+    both streams to matching tasks — filtered-after, the state would
+    buffer every key against every key.
+
+    Both sides are watermarked (required by Spark for stream-stream
+    joins so it can bound state): each side's buffered rows are evicted
+    once the other side's watermark passes their join window — state is
+    O(rate × (watermark + within)), never unbounded. ``left_ts`` /
+    ``right_ts`` must be distinct column names (rename before joining).
+    Inner joins emit as soon as a match arrives; outer joins emit
+    null-padded rows only when the watermark proves no match can come.
+
+    Scale: the join shuffles both streams on ``keys`` (or broadcasts
+    nothing — there is no bounded side); skewed keys salt the same way
+    as batch joins, and AQE does not apply (streaming plans are fixed
+    at start), so size shuffle partitions to key cardinality up front.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (F.col(right_ts) >= F.col(left_ts)) & (
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}")
+    )
+    for k in keys or []:
+        lk, rk = (k, k) if isinstance(k, str) else k
+        cond = cond & (left[lk] == right[rk])
+    return left.join(right, cond, how)
+
+
 def run_until_drained(query: StreamingQuery) -> None:
     """Process everything currently available, then stop (K7 lifecycle,
     deterministic test variant of ``awaitTermination``)."""
