@@ -35,6 +35,7 @@ PROXIED = {
     "q11_important_parts": "q15_top_supplier",  # global-scalar threshold
     "q13_order_count_distribution": "outer_join_customer_orders",
     "q20_dominant_part_suppliers": "q17_small_quantity_revenue",
+    "q9_product_profit": "q7_volume_shipping",  # multi-join derived-measure agg
     # Stream-stream join: temporal-predicate twin of the gate's batch
     # theta join; the streaming execution itself is pytest-drained.
     "streaming_interval_join": "theta_join_next_error",

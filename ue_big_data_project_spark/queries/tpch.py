@@ -1228,6 +1228,58 @@ GROUP BY year(o_orderdate)
 
 
 # --------------------------------------------------------------------------
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit — infix LIKE part filter, a
+    5-way join, a DERIVED measure (revenue minus cost), grouped by
+    (supplier nation, order year).
+
+    The testdata has no partsupp table, so unit cost is the part's list
+    price (``p_retailprice``) — same shape: the cost term multiplies a
+    part attribute into each lineitem before aggregation. The filtered
+    part table and both dimension lookups broadcast; lineitem⋈orders is
+    the one large shuffle (on the order key), then one groupBy shuffle
+    moving (nation × year) partial sums.
+    """
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "part", "supplier", "nation")
+    )
+    bolts = (
+        t["part"]
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nat = t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+    profit = disc_price_dec() - d2(F.col("p_retailprice")) * d2(
+        F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bolts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("order_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       {sql_dsum(
+           SQL_DISC_PRICE
+           + f" - {sql_d2('p_retailprice')} * {sql_d2('l_quantity')}"
+       )} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------------
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: HAVING against a GLOBAL scalar — parts whose
     revenue exceeds 1.5× the average part's revenue.
@@ -1389,6 +1441,7 @@ QUERIES = {
     "q19_or_predicates": QuerySpec(q19_or_predicates, Q19_SQL),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
     "q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
+    "q9_product_profit": QuerySpec(q9_product_profit, Q9_SQL),
     "q11_important_parts": QuerySpec(q11_important_parts, Q11_SQL),
     "q13_order_count_distribution": QuerySpec(
         q13_order_count_distribution, Q13_SQL
