@@ -211,22 +211,46 @@ def _assign_clusters(
 ) -> DataFrame:
     """Rank centroids per row by cosine; keep the top ``nprobe``.
 
-    Centroids are broadcast (they are tiny by construction), so
-    assignment is one scan over ``df`` with no shuffle before the
-    per-row window (which partitions on the row id — no hot keys).
+    ZERO-shuffle assignment: the centroid table collapses to a single
+    array row (bounded by construction — n_centroids entries), which
+    broadcasts; each data row then scores/sorts/slices the array with
+    higher-order functions in one scan. No row explosion, no per-row
+    window — the earlier formulation (cross-join to N×C rows +
+    row_number over the id) shuffled the whole corpus once per Lloyd
+    iteration; this one touches it in place.
+
+    Ordering matches the index contract exactly: descending rounded
+    cosine, ties to the lowest centroid id.
     """
-    scored = df.join(F.broadcast(centroids)).select(
-        *df.columns,
-        F.col("cent_id"),
-        pround(cosine(F.col(vec_col), F.col("cent_vec")), score_scale).alias(
-            "cent_sim"
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct(F.col("cent_id"), F.col("cent_vec"))).alias(
+            "_cents"
+        )
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            pround(cosine(F.col(vec_col), c["cent_vec"]), score_scale).alias(
+                "sim"
+            ),
+            c["cent_id"].alias("cent_id"),
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+    ranked = F.array_sort(
+        scored,
+        lambda l, r: (
+            F.when(l["sim"] > r["sim"], F.lit(-1))
+            .when(l["sim"] < r["sim"], F.lit(1))
+            .when(l["cent_id"] < r["cent_id"], F.lit(-1))
+            .when(l["cent_id"] > r["cent_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
     return (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") <= nprobe)
-        .drop("_crank", "cent_sim")
+        df.join(F.broadcast(cent_arr))
+        .withColumn("_top", F.slice(ranked, 1, nprobe))
+        .select(*df.columns, F.explode("_top").alias("_t"))
+        .select(*df.columns, F.col("_t.cent_id").alias("cent_id"))
     )
 
 
