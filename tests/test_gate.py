@@ -39,6 +39,12 @@ PROXIED = {
     # Stream-stream join: temporal-predicate twin of the gate's batch
     # theta join; the streaming execution itself is pytest-drained.
     "streaming_interval_join": "theta_join_next_error",
+    # Training-pipeline extensions: same operator families as their
+    # gate twins (hash-bucket assignment / window running agg /
+    # shingle-keyed inverted-index join).
+    "pipeline_stratified_sample": "pipeline_split",
+    "pipeline_pack_sequences": "moving_avg_order_price",
+    "pipeline_contamination": "dedup_ngram_jaccard",
 }
 
 

@@ -15,9 +15,10 @@ semi join rides the same fingerprint key. Nothing touches the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ue_big_data_project_spark.functions import pround
 from ue_big_data_project_spark.functions import text as TX
 
 
@@ -93,6 +94,128 @@ def sample_deterministic(
     """Keep a reproducible ``rate_pct``% of rows by id hash (a stable
     downsample: the kept set only shrinks/grows at the rate boundary)."""
     return df.filter(hash_bucket(id_col, 100) < rate_pct)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsample (e.g. rebalance languages or
+    quality tiers in a pre-training mix).
+
+    Each stratum keeps ``rates_pct[stratum]``% of its rows, decided by
+    the same id-hash as :func:`sample_deterministic` — so a document's
+    keep/drop fate is stable across runs AND across rate changes in
+    *other* strata. Pure codegen expressions (the rate table is a
+    literal CASE, not a join): zero shuffle, fully pushed into the scan.
+    """
+    b = hash_bucket(id_col, 100)
+    rate: Column = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(b < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    writers: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards
+    (concat-and-chunk sequence packing, the standard LLM pre-training
+    batch layout).
+
+    Documents hash into ``writers`` independent packing streams; within
+    a stream they are ordered by id and packed greedily in that order:
+    a document starts the next pack when its tokens would overflow the
+    current one. Both the stream assignment and the in-stream order are
+    deterministic, so the layout is reproducible on any cluster size.
+
+    The greedy fold is expressed as a running token sum (one window per
+    stream) and pack boundaries derived arithmetically: pack index =
+    ⌊(running_sum − tokens) / budget⌋ of the CHUNKED stream — documents
+    larger than the budget occupy ⌈tokens/budget⌉ packs and are flagged
+    ``oversize`` for the loader to split.
+
+    Scale: ONE shuffle (hash on the stream key), then a sort within
+    each stream partition — ``writers`` bounds the sort width, so size
+    it to ~corpus_tokens / (budget × target_packs_per_task). No
+    collect, no state: 100 TB packs the same way.
+    """
+    stream = hash_bucket(id_col, writers).alias("stream")
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(token_col).over(w)
+    return (
+        df.select(F.col(id_col), F.col(token_col), stream)
+        .withColumn("_run", run)
+        .select(
+            id_col,
+            token_col,
+            "stream",
+            F.floor((F.col("_run") - F.col(token_col)) / budget).alias(
+                "pack_id"
+            ),
+            (F.col(token_col) > budget).alias("oversize"),
+        )
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-test-document train-set contamination: the fraction of a test
+    document's distinct n-gram shingles that appear ANYWHERE in the
+    training corpus (the standard decontamination screen run before
+    training).
+
+    Inverted-index shape: the train side collapses to DISTINCT shingles
+    (one groupBy — at 100 TB this is the big shuffle, keyed on the
+    shingle), the test side left-joins against it and aggregates per
+    document. No pairwise doc×doc comparison ever happens, so train
+    size only affects the distinct-shingle table, not the join fanout.
+    Output: test id, n_shingles, n_hit, overlap (4 dp), contaminated.
+    """
+    from ue_big_data_project_spark.operators.dedup import shingle_rows
+
+    train_sh = shingle_rows(train, id_col, text_col, shingle_n).select(
+        "shingle"
+    ).distinct()
+    test_sh = shingle_rows(test, id_col, text_col, shingle_n).select(
+        F.col(id_col), F.col("shingle")
+    ).distinct()
+    hits = test_sh.join(
+        train_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hit",
+            pround(F.col("n_hit") / F.col("n_shingles"), 4).alias("overlap"),
+            (F.col("n_hit") / F.col("n_shingles") >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
 
 
 def corpus_stats(prepped: DataFrame) -> DataFrame:

@@ -745,15 +745,21 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HASH100 = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1)"
-        f" * {16 ** (11 - k)}"
-        for k in range(12)
+def _hash_mod_sql(buckets: int) -> str:
+    """DuckDB twin of pipelines.hash_bucket: first 12 md5 hex digits of
+    the stringified id → bigint, mod ``buckets``."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1)"
+            f" * {16 ** (11 - k)}"
+            for k in range(12)
+        )
+        + f") % {buckets}"
     )
-    + ") % 100"
-)
+
+
+_HASH100 = _hash_mod_sql(100)
 PIPELINE_SPLIT_SQL = f"""
 WITH b AS (
   SELECT doc_id, lang, {_HASH100} AS bucket FROM documents
@@ -769,6 +775,126 @@ FROM sampled GROUP BY split, lang
 """
 
 
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample (rebalance the training
+    mix: keep 80% en, 50% zh/es, 25% de/fr), counted per language
+    (pipelines.stratified_sample — pure codegen CASE, zero shuffle
+    before the count)."""
+    from ue_big_data_project_spark.pipelines import stratified_sample
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = stratified_sample(
+        d,
+        "lang",
+        {"en": 80, "zh": 50, "es": 50, "de": 25, "fr": 25},
+        default_pct=0,
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+PIPELINE_STRATIFIED_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang, {_HASH100} AS bucket FROM documents
+), kept AS (
+  SELECT doc_id, lang FROM b
+  WHERE bucket < CASE lang
+    WHEN 'en' THEN 80 WHEN 'zh' THEN 50 WHEN 'es' THEN 50
+    WHEN 'de' THEN 25 WHEN 'fr' THEN 25 ELSE 0 END
+)
+SELECT lang, count(*) AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM kept GROUP BY lang
+"""
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-and-chunk shard layout):
+    documents hash into 8 packing streams, fill 512-token packs in id
+    order (pipelines.pack_sequences — one shuffle on the stream key,
+    window running-sum within streams)."""
+    from ue_big_data_project_spark.functions.text import token_count
+    from ue_big_data_project_spark.pipelines import pack_sequences
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counted = d.select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        counted, id_col="doc_id", token_col="n_tokens", budget=512, writers=8
+    )
+
+
+PIPELINE_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_WORDS}) AS INTEGER) AS n_tokens,
+         {_hash_mod_sql(8)} AS stream
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens, stream,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY stream ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS run
+  FROM t
+)
+SELECT doc_id, n_tokens, stream,
+       (run - n_tokens) // 512 AS pack_id,
+       n_tokens > 512 AS oversize
+FROM r
+"""
+
+
+def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination screen: for each test-split document
+    (the id-hash split of pipeline_split), the fraction of its distinct
+    3-gram shingles found anywhere in the train split
+    (pipelines.contamination_report — inverted-index join keyed on the
+    shingle, no doc×doc comparison)."""
+    from ue_big_data_project_spark.pipelines import (
+        contamination_report,
+        hash_bucket,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    b = hash_bucket("doc_id", 100)
+    train = d.filter(b >= 10)
+    test = d.filter((b >= 5) & (b < 10))
+    return contamination_report(
+        train, test, "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+
+
+PIPELINE_CONTAMINATION_SQL = f"""
+WITH {_SHINGLES_CTE},
+buckets AS (
+  SELECT doc_id, {_HASH100} AS bucket FROM documents
+),
+train_sh AS (
+  SELECT DISTINCT shingle FROM sh
+  JOIN buckets USING (doc_id) WHERE bucket >= 10
+),
+test_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+  JOIN buckets USING (doc_id) WHERE bucket >= 5 AND bucket < 10
+),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM test_sh t LEFT JOIN train_sh tr ON t.shingle = tr.shingle
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_shingles, n_hit,
+       {sql_round("n_hit * 1.0 / n_shingles", 4)} AS overlap,
+       n_hit * 1.0 / n_shingles >= 0.5 AS contaminated
+FROM hits
+"""
+
+
 QUERIES = {
     "pipeline_prep_documents": QuerySpec(
         pipeline_prep_documents, PIPELINE_PREP_SQL
@@ -776,6 +902,15 @@ QUERIES = {
     "pipeline_split": QuerySpec(pipeline_split, PIPELINE_SPLIT_SQL),
     "pipeline_corpus_stats": QuerySpec(
         pipeline_corpus_stats, PIPELINE_STATS_SQL
+    ),
+    "pipeline_stratified_sample": QuerySpec(
+        pipeline_stratified_sample, PIPELINE_STRATIFIED_SQL
+    ),
+    "pipeline_pack_sequences": QuerySpec(
+        pipeline_pack_sequences, PIPELINE_PACK_SQL
+    ),
+    "pipeline_contamination": QuerySpec(
+        pipeline_contamination, PIPELINE_CONTAMINATION_SQL
     ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
