@@ -45,6 +45,9 @@ PROXIED = {
     "pipeline_stratified_sample": "pipeline_split",
     "pipeline_pack_sequences": "moving_avg_order_price",
     "pipeline_contamination": "dedup_ngram_jaccard",
+    # Binned range join: non-equi temporal join family, same as the
+    # gate's theta/as-of entries (operators/interval.py).
+    "interval_overlap_join": "theta_join_next_error",
 }
 
 

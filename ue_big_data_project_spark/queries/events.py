@@ -239,6 +239,56 @@ GROUP BY p.event_id, p.ts
 """
 
 
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join at scale (operators/interval.py): for each error
+    event, how many OTHER users' hourly activity spans it fell inside.
+
+    No equi key joins the sides — naive Spark would pick a
+    BroadcastNestedLoopJoin; the binned operator turns it into a hash
+    join on hour bins (intervals replicated ≤2×, points keyed once),
+    with the exact range predicate applied within bins.
+    """
+    from ue_big_data_project_spark.operators.interval import (
+        point_in_interval_join,
+    )
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    intervals = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("_h"))
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .select(F.col("user_id").alias("iv_user"), "start_ts", "end_ts")
+    )
+    points = e.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    joined = point_in_interval_join(
+        points,
+        intervals,
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bin_seconds=3600,
+        extra_cond=F.col("user_id") != F.col("iv_user"),
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_active_spans")
+    )
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT user_id AS iv_user, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT event_id, count(*) AS n_active_spans
+FROM p JOIN iv
+  ON p.ts >= iv.start_ts AND p.ts <= iv.end_ts AND p.user_id <> iv.iv_user
+GROUP BY event_id
+"""
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE stream-stream interval join: two file-replay streams of the
     events table (clicks, errors), joined per user on
@@ -594,4 +644,5 @@ QUERIES = {
     "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_SQL),
     "theta_join_next_error": QuerySpec(theta_join_next_error, THETA_NEXT_ERROR_SQL),
     "asof_bucketed_prev_click": QuerySpec(asof_bucketed_prev_click, ASOF_BUCKETED_SQL),
+    "interval_overlap_join": QuerySpec(interval_overlap_join, INTERVAL_OVERLAP_SQL),
 }
