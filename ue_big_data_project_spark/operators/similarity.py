@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ue_big_data_project_spark.functions import pround
-from ue_big_data_project_spark.functions.vectors import cosine
+from ue_big_data_project_spark.functions.vectors import cosine, dot, norm2
 
 
 def brute_force_knn(
@@ -223,16 +223,32 @@ def _assign_clusters(
     cosine, ties to the lowest centroid id.
     """
     cent_arr = centroids.agg(
-        F.collect_list(F.struct(F.col("cent_id"), F.col("cent_vec"))).alias(
-            "_cents"
-        )
+        F.collect_list(
+            F.struct(
+                F.col("cent_id"),
+                F.col("cent_vec"),
+                # Pre-fold the centroid norm once here instead of once
+                # per data row; the row's own norm is likewise hoisted
+                # out of the per-centroid lambda below. Same double ops
+                # in the same order as cosine() — bit-identical scores.
+                norm2(F.col("cent_vec")).alias("cent_norm"),
+            )
+        ).alias("_cents")
     )
+    row_norm = norm2(F.col(vec_col))
+
+    def _sim(c):
+        denom = row_norm * c["cent_norm"]
+        return pround(
+            F.when(denom > 0, dot(F.col(vec_col), c["cent_vec"]) / denom)
+            .otherwise(F.lit(0.0)),
+            score_scale,
+        )
+
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            pround(cosine(F.col(vec_col), c["cent_vec"]), score_scale).alias(
-                "sim"
-            ),
+            _sim(c).alias("sim"),
             c["cent_id"].alias("cent_id"),
         ),
     )
