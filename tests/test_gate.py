@@ -48,6 +48,8 @@ PROXIED = {
     # Binned range join: non-equi temporal join family, same as the
     # gate's theta/as-of entries (operators/interval.py).
     "interval_overlap_join": "theta_join_next_error",
+    "pipeline_source_quota": "window_top1_per_order",  # per-group rank cap
+    "text_repetition": "text_stats",  # per-doc text metrics family
 }
 
 

@@ -12,10 +12,10 @@ operators are value-hash-checked, not just row-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ue_big_data_project_spark.functions import sql_round
+from ue_big_data_project_spark.functions import pround, sql_round
 from ue_big_data_project_spark.functions import text as TX
 from ue_big_data_project_spark.operators import dedup as DD
 from ue_big_data_project_spark.operators.similarity import (
@@ -895,6 +895,96 @@ FROM hits
 """
 
 
+def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (the crawl-balancing step that stops one
+    domain from dominating the mix): keep at most 10 documents per
+    source, chosen by a DETERMINISTIC pseudo-random rank (md5 of the id,
+    ties on id) so the kept set is stable across runs and engines.
+
+    One shuffle on the source key; the window sorts within source
+    partitions only. Skew lever at 100 TB: sources big enough to
+    overflow a partition get pre-pruned by a salted partial top-k
+    (operators/topk.py) before the exact window.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    kept = d.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= 10
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+PIPELINE_SOURCE_QUOTA_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM ranked WHERE rk <= 10 GROUP BY source
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher-rule family that
+    drops boilerplate/spam): distinct-word ratio and the fraction of
+    the document taken by its single most frequent word.
+
+    The distinct ratio is pure array expressions (zero shuffle); the
+    top-word share explodes words and aggregates per (doc, word) — the
+    shuffle key is the doc id, so it scales with corpus size, never
+    with vocabulary.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    base = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        pround(
+            F.size(F.array_distinct(words)) / F.size(words), 4
+        ).alias("distinct_ratio"),
+        F.explode(words).alias("_w"),
+    )
+    per_word = base.groupBy("doc_id", "n_words", "distinct_ratio", "_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_word.groupBy("doc_id", "n_words", "distinct_ratio").agg(
+        pround(F.max("_c") / F.first("n_words"), 4).alias("top_word_frac")
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(len(words) AS INTEGER) AS n_words,
+         {sql_round("len(list_distinct(words)) * 1.0 / len(words)", 4)}
+           AS distinct_ratio,
+         unnest(words) AS w
+  FROM base
+), per_word AS (
+  SELECT doc_id, n_words, distinct_ratio, w, count(*) AS c
+  FROM stats GROUP BY doc_id, n_words, distinct_ratio, w
+)
+SELECT doc_id, n_words, distinct_ratio,
+       {sql_round("max(c) * 1.0 / any_value(n_words)", 4)} AS top_word_frac
+FROM per_word GROUP BY doc_id, n_words, distinct_ratio
+"""
+
+
 QUERIES = {
     "pipeline_prep_documents": QuerySpec(
         pipeline_prep_documents, PIPELINE_PREP_SQL
@@ -912,6 +1002,10 @@ QUERIES = {
     "pipeline_contamination": QuerySpec(
         pipeline_contamination, PIPELINE_CONTAMINATION_SQL
     ),
+    "pipeline_source_quota": QuerySpec(
+        pipeline_source_quota, PIPELINE_SOURCE_QUOTA_SQL
+    ),
+    "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
