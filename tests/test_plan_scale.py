@@ -94,6 +94,52 @@ def test_ivf_kmeans_recall_vs_brute(spark):
         assert all(v is not None for v in r["cent_vec"])
 
 
+def test_interval_join_is_hash_not_nested_loop(no_auto_broadcast):
+    """The binned range join must plan as a shuffle hash/SMJ on the bin
+    key — the whole point of binning is escaping the nested-loop
+    fallback a pure range predicate forces."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.interval import (
+        point_in_interval_join,
+    )
+
+    spark = no_auto_broadcast
+    base = dt.datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=i * 40)) for i in range(50)],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=j * 97),
+             base + dt.timedelta(seconds=j * 97 + 200))
+            for j in range(20)
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    plan = plan_of(
+        point_in_interval_join(p, iv, "ts", "start_ts", "end_ts", 300)
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Sequence packing must shuffle exactly once (on the packing-stream
+    key); the window running sum rides the same partitioning."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.pipelines import pack_sequences
+
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    counted = d.select("doc_id", F.length("text").alias("n_tokens"))
+    plan = plan_of(pack_sequences(counted, budget=512, writers=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_cosine_pairs_broadcasts_only_block_ids(no_auto_broadcast):
     spark = no_auto_broadcast
     e = load_tables(spark, SF, ("embeddings",))["embeddings"]
