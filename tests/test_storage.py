@@ -87,3 +87,26 @@ def test_partitioned_write_prunes(spark):
         assert "PartitionFilters" in plan
         # Only the matching partition directory is listed in the scan.
         assert "event_type=click" not in plan or True
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """F2 pushdown contract: a selective predicate must appear in the
+    scan's PushedFilters and the scan must read ONLY the referenced
+    columns (ReadSchema pruning) — at 100 TB the difference between
+    scanning 3 columns of a few row groups and the whole table."""
+    l = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    q = l.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_extendedprice")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull" in plan, plan
+    # (toString truncates the filter list; the shipdate bound is within
+    # the untruncated prefix and proves real predicates, not just null
+    # guards, reached the scan.)
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    # ReadSchema carries only the filter + projection columns.
+    rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    for col in ("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in rs, rs
+    for col in ("l_quantity", "l_tax", "l_returnflag", "l_partkey"):
+        assert col not in rs, rs
