@@ -1,0 +1,85 @@
+"""Skew levers (operators/skew.py): the salted shuffle join must be
+result-identical to the plain join and actually key the join on the
+salt."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.operators.skew import (
+    salted_agg,
+    salted_shuffle_join,
+)
+
+
+@pytest.fixture()
+def skewed_sides(spark):
+    # 500 rows of hot key 1, a few of keys 2-4; medium side has matches
+    # and non-matches on both sides.
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, k * 1000) for k in (2, 3, 4, 9)],
+        "k long, v long",
+    )
+    medium = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (3, "cool"), (7, "unmatched")],
+        "k long, tag string",
+    )
+    return big, medium
+
+
+def _pairs(df):
+    return sorted((r["k"], r["v"], r["tag"]) for r in df.collect())
+
+
+def test_salted_join_matches_plain_inner(spark, skewed_sides):
+    big, medium = skewed_sides
+    got = _pairs(salted_shuffle_join(big, medium, ["k"], salt_buckets=8))
+    want = _pairs(big.join(medium, ["k"], "inner"))
+    assert got == want
+    assert len(got) == 502  # 500 hot + keys 2,3
+
+
+def test_salted_join_matches_plain_left(spark, skewed_sides):
+    big, medium = skewed_sides
+    got = _pairs(salted_shuffle_join(big, medium, ["k"], salt_buckets=8, how="left"))
+    want = _pairs(big.join(medium, ["k"], "left"))
+    assert got == want
+    assert len(got) == 504  # + unmatched keys 4, 9 exactly once each
+
+
+def test_salted_join_rejects_outer(spark, skewed_sides):
+    big, medium = skewed_sides
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_shuffle_join(big, medium, ["k"], how="full")
+
+
+def test_salt_is_a_join_key(spark, skewed_sides):
+    big, medium = skewed_sides
+    plan = (
+        salted_shuffle_join(big, medium, ["k"], salt_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_salt" in plan, plan
+
+
+def test_salted_agg_matches_plain(spark, skewed_sides):
+    big, _ = skewed_sides
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_agg(
+            big,
+            ["k"],
+            {"total": ("sum", F.col("v")), "n": ("count", F.lit(1))},
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["total"], r["n"])
+        for r in big.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -62,6 +62,41 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*final_cols)
 
 
+def salted_shuffle_join(
+    big: DataFrame,
+    medium: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi join when the other side is too big to broadcast:
+    salt the skewed side, REPLICATE the medium side to every salt
+    bucket, and join on (keys + salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers instead of stalling one.
+
+    Cost model: the medium side shuffles ``salt_buckets``× its size (the
+    price of spreading the hot key); pick the smallest bucket count that
+    dissolves the straggler. Use when AQE's skew splitting can't help —
+    e.g. the skew is in a grouped downstream stage, or the plan must be
+    static (Structured Streaming, where AQE is off).
+
+    Semantics-preserving for ``inner`` and ``left`` joins (each big row
+    carries exactly one salt, so it meets each matching medium row
+    once). Right/full outer would emit one null-padded row per salt for
+    unmatched medium rows — rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_shuffle_join supports inner/left, got {how!r}: "
+            "outer-on-the-replicated-side would duplicate unmatched rows"
+        )
+    big_salted = salted(big, salt_buckets)
+    replicated = medium.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return big_salted.join(replicated, [*on, "_salt"], how).drop("_salt")
+
+
 def salted_broadcast_join(
     big: DataFrame,
     small: DataFrame,
