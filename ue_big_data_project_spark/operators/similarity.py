@@ -15,12 +15,36 @@ double accumulation in index order — oracle-reproducible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ue_big_data_project_spark.functions import pround
 from ue_big_data_project_spark.functions.vectors import cosine, dot, norm2
+
+
+def _pair_cosine(
+    item_vec: str, query_vec: str, score_scale: int
+) -> Column:
+    """Rounded cosine over a joined (item, query) row, with both norms
+    pre-folded into ``_inorm``/``_qnorm`` columns by :func:`_with_norms`
+    — same double ops in the same order as ``cosine()``, evaluated once
+    per VECTOR instead of once per PAIR."""
+    denom = F.col("_inorm") * F.col("_qnorm")
+    return pround(
+        F.when(denom > 0, dot(F.col(item_vec), F.col(query_vec)) / denom)
+        .otherwise(F.lit(0.0)),
+        score_scale,
+    )
+
+
+def _with_norms(
+    items: DataFrame, queries: DataFrame, item_vec: str, query_vec: str
+) -> tuple[DataFrame, DataFrame]:
+    return (
+        items.withColumn("_inorm", norm2(F.col(item_vec))),
+        queries.withColumn("_qnorm", norm2(F.col(query_vec))),
+    )
 
 
 def brute_force_knn(
@@ -37,15 +61,14 @@ def brute_force_knn(
 
     Self-matches (same id) are excluded. Ties break on item id.
     """
+    items, queries = _with_norms(items, queries, item_vec, query_vec)
     scored = items.join(F.broadcast(queries)).filter(
         F.col(item_id) != F.col(query_id)
     )
     scored = scored.select(
         F.col(query_id),
         F.col(item_id),
-        pround(
-            cosine(F.col(item_vec), F.col(query_vec)), score_scale
-        ).alias("cosine_sim"),
+        _pair_cosine(item_vec, query_vec, score_scale).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("cosine_sim"), F.asc(item_id)
@@ -403,15 +426,14 @@ def ivf_knn(
         queries, centroids, query_vec, query_id, nprobe=nprobe,
         score_scale=score_scale,
     ).withColumnRenamed("cent_id", "cell")
+    tagged, probes = _with_norms(tagged, probes, item_vec, query_vec)
     scored = tagged.join(F.broadcast(probes), "cell").filter(
         F.col(item_id) != F.col(query_id)
     )
     scored = scored.select(
         F.col(query_id),
         F.col(item_id),
-        pround(
-            cosine(F.col(item_vec), F.col(query_vec)), score_scale
-        ).alias("cosine_sim"),
+        _pair_cosine(item_vec, query_vec, score_scale).alias("cosine_sim"),
     )
     # Items live in exactly one cell (nprobe=1 on the item side), so a
     # (query, item) pair appears at most once — no dedup needed.
@@ -445,6 +467,7 @@ def lsh_knn(
     100 TB the bucket id becomes the shuffle/partition key, so each
     query touches one partition slice instead of the full corpus.
     """
+    items, queries = _with_norms(items, queries, item_vec, query_vec)
     ib = items.withColumn(
         "_bucket", hyperplane_signs(F.col(item_vec), planes, dim)
     )
@@ -457,9 +480,7 @@ def lsh_knn(
     scored = scored.select(
         F.col(query_id),
         F.col(item_id),
-        pround(
-            cosine(F.col(item_vec), F.col(query_vec)), score_scale
-        ).alias("cosine_sim"),
+        _pair_cosine(item_vec, query_vec, score_scale).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("cosine_sim"), F.asc(item_id)
