@@ -49,6 +49,8 @@ PROXIED = {
     # gate's theta/as-of entries (operators/interval.py).
     "interval_overlap_join": "theta_join_next_error",
     "pipeline_source_quota": "window_top1_per_order",  # per-group rank cap
+    "pipeline_upsert_corpus": "window_top1_per_order",  # per-key latest-version
+
     "text_repetition": "text_stats",  # per-doc text metrics family
 }
 

@@ -985,6 +985,63 @@ FROM per_word GROUP BY doc_id, n_words, distinct_ratio
 """
 
 
+def pipeline_upsert_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus maintenance (operators/cdc.upsert_latest):
+    apply an update batch (re-crawled text for every 7th document) and a
+    tombstone batch (takedowns for every 13th) onto the corpus snapshot,
+    keeping the latest version per doc — one grouped max_by pass, no
+    window sort."""
+    from ue_big_data_project_spark.operators.cdc import upsert_latest
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    snap = d.select("doc_id", "text", F.lit(0).alias("version"))
+    updates = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.upper(F.col("text")).alias("text"),
+            F.lit(1).alias("version"),
+        )
+        .withColumn("_deleted", F.lit(False))
+    )
+    deletes = (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text", F.lit(2).alias("version"))
+        .withColumn("_deleted", F.lit(True))
+    )
+    nxt = upsert_latest(
+        snap,
+        updates.unionByName(deletes),
+        keys=["doc_id"],
+        version_col="version",
+        tombstone_col="_deleted",
+    )
+    return nxt.select(
+        "doc_id", "version", F.length("text").alias("n_chars")
+    )
+
+
+PIPELINE_UPSERT_SQL = """
+WITH snap AS (
+  SELECT doc_id, text, 0 AS version, FALSE AS del FROM documents
+), upd AS (
+  SELECT doc_id, upper(text) AS text, 1 AS version, FALSE AS del
+  FROM documents WHERE doc_id % 7 = 0
+), dele AS (
+  SELECT doc_id, text, 2 AS version, TRUE AS del
+  FROM documents WHERE doc_id % 13 = 0
+), u AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM dele
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY version DESC
+  ) AS rn FROM u
+)
+SELECT doc_id, version, CAST(length(text) AS INTEGER) AS n_chars
+FROM r WHERE rn = 1 AND NOT del
+"""
+
+
 QUERIES = {
     "pipeline_prep_documents": QuerySpec(
         pipeline_prep_documents, PIPELINE_PREP_SQL
@@ -1004,6 +1061,9 @@ QUERIES = {
     ),
     "pipeline_source_quota": QuerySpec(
         pipeline_source_quota, PIPELINE_SOURCE_QUOTA_SQL
+    ),
+    "pipeline_upsert_corpus": QuerySpec(
+        pipeline_upsert_corpus, PIPELINE_UPSERT_SQL
     ),
     "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
