@@ -50,6 +50,9 @@ PROXIED = {
     "interval_overlap_join": "theta_join_next_error",
     "pipeline_source_quota": "window_top1_per_order",  # per-group rank cap
     "pipeline_upsert_corpus": "window_top1_per_order",  # per-key latest-version
+    # Continuous aggregate: same stateful windowed agg the gate runs as
+    # streaming_tumbling_window, plus the CDC-upsert sink (pytest-drained).
+    "streaming_incremental_rollup": "streaming_tumbling_window",
 
     "text_repetition": "text_stats",  # per-doc text metrics family
 }

@@ -278,3 +278,53 @@ def test_stream_interval_join_multi_batch_equals_batch(spark, tmp_path):
         .collect()
     )
     assert sorted((r["click_id"], r["err_id"]) for r in batch) == got
+
+
+def test_incremental_rollup_multi_batch(spark, tmp_path):
+    """Continuous aggregate: a window updated across micro-batches ends
+    at its final value, untouched window partitions survive, and the
+    snapshot equals the batch aggregation of all input."""
+    batches = [
+        [row(1, 0), row(2, 1)],              # window 00:00 -> 2 events
+        [row(3, 20, etype="error")],         # window 00:15 (other type)
+        [row(4, 2), row(5, 46)],             # 00:00 grows to 3; 00:45 new
+    ]
+    path = write_batches(str(tmp_path), batches)
+    snap = str(tmp_path / "rollup")
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = S.incremental_windowed_rollup(
+            sdf,
+            ts_col="ts",
+            window_duration="15 minutes",
+            keys=["event_type"],
+            aggs=[F.count(F.lit(1)).alias("n_events")],
+            snapshot_dir=snap,
+            watermark="1 hour",
+        )
+        S.run_until_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    got = {
+        (r["window_us"], r["event_type"]): r["n_events"]
+        for r in S.read_rollup(spark, snap).collect()
+    }
+    bdf = spark.read.schema(EVENTS_SCHEMA).json(path)
+    want = {
+        (r["window_us"], r["event_type"]): r["n_events"]
+        for r in bdf.groupBy(
+            F.unix_micros(F.window("ts", "15 minutes").start).alias(
+                "window_us"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 3  # 00:00 click=3, 00:15 error=1, 00:45 click=1
+    # The update path really did go through multiple batches: the final
+    # 00:00 count (3) spans batches 0 and 2.
+    assert got[min(got)[0], "click"] == 3

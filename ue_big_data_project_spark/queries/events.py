@@ -363,6 +363,53 @@ FROM c JOIN e
 """
 
 
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate end-to-end: the events stream maintains a
+    parquet rollup TABLE (15-minute windows × event_type) via update-mode
+    emission + CDC upsert with dynamic partition overwrite
+    (streaming.incremental_windowed_rollup) — and the final table
+    hash-matches the same SQL oracle as the batch tumbling window.
+
+    Scale shape: each micro-batch rewrites only the window partitions it
+    touched, so maintaining a year-long rollup costs O(changed windows)
+    per batch.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    from pyspark.sql import types as T
+
+    from ue_big_data_project_spark import streaming as ST
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sdf = ST.replay_parquet(spark, _os.path.join(sf_dir, "events.parquet"))
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    snap_dir = _tf.mkdtemp(prefix="spark_graft_rollup_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = ST.incremental_windowed_rollup(
+            sdf,
+            ts_col="ts",
+            window_duration="15 minutes",
+            keys=["event_type"],
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                davg(d2(F.col("value"))).alias("avg_value"),
+            ],
+            snapshot_dir=snap_dir,
+            watermark="1 hour",
+        )
+        ST.run_until_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return ST.read_rollup(spark, snap_dir).withColumnRenamed(
+        "window_us", "window_start_us"
+    )
+
+
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window agg run END-TO-END through Structured
     Streaming: file-replay source → watermark → stateful windowed agg →
@@ -633,6 +680,9 @@ QUERIES = {
     "events_rollup": QuerySpec(events_rollup, EVENTS_ROLLUP_SQL),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL),
+    "streaming_incremental_rollup": QuerySpec(
+        streaming_incremental_rollup, EVENTS_TUMBLING_SQL
+    ),
     "streaming_tumbling_window": QuerySpec(
         streaming_tumbling_window, EVENTS_TUMBLING_SQL
     ),
