@@ -74,7 +74,11 @@ def connected_components(
     # iteration instead of a join-and-compare pass.
     prev_sum: int | None = None
     converged = False
-    for _ in range(max_iters):
+    # One extra pass beyond max_iters: a fixpoint reached ON iteration
+    # max_iters is only observable (sum unchanged) one iteration later,
+    # so "max_iters = diameter" guidance would otherwise spuriously
+    # raise on exactly-sized budgets. The extra pass is a no-op update.
+    for _ in range(max_iters + 1):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))

@@ -149,10 +149,13 @@ def sessionize_stream(
     )
     if evict:
         df = df.withWatermark(ts_col, watermark)
+    # The raw timestamp column only needs to reach the Python worker
+    # when event-time timeouts are on; without eviction, shipping it
+    # through Arrow per row would be pure transfer overhead.
     prepared = df.select(
         F.col(user_col).alias("user_id"),
         F.unix_micros(F.col(ts_col)).alias("_ts_us"),
-        F.col(ts_col).alias("_event_ts"),
+        *([F.col(ts_col).alias("_event_ts")] if evict else []),
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         update,

@@ -128,19 +128,22 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training shards
     (concat-and-chunk sequence packing, the standard LLM pre-training
-    batch layout).
+    batch layout: the token stream is conceptually concatenated and cut
+    every ``budget`` tokens, ignoring document boundaries).
 
     Documents hash into ``writers`` independent packing streams; within
-    a stream they are ordered by id and packed greedily in that order:
-    a document starts the next pack when its tokens would overflow the
-    current one. Both the stream assignment and the in-stream order are
-    deterministic, so the layout is reproducible on any cluster size.
-
-    The greedy fold is expressed as a running token sum (one window per
-    stream) and pack boundaries derived arithmetically: pack index =
-    ⌊(running_sum − tokens) / budget⌋ of the CHUNKED stream — documents
-    larger than the budget occupy ⌈tokens/budget⌉ packs and are flagged
-    ``oversize`` for the loader to split.
+    a stream they are ordered by id, a running token sum is folded over
+    that order, and ``pack_id`` = ⌊(running_sum − tokens) / budget⌋ is
+    the chunk in which the document STARTS. Two flags tell the loader
+    which documents cross a cut: ``straddles`` marks any document whose
+    last token falls in a later chunk than its first (it must be split
+    across packs), and ``oversize`` marks the subset longer than the
+    budget itself (spans ⌈tokens/budget⌉ chunks). Packs are therefore
+    exactly ``budget`` tokens when straddlers are split at the cut —
+    this is NOT greedy first-fit packing, which cannot be expressed as
+    a closed-form window and would leave per-pack slack. Both the
+    stream assignment and the in-stream order are deterministic, so the
+    layout is reproducible on any cluster size.
 
     Scale: ONE shuffle (hash on the stream key), then a sort within
     each stream partition — ``writers`` bounds the sort width, so size
@@ -164,6 +167,13 @@ def pack_sequences(
             F.floor((F.col("_run") - F.col(token_col)) / budget).alias(
                 "pack_id"
             ),
+            (
+                (F.col(token_col) > F.lit(0))
+                & (
+                    F.floor((F.col("_run") - 1) / budget)
+                    > F.floor((F.col("_run") - F.col(token_col)) / budget)
+                )
+            ).alias("straddles"),
             (F.col(token_col) > budget).alias("oversize"),
         )
     )

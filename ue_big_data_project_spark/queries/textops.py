@@ -843,6 +843,8 @@ WITH t AS (
 )
 SELECT doc_id, n_tokens, stream,
        (run - n_tokens) // 512 AS pack_id,
+       n_tokens > 0 AND (run - 1) // 512 > (run - n_tokens) // 512
+         AS straddles,
        n_tokens > 512 AS oversize
 FROM r
 """
@@ -945,10 +947,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key is the doc id, so it scales with corpus size, never
     with vocabulary.
     """
+    from ue_big_data_project_spark.functions.text import tokens
+
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
-    )
+    words = tokens("text")
     base = d.select(
         "doc_id",
         F.size(words).alias("n_words"),

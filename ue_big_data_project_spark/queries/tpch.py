@@ -1390,7 +1390,7 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_qty") * F.col("_n_supp") > F.col("_part_qty") * F.lit(2)
     )
     return (
-        load_tables(spark, sf_dir, ("supplier",))["supplier"]
+        t["supplier"]
         .join(
             heavy.select("l_suppkey").distinct(),
             F.col("s_suppkey") == F.col("l_suppkey"),

@@ -289,6 +289,12 @@ def incremental_windowed_rollup(
         from ue_big_data_project_spark.operators.cdc import upsert_latest
 
         sp = batch_df.sparkSession
+        # Dynamic partition overwrite is scoped to THIS write and
+        # restored after: leaking it session-wide would silently turn
+        # later full-overwrite writes into partial ones.
+        prev_mode = sp.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch = batch_df.withColumn("_ver", F.lit(batch_id))
         key_cols = ["window_us", *keys]
@@ -305,9 +311,14 @@ def incremental_windowed_rollup(
             )
         else:
             merged = batch
-        merged.write.mode("overwrite").partitionBy("window_us").parquet(
-            snapshot_dir
-        )
+        try:
+            merged.write.mode("overwrite").partitionBy(
+                "window_us"
+            ).parquet(snapshot_dir)
+        finally:
+            sp.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
 
     return idempotent_foreach_batch(
         agged,
