@@ -110,3 +110,119 @@ def test_filter_and_projection_reach_parquet_scan(spark):
         assert col in rs, rs
     for col in ("l_quantity", "l_tax", "l_returnflag", "l_partkey"):
         assert col not in rs, rs
+
+
+# ---------------------------------------------------------------------------
+# Layout levers: range-sorted files, z-order clustering, compaction.
+# ---------------------------------------------------------------------------
+
+
+def _parquet_files(path):
+    return sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def _file_minmax(fpath, col):
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(fpath)
+    idx = pf.schema_arrow.get_field_index(col)
+    mins, maxs = [], []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        mins.append(st.min)
+        maxs.append(st.max)
+    return min(mins), max(maxs)
+
+
+def test_range_sorted_files_are_disjoint_and_skippable(spark):
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "li_sorted")
+        S.write_range_sorted(
+            li.select("l_orderkey", "l_shipdate"), out,
+            ["l_shipdate"], num_files=8,
+        )
+        ranges = [_file_minmax(f, "l_shipdate") for f in _parquet_files(out)]
+        assert len(ranges) == 8
+        # Disjoint coverage: after sorting by min, every file starts at
+        # or after the previous file's max (equal keys co-locate).
+        ranges.sort()
+        for (_, prev_max), (cur_min, _) in zip(ranges, ranges[1:]):
+            assert cur_min >= prev_max
+        # A one-range predicate needs only the files whose stats
+        # intersect it — the skipping the layout exists to enable.
+        lo, hi = ranges[0][0], ranges[0][1]
+        hit = [1 for mn, mx in ranges if not (mx < lo or mn > hi)]
+        assert len(hit) <= 2
+        # Round trip is lossless.
+        assert spark.read.parquet(out).count() == li.count()
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    key = S.zorder_key(
+        df, ["x", "y"], bits=2,
+        bounds={"x": [1, 2, 3], "y": [1, 2, 3]},
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", key.alias("z")).collect()
+    }
+
+    def morton(x, y):
+        return sum(
+            (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))
+            for i in range(2)
+        )
+
+    # Uniform 0..3 ints rank to themselves, so the key IS the Morton code.
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+
+
+def test_zordered_layout_skips_files_on_either_dimension(spark):
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "zordered")
+        S.write_zordered(df, out, ["x", "y"], bits=6, num_files=16)
+        files = _parquet_files(out)
+        assert len(files) == 16
+        for col in ("x", "y"):
+            ranges = [_file_minmax(f, col) for f in files]
+            hit = [1 for mn, mx in ranges if not (mx < 0 or mn > 7)]
+            # A 1/8-width slab on EITHER dimension touches a strict
+            # subset of files — single-column sorting can only do this
+            # for its leading column.
+            assert len(hit) < len(files)
+        back = spark.read.parquet(out)
+        assert back.count() == 64 * 64
+        assert back.agg(F.sum("x"), F.sum("y")).collect() == df.agg(
+            F.sum("x"), F.sum("y")
+        ).collect()
+
+
+def test_compact_small_files(spark):
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    with tempfile.TemporaryDirectory() as d:
+        small, out = os.path.join(d, "small"), os.path.join(d, "compacted")
+        li.repartition(64).write.parquet(small)
+        assert len(_parquet_files(small)) == 64
+        n = S.compact_small_files(
+            spark, small, out, target_file_bytes=64 * 1024 * 1024
+        )
+        files = _parquet_files(out)
+        assert len(files) == n < 64
+        got = spark.read.parquet(out)
+        assert got.count() == li.count()
+        assert (
+            got.agg(F.sum("l_quantity")).collect()
+            == li.agg(F.sum("l_quantity")).collect()
+        )

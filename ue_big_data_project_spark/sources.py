@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -149,3 +149,150 @@ def http_json_source(
     if isinstance(payload, dict):
         payload = [payload]
     return rows_source(spark, payload, schema)
+
+
+# ---------------------------------------------------------------------------
+# Data-layout levers beyond partitioning/bucketing: range-sorted files,
+# z-order clustering, and small-file compaction. At 100 TB the scan you
+# avoid is worth more than the scan you optimize — these make parquet
+# footer min/max statistics actually selective so filters skip files.
+# ---------------------------------------------------------------------------
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int = 32,
+) -> None:
+    """Range-partitioned, sorted parquet layout: files cover DISJOINT
+    ranges of ``sort_cols``, so every file's footer min/max is a tight,
+    non-overlapping interval and a predicate on the leading sort column
+    skips all files outside its range (row-group pruning degenerates to
+    file pruning).
+
+    This is the single-dimension layout lever: right for the one column
+    that dominates your filters (event time, date). ``num_files`` sizes
+    the layout — target file ~128-1024 MB at scale; the range exchange
+    samples the data, so skew in the sort key still yields balanced
+    files (unlike hash layouts).
+    """
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _bucket_index(col: Column, bounds: list) -> Column:
+    """0-based bucket of ``col`` among sorted quantile ``bounds``
+    (count of boundaries <= value) as a native expression."""
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: b <= col))
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    bounds: dict[str, list] | None = None,
+) -> Column:
+    """Z-order (Morton) key over ``cols`` as a pure native expression.
+
+    Each column is quantile-bucketed into ``2**bits`` ranks (boundaries
+    from ``approxQuantile`` — a bounded driver-side list, never data —
+    or passed explicitly via ``bounds`` for a reproducible quantizer
+    shared across incremental writes),
+    then the rank bits are interleaved: bit ``i`` of column ``j`` lands
+    at position ``i*len(cols)+j``. Rows close in the z-key are close in
+    EVERY dimension, so sorting files by the key makes footer min/max
+    selective for filters on ANY of the columns — the multi-dimension
+    counterpart of :func:`write_range_sorted`.
+
+    Bit arithmetic stays in exact integer range: ``bits*len(cols)`` must
+    stay under 62 (8 bits x 2-4 cols in practice).
+    """
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must stay under 62")
+    probs = [i / (2**bits) for i in range(1, 2**bits)]
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        if bounds and c in bounds:
+            cuts = list(bounds[c])
+        else:
+            qs = df.approxQuantile(c, [0.0, *probs], 0.001)
+            # Drop boundaries at the column minimum (bucket 0 must be
+            # reachable) and dedup repeats (low-cardinality columns) so
+            # ranks stay dense; the index is still <= 2**bits - 1.
+            cuts = [b for b in qs[1:] if b > qs[0]]
+        cuts = sorted(set(cuts))
+        rank = _bucket_index(F.col(c), cuts).cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(rank, i).bitwiseAND(F.lit(1)),
+                i * len(cols) + j,
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    num_files: int = 32,
+) -> None:
+    """Write parquet clustered by the z-order of ``cols``: range-split
+    and sort on the interleaved key, then drop it — the layout survives
+    in file order and footer statistics, not in the schema."""
+    z = zorder_key(df, cols, bits).alias("_z")
+    (
+        df.select("*", z)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Rewrite a many-small-files parquet dataset into ~target-sized
+    files; returns the output file count.
+
+    Small files are the silent scale killer: per-file open/footer/task
+    overhead dominates once files drop under ~tens of MB (streaming
+    sinks and fine-grained partitioning both produce them). File count
+    is derived from on-disk bytes, the data is round-robin repartitioned
+    to exactly that many balanced files (or range-sorted when
+    ``sort_cols`` is given, preserving a skipping-friendly layout).
+    At warehouse scale, run per partition directory so compaction
+    parallelizes and commits independently.
+    """
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(in_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(in_path)
+    if sort_cols:
+        (
+            df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return n
