@@ -55,6 +55,9 @@ PROXIED = {
     "streaming_incremental_rollup": "streaming_tumbling_window",
 
     "text_repetition": "text_stats",  # per-doc text metrics family
+    # Incremental corpus screening: fingerprint groupBy + anti join,
+    # the same families the gate runs as dedup_exact / semi_anti_join_kit.
+    "dedup_incremental": "dedup_exact",
 }
 
 

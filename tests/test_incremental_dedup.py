@@ -1,0 +1,73 @@
+"""Incremental dedup: new-batch screening against a persisted corpus
+index (exact fingerprints) and an LSH band index (near-dup), without
+rescanning corpus text. The exact path is also oracle-checked via the
+registered ``dedup_incremental`` query."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.operators import dedup as DD
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_update_dedup_index_screens_across_batches(spark):
+    with tempfile.TemporaryDirectory() as d:
+        idx = os.path.join(d, "fp_index")
+        batch1 = _docs(
+            spark,
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+             (3, "alpha beta gamma")],  # in-batch dup of 1
+        )
+        s1 = DD.update_dedup_index(spark, batch1, idx).collect()
+        # Two distinct contents survive; the in-batch dup collapses.
+        assert sorted(r["keep_id"] for r in s1) == [1, 2]
+        assert {r["n_docs"] for r in s1} == {1, 2}
+
+        batch2 = _docs(
+            spark,
+            [(10, "alpha beta gamma"),      # already indexed -> dropped
+             (11, "eta theta iota"),        # new -> survives
+             (12, "delta  epsilon   zeta")],  # ws-normalized dup -> dropped
+        )
+        s2 = DD.update_dedup_index(spark, batch2, idx).collect()
+        assert [r["keep_id"] for r in s2] == [11]
+
+        # At-least-once replay of a committed batch is a no-op.
+        assert DD.update_dedup_index(spark, batch2, idx).count() == 0
+
+
+def test_incremental_minhash_filter_drops_near_dups(spark):
+    corpus = _docs(
+        spark,
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+    )
+    index = DD.minhash_band_rows(corpus, "doc_id", "text")
+    batch = _docs(
+        spark,
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "completely different words about distributed query engines")],
+    )
+    kept = DD.incremental_minhash_filter(batch, index, "doc_id", "text")
+    assert [
+        r["doc_id"]
+        for r in kept.select("doc_id").distinct().collect()
+    ] == [11]
+    # Survivor rows are index-shaped: appending them IS the index update.
+    assert kept.columns == index.columns
+
+
+def test_incremental_filters_accept_empty_index(spark):
+    batch = _docs(spark, [(1, "one two three"), (2, "four five six")])
+    assert DD.incremental_exact_dedup(batch, None, "doc_id", "text").count() == 2
+    assert (
+        DD.incremental_minhash_filter(batch, None, "doc_id", "text")
+        .select("doc_id").distinct().count()
+    ) == 2

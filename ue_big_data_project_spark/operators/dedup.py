@@ -115,6 +115,39 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_val) LSH band rows — the join/index key shape
+    shared by pairwise LSH (:func:`minhash_lsh_pairs`) and the
+    incremental corpus index (:func:`incremental_minhash_filter`)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_val")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -136,26 +169,9 @@ def minhash_lsh_pairs(
             "trailing hashes would be silently dropped, weakening the LSH "
             "guarantee"
         )
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_val"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_val")
+    banded = minhash_band_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -377,3 +393,105 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW batch against the persisted corpus index.
+# A training corpus is not deduped once — every crawl increment must be
+# screened against everything already ingested WITHOUT rescanning it.
+# The index holds fingerprints/band rows, never text: screening cost is
+# O(batch + index-join), independent of corpus text volume.
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact-dedup a new batch within itself AND against the corpus
+    fingerprint index ``seen`` (a ``fingerprint`` column; None = empty
+    corpus). Output matches :func:`exact_dedup`: one row per surviving
+    distinct content — ``fingerprint``, ``n_docs`` (batch occurrences),
+    ``keep_id`` (min id, the canonical representative).
+
+    Scale: one batch-side shuffle on fingerprint plus an anti join. The
+    index side is one slim row per distinct corpus content; store it
+    bucketed by fingerprint so only the (small) batch shuffles, and the
+    runtime bloom filter prunes index partitions the batch never touches.
+    """
+    batch = exact_dedup(new_docs, id_col, text_col)
+    if seen is None:
+        return batch
+    return batch.join(
+        seen.select("fingerprint"), "fingerprint", "left_anti"
+    )
+
+
+def incremental_minhash_filter(
+    new_docs: DataFrame,
+    index_bands: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup screen of a new batch against the corpus LSH band index:
+    drops any new document sharing a MinHash band with ANY indexed
+    document (recall-oriented — candidates are dropped without a verify
+    pass, the standard crawl-screening tradeoff). Returns surviving
+    (id, band_idx, band_val) rows — distinct ids are the kept docs, and
+    the rows are exactly what gets appended to the index.
+
+    The screen is one equi join on (band_idx, band_val); the index never
+    rematerializes its documents.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands={bands}"
+        )
+    batch_bands = minhash_band_rows(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    if index_bands is None:
+        return batch_bands
+    hit_ids = (
+        batch_bands.join(
+            index_bands.select("band_idx", "band_val"),
+            ["band_idx", "band_val"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return batch_bands.join(hit_ids, id_col, "left_anti")
+
+
+def update_dedup_index(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Persisted exact-dedup index maintenance: screen ``new_docs``
+    against the parquet fingerprint index at ``index_path``, append the
+    survivors' fingerprints, and return the survivors (materialized
+    BEFORE the append so the batch never screens against itself twice).
+
+    Idempotence note: replaying the same batch after a successful append
+    yields zero survivors (all fingerprints are then indexed) — safe
+    under at-least-once batch delivery.
+    """
+    import os
+
+    have_index = os.path.isdir(index_path) and any(
+        not e.startswith("_") for e in os.listdir(index_path)
+    )
+    seen = spark.read.parquet(index_path) if have_index else None
+    survivors = incremental_exact_dedup(new_docs, seen, id_col, text_col)
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.select("fingerprint").write.mode("append").parquet(index_path)
+    return survivors

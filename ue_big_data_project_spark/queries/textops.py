@@ -60,6 +60,35 @@ GROUP BY 1
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: screen a new crawl batch (doc_id % 3
+    != 0) against the already-ingested corpus index (fingerprints of
+    doc_id % 3 == 0) — operators.dedup.incremental_exact_dedup: one
+    batch-side shuffle + anti join on the fingerprint, corpus text
+    never rescanned."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = d.filter(F.col("doc_id") % 3 == 0)
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    seen = DD.exact_dedup(corpus, "doc_id", "text").select("fingerprint")
+    return DD.incremental_exact_dedup(batch, seen, "doc_id", "text")
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH seen AS (
+  SELECT DISTINCT md5({_NORM}) AS fingerprint
+  FROM documents WHERE doc_id % 3 = 0
+), batch AS (
+  SELECT md5({_NORM}) AS fingerprint,
+         count(*) AS n_docs,
+         min(doc_id) AS keep_id
+  FROM documents WHERE doc_id % 3 <> 0
+  GROUP BY 1
+)
+SELECT b.fingerprint, b.n_docs, b.keep_id
+FROM batch b ANTI JOIN seen s ON b.fingerprint = s.fingerprint
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands × 2) candidate near-dup pairs."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -1069,6 +1098,7 @@ QUERIES = {
     ),
     "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_incremental": QuerySpec(dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
