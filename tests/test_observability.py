@@ -1,0 +1,74 @@
+"""Observed metrics (batch + per-micro-batch) and expectation splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark import observability as OB
+from ue_big_data_project_spark.session import load_tables
+from ue_big_data_project_spark.streaming import replay_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_batch_observation_rides_the_action(spark):
+    d = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    df, obs = OB.observed(
+        d,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_text": F.count_if(F.col("text").isNull()),
+            "avg_len": F.avg(F.length("text")),
+        },
+    )
+    n = df.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_text"] == 0
+    assert got["avg_len"] > 0
+
+
+def test_quality_metrics_defaults_cover_all_columns(spark):
+    d = load_tables(spark, SF_DIR, ("region",))["region"]
+    df, obs = OB.observed(d, OB.quality_metrics(d))
+    df.count()
+    got = obs.get
+    assert got["n_rows"] == 5
+    for c in d.columns:
+        assert got[f"null_{c}"] == 0
+
+
+def test_streaming_metrics_per_micro_batch(spark):
+    import os
+
+    sdf = replay_parquet(spark, os.path.join(SF_DIR, "events.parquet"))
+    result, batches = OB.drain_with_metrics(
+        spark, sdf, {"n_rows": F.count(F.lit(1))}
+    )
+    total = load_tables(spark, SF_DIR, ("events",))["events"].count()
+    assert result.count() == total
+    assert batches, "no observed metrics captured"
+    assert sum(b["n_rows"] for b in batches) == total
+
+
+def test_split_by_expectations_dead_letters(spark):
+    df = spark.createDataFrame(
+        [(1, "ok", 10), (2, None, 5), (3, "ok", -1), (4, None, -2)],
+        "id long, text string, n int",
+    )
+    good, bad = OB.split_by_expectations(
+        df,
+        {
+            "text_present": F.col("text").isNotNull(),
+            "n_positive": F.col("n") > 0,
+        },
+    )
+    assert [r["id"] for r in good.orderBy("id").collect()] == [1]
+    rows = {r["id"]: sorted(r["_violations"]) for r in bad.collect()}
+    assert rows == {
+        2: ["text_present"],
+        3: ["n_positive"],
+        4: ["n_positive", "text_present"],
+    }
+    # The passing side keeps the input schema untouched.
+    assert good.columns == df.columns

@@ -1,0 +1,155 @@
+"""Pipeline observability: metrics that ride the job, and expectation
+gates that split bad records out instead of failing the run.
+
+At 100 TB you cannot afford a second scan to know what a pipeline did —
+row counts, null rates, and domain violations must be accumulated BY the
+job that does the work. ``observe`` attaches named aggregate metrics to
+a plan (computed during the existing pass, exchanged as a few scalars);
+for streams the same metrics surface per micro-batch through the query
+progress events. Expectations split a batch into (passing, quarantined)
+with the violated rule names attached — the dead-letter pattern — so one
+malformed crawl shard quarantines instead of poisoning the corpus or
+killing a 10-hour job.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+def quality_metrics(
+    df: DataFrame, columns: list[str] | None = None
+) -> dict[str, Column]:
+    """The standard ingest health metrics for ``df``: total rows plus a
+    null count per column (default: every column). Feed to
+    :func:`observed` / :func:`drain_with_metrics`."""
+    cols = columns or df.columns
+    out: dict[str, Column] = {"n_rows": F.count(F.lit(1))}
+    for c in cols:
+        out[f"null_{c}"] = F.count_if(F.col(c).isNull())
+    return out
+
+
+def observed(
+    df: DataFrame, metrics: Mapping[str, Column]
+) -> tuple[DataFrame, Observation]:
+    """Attach named metrics to a BATCH plan; they are computed by the
+    same pass that executes the plan (no extra scan, no extra job).
+
+    Returns ``(df, observation)`` — run any action on the returned
+    DataFrame, then read ``observation.get``.
+    """
+    obs = Observation()
+    named = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *named), obs
+
+
+def observed_stream(
+    sdf: DataFrame, name: str, metrics: Mapping[str, Column]
+) -> DataFrame:
+    """Attach named metrics to a STREAMING plan under ``name``; each
+    micro-batch reports them through its progress event (collect with
+    :class:`MetricsListener` or :func:`drain_with_metrics`)."""
+    named = [c.alias(n) for n, c in metrics.items()]
+    return sdf.observe(name, *named)
+
+
+class MetricsListener(StreamingQueryListener):
+    """Collects per-micro-batch observed metrics from progress events.
+
+    ``listener.metrics`` maps observation name → list of per-batch dicts
+    (batch order preserved). Register via
+    ``spark.streams.addListener(listener)``; remove when done.
+    """
+
+    def __init__(self) -> None:
+        self.metrics: dict[str, list[dict]] = {}
+
+    def onQueryStarted(self, event) -> None:  # pragma: no cover - no-op
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        # The progress payload is JSON on the Python side; observedMetrics
+        # holds one row-shaped dict per observation name.
+        progress = json.loads(event.progress.json)
+        for name, row in (progress.get("observedMetrics") or {}).items():
+            self.metrics.setdefault(name, []).append(dict(row))
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover - no-op
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # pragma: no cover - no-op
+        pass
+
+
+def drain_with_metrics(
+    spark: SparkSession,
+    sdf: DataFrame,
+    metrics: Mapping[str, Column],
+    mode: str = "append",
+) -> tuple[DataFrame, list[dict]]:
+    """Drain a bounded stream with metrics attached; return the final
+    batch result AND the per-micro-batch metric dicts — the streaming
+    counterpart of :func:`observed`.
+
+    Metrics are read synchronously from the query's own progress history
+    before it stops (listener events are delivered on a separate thread,
+    so a drain-then-read via :class:`MetricsListener` would race; the
+    listener is for long-running queries, this is for bounded drains).
+    """
+    import tempfile
+    import uuid
+
+    name = f"metrics_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    q = (
+        observed_stream(sdf, "gate", metrics)
+        .writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = []
+        for p in q.recentProgress:
+            progress = json.loads(p.json) if hasattr(p, "json") else p
+            row = (progress.get("observedMetrics") or {}).get("gate")
+            if row is not None:
+                batches.append(dict(row))
+    finally:
+        q.stop()
+    return spark.table(name), batches
+
+
+def split_by_expectations(
+    df: DataFrame, expectations: Mapping[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: ``(passing, quarantined)`` by named rules.
+
+    Each expectation is a boolean Column that good rows satisfy; a null
+    verdict counts as a violation (null-hostile by design — an
+    unevaluable rule must not wave records through). Quarantined rows
+    carry ``_violations`` (array of failed rule names) for triage; the
+    passing side is returned unchanged. One pass, no shuffle: the rule
+    evaluation is a projection, the split is two filters on it that
+    Catalyst merges into the parent scan.
+    """
+    flags = F.array(
+        *[
+            F.when(~cond.eqNullSafe(F.lit(True)), F.lit(name))
+            for name, cond in expectations.items()
+        ]
+    )
+    tagged = df.withColumn(
+        "_violations", F.filter(flags, lambda x: x.isNotNull())
+    )
+    good = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    bad = tagged.filter(F.size("_violations") > 0)
+    return good, bad
