@@ -236,3 +236,126 @@ def corpus_stats(prepped: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_tokens_bpe").alias("total_tokens_bpe"),
     )
+
+
+def build_corpus(
+    spark,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.75,
+    langs: tuple[str, ...] | None = None,
+    jaccard_threshold: float = 0.8,
+    budget: int = 2048,
+    writers: int = 64,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> dict:
+    """The whole corpus build, end to end: quarantine malformed records,
+    language-filter, quality-score, exact-dedup, near-dup-cluster,
+    split, and pack — every stage an operator this engine oracle-checks
+    in isolation, composed into one run that writes
+
+    - ``{out_dir}/documents`` — surviving docs + metadata, partitioned
+      by split (train/val/test prune at the directory level),
+    - ``{out_dir}/packs`` — token-budget pack assignments for the
+      train split,
+    - ``{out_dir}/quarantine`` — expectation-violating records with the
+      failed rule names (the dead-letter audit trail).
+
+    Returns the stage-by-stage accounting dict. Counts ride the
+    pipeline's own actions where one exists (``observe``), so the audit
+    costs no extra scans of the text.
+
+    Scale: the stages share the shuffles they'd pay alone — fingerprint
+    group-by (exact dedup), shingle/band equi-joins (near-dup), one
+    stream-key shuffle (packing); nothing new is introduced by the
+    composition and nothing touches the driver but bounded scalars.
+    """
+    import os
+
+    from ue_big_data_project_spark.observability import (
+        observed,
+        split_by_expectations,
+    )
+    from ue_big_data_project_spark.operators.dedup import ngram_jaccard_pairs
+    from ue_big_data_project_spark.operators.graph import connected_components
+
+    stats: dict = {}
+
+    # 1. Expectation gate: dead-letter instead of poisoning the corpus.
+    good, bad = split_by_expectations(
+        docs,
+        {
+            "text_present": F.col(text_col).isNotNull(),
+            "text_nonempty": F.length(F.trim(F.col(text_col))) > 0,
+            "id_present": F.col(id_col).isNotNull(),
+        },
+    )
+    bad_obs, bad_o = observed(bad, {"n": F.count(F.lit(1))})
+    bad_obs.write.mode("overwrite").parquet(os.path.join(out_dir, "quarantine"))
+    stats["n_quarantined"] = bad_o.get["n"]
+
+    # 2. Language filter (native n-gram heuristic) — optional.
+    if langs:
+        good = good.filter(TX.langid(text_col).isin(*langs))
+
+    # 3. Quality + exact dedup + token accounting (one plan).
+    prepped = prep_documents(
+        good, id_col=id_col, text_col=text_col, min_quality=min_quality
+    )
+    # Near-dup needs the text again: semi-join the survivors back.
+    kept_docs = good.join(prepped.select(id_col), id_col, "left_semi")
+
+    # 4. Near-dup clustering: pairs -> components -> keep the min id.
+    pairs = ngram_jaccard_pairs(
+        kept_docs, id_col, text_col, threshold=jaccard_threshold
+    )
+    comps = connected_components(
+        kept_docs.select(id_col), pairs,
+        node_col=id_col, src_col="id_a", dst_col="id_b",
+    )
+    canonical = comps.filter(F.col(id_col) == F.col("component")).select(id_col)
+    final = prepped.join(canonical, id_col, "left_semi")
+
+    # 5. Split + write (split is the partition dir -> free pruning).
+    assigned = split_assign(
+        final, id_col=id_col, val_pct=val_pct, test_pct=test_pct
+    )
+    out_obs, out_o = observed(
+        assigned,
+        {
+            "n_docs": F.count(F.lit(1)),
+            "total_tokens": F.sum("n_tokens"),
+            "n_train": F.count_if(F.col("split") == "train"),
+        },
+    )
+    out_obs.write.mode("overwrite").partitionBy("split").parquet(
+        os.path.join(out_dir, "documents")
+    )
+    got = out_o.get
+    stats["n_docs"] = got["n_docs"]
+    stats["total_tokens"] = got["total_tokens"]
+    stats["n_train"] = got["n_train"]
+
+    # 6. Pack the train split into token-budget shards.
+    packs = pack_sequences(
+        assigned.filter(F.col("split") == "train"),
+        id_col=id_col,
+        token_col="n_tokens",
+        budget=budget,
+        writers=writers,
+    )
+    packs_path = os.path.join(out_dir, "packs")
+    packs.write.mode("overwrite").parquet(packs_path)
+    # DISTINCT aggregates aren't allowed in observed metrics; the packs
+    # table is id-and-counter metadata (no text), so re-reading it for
+    # the exact pack count costs nothing that matters.
+    stats["n_packs"] = (
+        spark.read.parquet(packs_path)
+        .select("stream", "pack_id")
+        .distinct()
+        .count()
+    )
+    return stats
