@@ -150,3 +150,43 @@ def test_cosine_pairs_broadcasts_only_block_ids(no_auto_broadcast):
     assert plan.count("BroadcastExchange") == 1, plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+# Shuffle budgets: the exchange count of each headline query at the
+# test fixture scale, pinned as an upper bound. A failure here means a
+# code change added a shuffle the query didn't pay before — the exact
+# regression class that is invisible at sf0.001 wall-clock and ruinous
+# at 100 TB. (Budgets are initial-plan counts at fixture stats; AQE may
+# re-plan joins at other scales, which is data, not code.)
+SHUFFLE_BUDGETS = {
+    "q1_pricing_summary": 1,        # one agg exchange, nothing else
+    "q3_shipping_priority": 1,      # dims broadcast, one agg exchange
+    "q5_region_revenue": 1,         # 5 broadcasts, one agg exchange
+    "q17_small_quantity_revenue": 2,  # decorrelated agg + join key
+    "q18_large_orders": 1,
+    "q21_waiting_suppliers": 4,     # grouped-pass decorrelation
+    "dedup_exact": 1,               # the fingerprint group-by
+    "dedup_incremental": 2,         # batch group-by + anti join key
+    "asof_first_ship": 1,
+    "pipeline_prep_documents": 1,   # dedup + semi join share the key
+}
+
+
+def _exchange_count(df) -> int:
+    plan = plan_of(df)
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget_not_exceeded(spark, name):
+    from ue_big_data_project_spark.queries import all_queries
+
+    df = all_queries()[name].fn(spark, "/root/testdata/sf0.001")
+    got = _exchange_count(df)
+    assert got <= SHUFFLE_BUDGETS[name], (
+        f"{name} now plans {got} shuffle exchanges "
+        f"(budget {SHUFFLE_BUDGETS[name]}) — a shuffle crept in"
+    )
