@@ -33,6 +33,8 @@ def test_build_corpus_end_to_end(spark):
 
         out = spark.read.parquet(os.path.join(d, "documents"))
         assert out.count() == stats["n_docs"] > 0
+        # The corpus is trainable as written: text rides with metadata.
+        assert {"text", "quality", "n_tokens"} <= set(out.columns)
         assert set(r["split"] for r in out.select("split").distinct().collect()) \
             <= {"train", "val", "test"}
         # Split is a partition directory (directory-level pruning).

@@ -106,3 +106,17 @@ def test_empty_edges_all_singletons(spark, algorithm):
         connected_components(nodes_df, edges_df, algorithm=algorithm)
     )
     assert got == {1: 1, 2: 2, 9: 9}
+
+
+def test_phantom_edge_endpoints_never_become_labels(spark):
+    # An edge endpoint absent from the node set must not label a
+    # component (the keep-min pattern would otherwise drop the cluster).
+    from ue_big_data_project_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(5,), (7,)], "id long")
+    edges = spark.createDataFrame([(5, 0)], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {5: 5, 7: 7}

@@ -71,3 +71,25 @@ def test_incremental_filters_accept_empty_index(spark):
         DD.incremental_minhash_filter(batch, None, "doc_id", "text")
         .select("doc_id").distinct().count()
     ) == 2
+
+
+def test_incremental_minhash_filter_collapses_in_batch_dups(spark):
+    batch = _docs(
+        spark,
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "the quick brown fox jumps over the lazy dog today"),
+         (12, "completely different words about distributed query engines")],
+    )
+    kept = DD.incremental_minhash_filter(batch, None, "doc_id", "text")
+    # 11 shares every band with lower-id 10 -> only 10 and 12 survive.
+    assert sorted(
+        r["doc_id"] for r in kept.select("doc_id").distinct().collect()
+    ) == [10, 12]
+
+
+def test_minhash_band_rows_rejects_ragged_bands(spark):
+    import pytest
+
+    batch = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="divide evenly"):
+        DD.minhash_band_rows(batch, "doc_id", "text", num_hashes=10, bands=4)

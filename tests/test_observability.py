@@ -72,3 +72,11 @@ def test_split_by_expectations_dead_letters(spark):
     }
     # The passing side keeps the input schema untouched.
     assert good.columns == df.columns
+
+
+def test_split_by_expectations_rejects_prior_violations_column(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, ["x"])], "id long, _violations array<string>")
+    with pytest.raises(ValueError, match="_violations"):
+        OB.split_by_expectations(df, {"ok": F.lit(True)})

@@ -102,6 +102,7 @@ def drain_with_metrics(
     so a drain-then-read via :class:`MetricsListener` would race; the
     listener is for long-running queries, this is for bounded drains).
     """
+    import shutil
     import tempfile
     import uuid
 
@@ -123,9 +124,16 @@ def drain_with_metrics(
             row = (progress.get("observedMetrics") or {}).get("gate")
             if row is not None:
                 batches.append(dict(row))
+        # Detach the result from the memory sink so both the sink table
+        # and the checkpoint can be dropped — otherwise every drain in a
+        # long-lived session leaks a registered table holding the full
+        # batch result plus an orphan checkpoint dir.
+        result = spark.table(name).localCheckpoint(eager=True)
     finally:
         q.stop()
-    return spark.table(name), batches
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result, batches
 
 
 def split_by_expectations(
@@ -140,7 +148,16 @@ def split_by_expectations(
     passing side is returned unchanged. One pass, no shuffle: the rule
     evaluation is a projection, the split is two filters on it that
     Catalyst merges into the parent scan.
+
+    A pre-existing ``_violations`` column is rejected rather than
+    silently overwritten: re-gating a quarantine table must not destroy
+    its violation history — drop or rename the old column explicitly.
     """
+    if "_violations" in df.columns:
+        raise ValueError(
+            "input already has a _violations column (a prior quarantine?); "
+            "drop or rename it before re-gating"
+        )
     flags = F.array(
         *[
             F.when(~cond.eqNullSafe(F.lit(True)), F.lit(name))

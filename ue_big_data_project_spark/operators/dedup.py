@@ -126,6 +126,12 @@ def minhash_band_rows(
     """(id, band_idx, band_val) LSH band rows — the join/index key shape
     shared by pairwise LSH (:func:`minhash_lsh_pairs`) and the
     incremental corpus index (:func:`incremental_minhash_filter`)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands={bands}; "
+            "trailing hashes would be silently dropped, weakening the LSH "
+            "guarantee"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_structs = [
@@ -438,27 +444,44 @@ def incremental_minhash_filter(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Near-dup screen of a new batch against the corpus LSH band index:
-    drops any new document sharing a MinHash band with ANY indexed
-    document (recall-oriented — candidates are dropped without a verify
-    pass, the standard crawl-screening tradeoff). Returns surviving
-    (id, band_idx, band_val) rows — distinct ids are the kept docs, and
-    the rows are exactly what gets appended to the index.
+    """Near-dup screen of a new batch against the corpus LSH band index
+    AND within the batch itself: drops any new document sharing a
+    MinHash band with an indexed document or with a lower-id batchmate
+    (recall-oriented — candidates are dropped without a verify pass, the
+    standard crawl-screening tradeoff; like the pairwise dedup keep-min
+    convention, the in-batch screen is greedy, so a chain a~b~c keeps
+    only a). Returns surviving (id, band_idx, band_val) rows — distinct
+    ids are the kept docs, and the rows are exactly what gets appended
+    to the index.
 
-    The screen is one equi join on (band_idx, band_val); the index never
-    rematerializes its documents.
+    Two equi joins on (band_idx, band_val) — index screen and in-batch
+    screen; the index never rematerializes its documents.
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes={num_hashes} must divide evenly into bands={bands}"
-        )
     batch_bands = minhash_band_rows(
         new_docs, id_col, text_col, num_hashes, bands, shingle_n
     )
+    # In-batch screen first: any id that shares a band with a LOWER id
+    # in the same batch is a near-dup of a kept (or earlier-dropped)
+    # batchmate. Without this, a batch's internal near-dups would all
+    # survive and be appended to the index forever — the asymmetry the
+    # exact path never had (exact_dedup collapses in-batch).
+    a, b = batch_bands.alias("a"), batch_bands.alias("b")
+    in_batch_dups = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    survivors = batch_bands.join(in_batch_dups, id_col, "left_anti")
     if index_bands is None:
-        return batch_bands
+        return survivors
     hit_ids = (
-        batch_bands.join(
+        survivors.join(
             index_bands.select("band_idx", "band_val"),
             ["band_idx", "band_val"],
             "left_semi",
@@ -466,7 +489,7 @@ def incremental_minhash_filter(
         .select(id_col)
         .distinct()
     )
-    return batch_bands.join(hit_ids, id_col, "left_anti")
+    return survivors.join(hit_ids, id_col, "left_anti")
 
 
 def update_dedup_index(
@@ -484,13 +507,19 @@ def update_dedup_index(
     Idempotence note: replaying the same batch after a successful append
     yields zero survivors (all fingerprints are then indexed) — safe
     under at-least-once batch delivery.
-    """
-    import os
 
-    have_index = os.path.isdir(index_path) and any(
-        not e.startswith("_") for e in os.listdir(index_path)
-    )
-    seen = spark.read.parquet(index_path) if have_index else None
+    Index existence is probed THROUGH Spark (not the local filesystem),
+    so hdfs:///s3a:// index paths behave identically to local ones — a
+    local-only probe would silently screen against an empty index on
+    remote stores and admit every duplicate.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        seen = spark.read.parquet(index_path)
+        seen.schema  # force resolution; missing/empty path raises here
+    except AnalysisException:
+        seen = None
     survivors = incremental_exact_dedup(new_docs, seen, id_col, text_col)
     survivors = survivors.localCheckpoint(eager=True)
     survivors.select("fingerprint").write.mode("append").parquet(index_path)

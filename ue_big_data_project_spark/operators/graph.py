@@ -72,10 +72,16 @@ def connected_components(
     # scale they are the overwhelming majority (a 1%-near-dup corpus
     # shrinks every iteration's shuffle ~100×). They rejoin as their own
     # singleton components at the end. `sym` is symmetric, so the `a`
-    # column alone covers every edge endpoint.
+    # column alone covers every edge endpoint — semi-joined back to
+    # `nodes` so an edge endpoint absent from the node set can never
+    # become a component label (the contract: components are labeled by
+    # node ids, and phantom endpoints are ignored as before).
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
+        .join(
+            nodes.select(F.col(node_col).alias("node")), "node", "left_semi"
+        )
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )

@@ -317,7 +317,11 @@ def build_corpus(
         node_col=id_col, src_col="id_a", dst_col="id_b",
     )
     canonical = comps.filter(F.col(id_col) == F.col("component")).select(id_col)
-    final = prepped.join(canonical, id_col, "left_semi")
+    # The written corpus carries the TEXT, not just metadata — a layout
+    # a loader can train from directly. Metadata joins back on the id.
+    final = kept_docs.join(canonical, id_col, "left_semi").join(
+        prepped, id_col
+    )
 
     # 5. Split + write (split is the partition dir -> free pruning).
     assigned = split_assign(
@@ -339,9 +343,12 @@ def build_corpus(
     stats["total_tokens"] = got["total_tokens"]
     stats["n_train"] = got["n_train"]
 
-    # 6. Pack the train split into token-budget shards.
+    # 6. Pack the train split into token-budget shards — read back from
+    # the table just written (directory-pruned to split=train) instead
+    # of re-executing the whole dedup/cluster lineage a second time.
+    written = spark.read.parquet(os.path.join(out_dir, "documents"))
     packs = pack_sequences(
-        assigned.filter(F.col("split") == "train"),
+        written.filter(F.col("split") == "train"),
         id_col=id_col,
         token_col="n_tokens",
         budget=budget,

@@ -216,12 +216,21 @@ def zorder_key(
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must stay under 62")
     probs = [i / (2**bits) for i in range(1, 2**bits)]
+    # ONE quantile pass for every column without explicit bounds —
+    # approxQuantile takes a column list, so N-column z-order costs one
+    # scan, not N.
+    need_q = [c for c in cols if not (bounds and c in bounds)]
+    quantiles = (
+        dict(zip(need_q, df.approxQuantile(need_q, [0.0, *probs], 0.001)))
+        if need_q
+        else {}
+    )
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         if bounds and c in bounds:
             cuts = list(bounds[c])
         else:
-            qs = df.approxQuantile(c, [0.0, *probs], 0.001)
+            qs = quantiles[c]
             # Drop boundaries at the column minimum (bucket 0 must be
             # reachable) and dedup repeats (low-cardinality columns) so
             # ranks stay dense; the index is still <= 2**bits - 1.
@@ -242,11 +251,18 @@ def write_zordered(
     cols: Sequence[str],
     bits: int = 8,
     num_files: int = 32,
+    bounds: dict[str, list] | None = None,
 ) -> None:
     """Write parquet clustered by the z-order of ``cols``: range-split
     and sort on the interleaved key, then drop it — the layout survives
-    in file order and footer statistics, not in the schema."""
-    z = zorder_key(df, cols, bits).alias("_z")
+    in file order and footer statistics, not in the schema.
+
+    Pass ``bounds`` (per-column quantile boundaries) to pin the
+    quantizer across incremental writes of the same table — otherwise
+    each write re-derives boundaries from its own batch and the
+    file-range layout drifts between increments.
+    """
+    z = zorder_key(df, cols, bits, bounds=bounds).alias("_z")
     (
         df.select("*", z)
         .repartitionByRange(num_files, F.col("_z"))
