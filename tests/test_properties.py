@@ -197,3 +197,74 @@ def test_sessionize_invariants(spark, rows, gap):
             # Consecutive sessions are separated by more than the gap.
             assert b["start_us"] - a["end_us"] > gap * 1_000_000
             assert b["session_idx"] == a["session_idx"] + 1
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_zorder_key_matches_python_morton(spark, xs):
+    from ue_big_data_project_spark.sources import zorder_key
+
+    df = spark.createDataFrame(xs, "x int, y int")
+    bounds = {"x": list(range(1, 256)), "y": list(range(1, 256))}
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key(df, ["x", "y"], bits=8, bounds=bounds).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        return sum(
+            (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))
+            for i in range(8)
+        )
+
+    assert got == {(x, y): morton(x, y) for x, y in xs}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(
+        st.integers(min_value=1, max_value=700), min_size=1, max_size=30
+    ),
+    budget=st.integers(min_value=16, max_value=512),
+)
+def test_pack_sequences_chunk_invariants(spark, tokens, budget):
+    """Concat-and-chunk bookkeeping: within each stream, pack_id is the
+    chunk of the document's FIRST token, straddles means its last token
+    lands in a later chunk, and chunk arithmetic reproduces a plain
+    Python fold over the same in-stream order."""
+    from ue_big_data_project_spark.pipelines import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens int"
+    )
+    rows = pack_sequences(
+        df, budget=budget, writers=4
+    ).orderBy("stream", "doc_id").collect()
+    run_by_stream: dict[int, int] = {}
+    for r in rows:
+        start = run_by_stream.get(r["stream"], 0)
+        end = start + r["n_tokens"]
+        assert r["pack_id"] == start // budget
+        assert r["straddles"] == ((end - 1) // budget > start // budget)
+        assert r["oversize"] == (r["n_tokens"] > budget)
+        run_by_stream[r["stream"]] = end
