@@ -93,3 +93,47 @@ def test_minhash_band_rows_rejects_ragged_bands(spark):
     batch = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match="divide evenly"):
         DD.minhash_band_rows(batch, "doc_id", "text", num_hashes=10, bands=4)
+
+
+def test_dedup_ingest_stream_two_micro_batches(spark):
+    import time
+
+    from ue_big_data_project_spark.streaming import (
+        dedup_ingest_stream,
+        file_stream,
+        run_until_drained,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        b1 = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+        b2 = _docs(
+            spark,
+            [(10, "alpha beta"),        # cross-batch dup
+             (11, "epsilon zeta"),      # new
+             (12, "epsilon zeta")],     # in-batch dup of 11
+        )
+        b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+        b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+
+        sdf = file_stream(
+            spark, os.path.join(src, "*"), b1.schema, fmt="parquet",
+            max_files_per_trigger=1,
+        )
+        q = dedup_ingest_stream(
+            sdf,
+            index_path=os.path.join(d, "index"),
+            corpus_dir=os.path.join(d, "corpus"),
+            ledger_dir=os.path.join(d, "ledger"),
+        )
+        run_until_drained(q)
+
+        corpus = spark.read.parquet(os.path.join(d, "corpus"))
+        texts = sorted(r["text"] for r in corpus.collect())
+        # One row per distinct content across ALL batches, text intact.
+        assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+        index = spark.read.parquet(os.path.join(d, "index"))
+        assert index.distinct().count() == index.count() == 3

@@ -479,3 +479,42 @@ def drain_to_table(
         if shuffle_partitions:
             spark.conf.set(key, old)
     return spark.table(name)
+
+
+def dedup_ingest_stream(
+    sdf: DataFrame,
+    index_path: str,
+    corpus_dir: str,
+    ledger_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Continuous corpus ingestion with dedup: every micro-batch is
+    exact-dedup screened against the PERSISTED fingerprint index
+    (:func:`~ue_big_data_project_spark.operators.dedup.
+    update_dedup_index` — in-batch collapse + anti join, corpus text
+    never rescanned), and only first-seen documents are appended to the
+    corpus table.
+
+    Composition contract: the index append and the corpus append ride
+    one idempotence-ledger callback, so a crash-replayed batch is a
+    no-op at both sinks (a replay AFTER the index append but BEFORE the
+    ledger commit re-screens against an index that now contains the
+    batch — zero survivors, zero duplicate corpus rows; the idempotence
+    note on ``update_dedup_index``). Per-batch cost is O(batch +
+    index-join), independent of corpus size: the streaming form of the
+    crawl-increment screen.
+    """
+    from ue_big_data_project_spark.operators.dedup import update_dedup_index
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        survivors = update_dedup_index(
+            sp, batch_df, index_path, id_col=id_col, text_col=text_col
+        )
+        kept = batch_df.join(
+            survivors.select(F.col("keep_id").alias(id_col)), id_col
+        )
+        kept.write.mode("append").parquet(corpus_dir)
+
+    return idempotent_foreach_batch(sdf, ingest, ledger_dir)
