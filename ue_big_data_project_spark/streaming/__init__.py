@@ -488,33 +488,87 @@ def dedup_ingest_stream(
     ledger_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dup: bool = False,
+    band_index_path: str | None = None,
 ) -> StreamingQuery:
     """Continuous corpus ingestion with dedup: every micro-batch is
     exact-dedup screened against the PERSISTED fingerprint index
     (:func:`~ue_big_data_project_spark.operators.dedup.
     update_dedup_index` — in-batch collapse + anti join, corpus text
     never rescanned), and only first-seen documents are appended to the
-    corpus table.
+    corpus table. With ``near_dup=True`` a second tier screens the
+    exact-survivors against the LSH band index at ``band_index_path``
+    (and within the batch) via :func:`~ue_big_data_project_spark.
+    operators.dedup.incremental_minhash_filter`, then appends the
+    survivors' band rows — so the corpus rejects both byte-identical
+    and near-identical arrivals, continuously.
 
-    Composition contract: the index append and the corpus append ride
-    one idempotence-ledger callback, so a crash-replayed batch is a
-    no-op at both sinks (a replay AFTER the index append but BEFORE the
-    ledger commit re-screens against an index that now contains the
-    batch — zero survivors, zero duplicate corpus rows; the idempotence
-    note on ``update_dedup_index``). Per-batch cost is O(batch +
-    index-join), independent of corpus size: the streaming form of the
+    Crash-safety ordering: the screen is side-effect-free, the CORPUS is
+    written first (into a ``batch_id=N`` partition, so a replay
+    overwrites its own output instead of duplicating it), the index
+    append(s) follow, and the ledger marker commits last. Every crash
+    window then replays safely: before the corpus write the replay
+    recomputes identically (indexes unchanged); between corpus write and
+    index appends the replay overwrites the same partition and appends;
+    after the index appends the replay screens to zero survivors and
+    touches nothing — the documents are already in the corpus. The only
+    degradation is in near-dup mode, where a crash between the two index
+    appends can leave band rows unindexed for already-ingested docs
+    (future near-dups of those docs slip the band screen — a missed
+    dedup, never data loss or duplication). Per-batch cost is O(batch +
+    index-joins), independent of corpus size: the streaming form of the
     crawl-increment screen.
     """
-    from ue_big_data_project_spark.operators.dedup import update_dedup_index
+    from pyspark.errors import AnalysisException
+
+    from ue_big_data_project_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_filter,
+    )
+
+    if near_dup and not band_index_path:
+        raise ValueError("near_dup=True requires band_index_path")
+
+    def _read_or_none(sp: SparkSession, path: str) -> DataFrame | None:
+        try:
+            df = sp.read.parquet(path)
+            df.schema
+            return df
+        except AnalysisException:
+            return None
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        survivors = update_dedup_index(
-            sp, batch_df, index_path, id_col=id_col, text_col=text_col
-        )
+        # Screen (no side effects yet).
+        seen = _read_or_none(sp, index_path)
+        survivors = incremental_exact_dedup(
+            batch_df, seen, id_col, text_col
+        ).localCheckpoint(eager=True)
         kept = batch_df.join(
             survivors.select(F.col("keep_id").alias(id_col)), id_col
         )
-        kept.write.mode("append").parquet(corpus_dir)
+        kept_bands = None
+        if near_dup:
+            kept_bands = incremental_minhash_filter(
+                kept,
+                _read_or_none(sp, band_index_path),
+                id_col,
+                text_col,
+            ).localCheckpoint(eager=True)
+            kept = kept.join(
+                kept_bands.select(id_col).distinct(), id_col, "left_semi"
+            )
+            kept = kept.localCheckpoint(eager=True)
+        # 1. Corpus first, replay-overwritable, only if anything survived.
+        if not kept.isEmpty():
+            kept.write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, f"batch_id={batch_id}")
+            )
+        # 2. Index appends.
+        if near_dup and kept_bands is not None:
+            kept_bands.write.mode("append").parquet(band_index_path)
+        survivors.select("fingerprint").write.mode("append").parquet(
+            index_path
+        )
 
     return idempotent_foreach_batch(sdf, ingest, ledger_dir)
