@@ -51,6 +51,11 @@ def get_spark(
         # nanos timestamp type, so read as long and rebuild micros in
         # load_tables (DuckDB coerces the same way → values agree).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Micros parquet timestamps written without isAdjustedToUTC would
+        # otherwise infer TIMESTAMP_NTZ, which unix_micros/window() reject;
+        # read them as regular (LTZ) timestamps — with the session pinned
+        # UTC the stored value IS the epoch, matching DuckDB's naive reads.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
@@ -95,6 +100,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     # nanos parquet decoding, and UTC so hour()/epoch extraction agrees
     # with DuckDB's UTC-naive timestamps on any host JVM timezone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in names:
