@@ -226,3 +226,82 @@ def test_compact_small_files(spark):
             got.agg(F.sum("l_quantity")).collect()
             == li.agg(F.sum("l_quantity")).collect()
         )
+
+
+def _scan_metrics(df) -> dict:
+    """Executed-plan leaf scan metrics (run the query, then read the
+    FileSourceScan node's SQLMetric values)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    out = {}
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = out.get(kv._1(), 0) + kv._2().value()
+    return out
+
+
+def test_range_sorted_pruning_end_to_end(spark):
+    """Both data-skipping levels, asserted by executed-plan scan metrics
+    on a TIMESTAMP sort key (the column type the INT96 bug silently
+    broke): (1) file-level — read_stat_pruned hands Spark only the
+    footer-intersecting files, so the scan's numFiles metric drops;
+    (2) row-group-level — even a full-listing scan outputs only the
+    rows of surviving row groups (parquet footer-stat skipping)."""
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "li_sorted")
+        S.write_range_sorted(
+            li.select("l_orderkey", "l_shipdate"), out,
+            ["l_shipdate"], num_files=8,
+        )
+        total = li.count()
+        full = _scan_metrics(spark.read.parquet(out))
+        assert full["numFiles"] == 8 and full["numOutputRows"] == total
+
+        # A predicate covering only the first file's range.
+        ranges = sorted(_file_minmax(f, "l_shipdate") for f in _parquet_files(out))
+        lo, hi = ranges[0]
+        expect = li.filter(
+            (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi))
+        ).count()
+
+        pruned = S.read_stat_pruned(spark, out, "l_shipdate", lo, hi)
+        assert pruned.count() == expect
+        m = _scan_metrics(pruned)
+        # File-level skipping: at most the 1-2 boundary-sharing files.
+        assert m["numFiles"] <= 2, m
+        kept, n_total = S.prune_parquet_files(out, "l_shipdate", lo, hi)
+        assert n_total == 8 and m["numFiles"] == len(kept)
+
+        # Row-group-level skipping through the vanilla full-listing path:
+        # the scan lists all 8 files but emits only rows from row groups
+        # whose stats intersect the range.
+        vanilla = spark.read.parquet(out).filter(
+            (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi))
+        )
+        mv = _scan_metrics(vanilla)
+        assert mv["numFiles"] == 8
+        assert mv["numOutputRows"] < total / 4, mv
+
+
+def test_zordered_pruning_end_to_end(spark):
+    """Z-ordered layout skips files on EITHER dimension, asserted via
+    the scan's numFiles metric through read_stat_pruned."""
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "zordered")
+        S.write_zordered(df, out, ["x", "y"], bits=6, num_files=16)
+        for col in ("x", "y"):
+            pruned = S.read_stat_pruned(spark, out, col, 0, 7)
+            assert pruned.count() == 64 * 8
+            m = _scan_metrics(pruned)
+            assert m["numFiles"] < 16, (col, m)

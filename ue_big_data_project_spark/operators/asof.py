@@ -28,6 +28,8 @@ All three are equivalence-tested against each other in
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -149,50 +151,64 @@ def asof_join(
     if strategy == "sorted_array":
         # For a bounded right side that contributes only its timestamp
         # (the reference case: one day's bus schedule), skip the join
-        # entirely: aggregate the right timestamps into ONE sorted array,
-        # broadcast it, and pick each left row's match with array
-        # expressions. O(n·m) comparisons like the BNLJ, but as a single
-        # scan over left with zero join machinery, zero row
-        # multiplication, and zero shuffle of pair rows.
-        # Caveat: the lambda below captures a column of the outer row
-        # (`left_ts`); Spark occasionally hits a transient binding error
-        # on such outer references under rapid AQE replanning. Prefer
-        # bucket_minima when the right side is large or the job is
-        # long-running.
+        # entirely: collect the right timestamps ONCE into a sorted
+        # driver-side vector (the same boundedness contract as
+        # broadcasting a dimension — guarded below, fails loudly), close
+        # over it in an Arrow-batched pandas UDF, and binary-search each
+        # left batch with ``np.searchsorted``: O(log m) per row, zero
+        # join machinery, zero row multiplication, zero shuffle. No
+        # higher-order-function lambda captures an outer column, so the
+        # transient AQE rebinding failure the HOF formulation could hit
+        # cannot occur here.
         if right_cols != [right_ts]:
             raise ValueError("sorted_array strategy returns only right_ts")
-        arr = right.agg(F.sort_array(F.collect_list(right_ts)).alias("_arr"))
-        joined = left.select(*group_cols).join(F.broadcast(arr))
-        lts = F.col(left_ts)
-
-        def ok(x: Column) -> Column:
-            if direction == "forward":
-                cond = x > lts if strict else x >= lts
-                if tolerance_seconds:
-                    cond &= x <= F.timestamp_add(
-                        "SECOND", F.lit(tolerance_seconds), lts
-                    )
-            else:
-                cond = x < lts if strict else x <= lts
-                if tolerance_seconds:
-                    cond &= x >= F.timestamp_add(
-                        "SECOND", F.lit(-tolerance_seconds), lts
-                    )
-            return cond
-
-        # The array is sorted ascending, so the first (forward) / last
-        # (backward) qualifying element IS the as-of match; try_element_at
-        # yields NULL (→ row dropped, inner-join semantics) when no
-        # element qualifies.
-        pick = F.try_element_at(
-            F.filter(F.col("_arr"), ok), F.lit(1 if direction == "forward" else -1)
+        max_rows = 10_000_000  # ~80 MB of int64 — a broadcast-dim budget
+        collected = (
+            right.filter(F.col(right_ts).isNotNull())
+            .select(F.unix_micros(F.col(right_ts)).alias("_us"))
+            .limit(max_rows + 1)
+            .collect()
         )
+        if len(collected) > max_rows:
+            raise ValueError(
+                f"sorted_array right side exceeds {max_rows} rows; use "
+                "bucket_minima (unbounded) or bucketed (tolerance) instead"
+            )
+        arr = np.sort(np.array([r["_us"] for r in collected], dtype="int64"))
+        fwd = direction == "forward"
+        side = ("right" if strict else "left") if fwd else (
+            "left" if strict else "right"
+        )
+        tol_us = tolerance_seconds * 1_000_000 if tolerance_seconds else None
+
+        @F.pandas_udf("long")
+        def _match_us(ts_us: pd.Series) -> pd.Series:
+            v = ts_us.to_numpy(dtype="int64", na_value=np.iinfo("int64").min)
+            idx = np.searchsorted(arr, v, side=side)
+            if not fwd:
+                idx = idx - 1
+            # A null left timestamp never matches (inner-join semantics).
+            valid = (idx >= 0) & (idx < len(arr)) & ~ts_us.isna().to_numpy()
+            m = arr[np.clip(idx, 0, max(len(arr) - 1, 0))] if len(arr) else (
+                np.zeros_like(v)
+            )
+            if tol_us is not None:
+                valid &= (m <= v + tol_us) if fwd else (m >= v - tol_us)
+            out = pd.Series(m).astype("Int64")
+            out[~valid] = pd.NA
+            return out
+
         return (
-            joined.withColumn("_m", pick)
-            .filter(F.col("_m").isNotNull())
+            left.select(*group_cols)
+            .withColumn(
+                "_m_us", _match_us(F.unix_micros(F.col(left_ts)))
+            )
+            .filter(F.col("_m_us").isNotNull())
             .select(
                 *group_cols,
-                F.struct(F.col("_m").alias(right_ts)).alias("asof"),
+                F.struct(
+                    F.timestamp_micros(F.col("_m_us")).alias(right_ts)
+                ).alias("asof"),
             )
         )
 

@@ -51,14 +51,15 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The driver's CORRECTNESS gate hashes at most 50 queries per round, in
-# registry order (round 1 hashed exactly entries 1-50 of 63, leaving the
-# reference-parity / knn / multimodal / text tail unverified). The gate
-# set below is therefore (a) capped at 50, (b) ordered so entries the
-# driver has never hashed run first, and (c) consolidated: near-duplicate
-# entries are merged into kit queries or covered by a stronger twin.
+# registry order. The gate set below is (a) capped at 50, (b) ordered so
+# entries the driver has never hashed run first, and (c) rotated each
+# round: once an entry is driver-green it can yield its slot to a
+# never-hashed registry query (round 3 rotated in the 15 remaining
+# distinct shapes; the rotated-out entries stay in all_queries() and the
+# pytest oracle gate, tests/test_oracle.py, which always runs all 81).
 #
-# Gate-covered-by proxy (everything stays in all_queries() and the pytest
-# oracle gate, tests/test_oracle.py, which always runs all of them):
+# Gate-covered-by proxy (near-duplicate shapes merged into kit queries
+# or covered by a stronger twin; see tests/test_gate.py::PROXIED):
 #   text_langid + text_tokens + text_fingerprint -> text_nlp_kit
 #   q6 + q14 + q19                               -> scan_filter_agg_kit
 #   semi_join_late_orders + anti_join_small_customers -> semi_anti_join_kit
@@ -68,13 +69,34 @@ def all_queries() -> dict[str, QuerySpec]:
 #   dedup_simhash           -> dedup_simhash_pairs (signatures feed pairs)
 #   events_hourly_by_type   -> events_rollup (superset grouping sets)
 #   cheapest_supplier_per_part -> window_top1_per_order (per-group top-1)
-#   q10_returned_revenue    -> q3/q5/q18 (equi-join + group agg shapes)
 #   q12_priority_by_status  -> scan_filter_agg_kit (conditional agg) +
 #                              q3 (join+agg)
 #   asof_bucketed_prev_click -> asof_first_ship (as-of join operator)
+#
+# Rotated out in round 3 after two green rounds (r1+r2), all still
+# pytest-oracle-gated: q15, q21, q7, q17, q22, outer_join_customer_orders,
+# moving_avg_order_price, q16, events_set_ops, events_percentiles,
+# events_funnel, events_dedup_first, events_props_json, text_scrub,
+# text_stats.
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed in round 1: run first -----------------------
+    # -- never driver-hashed (rounds 1-2): run first ---------------------
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q20_dominant_part_suppliers",
+    "interval_overlap_join",
+    "streaming_interval_join",
+    "streaming_incremental_rollup",
+    "dedup_incremental",
+    "pipeline_pack_sequences",
+    "pipeline_contamination",
+    "pipeline_upsert_corpus",
+    "pipeline_stratified_sample",
+    "pipeline_source_quota",
+    # -- first hashed (green) in round 2 ---------------------------------
     "ref_q1_plane_bus_wait",
     "ref_q2_affluence",
     "ref_q3_bus_positions",
@@ -88,17 +110,9 @@ GATE_ORDER = (
     "text_nlp_kit",
     "scan_filter_agg_kit",
     "semi_anti_join_kit",
-    # -- driver-green in round 1 -----------------------------------------
+    # -- long-green anchors (distinct operator shapes kept in-gate) ------
     "q1_pricing_summary",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "q7_volume_shipping",
-    "q17_small_quantity_revenue",
-    "q22_idle_rich_customers",
-    "outer_join_customer_orders",
-    "moving_avg_order_price",
     "salted_hot_key_agg",
-    "q16_supplier_variety",
     "q18_large_orders",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -107,13 +121,8 @@ GATE_ORDER = (
     "haversine_knn",
     "scalar_kit",
     "streaming_sessionize",
-    "events_set_ops",
-    "events_percentiles",
     "events_rollup",
-    "events_funnel",
     "streaming_tumbling_window",
-    "events_dedup_first",
-    "events_props_json",
     "theta_join_next_error",
     "pipeline_prep_documents",
     "pipeline_split",
@@ -124,8 +133,6 @@ GATE_ORDER = (
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "text_scrub",
-    "text_stats",
 )
 
 

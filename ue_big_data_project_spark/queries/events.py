@@ -24,7 +24,7 @@ from ue_big_data_project_spark.queries.tpch import (
     sql_davg,
     sql_dsum,
 )
-from ue_big_data_project_spark.session import load_tables
+from ue_big_data_project_spark.session import apply_session_conf, load_tables
 
 
 def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,8 +308,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ue_big_data_project_spark import streaming as ST
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    apply_session_conf(spark)
     path = _os.path.join(sf_dir, "events.parquet")
 
     def replay(event_type: str) -> DataFrame:
@@ -381,8 +380,7 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ue_big_data_project_spark import streaming as ST
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    apply_session_conf(spark)
     sdf = ST.replay_parquet(spark, _os.path.join(sf_dir, "events.parquet"))
     if isinstance(sdf.schema["ts"].dataType, T.LongType):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -429,8 +427,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Vanilla sessions need the nanos decode + UTC contract (same runtime
     # settings load_tables applies for batch reads).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    apply_session_conf(spark)
     sdf = ST.replay_parquet(spark, _os.path.join(sf_dir, "events.parquet"))
     if isinstance(sdf.schema["ts"].dataType, T.LongType):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -649,8 +646,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.operators.sessions import sessionize_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    apply_session_conf(spark)
     sdf = ST.replay_parquet(spark, _os.path.join(sf_dir, "events.parquet"))
     if isinstance(sdf.schema["ts"].dataType, T.LongType):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

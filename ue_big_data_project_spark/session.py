@@ -56,6 +56,11 @@ def get_spark(
         # read them as regular (LTZ) timestamps — with the session pinned
         # UTC the stored value IS the epoch, matching DuckDB's naive reads.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Write timestamps as TIMESTAMP_MICROS (not legacy INT96): INT96
+        # columns carry no usable row-group min/max statistics, which
+        # silently disables footer-stat file skipping for range-sorted /
+        # z-ordered layouts on timestamp sort keys (sources.py).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
@@ -72,6 +77,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def apply_session_conf(spark: SparkSession) -> None:
+    """Runtime-set the conf contract on sessions we didn't build.
+
+    The graft driver (and some tests) create a plain vanilla SparkSession
+    and pass it in; these four settings are required for parquet timestamp
+    decoding + writing and UTC-agreement with DuckDB on any host JVM
+    timezone. Every entry point that may receive a foreign session
+    (load_tables, the streaming query functions) calls this.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
@@ -99,9 +119,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     # graft driver creates its own plain SparkSession and passes it in):
     # nanos parquet decoding, and UTC so hour()/epoch extraction agrees
     # with DuckDB's UTC-naive timestamps on any host JVM timezone.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    apply_session_conf(spark)
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -312,3 +312,89 @@ def compact_small_files(
     else:
         df.repartition(n).write.mode("overwrite").parquet(out_path)
     return n
+
+
+def parquet_file_stats(path: str, col: str) -> list[tuple[str, object, object]]:
+    """Per-file (path, min, max) of ``col`` from parquet footer metadata.
+
+    Driver-side and bounded by FILE COUNT, not data size — the same
+    contract as an Iceberg/Delta manifest scan: footers are a few KB
+    each, so even a 100 TB table at healthy ~512 MB files is ~200k
+    footer reads, parallelizable and cacheable. Files whose footer lacks
+    statistics for ``col`` are returned with ``(None, None)`` so callers
+    keep them conservatively.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, f)
+            pf = pq.ParquetFile(fpath)
+            idx = pf.schema_arrow.get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append(
+                (fpath, min(mins), max(maxs)) if mins else (fpath, None, None)
+            )
+    return out
+
+
+def prune_parquet_files(
+    path: str, col: str, lo=None, hi=None
+) -> tuple[list[str], int]:
+    """Footer-stat file pruning for a range predicate ``lo <= col <= hi``.
+
+    Returns ``(kept_files, total_files)`` — the manifest-style data-skip
+    step that :func:`write_range_sorted` / :func:`write_zordered` layouts
+    exist to make selective: with disjoint per-file ranges a narrow
+    predicate keeps O(1) files out of N. Pruning is conservative: a file
+    with no usable stats is always kept; ``lo``/``hi`` of ``None`` mean
+    unbounded on that side. Spark's own parquet reader then skips row
+    groups *within* the kept files, so the two levers compose.
+    """
+    stats = parquet_file_stats(path, col)
+    kept = [
+        f
+        for f, mn, mx in stats
+        if mn is None
+        or not ((hi is not None and mn > hi) or (lo is not None and mx < lo))
+    ]
+    return kept, len(stats)
+
+
+def read_stat_pruned(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None
+) -> DataFrame:
+    """Read a parquet dataset with file-level data skipping on a range
+    predicate, then re-apply the exact predicate (stats pruning is
+    conservative, never a substitute for the filter).
+
+    This is the read-side counterpart of the layout writers: Spark's V1
+    file index lists files without reading footers, so its ``numFiles``
+    scan metric counts every file regardless of predicate; this helper
+    hands Spark only the files whose footer range intersects the
+    predicate, turning the layout's disjointness into actual skipped
+    I/O (verified by scan metrics in tests/test_storage.py).
+    """
+    kept, total = prune_parquet_files(path, col, lo, hi)
+    if not kept:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*kept)
+    c = F.col(col)
+    if lo is not None:
+        df = df.filter(c >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(c <= F.lit(hi))
+    return df
