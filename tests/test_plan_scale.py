@@ -75,17 +75,30 @@ def test_ivf_kmeans_recall_vs_brute(spark):
         (r["query_id"], r["vec_id"])
         for r in brute_force_knn(e, queries, k=5).collect()
     }
-    approx = {
-        (r["query_id"], r["vec_id"])
-        for r in ivf_knn(e, queries, k=5, n_centroids=16, nprobe=2).collect()
-    }
     assert exact, "fixture produced no ground truth"
-    recall = len(exact & approx) / len(exact)
-    # The synthetic fixture embeddings are near-uniform, so the recall
-    # ceiling at nprobe=2 of 16 cells is modest; the meaningful bound is
-    # "far above the ~2/16 random-scan baseline" (a degenerate quantizer
-    # collapses to that), with headroom below the observed ~0.40.
-    assert recall >= 0.3, f"recall {recall:.2f} — quantizer degenerate?"
+
+    def recall_at(nprobe: int) -> float:
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_knn(
+                e, queries, k=5, n_centroids=16, nprobe=nprobe
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    # The synthetic fixture embeddings are near-uniform random vectors,
+    # so cosine neighborhoods are weak and the recall ceiling at small
+    # nprobe is inherently modest — measured (deterministic md5 init +
+    # fixed data → exactly reproducible): 0.36 @ nprobe=2, 0.46 @ 4,
+    # 0.80 @ 8 with the default 1-in-4 sampled training. The gate
+    # therefore asserts (a) meaningfully above the 2/16 random-cell
+    # baseline at nprobe=2, (b) recall grows with probes — a collapsed
+    # quantizer (all cells alike) is flat across nprobe, and (c) most
+    # of the ground truth is recovered by half the cells.
+    r2, r4, r8 = recall_at(2), recall_at(4), recall_at(8)
+    assert r2 >= 0.3, f"recall@2 {r2:.2f} — quantizer degenerate?"
+    assert r4 >= r2, f"recall not monotone in nprobe: {r4:.2f} < {r2:.2f}"
+    assert r8 >= max(r4, 0.7), f"recall@8 {r8:.2f} — cells not selective"
     # And the quantizer itself: k distinct, non-empty, finite centroids.
     cents = kmeans_centroids(e, n_centroids=16, iters=2).collect()
     assert len(cents) == 16

@@ -299,16 +299,20 @@ def kmeans_centroids(
     iters: int = 2,
     item_id: str = "vec_id",
     item_vec: str = "embedding",
-    train_mod: int = 1,
+    train_mod: int = 4,
     score_scale: int = 6,
 ) -> DataFrame:
     """Deterministic sampled k-means centroids as pure DataFrame ops.
 
     The IVF coarse quantizer: ``iters`` fixed Lloyd iterations (no
     convergence test — a bounded, reproducible plan), trained on the
-    deterministic sample ``id % train_mod == 0`` (at 100 TB you train
-    the quantizer on ~1e6 sampled vectors, never the corpus). Every step
-    is cross-engine reproducible, so a SQL oracle can replay it exactly:
+    deterministic sample ``id % train_mod == 0``. Sampled training is
+    the DEFAULT (1-in-4; at 100 TB pass a mod that yields ~1e6 training
+    vectors) — a quantizer never needs the full corpus, and full-table
+    Lloyd iterations are exactly the cost a coarse quantizer exists to
+    avoid; ``train_mod=1`` remains available for tiny fixtures. Every
+    step is cross-engine reproducible, so a SQL oracle can replay it
+    exactly:
 
     - **init**: the ``n_centroids`` training vectors with the smallest
       ``md5(id)`` — a deterministic pseudo-random spread (no RNG state).
@@ -395,7 +399,7 @@ def ivf_knn(
     query_vec: str = "query_vec",
     score_scale: int = 6,
     kmeans_iters: int = 2,
-    train_mod: int = 1,
+    train_mod: int = 4,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 

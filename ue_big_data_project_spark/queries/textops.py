@@ -478,7 +478,8 @@ WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
 
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via an IVF index: 16 k-means cells (2 Lloyd
-    iterations, deterministic md5 init, decimal-exact sum centroids —
+    iterations on the default 1-in-4 deterministic training sample,
+    md5 init, decimal-exact sum centroids —
     operators/similarity.kmeans_centroids), nprobe=2."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = e.filter(F.col("vec_id") < 10).select(
@@ -492,7 +493,7 @@ def _ivf_sql(
     iters: int = 2,
     nprobe: int = 2,
     k: int = 5,
-    train_mod: int = 1,
+    train_mod: int = 4,
 ) -> str:
     """DuckDB replay of kmeans_centroids + ivf_knn: the Lloyd loop is
     UNROLLED as one CTE chain per iteration (assign → decimal sums →
