@@ -137,3 +137,70 @@ def test_dedup_ingest_stream_two_micro_batches(spark):
         assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
         index = spark.read.parquet(os.path.join(d, "index"))
         assert index.distinct().count() == index.count() == 3
+
+
+def test_dedup_ingest_stream_near_dup_across_batches_replay_safe(spark):
+    """Default-path (near_dup=True) ingestion: batch 2 drops a NEAR
+    (not exact) duplicate of a batch-1 document via the persisted band
+    index, unshingleable short docs pass the near-dup tier, and an
+    at-least-once replay of the whole stream (fresh checkpoint, same
+    ledger/corpus/index dirs) changes nothing."""
+    import time
+
+    from ue_big_data_project_spark.streaming import (
+        dedup_ingest_stream,
+        file_stream,
+        run_until_drained,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        b1 = _docs(
+            spark,
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "pack my box with five dozen liquor jugs right now")],
+        )
+        b2 = _docs(
+            spark,
+            [(10, "a quick brown fox jumps over the lazy dog today"),
+             # ^ near-dup of 1: differs in one word, shares minhash bands
+             (11, "completely different words about distributed query engines"),
+             (12, "tiny doc")],  # < 3 words: no shingles -> must survive
+        )
+        b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+        time.sleep(1.1)
+        b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+
+        def run_stream():
+            sdf = file_stream(
+                spark, os.path.join(src, "*"), b1.schema, fmt="parquet",
+                max_files_per_trigger=1,
+            )
+            q = dedup_ingest_stream(
+                sdf,
+                index_path=os.path.join(d, "index"),
+                corpus_dir=os.path.join(d, "corpus"),
+                ledger_dir=os.path.join(d, "ledger"),
+            )
+            run_until_drained(q)
+
+        run_stream()
+        corpus = spark.read.parquet(os.path.join(d, "corpus"))
+        kept_ids = sorted(r["doc_id"] for r in corpus.collect())
+        assert kept_ids == [1, 2, 11, 12], kept_ids  # 10 near-dup-dropped
+        bands = spark.read.parquet(os.path.join(d, "index_bands"))
+        # Band rows exist only for the shingleable survivors.
+        assert sorted(
+            r["doc_id"] for r in bands.select("doc_id").distinct().collect()
+        ) == [1, 2, 11]
+
+        # At-least-once replay: a fresh run over the same source files
+        # with the same ledger skips both committed batches outright.
+        run_stream()
+        corpus2 = spark.read.parquet(os.path.join(d, "corpus"))
+        assert sorted(r["doc_id"] for r in corpus2.collect()) == kept_ids
+        bands2 = spark.read.parquet(os.path.join(d, "index_bands"))
+        assert bands2.count() == bands.count()
+        index = spark.read.parquet(os.path.join(d, "index"))
+        assert index.count() == index.distinct().count()

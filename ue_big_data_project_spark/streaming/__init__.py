@@ -502,7 +502,7 @@ def dedup_ingest_stream(
     ledger_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    near_dup: bool = False,
+    near_dup: bool = True,
     band_index_path: str | None = None,
 ) -> StreamingQuery:
     """Continuous corpus ingestion with dedup: every micro-batch is
@@ -510,12 +510,16 @@ def dedup_ingest_stream(
     (:func:`~ue_big_data_project_spark.operators.dedup.
     update_dedup_index` — in-batch collapse + anti join, corpus text
     never rescanned), and only first-seen documents are appended to the
-    corpus table. With ``near_dup=True`` a second tier screens the
-    exact-survivors against the LSH band index at ``band_index_path``
-    (and within the batch) via :func:`~ue_big_data_project_spark.
-    operators.dedup.incremental_minhash_filter`, then appends the
-    survivors' band rows — so the corpus rejects both byte-identical
-    and near-identical arrivals, continuously.
+    corpus table. By DEFAULT a second tier screens the exact-survivors
+    against the LSH band index at ``band_index_path`` (derived as
+    ``<index_path>_bands`` when not given) and within the batch, via
+    :func:`~ue_big_data_project_spark.operators.dedup.
+    incremental_minhash_filter`, then appends the survivors' band rows —
+    so the corpus rejects both byte-identical and near-identical
+    arrivals, continuously; pass ``near_dup=False`` for exact-only.
+    Documents too short to shingle (< shingle_n words — no band rows)
+    pass the near-dup tier untouched: only a positive band collision
+    drops a document, absence of evidence never does.
 
     Crash-safety ordering: the screen is side-effect-free, the CORPUS is
     written first (into a ``batch_id=N`` partition, so a replay
@@ -538,10 +542,11 @@ def dedup_ingest_stream(
     from ue_big_data_project_spark.operators.dedup import (
         incremental_exact_dedup,
         incremental_minhash_filter,
+        minhash_band_rows,
     )
 
     if near_dup and not band_index_path:
-        raise ValueError("near_dup=True requires band_index_path")
+        band_index_path = index_path.rstrip("/") + "_bands"
 
     def _read_or_none(sp: SparkSession, path: str) -> DataFrame | None:
         try:
@@ -569,9 +574,21 @@ def dedup_ingest_stream(
                 id_col,
                 text_col,
             ).localCheckpoint(eager=True)
-            kept = kept.join(
-                kept_bands.select(id_col).distinct(), id_col, "left_semi"
+            # Drop only docs that HAD band rows and lost them to a
+            # collision; unshingleable docs (no band rows at all) are
+            # absent from both sides and must survive — a semi join on
+            # the survivors would silently discard them.
+            near_dropped = (
+                minhash_band_rows(kept, id_col, text_col)
+                .select(id_col)
+                .distinct()
+                .join(
+                    kept_bands.select(id_col).distinct(),
+                    id_col,
+                    "left_anti",
+                )
             )
+            kept = kept.join(near_dropped, id_col, "left_anti")
             kept = kept.localCheckpoint(eager=True)
         # 1. Corpus first, replay-overwritable, only if anything survived.
         if not kept.isEmpty():
