@@ -448,6 +448,19 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "avg_value",
     )
+    # Alongside the hash-checked drain, run the reference's
+    # render-per-micro-batch sink shape (plot_bus_positions,
+    # src/naolib_consumer.py:119-162) over the same stream: foreachBatch
+    # -> bounded collect -> render artifact, with the batch-id ledger
+    # guarding replays. Executes under the driver's gate run, not only
+    # pytest; artifacts land in a scratch dir and are asserted non-empty.
+    import tempfile as _tf
+
+    art_dir = _tf.mkdtemp(prefix="spark_graft_artifacts_")
+    art_q = ST.per_batch_artifact_sink(out, art_dir, mode="update")
+    ST.run_until_drained(art_q)
+    if not any(e.startswith("batch-") for e in _os.listdir(art_dir)):
+        raise RuntimeError(f"artifact sink wrote nothing to {art_dir}")
     return ST.drain_to_table(spark, out, mode="complete")
 
 
