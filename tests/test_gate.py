@@ -31,6 +31,9 @@ PROXIED = {
     "q12_priority_by_status": "scan_filter_agg_kit",
     "asof_bucketed_prev_click": "asof_first_ship",
     "text_repetition": "text_nlp_kit",  # per-doc text metrics family
+    # Persisted-index twin: identical oracle/answer as the in-flight
+    # form; the pruning contract is scan-metric-tested in test_approx.
+    "knn_cosine_ivf_indexed": "knn_cosine_ivf",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -15,7 +15,7 @@ double accumulation in index order — oracle-reproducible).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -479,6 +479,104 @@ def lsh_knn(
         "_bucket", hyperplane_signs(F.col(query_vec), planes, dim)
     )
     scored = ib.join(F.broadcast(qb), "_bucket").filter(
+        F.col(item_id) != F.col(query_id)
+    )
+    scored = scored.select(
+        F.col(query_id),
+        F.col(item_id),
+        _pair_cosine(item_vec, query_vec, score_scale).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine_sim"), F.asc(item_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, item_id, "cosine_sim", "rank")
+    )
+
+
+def build_ivf_index(
+    items: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 2,
+    train_mod: int = 4,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    score_scale: int = 6,
+) -> None:
+    """Materialize an IVF index on disk: the corpus tagged with its
+    Voronoi cell and written PARTITIONED BY ``cell`` (one directory per
+    cell), centroids persisted alongside at ``<path>_centroids``.
+
+    This is the persisted form of the in-flight index :func:`ivf_knn`
+    builds per call: at scale you pay the tagging scan once, and every
+    subsequent query batch reads only its ``nprobe`` cell partitions —
+    partition pruning does the candidate cut before any row is scanned
+    (asserted via scan metrics in tests/test_approx.py). Cell-local
+    file counts follow the write's upstream partitioning; run
+    :func:`~ue_big_data_project_spark.sources.compact_small_files` per
+    cell directory if increments fragment it.
+    """
+    centroids = kmeans_centroids(
+        items,
+        n_centroids=n_centroids,
+        iters=kmeans_iters,
+        item_id=item_id,
+        item_vec=item_vec,
+        train_mod=train_mod,
+        score_scale=score_scale,
+    )
+    centroids.write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    tagged = _assign_clusters(
+        items,
+        centroids,
+        item_vec,
+        item_id,
+        nprobe=1,
+        score_scale=score_scale,
+    ).withColumnRenamed("cent_id", "cell")
+    # One output file per cell (repartition on the partition column),
+    # so a probe reads nprobe files, not nprobe * shuffle_partitions.
+    tagged.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_knn_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    score_scale: int = 6,
+) -> DataFrame:
+    """Top-k against a PERSISTED IVF index (:func:`build_ivf_index`).
+
+    The probe set (query -> nprobe nearest cells, via the persisted
+    centroids) collapses to a bounded driver-side cell list pushed as a
+    static ``cell IN (...)`` partition filter, so the scan lists and
+    reads ONLY the probed cell directories — the same result as
+    :func:`ivf_knn` on the same centroids, but touching nprobe/N of the
+    corpus. The cell list is bounded by n_centroids (it collects cell
+    ids, never data), which keeps the pruning static and
+    oracle-reproducible; dynamic partition pruning would express the
+    same cut declaratively for unbounded query streams.
+    """
+    centroids = spark.read.parquet(index_path.rstrip("/") + "_centroids")
+    probes = _assign_clusters(
+        queries, centroids, query_vec, query_id, nprobe=nprobe,
+        score_scale=score_scale,
+    ).withColumnRenamed("cent_id", "cell")
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    items = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    items, probes = _with_norms(items, probes, item_vec, query_vec)
+    scored = items.join(F.broadcast(probes), "cell").filter(
         F.col(item_id) != F.col(query_id)
     )
     scored = scored.select(

@@ -20,8 +20,10 @@ from ue_big_data_project_spark.functions import text as TX
 from ue_big_data_project_spark.operators import dedup as DD
 from ue_big_data_project_spark.operators.similarity import (
     brute_force_knn,
+    build_ivf_index,
     cosine_pairs,
     ivf_knn,
+    ivf_knn_indexed,
     lsh_knn,
 )
 from ue_big_data_project_spark.queries import QuerySpec
@@ -486,6 +488,25 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_knn(e, queries, k=5, n_centroids=16, nprobe=2, kmeans_iters=2)
+
+
+def knn_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 against a PERSISTED IVF index (build once, query many):
+    the corpus is written partitioned by Voronoi cell
+    (operators/similarity.build_ivf_index), then the probe reads only
+    the nprobe matched cell directories (ivf_knn_indexed — partition
+    pruning asserted in tests/test_approx.py). Same parameters and
+    oracle as knn_cosine_ivf: persisting the index must not change the
+    answer."""
+    import tempfile as _tf
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    idx = _tf.mkdtemp(prefix="spark_graft_ivf_") + "/ivf"
+    build_ivf_index(e, idx, n_centroids=16, kmeans_iters=2)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_knn_indexed(spark, idx, queries, k=5, nprobe=2)
 
 
 def _ivf_sql(
@@ -1115,4 +1136,5 @@ QUERIES = {
     "knn_cosine_brute": QuerySpec(knn_cosine_brute, KNN_BRUTE_SQL),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_IVF_SQL),
+    "knn_cosine_ivf_indexed": QuerySpec(knn_cosine_ivf_indexed, KNN_IVF_SQL),
 }
