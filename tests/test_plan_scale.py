@@ -182,6 +182,18 @@ SHUFFLE_BUDGETS = {
     "dedup_incremental": 2,         # batch group-by + anti join key
     "asof_first_ship": 1,
     "pipeline_prep_documents": 1,   # dedup + semi join share the key
+    # Round-3 gate rotation: pin the newly driver-facing shapes too.
+    "q8_market_share": 1,           # dims broadcast, one agg exchange
+    "q9_product_profit": 1,         # dims broadcast, one agg exchange
+    "q10_returned_revenue": 1,      # one join+agg exchange
+    "q11_important_parts": 3,       # group + global-scalar + HAVING join
+    "q13_order_count_distribution": 2,  # outer-join key + count-of-counts
+    "q20_dominant_part_suppliers": 3,   # agg-vs-agg threshold decorrelation
+    "interval_overlap_join": 2,     # bin key each side, no cartesian
+    "pipeline_contamination": 3,    # shingle index build + overlap agg
+    "pipeline_upsert_corpus": 1,    # one shuffle on the upsert key
+    "pipeline_stratified_sample": 1,  # per-language rank
+    "pipeline_source_quota": 1,     # per-source rank cap
 }
 
 
