@@ -6,6 +6,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ue_big_data_project_spark.observability import (
+    executed_scan_metrics as _scan_metrics,
+)
 from ue_big_data_project_spark.session import load_tables
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -28,22 +31,6 @@ def test_approx_percentile_within_tolerance(spark):
     ).collect()[0]
     spread = e.agg((F.max("value") - F.min("value")).alias("r")).collect()[0]["r"]
     assert abs(row["approx"] - row["exact"]) <= 0.05 * spread
-
-
-def _scan_metrics(df) -> dict:
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        plan = plan.executedPlan()
-    leaves = plan.collectLeaves()
-    out = {}
-    for i in range(leaves.size()):
-        m = leaves.apply(i).metrics()
-        it = m.iterator()
-        while it.hasNext():
-            kv = it.next()
-            out[kv._1()] = out.get(kv._1(), 0) + kv._2().value()
-    return out
 
 
 def test_persisted_ivf_index_prunes_and_matches(spark, tmp_path):

@@ -9,6 +9,9 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ue_big_data_project_spark import sources as S
+from ue_big_data_project_spark.observability import (
+    executed_scan_metrics as _scan_metrics,
+)
 from ue_big_data_project_spark.session import load_tables
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -226,24 +229,6 @@ def test_compact_small_files(spark):
             got.agg(F.sum("l_quantity")).collect()
             == li.agg(F.sum("l_quantity")).collect()
         )
-
-
-def _scan_metrics(df) -> dict:
-    """Executed-plan leaf scan metrics (run the query, then read the
-    FileSourceScan node's SQLMetric values)."""
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        plan = plan.executedPlan()
-    leaves = plan.collectLeaves()
-    out = {}
-    for i in range(leaves.size()):
-        m = leaves.apply(i).metrics()
-        it = m.iterator()
-        while it.hasNext():
-            kv = it.next()
-            out[kv._1()] = out.get(kv._1(), 0) + kv._2().value()
-    return out
 
 
 def test_range_sorted_pruning_end_to_end(spark):

@@ -170,3 +170,31 @@ def split_by_expectations(
     good = tagged.filter(F.size("_violations") == 0).drop("_violations")
     bad = tagged.filter(F.size("_violations") > 0)
     return good, bad
+
+
+def executed_scan_metrics(df: DataFrame) -> dict[str, int]:
+    """Run ``df`` and return the summed SQLMetric values of its leaf
+    scan nodes (``numFiles``, ``numOutputRows``, ``filesSize``, ...).
+
+    The I/O-side complement of :func:`observed`: after the action, the
+    executed plan's FileSourceScan metrics say how much the scan
+    actually LISTED and READ — the observable that data-skipping layouts
+    (``sources.write_range_sorted`` / ``write_zordered`` /
+    ``read_stat_pruned``, IVF cell partitioning) exist to shrink, and
+    the number to alert on when a pruned pipeline silently regresses to
+    full scans. Triggers one ``collect``; use on bounded diagnostics
+    runs, not hot paths.
+    """
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    out: dict[str, int] = {}
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = out.get(kv._1(), 0) + kv._2().value()
+    return out
