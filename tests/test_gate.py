@@ -34,6 +34,8 @@ PROXIED = {
     # Persisted-index twin: identical oracle/answer as the in-flight
     # form; the pruning contract is scan-metric-tested in test_approx.
     "knn_cosine_ivf_indexed": "knn_cosine_ivf",
+    # PQ/ADC: same ANN family; full-oracle-paired in the registry.
+    "knn_cosine_pq": "knn_cosine_ivf",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

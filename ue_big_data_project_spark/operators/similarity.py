@@ -231,8 +231,15 @@ def _assign_clusters(
     id_col: str,
     nprobe: int,
     score_scale: int = 6,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Rank centroids per row by cosine; keep the top ``nprobe``.
+    """Rank centroids per row by similarity; keep the top ``nprobe``.
+
+    ``metric="cosine"`` (default) ranks by rounded cosine.
+    ``metric="l2"`` ranks by ascending Euclidean distance, expressed as
+    the descending score ``2·x·c − ‖c‖²`` (the ‖x‖² term is constant
+    per row, so the argmin is identical) — the ranking PQ subspace
+    quantizers need, where subvectors are not norm-invariant.
 
     ZERO-shuffle assignment: the centroid table collapses to a single
     array row (bounded by construction — n_centroids entries), which
@@ -261,6 +268,12 @@ def _assign_clusters(
     row_norm = norm2(F.col(vec_col))
 
     def _sim(c):
+        if metric == "l2":
+            return pround(
+                F.lit(2.0) * dot(F.col(vec_col), c["cent_vec"])
+                - c["cent_norm"] * c["cent_norm"],
+                score_scale,
+            )
         denom = row_norm * c["cent_norm"]
         return pround(
             F.when(denom > 0, dot(F.col(vec_col), c["cent_vec"]) / denom)
@@ -301,6 +314,7 @@ def kmeans_centroids(
     item_vec: str = "embedding",
     train_mod: int = 4,
     score_scale: int = 6,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Deterministic sampled k-means centroids as pure DataFrame ops.
 
@@ -345,7 +359,8 @@ def kmeans_centroids(
     )
     for _ in range(iters):
         assigned = _assign_clusters(
-            train, cents, item_vec, item_id, nprobe=1, score_scale=score_scale
+            train, cents, item_vec, item_id, nprobe=1,
+            score_scale=score_scale, metric=metric,
         ).withColumnRenamed("cent_id", "cell")
         dims = assigned.select(
             "cell", F.posexplode(F.col(item_vec)).alias("pos", "val")
@@ -353,20 +368,30 @@ def kmeans_centroids(
         sums = dims.groupBy("cell", "pos").agg(
             F.sum(
                 F.col("val").cast("double").cast("decimal(27,10)")
-            ).alias("s")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # Cosine cells: the decimal SUM defines the same Voronoi cell as
+        # the mean (scale-invariant) while avoiding a division. L2 cells
+        # are NOT scale-invariant, so the update must be the true mean:
+        # exact decimal sum / exact count, each deterministic.
+        val = (
+            (F.col("s").cast("double") / F.col("n"))
+            if metric == "l2"
+            else F.col("s").cast("double")
         )
         newc = (
             sums.groupBy("cell")
             .agg(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("s")))
+                    F.collect_list(F.struct(F.col("pos"), val.alias("v")))
                 ).alias("_ps")
             )
             .select(
                 F.col("cell").alias("cent_id"),
-                F.transform(
-                    F.col("_ps"), lambda x: x["s"].cast("double")
-                ).alias("cent_vec"),
+                F.transform(F.col("_ps"), lambda x: x["v"]).alias(
+                    "cent_vec"
+                ),
             )
         )
         cents = (
@@ -583,6 +608,216 @@ def ivf_knn_indexed(
         F.col(query_id),
         F.col(item_id),
         _pair_cosine(item_vec, query_vec, score_scale).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine_sim"), F.asc(item_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, item_id, "cosine_sim", "rank")
+    )
+
+
+def pq_codebooks(
+    items: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    train_mod: int = 4,
+    score_scale: int = 6,
+) -> DataFrame:
+    """Product-quantization codebooks: the embedding space is split into
+    ``m`` contiguous subspaces and each gets its own ``k``-entry L2
+    k-means codebook (deterministic sampled training, same machinery as
+    the IVF quantizer but with true-mean updates — subvectors are not
+    norm-invariant). Returns ``(subspace, code, cent_vec)`` with dense
+    codes 0..k-1 per subspace: m·k rows total, the whole model
+    broadcasts everywhere it is used.
+
+    PQ is the storage-scale lever for embeddings: a D-dim float corpus
+    compresses to m small ints per vector (e.g. 64 floats -> 4 codes,
+    a ~32x cut), and distances are answered from code lookups without
+    touching the original floats — at 100 TB the difference between
+    scanning vectors and scanning bytes.
+    """
+    n_dim = items.select(F.size(F.col(item_vec)).alias("d")).first()["d"]
+    if n_dim % m != 0:
+        raise ValueError(f"dim {n_dim} must split evenly into m={m} subspaces")
+    d = n_dim // m
+    books = []
+    for j in range(m):
+        sub = items.select(
+            F.col(item_id), F.slice(F.col(item_vec), j * d + 1, d).alias(item_vec)
+        )
+        cb = kmeans_centroids(
+            sub,
+            n_centroids=k,
+            iters=iters,
+            item_id=item_id,
+            item_vec=item_vec,
+            train_mod=train_mod,
+            score_scale=score_scale,
+            metric="l2",
+        )
+        # Remap the (arbitrary) init-row ids to dense 0..k-1 codes so a
+        # stored code is a small int, not an 8-byte document id.
+        w = Window.orderBy(F.asc("cent_id"))
+        books.append(
+            cb.select(
+                F.lit(j).alias("subspace"),
+                (F.row_number().over(w) - 1).cast("int").alias("code"),
+                "cent_vec",
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    # m·k rows: localCheckpoint so the m training lineages don't ride
+    # along into every downstream plan.
+    return out.localCheckpoint(eager=True)
+
+
+def pq_encode(
+    items: DataFrame,
+    codebooks: DataFrame,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    score_scale: int = 6,
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-codeword codes:
+    ``(id, codes array<int>, vec_norm)``. ZERO shuffle — the m·k
+    codebook collapses to one broadcast array row and every row picks
+    its m codes with higher-order functions in a single scan.
+    ``vec_norm`` (the only float kept) makes cosine reconstruction
+    possible at query time.
+    """
+    cb_arr = codebooks.agg(
+        F.collect_list(
+            F.struct(
+                F.col("subspace"),
+                F.col("code"),
+                F.col("cent_vec"),
+                norm2(F.col("cent_vec")).alias("cnorm"),
+            )
+        ).alias("_cb")
+    )
+    n_sub = codebooks.select(F.max("subspace")).first()[0] + 1
+    dim_row = codebooks.select(F.size(F.col("cent_vec")).alias("d")).first()
+    d = dim_row["d"]
+
+    def best_code(j: int) -> Column:
+        sub = F.slice(F.col(item_vec), j * d + 1, d)
+        entries = F.filter(F.col("_cb"), lambda c: c["subspace"] == F.lit(j))
+        scored = F.transform(
+            entries,
+            lambda c: F.struct(
+                pround(
+                    F.lit(2.0) * dot(sub, c["cent_vec"])
+                    - c["cnorm"] * c["cnorm"],
+                    score_scale,
+                ).alias("sim"),
+                c["code"].alias("code"),
+            ),
+        )
+        ranked = F.array_sort(
+            scored,
+            lambda l, r: (
+                F.when(l["sim"] > r["sim"], F.lit(-1))
+                .when(l["sim"] < r["sim"], F.lit(1))
+                .when(l["code"] < r["code"], F.lit(-1))
+                .when(l["code"] > r["code"], F.lit(1))
+                .otherwise(F.lit(0))
+            ),
+        )
+        return ranked[0]["code"]
+
+    return (
+        items.join(F.broadcast(cb_arr))
+        .select(
+            F.col(item_id),
+            F.array(*[best_code(j) for j in range(n_sub)]).alias("codes"),
+            norm2(F.col(item_vec)).alias("vec_norm"),
+        )
+    )
+
+
+def pq_knn(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    item_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    score_scale: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation:
+    items are their PQ codes, each query builds an m·k lookup table of
+    subspace partial dot products against the codebooks, and an item's
+    approximate cosine is the code-summed partials over
+    ``query_norm · vec_norm`` — the corpus floats are never read.
+
+    Shape: codes explode to m rows per item and equi-join the broadcast
+    (query, subspace, code) LUT, then one (query, item) aggregation —
+    partials go through DECIMAL so the sum is order-independent. Query
+    side is bounded (the brute-force contract); compose with the IVF
+    cell layout to prune the item side first for unbounded corpora.
+    """
+    lut = (
+        queries.join(F.broadcast(codebooks))
+        .select(
+            F.col(query_id),
+            F.col("subspace"),
+            F.col("code"),
+            F.col(query_vec),
+            pround(
+                dot(
+                    F.slice(
+                        F.col(query_vec),
+                        F.col("subspace")
+                        * F.size(F.col("cent_vec"))
+                        + 1,
+                        F.size(F.col("cent_vec")),
+                    ),
+                    F.col("cent_vec"),
+                ),
+                score_scale,
+            ).alias("partial"),
+            norm2(F.col(query_vec)).alias("_qnorm"),
+        )
+    )
+    exploded = codes.select(
+        F.col(item_id),
+        F.col("vec_norm"),
+        F.posexplode(F.col("codes")).alias("subspace", "code"),
+    )
+    joined = exploded.join(
+        F.broadcast(lut), ["subspace", "code"]
+    )
+    dec = lambda c: c.cast("decimal(27,10)")
+    agg = (
+        joined.groupBy(query_id, item_id)
+        .agg(
+            F.sum(dec(F.col("partial"))).alias("_dot"),
+            F.first("vec_norm").alias("_inorm"),
+            F.first("_qnorm").alias("_qn"),
+        )
+    )
+    score = pround(
+        F.when(
+            (F.col("_qn") > 0) & (F.col("_inorm") > 0),
+            F.col("_dot").cast("double")
+            / (F.col("_qn") * F.col("_inorm")),
+        ).otherwise(F.lit(0.0)),
+        score_scale,
+    )
+    scored = agg.filter(F.col(item_id) != F.col(query_id)).select(
+        F.col(query_id),
+        F.col(item_id),
+        score.alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("cosine_sim"), F.asc(item_id)

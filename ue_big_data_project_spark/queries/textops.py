@@ -25,6 +25,9 @@ from ue_big_data_project_spark.operators.similarity import (
     ivf_knn,
     ivf_knn_indexed,
     lsh_knn,
+    pq_codebooks,
+    pq_encode,
+    pq_knn,
 )
 from ue_big_data_project_spark.queries import QuerySpec
 from ue_big_data_project_spark.session import load_tables
@@ -507,6 +510,178 @@ def knn_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_knn_indexed(spark, idx, queries, k=5, nprobe=2)
+
+
+def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization + asymmetric distance:
+    4 subspaces x 8-entry L2 codebooks (1 Lloyd iteration, deterministic
+    sampled training), items reduced to 4 codes + a stored norm, scored
+    entirely from the per-query code lookup table
+    (operators/similarity.pq_codebooks/pq_encode/pq_knn)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = pq_codebooks(e, m=4, k=8, iters=1)
+    codes = pq_encode(e, cb)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_knn(codes, cb, queries, k=5)
+
+
+def _pq_sql(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    knn_k: int = 5,
+    train_mod: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of pq_codebooks + pq_encode + pq_knn: one unrolled
+    L2 k-means chain per subspace (decimal-mean updates), dense-code
+    remap, then the ADC join — every float op mirrors the Spark
+    expressions (fold-left dots, sqrt-fold norms squared, portable
+    rounding, decimal partial sums)."""
+    d = dim // m
+
+    def sub_dot(va: str, vb: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {d + 1}), "
+            f"i -> {va}[i]::DOUBLE * {vb}[i]::DOUBLE), (x, y) -> x + y)"
+        )
+
+    def sub_norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({v}, "
+            "x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+        )
+
+    def l2_score(va: str, vb: str) -> str:
+        n = sub_norm(vb)
+        return sql_round(f"2.0 * ({sub_dot(va, vb)}) - ({n}) * ({n})", 6)
+
+    parts = ["WITH "]
+    chains = []
+    for j in range(m):
+        lo = j * d + 1
+        hi = j * d + d
+        chain = f"""
+tr{j} AS (
+  SELECT vec_id, embedding[{lo}:{hi}] AS sub
+  FROM embeddings WHERE vec_id % {train_mod} = 0
+),
+c{j}_0 AS (
+  SELECT vec_id AS cent_id,
+         list_transform(sub, x -> x::DOUBLE) AS cent_vec
+  FROM tr{j}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT {k}
+)"""
+        for it in range(iters):
+            chain += f""",
+a{j}_{it} AS (
+  SELECT vec_id, sub, cent_id FROM (
+    SELECT t.vec_id, t.sub, c.cent_id,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {l2_score("t.sub", "c.cent_vec")} DESC, c.cent_id ASC
+           ) AS rn
+    FROM tr{j} t, c{j}_{it} c
+  ) WHERE rn = 1
+),
+s{j}_{it} AS (
+  SELECT cent_id, pos,
+         CAST(sum(CAST(sub[pos]::DOUBLE AS DECIMAL(27,10))) AS DOUBLE)
+           / count(*) AS v
+  FROM (
+    SELECT cent_id, sub, unnest(range(1, len(sub) + 1)) AS pos
+    FROM a{j}_{it}
+  )
+  GROUP BY 1, 2
+),
+n{j}_{it} AS (
+  SELECT cent_id, list(v ORDER BY pos) AS cent_vec
+  FROM s{j}_{it} GROUP BY 1
+),
+c{j}_{it + 1} AS (
+  SELECT c.cent_id, coalesce(n.cent_vec, c.cent_vec) AS cent_vec
+  FROM c{j}_{it} c LEFT JOIN n{j}_{it} n ON c.cent_id = n.cent_id
+)"""
+        chain += f""",
+cb{j} AS (
+  SELECT {j} AS subspace,
+         CAST(row_number() OVER (ORDER BY cent_id ASC) - 1 AS INTEGER)
+           AS code,
+         cent_vec
+  FROM c{j}_{iters}
+),
+enc{j} AS (
+  SELECT vec_id, {j} AS subspace, code FROM (
+    SELECT e.vec_id, c.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {l2_score(f"e.embedding[{lo}:{hi}]", "c.cent_vec")}
+                      DESC, c.code ASC
+           ) AS rn
+    FROM embeddings e, cb{j} c
+  ) WHERE rn = 1
+)"""
+        chains.append(chain)
+    parts.append(",".join(chains))
+    full_norm = (
+        "sqrt(list_reduce(list_transform(embedding, "
+        "x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+    )
+    q_norm = (
+        "sqrt(list_reduce(list_transform(q.query_vec, "
+        "x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+    )
+    lut_dot = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> q.query_vec[cb.subspace * {d} + i]::DOUBLE "
+        "* cb.cent_vec[i]::DOUBLE), (x, y) -> x + y)"
+    )
+    cball = " UNION ALL ".join(f"SELECT * FROM cb{j}" for j in range(m))
+    encall = " UNION ALL ".join(f"SELECT * FROM enc{j}" for j in range(m))
+    parts.append(f""",
+cball AS ({cball}),
+encall AS ({encall}),
+inorm AS (SELECT vec_id, {full_norm} AS vec_norm FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 10
+),
+lut AS (
+  SELECT q.query_id, cb.subspace, cb.code,
+         {sql_round(lut_dot, 6)} AS partial,
+         {q_norm} AS qn
+  FROM q, cball cb
+),
+agg AS (
+  SELECT l.query_id, e.vec_id,
+         CAST(sum(CAST(l.partial AS DECIMAL(27,10))) AS DOUBLE) AS dsum,
+         first(l.qn) AS qn, first(i.vec_norm) AS inorm
+  FROM encall e
+  JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
+  JOIN inorm i ON e.vec_id = i.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, vec_id,
+         {sql_round("CASE WHEN qn > 0 AND inorm > 0 THEN dsum / (qn * inorm) ELSE 0.0 END", 6)}
+           AS cosine_sim
+  FROM agg WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {knn_k}
+""")
+    return "".join(parts)
+
+
+KNN_PQ_SQL = _pq_sql()
 
 
 def _ivf_sql(
@@ -1137,4 +1312,5 @@ QUERIES = {
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_cosine_ivf_indexed": QuerySpec(knn_cosine_ivf_indexed, KNN_IVF_SQL),
+    "knn_cosine_pq": QuerySpec(knn_cosine_pq, KNN_PQ_SQL),
 }
