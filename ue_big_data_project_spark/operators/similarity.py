@@ -827,3 +827,122 @@ def pq_knn(
         .filter(F.col("rank") <= k)
         .select(query_id, item_id, "cosine_sim", "rank")
     )
+
+
+def ivf_pq_knn(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    kmeans_iters: int = 2,
+    train_mod: int = 4,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    score_scale: int = 6,
+) -> DataFrame:
+    """The composed 100 TB ANN shape: IVF cells prune the CANDIDATES,
+    PQ codes replace the FLOATS — each query scores only the items in
+    its ``nprobe`` cells, from the code lookup table, never touching
+    the corpus vectors after the one tagging/encoding pass.
+
+    Unlike :func:`pq_knn` (whose LUT join fans every item out to every
+    query), the (query, item) pair space here is cut by the cell equi
+    join first, so the aggregation shuffles O(candidates·m), not
+    O(N·Q·m) — queries need not be bounded if cells are selective.
+    Everything is the same deterministic machinery (cosine coarse
+    quantizer, L2 subspace codebooks, decimal partial sums), so results
+    equal :func:`pq_knn` exactly when every cell is probed (tested).
+    """
+    centroids = kmeans_centroids(
+        items,
+        n_centroids=n_centroids,
+        iters=kmeans_iters,
+        item_id=item_id,
+        item_vec=item_vec,
+        train_mod=train_mod,
+        score_scale=score_scale,
+    )
+    tagged = _assign_clusters(
+        items, centroids, item_vec, item_id, nprobe=1, score_scale=score_scale
+    ).withColumnRenamed("cent_id", "cell")
+    codebooks = pq_codebooks(
+        items,
+        m=m,
+        k=pq_k,
+        iters=pq_iters,
+        item_id=item_id,
+        item_vec=item_vec,
+        train_mod=train_mod,
+        score_scale=score_scale,
+    )
+    codes = pq_encode(items, codebooks, item_id, item_vec, score_scale).join(
+        tagged.select(item_id, "cell"), item_id
+    )
+    probes = _assign_clusters(
+        queries, centroids, query_vec, query_id, nprobe=nprobe,
+        score_scale=score_scale,
+    ).withColumnRenamed("cent_id", "cell")
+    lut = (
+        queries.join(F.broadcast(codebooks))
+        .select(
+            F.col(query_id),
+            F.col("subspace"),
+            F.col("code"),
+            pround(
+                dot(
+                    F.slice(
+                        F.col(query_vec),
+                        F.col("subspace") * F.size(F.col("cent_vec")) + 1,
+                        F.size(F.col("cent_vec")),
+                    ),
+                    F.col("cent_vec"),
+                ),
+                score_scale,
+            ).alias("partial"),
+            norm2(F.col(query_vec)).alias("_qnorm"),
+        )
+    )
+    # Candidate cut FIRST: items fan out only to queries probing their
+    # cell, then each candidate pair expands to its m code rows.
+    cands = codes.join(
+        F.broadcast(probes.select(query_id, "cell")), "cell"
+    ).filter(F.col(item_id) != F.col(query_id))
+    exploded = cands.select(
+        F.col(query_id),
+        F.col(item_id),
+        F.col("vec_norm"),
+        F.posexplode(F.col("codes")).alias("subspace", "code"),
+    )
+    joined = exploded.join(
+        F.broadcast(lut), [query_id, "subspace", "code"]
+    )
+    dec = lambda c: c.cast("decimal(27,10)")
+    agg = joined.groupBy(query_id, item_id).agg(
+        F.sum(dec(F.col("partial"))).alias("_dot"),
+        F.first("vec_norm").alias("_inorm"),
+        F.first("_qnorm").alias("_qn"),
+    )
+    score = pround(
+        F.when(
+            (F.col("_qn") > 0) & (F.col("_inorm") > 0),
+            F.col("_dot").cast("double") / (F.col("_qn") * F.col("_inorm")),
+        ).otherwise(F.lit(0.0)),
+        score_scale,
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine_sim"), F.asc(item_id)
+    )
+    return (
+        agg.select(
+            F.col(query_id), F.col(item_id), score.alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, item_id, "cosine_sim", "rank")
+    )
