@@ -1,0 +1,152 @@
+"""Product quantization: codebook shape/determinism, encode round-trip,
+and ADC top-k quality vs the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.operators.similarity import (
+    brute_force_knn,
+    pq_codebooks,
+    pq_encode,
+    pq_knn,
+)
+from ue_big_data_project_spark.session import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _queries(e):
+    return e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    cb = pq_codebooks(e, m=4, k=8, iters=1)
+    rows = cb.collect()
+    assert len(rows) == 4 * 8
+    assert {(r["subspace"], r["code"]) for r in rows} == {
+        (j, c) for j in range(4) for c in range(8)
+    }
+    assert all(len(r["cent_vec"]) == 16 for r in rows)  # 64 / 4
+    # Deterministic end to end: a rebuild is bit-identical.
+    again = {(r["subspace"], r["code"]): r["cent_vec"] for r in
+             pq_codebooks(e, m=4, k=8, iters=1).collect()}
+    assert {(r["subspace"], r["code"]): r["cent_vec"] for r in rows} == again
+
+
+def test_pq_encode_codes_valid_and_codeword_roundtrip(spark):
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    m, k = 4, 8
+    cb = pq_codebooks(e, m=m, k=k, iters=1)
+    codes = pq_encode(e, cb)
+    assert codes.count() == e.count()
+    rng = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m"),
+    ).first()
+    assert rng["lo"] >= 0 and rng["hi"] <= k - 1 and rng["m"] == m
+
+    # A vector assembled FROM codewords encodes back to those codes
+    # (code 0 per subspace; exact distance 0, ties break to lowest).
+    cents = {
+        (r["subspace"], r["code"]): list(r["cent_vec"]) for r in cb.collect()
+    }
+    vec = sum((cents[(j, 0)] for j in range(m)), [])
+    probe = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<double>"
+    )
+    got = pq_encode(probe, cb).first()
+    assert list(got["codes"]) == [0] * m
+
+
+def test_pq_knn_beats_random_baseline(spark):
+    """ADC top-5 on the near-uniform synthetic fixture: recall has a low
+    ceiling (random vectors are PQ's worst case — no cluster structure),
+    but must sit far above the ~1% random-pick baseline. Measured
+    (deterministic): 0.34 at m=16, k=32."""
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    q = _queries(e)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_knn(e, q, k=5).collect()
+    }
+    cb = pq_codebooks(e, m=16, k=32, iters=2)
+    codes = pq_encode(e, cb)
+    got = pq_knn(codes, cb, q, k=5)
+    rows = got.collect()
+    # Contract shape: 5 ranked rows per query, no self-matches.
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["vec_id"] != r["query_id"]
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    approx = {(r["query_id"], r["vec_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"recall {recall:.2f} — ADC degenerate?"
+
+
+def test_ivf_pq_equals_pq_when_all_cells_probed(spark):
+    """ivf_pq_knn with nprobe = n_centroids scores every candidate, so
+    it must reproduce pq_knn exactly (same codebooks, same ADC math);
+    with nprobe=2 it returns well-formed ranked rows from the pruned
+    candidate set."""
+    from ue_big_data_project_spark.operators.similarity import ivf_pq_knn
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    q = _queries(e)
+    cb = pq_codebooks(e, m=4, k=8, iters=1)
+    codes = pq_encode(e, cb)
+    want = sorted(map(tuple, pq_knn(codes, cb, q, k=5).collect()))
+    got = sorted(
+        map(
+            tuple,
+            ivf_pq_knn(
+                e, q, k=5, n_centroids=16, nprobe=16, m=4, pq_k=8, pq_iters=1
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    pruned = ivf_pq_knn(
+        e, q, k=5, n_centroids=16, nprobe=2, m=4, pq_k=8, pq_iters=1
+    ).collect()
+    per_q = {}
+    for r in pruned:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["vec_id"] != r["query_id"]
+    assert per_q and all(v == sorted(v) == list(range(1, len(v) + 1))
+                         for v in (sorted(x) for x in per_q.values()))
+
+
+def test_ivf_pq_residual_mode_sound(spark):
+    """Residual IVF-PQ (codebooks over x − unit-centroid, ADC adds the
+    per-(query, cell) coarse term back): well-formed ranked output, no
+    self-matches, and recall far above the ~1% random baseline. On this
+    near-uniform fixture residual measures below DIRECT encoding (no
+    cluster structure to subtract — see the operator docstring), so the
+    gate here is soundness, not superiority."""
+    from ue_big_data_project_spark.operators.similarity import ivf_pq_knn
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    q = _queries(e)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_knn(e, q, k=5).collect()
+    }
+    rows = ivf_pq_knn(
+        e, q, k=5, n_centroids=16, nprobe=8, m=16, pq_k=32, residual=True
+    ).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["vec_id"] != r["query_id"]
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_q.values())
+    approx = {(r["query_id"], r["vec_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"recall {recall:.2f} — residual ADC broken?"
