@@ -290,3 +290,25 @@ def test_zordered_pruning_end_to_end(spark):
             assert pruned.count() == 64 * 8
             m = _scan_metrics(pruned)
             assert m["numFiles"] < 16, (col, m)
+
+
+def test_parquet_file_stats_resolve_leaf_columns_on_nested_schema(spark):
+    """Regression: with a nested column ordered before the prune column,
+    the Arrow top-level field index diverges from the parquet leaf index
+    — stats must come from the named column, and unknown columns must be
+    conservatively unprunable, never an exception."""
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "nested")
+        spark.sql(
+            "SELECT named_struct('a', id * 2, 'b', id + 1) AS s, "
+            "id * 100 AS ts FROM range(10)"
+        ).coalesce(1).write.parquet(out)
+        stats = S.parquet_file_stats(out, "ts")
+        assert len(stats) == 1
+        _, mn, mx = stats[0]
+        assert (mn, mx) == (0, 900), (mn, mx)  # ts bounds, not s.b's
+        kept, total = S.prune_parquet_files(out, "ts", 1000, 2000)
+        assert (len(kept), total) == (0, 1)
+        # Unknown column: kept conservatively, no IndexError.
+        kept2, _ = S.prune_parquet_files(out, "nope", 0, 1)
+        assert len(kept2) == 1

@@ -182,11 +182,12 @@ def executed_scan_metrics(df: DataFrame) -> dict[str, int]:
     (``sources.write_range_sorted`` / ``write_zordered`` /
     ``read_stat_pruned``, IVF cell partitioning) exist to shrink, and
     the number to alert on when a pruned pipeline silently regresses to
-    full scans. Triggers one ``collect``; use on bounded diagnostics
-    runs, not hot paths.
+    full scans. Executes the plan JVM-side (an RDD count over the
+    executed plan) — no rows reach the driver, so it is safe on
+    production-sized inputs.
     """
-    df.collect()
     plan = df._jdf.queryExecution().executedPlan()
+    plan.execute().count()
     if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
         plan = plan.executedPlan()
     leaves = plan.collectLeaves()

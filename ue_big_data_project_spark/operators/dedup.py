@@ -443,6 +443,7 @@ def incremental_minhash_filter(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup screen of a new batch against the corpus LSH band index
     AND within the batch itself: drops any new document sharing a
@@ -455,11 +456,16 @@ def incremental_minhash_filter(
     to the index.
 
     Two equi joins on (band_idx, band_val) — index screen and in-batch
-    screen; the index never rematerializes its documents.
+    screen; the index never rematerializes its documents. Pass
+    ``batch_bands`` (rows from :func:`minhash_band_rows` with the SAME
+    num_hashes/bands/shingle_n) to reuse an already-computed banding —
+    the shingle+minhash aggregation is the dominant screen cost and
+    callers that also need the band rows should not pay it twice.
     """
-    batch_bands = minhash_band_rows(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_n
-    )
+    if batch_bands is None:
+        batch_bands = minhash_band_rows(
+            new_docs, id_col, text_col, num_hashes, bands, shingle_n
+        )
     # In-batch screen first: any id that shares a band with a LOWER id
     # in the same batch is a near-dup of a kept (or earlier-dropped)
     # batchmate. Without this, a batch's internal near-dups would all

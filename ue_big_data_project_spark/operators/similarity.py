@@ -47,6 +47,66 @@ def _with_norms(
     )
 
 
+def _rank_topk(
+    scored: DataFrame, query_id: str, item_id: str, k: int
+) -> DataFrame:
+    """The shared top-k epilogue of every knn operator: rank by
+    descending ``cosine_sim`` with ties to the lowest item id — the
+    exact contract the DuckDB oracles pin, kept in ONE place so the six
+    operators cannot drift apart."""
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine_sim"), F.asc(item_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, item_id, "cosine_sim", "rank")
+    )
+
+
+def _unit_centroids(centroids: DataFrame) -> DataFrame:
+    """(cell, _cv): each centroid projected to its unit direction — the
+    per-cell constant residual IVF-PQ subtracts at encode time AND adds
+    back in the ADC sum; both sites must share this one projection."""
+    return centroids.select(
+        F.col("cent_id").alias("cell"),
+        F.transform(
+            F.col("cent_vec"), lambda v: v / norm2(F.col("cent_vec"))
+        ).alias("_cv"),
+    )
+
+
+def _pq_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    query_id: str,
+    query_vec: str,
+    score_scale: int,
+) -> DataFrame:
+    """The per-query ADC lookup table shared by :func:`pq_knn` and
+    :func:`ivf_pq_knn`: for every (query, subspace, code), the rounded
+    partial dot of the query subvector against that codeword, plus the
+    query norm. Slim by construction — the query vector itself is NOT
+    carried (m·k rows per query broadcast and ride the code join)."""
+    return queries.join(F.broadcast(codebooks)).select(
+        F.col(query_id),
+        F.col("subspace"),
+        F.col("code"),
+        pround(
+            dot(
+                F.slice(
+                    F.col(query_vec),
+                    F.col("subspace") * F.size(F.col("cent_vec")) + 1,
+                    F.size(F.col("cent_vec")),
+                ),
+                F.col("cent_vec"),
+            ),
+            score_scale,
+        ).alias("partial"),
+        norm2(F.col(query_vec)).alias("_qnorm"),
+    )
+
+
 def brute_force_knn(
     items: DataFrame,
     queries: DataFrame,
@@ -70,14 +130,7 @@ def brute_force_knn(
         F.col(item_id),
         _pair_cosine(item_vec, query_vec, score_scale).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc("cosine_sim"), F.asc(item_id)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, item_id, "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, query_id, item_id, k)
 
 
 def hyperplane_signs(vec_col, planes: int, dim: int):
@@ -466,14 +519,7 @@ def ivf_knn(
     )
     # Items live in exactly one cell (nprobe=1 on the item side), so a
     # (query, item) pair appears at most once — no dedup needed.
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc("cosine_sim"), F.asc(item_id)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, item_id, "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, query_id, item_id, k)
 
 
 def lsh_knn(
@@ -511,14 +557,7 @@ def lsh_knn(
         F.col(item_id),
         _pair_cosine(item_vec, query_vec, score_scale).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc("cosine_sim"), F.asc(item_id)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, item_id, "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, query_id, item_id, k)
 
 
 def build_ivf_index(
@@ -609,14 +648,7 @@ def ivf_knn_indexed(
         F.col(item_id),
         _pair_cosine(item_vec, query_vec, score_scale).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc("cosine_sim"), F.asc(item_id)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, item_id, "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, query_id, item_id, k)
 
 
 def pq_codebooks(
@@ -766,29 +798,7 @@ def pq_knn(
     side is bounded (the brute-force contract); compose with the IVF
     cell layout to prune the item side first for unbounded corpora.
     """
-    lut = (
-        queries.join(F.broadcast(codebooks))
-        .select(
-            F.col(query_id),
-            F.col("subspace"),
-            F.col("code"),
-            F.col(query_vec),
-            pround(
-                dot(
-                    F.slice(
-                        F.col(query_vec),
-                        F.col("subspace")
-                        * F.size(F.col("cent_vec"))
-                        + 1,
-                        F.size(F.col("cent_vec")),
-                    ),
-                    F.col("cent_vec"),
-                ),
-                score_scale,
-            ).alias("partial"),
-            norm2(F.col(query_vec)).alias("_qnorm"),
-        )
-    )
+    lut = _pq_lut(queries, codebooks, query_id, query_vec, score_scale)
     exploded = codes.select(
         F.col(item_id),
         F.col("vec_norm"),
@@ -819,14 +829,7 @@ def pq_knn(
         F.col(item_id),
         score.alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc("cosine_sim"), F.asc(item_id)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, item_id, "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, query_id, item_id, k)
 
 
 def ivf_pq_knn(
@@ -894,14 +897,9 @@ def ivf_pq_knn(
         # quantizer's cent_vec is a decimal SUM of members (huge norm),
         # and residuals against it would dwarf the codebook range — so
         # c is the UNIT-normalized centroid direction, keeping residual
-        # norms O(‖x‖). The same c feeds the q·c term below.
-        cent_named = centroids.select(
-            F.col("cent_id").alias("cell"),
-            F.transform(
-                F.col("cent_vec"),
-                lambda v: v / norm2(F.col("cent_vec")),
-            ).alias("_cv"),
-        )
+        # norms O(‖x‖). _unit_centroids is the SINGLE source of that c:
+        # the q·c term below must use the identical projection.
+        cent_named = _unit_centroids(centroids)
         enc_input = (
             tagged.join(F.broadcast(cent_named), "cell")
             .select(
@@ -940,26 +938,7 @@ def ivf_pq_knn(
         queries, centroids, query_vec, query_id, nprobe=nprobe,
         score_scale=score_scale,
     ).withColumnRenamed("cent_id", "cell")
-    lut = (
-        queries.join(F.broadcast(codebooks))
-        .select(
-            F.col(query_id),
-            F.col("subspace"),
-            F.col("code"),
-            pround(
-                dot(
-                    F.slice(
-                        F.col(query_vec),
-                        F.col("subspace") * F.size(F.col("cent_vec")) + 1,
-                        F.size(F.col("cent_vec")),
-                    ),
-                    F.col("cent_vec"),
-                ),
-                score_scale,
-            ).alias("partial"),
-            norm2(F.col(query_vec)).alias("_qnorm"),
-        )
-    )
+    lut = _pq_lut(queries, codebooks, query_id, query_vec, score_scale)
     # Candidate cut FIRST: items fan out only to queries probing their
     # cell, then each candidate pair expands to its m code rows.
     probe_cells = probes.select(query_id, "cell")
@@ -968,15 +947,7 @@ def ivf_pq_knn(
         # nprobe lookups per query, broadcast with the probe list.
         qc = (
             probes.join(
-                F.broadcast(
-                    centroids.select(
-                        F.col("cent_id").alias("cell"),
-                        F.transform(
-                            F.col("cent_vec"),
-                            lambda v: v / norm2(F.col("cent_vec")),
-                        ).alias("_cv"),
-                    )
-                ),
+                F.broadcast(_unit_centroids(centroids)),
                 "cell",
             )
             .select(
@@ -1018,14 +989,7 @@ def ivf_pq_knn(
         ).otherwise(F.lit(0.0)),
         score_scale,
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc("cosine_sim"), F.asc(item_id)
+    scored = agg.select(
+        F.col(query_id), F.col(item_id), score.alias("cosine_sim")
     )
-    return (
-        agg.select(
-            F.col(query_id), F.col(item_id), score.alias("cosine_sim")
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, item_id, "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, query_id, item_id, k)

@@ -403,9 +403,15 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ST.run_until_drained(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return ST.read_rollup(spark, snap_dir).withColumnRenamed(
-        "window_us", "window_start_us"
+    import shutil as _sh
+
+    out = (
+        ST.read_rollup(spark, snap_dir)
+        .withColumnRenamed("window_us", "window_start_us")
+        .localCheckpoint(eager=True)
     )
+    _sh.rmtree(snap_dir, ignore_errors=True)
+    return out
 
 
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,11 +462,15 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest; artifacts land in a scratch dir and are asserted non-empty.
     import tempfile as _tf
 
+    import shutil as _sh
+
     art_dir = _tf.mkdtemp(prefix="spark_graft_artifacts_")
     art_q = ST.per_batch_artifact_sink(out, art_dir, mode="update")
     ST.run_until_drained(art_q)
-    if not any(e.startswith("batch-") for e in _os.listdir(art_dir)):
-        raise RuntimeError(f"artifact sink wrote nothing to {art_dir}")
+    wrote = any(e.startswith("batch-") for e in _os.listdir(art_dir))
+    _sh.rmtree(art_dir, ignore_errors=True)
+    if not wrote:
+        raise RuntimeError("artifact sink wrote no batch artifacts")
     return ST.drain_to_table(spark, out, mode="complete")
 
 

@@ -335,7 +335,20 @@ def parquet_file_stats(path: str, col: str) -> list[tuple[str, object, object]]:
                 continue
             fpath = os.path.join(root, f)
             pf = pq.ParquetFile(fpath)
-            idx = pf.schema_arrow.get_field_index(col)
+            # Resolve the LEAF column index by its dotted parquet path:
+            # the Arrow top-level field index diverges from the parquet
+            # leaf-column index as soon as an earlier field is nested
+            # (struct/map/list flatten to multiple leaves), which would
+            # silently read another column's statistics. A column with
+            # no leaf of that exact path is conservatively unpruned.
+            leaf_paths = [
+                pf.metadata.row_group(0).column(i).path_in_schema
+                for i in range(pf.metadata.num_columns)
+            ] if pf.metadata.num_row_groups else []
+            if col not in leaf_paths:
+                out.append((fpath, None, None))
+                continue
+            idx = leaf_paths.index(col)
             mins, maxs = [], []
             for rg in range(pf.metadata.num_row_groups):
                 st = pf.metadata.row_group(rg).column(idx).statistics

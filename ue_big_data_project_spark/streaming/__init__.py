@@ -568,19 +568,25 @@ def dedup_ingest_stream(
         )
         kept_bands = None
         if near_dup:
+            # Band the batch ONCE (shingle+minhash is the dominant
+            # screen cost); the screen and the unshingleable-doc
+            # exemption below share these rows.
+            batch_bands = minhash_band_rows(
+                kept, id_col, text_col
+            ).localCheckpoint(eager=True)
             kept_bands = incremental_minhash_filter(
                 kept,
                 _read_or_none(sp, band_index_path),
                 id_col,
                 text_col,
+                batch_bands=batch_bands,
             ).localCheckpoint(eager=True)
             # Drop only docs that HAD band rows and lost them to a
             # collision; unshingleable docs (no band rows at all) are
             # absent from both sides and must survive — a semi join on
             # the survivors would silently discard them.
             near_dropped = (
-                minhash_band_rows(kept, id_col, text_col)
-                .select(id_col)
+                batch_bands.select(id_col)
                 .distinct()
                 .join(
                     kept_bands.select(id_col).distinct(),
