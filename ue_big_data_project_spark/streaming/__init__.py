@@ -492,6 +492,12 @@ def drain_to_table(
     finally:
         if shuffle_partitions:
             spark.conf.set(key, old)
+        # The memory-sink table holds the drained result; the (RocksDB)
+        # checkpoint is dead weight once the query stops — repeated
+        # drains must not accumulate state dirs in /tmp.
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
