@@ -42,15 +42,16 @@ def test_asof_strategies_agree_on_random_data(spark, lts, rts, strict, fwd):
         direction="forward" if fwd else "backward",
     )
     out = {}
-    # sorted_array is exercised in the deterministic unit tests instead:
-    # its outer-reference HOF lambda can hit a transient Spark binding
-    # error under rapid AQE replanning (see asof.py docstring).
-    for strategy in ["broadcast_rank", "bucket_minima"]:
+    # sorted_array rejoined the family in round 3: the searchsorted
+    # pandas-UDF rewrite removed the outer-reference HOF lambda whose
+    # transient AQE rebinding error had kept it out.
+    for strategy in ["broadcast_rank", "bucket_minima", "sorted_array"]:
         df = asof_join(left, right, strategy=strategy, **kwargs)
         out[strategy] = sorted(
             (r["id"], r["asof"]["rts"]) for r in df.collect()
         )
     assert out["bucket_minima"] == out["broadcast_rank"]
+    assert out["sorted_array"] == out["broadcast_rank"]
 
 
 words = st.sampled_from(
