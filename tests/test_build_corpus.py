@@ -75,3 +75,35 @@ def test_build_corpus_near_dup_collapses_clusters(spark):
         out = spark.read.parquet(os.path.join(d, "documents"))
         assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
         assert stats["n_docs"] == 2
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk boundary contract: short docs yield one chunk, long docs
+    chunk with the configured overlap, every token appears in order,
+    and boundary tokens appear in exactly two consecutive chunks."""
+    from ue_big_data_project_spark.pipelines import chunk_documents
+
+    import pytest as _pt
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, "short doc"), (2, words)], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            df, chunk_tokens=10, overlap=2
+        ).collect()
+    }
+    assert out[(1, 0)] == ("short doc", 2)
+    assert (1, 1) not in out
+    # stride 8: chunks cover [0:10), [8:18), [16:25) -> 3 chunks.
+    assert {(i) for d, i in out if d == 2} == {0, 1, 2}
+    c0, c1, c2 = (out[(2, i)][0].split() for i in range(3))
+    assert c0 == [f"w{i}" for i in range(10)]
+    assert c1 == [f"w{i}" for i in range(8, 18)]
+    assert c2 == [f"w{i}" for i in range(16, 25)]
+    # Overlap: last 2 of chunk k == first 2 of chunk k+1.
+    assert c0[-2:] == c1[:2] and c1[-2:] == c2[:2]
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)

@@ -36,6 +36,8 @@ PROXIED = {
     "knn_cosine_ivf_indexed": "knn_cosine_ivf",
     # PQ/ADC: same ANN family; full-oracle-paired in the registry.
     "knn_cosine_pq": "knn_cosine_ivf",
+    # Passage chunking: scan-side explode family, packing's upstream.
+    "pipeline_chunk_documents": "pipeline_pack_sequences",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

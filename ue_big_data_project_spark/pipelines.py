@@ -179,6 +179,49 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token passage chunks —
+    the pretokenization step between raw documents and sequence packing
+    (and the unit of retrieval indexing): chunk ``i`` covers tokens
+    ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``, so consecutive chunks share
+    ``overlap`` tokens and no token is dropped at a boundary.
+
+    Output: ``(id, chunk_idx, chunk_text, n_tokens)``. Entirely native
+    expressions (tokenize → ``sequence`` over the chunk count →
+    ``slice``/``concat_ws`` → ``posexplode``) — one scan, zero shuffle,
+    zero Python; at 100 TB chunking is embarrassingly parallel and this
+    keeps it inside whole-stage codegen.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = TX.tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * stride + 1, chunk_tokens)
+        ),
+    )
+    return (
+        df.select(F.col(id_col), chunks.alias("_chunks"))
+        .select(
+            id_col, F.posexplode(F.col("_chunks")).alias("chunk_idx", "chunk_text")
+        )
+        .withColumn("n_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+    )
+
+
 def contamination_report(
     train: DataFrame,
     test: DataFrame,

@@ -1084,6 +1084,48 @@ FROM r
 """
 
 
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping passage chunking (64-token chunks, 8-token overlap,
+    stride 56): the pretokenization step between documents and packing
+    (pipelines.chunk_documents — native sequence/slice/posexplode, one
+    scan, zero shuffle). Chunk text leaves as md5 so the driver hash
+    pins content without shipping passages."""
+    from ue_big_data_project_spark.pipelines import chunk_documents
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return chunk_documents(
+        d, chunk_tokens=64, overlap=8
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
+PIPELINE_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 64 THEN 1
+              ELSE CAST(ceil((len(toks) - 64) / 56.0) AS INTEGER) + 1
+         END AS n_chunks
+  FROM t
+), x AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+  FROM c
+)
+SELECT doc_id, chunk_idx,
+       md5(array_to_string(toks[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' '))
+         AS chunk_md5,
+       CAST(len(toks[chunk_idx * 56 + 1 : chunk_idx * 56 + 64]) AS INTEGER)
+         AS n_tokens
+FROM x
+"""
+
+
 def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination screen: for each test-split document
     (the id-hash split of pipeline_split), the fraction of its distinct
@@ -1288,6 +1330,9 @@ QUERIES = {
     ),
     "pipeline_stratified_sample": QuerySpec(
         pipeline_stratified_sample, PIPELINE_STRATIFIED_SQL
+    ),
+    "pipeline_chunk_documents": QuerySpec(
+        pipeline_chunk_documents, PIPELINE_CHUNK_SQL
     ),
     "pipeline_pack_sequences": QuerySpec(
         pipeline_pack_sequences, PIPELINE_PACK_SQL
