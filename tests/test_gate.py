@@ -57,9 +57,13 @@ ROTATED_OUT = {
     "events_percentiles": "events_rollup",  # grouped distribution agg
     "events_funnel": "events_rollup",  # conditional step agg
     "events_dedup_first": "dedup_exact",  # keyed first-occurrence dedup
-    "events_props_json": "scalar_kit",  # from_json scalar family
+    "events_props_json": "ref_q1_plane_bus_wait",  # parse/scalar family
     "text_scrub": "text_nlp_kit",  # regexp scalar family
     "text_stats": "text_nlp_kit",  # per-doc text metrics
+    # Retired mid-round-3 to hand slots to knn_cosine_pq /
+    # pipeline_chunk_documents (both r1+r2 driver-green):
+    "haversine_knn": "knn_cosine_brute",  # distance top-k family
+    "scalar_kit": "ref_q1_plane_bus_wait",  # X3-X10 scalar family
 }
 
 
@@ -93,10 +97,13 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01+r02 covered the rest of the registry; the 15
-    # entries the driver has never hashed must lead the gate order.
-    never_hashed = GATE_ORDER[:15]
+    # CORRECTNESS_r01+r02 covered the rest of the registry; the 17
+    # entries the driver has never hashed (15 pre-existing + 2 new in
+    # round 3) must lead the gate order.
+    never_hashed = GATE_ORDER[:17]
     assert set(never_hashed) == {
+        "knn_cosine_pq",
+        "pipeline_chunk_documents",
         "q8_market_share",
         "q9_product_profit",
         "q10_returned_revenue",

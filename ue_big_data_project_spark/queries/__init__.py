@@ -77,10 +77,14 @@ def all_queries() -> dict[str, QuerySpec]:
 # pytest-oracle-gated: q15, q21, q7, q17, q22, outer_join_customer_orders,
 # moving_avg_order_price, q16, events_set_ops, events_percentiles,
 # events_funnel, events_dedup_first, events_props_json, text_scrub,
-# text_stats.
+# text_stats, haversine_knn, scalar_kit (the last two retired mid-round
+# to hand their slots to the round-3-new knn_cosine_pq and
+# pipeline_chunk_documents).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed (rounds 1-2): run first ---------------------
+    # -- never driver-hashed (rounds 1-2 + new in round 3): run first ----
+    "knn_cosine_pq",
+    "pipeline_chunk_documents",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_revenue",
@@ -118,8 +122,6 @@ GATE_ORDER = (
     "q5_region_revenue",
     "asof_first_ship",
     "window_top1_per_order",
-    "haversine_knn",
-    "scalar_kit",
     "streaming_sessionize",
     "events_rollup",
     "streaming_tumbling_window",
