@@ -679,37 +679,132 @@ def pq_codebooks(
     if n_dim % m != 0:
         raise ValueError(f"dim {n_dim} must split evenly into m={m} subspaces")
     d = n_dim // m
-    books = []
-    for j in range(m):
-        sub = items.select(
-            F.col(item_id), F.slice(F.col(item_vec), j * d + 1, d).alias(item_vec)
+    sid = F.col(item_id)
+    train = items if train_mod <= 1 else items.filter(sid % train_mod == 0)
+
+    def sub_structs(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("subspace"),
+                    F.slice(vec, j * d + 1, d).alias("sub"),
+                )
+                for j in range(m)
+            ]
         )
-        cb = kmeans_centroids(
-            sub,
-            n_centroids=k,
-            iters=iters,
-            item_id=item_id,
-            item_vec=item_vec,
-            train_mod=train_mod,
-            score_scale=score_scale,
-            metric="l2",
+
+    # All m subspaces train TOGETHER: training rows explode to
+    # (id, subspace, subvector) once, and each Lloyd iteration is one
+    # broadcast join + one grouped aggregation over every subspace —
+    # per-iteration job count is O(1), not O(m) (the arithmetic is
+    # identical to m independent runs, so the SQL oracle is unchanged).
+    sub_rows = (
+        train.select(sid.alias("_id"), F.explode(sub_structs(F.col(item_vec))).alias("s"))
+        .select("_id", "s.subspace", "s.sub")
+    )
+    # Same init rule as kmeans_centroids: the k training ids with the
+    # smallest md5 — the ids are subspace-independent, so every
+    # subspace initializes from the same rows (exactly as the
+    # per-subspace runs did).
+    init = (
+        train.select(
+            sid.alias("cent_id"),
+            F.col(item_vec).alias("_vec"),
+            F.md5(sid.cast("string")).alias("_h"),
         )
-        # Remap the (arbitrary) init-row ids to dense 0..k-1 codes so a
-        # stored code is a small int, not an 8-byte document id.
-        w = Window.orderBy(F.asc("cent_id"))
-        books.append(
-            cb.select(
-                F.lit(j).alias("subspace"),
-                (F.row_number().over(w) - 1).cast("int").alias("code"),
-                "cent_vec",
+        .orderBy(F.asc("_h"), F.asc("cent_id"))
+        .limit(k)
+        .drop("_h")
+    )
+    cents = (
+        init.select("cent_id", F.explode(sub_structs(F.col("_vec"))).alias("s"))
+        .select(
+            "s.subspace",
+            "cent_id",
+            F.transform(F.col("s.sub"), lambda x: x.cast("double")).alias(
+                "cent_vec"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        cn = norm2(F.col("cent_vec"))
+        score = pround(
+            F.lit(2.0) * dot(F.col("sub"), F.col("cent_vec")) - cn * cn,
+            score_scale,
+        )
+        assigned = (
+            sub_rows.join(F.broadcast(cents), "subspace")
+            .groupBy("_id", "subspace")
+            .agg(
+                # argmax by (score desc, cent_id asc) — the same order
+                # _assign_clusters ranks by.
+                F.max_by(
+                    F.col("cent_id"),
+                    F.struct(
+                        score.alias("s"), (-F.col("cent_id")).alias("t")
+                    ),
+                ).alias("cell"),
+                F.first("sub").alias("sub"),
             )
         )
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    # m·k rows: localCheckpoint so the m training lineages don't ride
-    # along into every downstream plan.
-    return out.localCheckpoint(eager=True)
+        dims = assigned.select(
+            "subspace", "cell", F.posexplode(F.col("sub")).alias("pos", "val")
+        )
+        sums = dims.groupBy("subspace", "cell", "pos").agg(
+            F.sum(F.col("val").cast("double").cast("decimal(27,10)")).alias(
+                "s"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # L2 cells: true decimal-exact mean (see kmeans_centroids).
+        newc = (
+            sums.groupBy("subspace", "cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            (F.col("s").cast("double") / F.col("n")).alias(
+                                "v"
+                            ),
+                        )
+                    )
+                ).alias("_ps")
+            )
+            .select(
+                "subspace",
+                F.col("cell").alias("cent_id"),
+                F.transform(F.col("_ps"), lambda x: x["v"]).alias("cent_vec"),
+            )
+        )
+        cents = (
+            cents.alias("c")
+            .join(
+                newc.alias("n"),
+                ["subspace", "cent_id"],
+                "left",
+            )
+            .select(
+                F.col("subspace"),
+                F.col("cent_id"),
+                F.coalesce(F.col("n.cent_vec"), F.col("c.cent_vec")).alias(
+                    "cent_vec"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # Remap the (arbitrary) init-row ids to dense 0..k-1 codes so a
+    # stored code is a small int, not an 8-byte document id.
+    w = Window.partitionBy("subspace").orderBy(F.asc("cent_id"))
+    return (
+        cents.select(
+            "subspace",
+            (F.row_number().over(w) - 1).cast("int").alias("code"),
+            "cent_vec",
+        )
+        .localCheckpoint(eager=True)
+    )
 
 
 def pq_encode(
