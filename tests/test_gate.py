@@ -38,6 +38,8 @@ PROXIED = {
     "knn_cosine_pq": "knn_cosine_ivf",
     # Passage chunking: scan-side explode family, packing's upstream.
     "pipeline_chunk_documents": "pipeline_pack_sequences",
+    # One-pass profiling: grouped-agg family (pipeline_corpus_stats).
+    "pipeline_profile": "pipeline_corpus_stats",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

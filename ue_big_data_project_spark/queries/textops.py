@@ -1126,6 +1126,40 @@ FROM x
 """
 
 
+def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile of the documents table (per-column row/
+    null/exact-distinct counts + numeric min/max —
+    observability.profile_columns): the pre-ingest audit step, computed
+    as ONE scan with partial aggregation, then unpivoted."""
+    from ue_big_data_project_spark.observability import profile_columns
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return profile_columns(d, ["doc_id", "lang", "n_chars", "text"])
+
+
+PIPELINE_PROFILE_SQL = """
+SELECT 'doc_id' AS column, count(*) AS n_rows,
+       count(*) FILTER (doc_id IS NULL) AS n_null,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS DOUBLE) AS min_num,
+       CAST(max(doc_id) AS DOUBLE) AS max_num
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) FILTER (lang IS NULL),
+       count(DISTINCT lang), NULL, NULL
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) FILTER (n_chars IS NULL),
+       count(DISTINCT n_chars),
+       CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'text', count(*), count(*) FILTER (text IS NULL),
+       count(DISTINCT text), NULL, NULL
+FROM documents
+"""
+
+
 def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination screen: for each test-split document
     (the id-hash split of pipeline_split), the fraction of its distinct
@@ -1331,6 +1365,7 @@ QUERIES = {
     "pipeline_stratified_sample": QuerySpec(
         pipeline_stratified_sample, PIPELINE_STRATIFIED_SQL
     ),
+    "pipeline_profile": QuerySpec(pipeline_profile, PIPELINE_PROFILE_SQL),
     "pipeline_chunk_documents": QuerySpec(
         pipeline_chunk_documents, PIPELINE_CHUNK_SQL
     ),
