@@ -44,9 +44,18 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     spark.createDataFrame([(1, "w")], "a int, b string").count()
 
+    # Wall-clock budget: the FIRST pass always completes (every query
+    # gets a number); later passes start only while under budget, so a
+    # caller with a hard timeout still gets a full result line.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+    started = time.perf_counter()
+
     queries = sorted(gate_queries().items())
     samples: dict[str, list[float]] = {name: [] for name, _ in queries}
-    for _ in range(runs):
+    passes = 0
+    for r in range(runs):
+        if r > 0 and time.perf_counter() - started > budget:
+            break
         for name, spec in queries:
             # Each query measured from a clean cache state — intermediate
             # caches are per-query implementation details, not shared state.
@@ -55,6 +64,7 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
+        passes += 1
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
@@ -68,7 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
+                "runs_per_query": passes,
             }
         )
     )
