@@ -198,6 +198,34 @@ def test_per_batch_artifact_sink(spark, tmp_path, stream_rows):
     assert after == before
 
 
+def test_drain_to_table_with_artifacts_single_pass(spark, tmp_path, stream_rows):
+    """The fused drain: one stream pass yields BOTH the per-batch
+    artifacts and the snapshot table, and the snapshot equals what a
+    plain memory-sink drain of the same aggregation produces."""
+    path = write_batches(str(tmp_path), stream_rows)
+    out = os.path.join(str(tmp_path), "artifacts")
+
+    def agg(sdf):
+        return (
+            sdf.withWatermark("ts", "1 hour")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    snap = S.drain_to_table_with_artifacts(
+        spark, agg(sdf), out, mode="complete"
+    )
+    artifacts = [f for f in os.listdir(out) if f.startswith("batch-")]
+    assert artifacts  # rendered at least one micro-batch artifact
+    got = sorted(map(tuple, snap.collect()))
+    sdf2 = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    want = sorted(
+        map(tuple, S.drain_to_table(spark, agg(sdf2), mode="complete").collect())
+    )
+    assert got == want
+
+
 def test_parse_json_value_flat_and_array(spark):
     flat_schema = T.StructType([T.StructField("a", T.IntegerType())])
     df = spark.createDataFrame([('{"a": 1}',)], ["value"])

@@ -454,24 +454,28 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "avg_value",
     )
-    # Alongside the hash-checked drain, run the reference's
-    # render-per-micro-batch sink shape (plot_bus_positions,
-    # src/naolib_consumer.py:119-162) over the same stream: foreachBatch
-    # -> bounded collect -> render artifact, with the batch-id ledger
-    # guarding replays. Executes under the driver's gate run, not only
-    # pytest; artifacts land in a scratch dir and are asserted non-empty.
+    # The drain ALSO exercises the reference's render-per-micro-batch
+    # sink shape (plot_bus_positions, src/naolib_consumer.py:119-162):
+    # one foreachBatch both writes the bounded ledgered artifact and
+    # takes the hash-checked snapshot, so the stream replays ONCE (the
+    # round-3 form drained it twice — artifact pass + memory-sink pass).
+    # Executes under the driver's gate run, not only pytest; artifacts
+    # land in a scratch dir and are asserted non-empty.
     import tempfile as _tf
 
     import shutil as _sh
 
     art_dir = _tf.mkdtemp(prefix="spark_graft_artifacts_")
-    art_q = ST.per_batch_artifact_sink(out, art_dir, mode="update")
-    ST.run_until_drained(art_q)
-    wrote = any(e.startswith("batch-") for e in _os.listdir(art_dir))
-    _sh.rmtree(art_dir, ignore_errors=True)
+    try:
+        snap = ST.drain_to_table_with_artifacts(
+            spark, out, art_dir, mode="complete"
+        )
+        wrote = any(e.startswith("batch-") for e in _os.listdir(art_dir))
+    finally:
+        _sh.rmtree(art_dir, ignore_errors=True)
     if not wrote:
         raise RuntimeError("artifact sink wrote no batch artifacts")
-    return ST.drain_to_table(spark, out, mode="complete")
+    return snap
 
 
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

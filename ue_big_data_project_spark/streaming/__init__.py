@@ -501,6 +501,83 @@ def drain_to_table(
     return spark.table(name)
 
 
+def drain_to_table_with_artifacts(
+    spark: SparkSession,
+    df: DataFrame,
+    art_dir: str,
+    mode: str = "complete",
+    render: Callable[..., str] | None = None,
+    limit: int = 10_000,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Single-drain fusion of :func:`drain_to_table` and
+    :func:`per_batch_artifact_sink`: ONE pass over the stream whose
+    ``foreachBatch`` both renders the bounded per-micro-batch artifact
+    (batch-id-ledgered, so a replayed batch never re-writes its file)
+    and takes the snapshot the caller hash-checks — instead of draining
+    the same bounded source twice through two sinks.
+
+    In ``complete`` mode every micro-batch carries the full result
+    table, so the LAST batch's localCheckpoint IS the final snapshot
+    (the same table a memory sink would hold). The artifact write stays
+    inside the ledger guard; the snapshot capture sits outside it, so a
+    ledger-skipped replay still refreshes the returned table.
+    """
+    import shutil
+    import tempfile
+
+    os.makedirs(art_dir, exist_ok=True)
+    ledger = os.path.join(art_dir, "_ledger")
+    os.makedirs(ledger, exist_ok=True)
+
+    def default_render(pdf, batch_id: int) -> str:
+        return pdf.to_csv(index=False)
+
+    render_fn = render or default_render
+    holder: dict[str, DataFrame] = {}
+
+    def cb(batch_df: DataFrame, batch_id: int) -> None:
+        prev = holder.get("snapshot")
+        holder["snapshot"] = batch_df.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        marker = os.path.join(ledger, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        pdf = holder["snapshot"].limit(limit).toPandas()
+        path = os.path.join(art_dir, f"batch-{batch_id}.txt")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(render_fn(pdf, batch_id))
+        os.rename(tmp, path)
+        mtmp = marker + ".tmp"
+        with open(mtmp, "w") as f:
+            f.write("done")
+        os.rename(mtmp, marker)
+
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if shuffle_partitions:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .foreachBatch(cb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set(key, old)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if "snapshot" not in holder:
+        return spark.createDataFrame([], df.schema)
+    return holder["snapshot"]
+
+
 def dedup_ingest_stream(
     sdf: DataFrame,
     index_path: str,
