@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from ue_big_data_project_spark.operators import dedup as DD
@@ -137,6 +138,65 @@ def test_dedup_ingest_stream_two_micro_batches(spark):
         assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
         index = spark.read.parquet(os.path.join(d, "index"))
         assert index.distinct().count() == index.count() == 3
+
+
+@pytest.mark.parametrize(
+    "failpoint", ["corpus_write", "band_index_append", "fingerprint_append"]
+)
+def test_dedup_ingest_stream_crash_replay_at_every_write(spark, failpoint):
+    """Crash injection at EACH write boundary of the ingest batch, then
+    replay. The dangerous window is after the band-index append: with an
+    append-mode index the replay would screen the batch against its OWN
+    just-appended band rows (self-collision), drop every shingleable doc
+    as a "near-dup", and overwrite the corpus partition with only the
+    unshingleable ones — silent data loss. The partitioned per-batch
+    index layout + own-batch exclusion must make every replay
+    byte-identical instead."""
+    from ue_big_data_project_spark.streaming import (
+        dedup_ingest_stream,
+        file_stream,
+        run_until_drained,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        b1 = _docs(
+            spark,
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "pack my box with five dozen liquor jugs right now"),
+             (3, "tiny doc")],  # unshingleable: no band rows, must survive
+        )
+        b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+        def run_stream(fp):
+            sdf = file_stream(
+                spark, os.path.join(src, "*"), b1.schema, fmt="parquet",
+                max_files_per_trigger=1,
+            )
+            q = dedup_ingest_stream(
+                sdf,
+                index_path=os.path.join(d, "index"),
+                corpus_dir=os.path.join(d, "corpus"),
+                ledger_dir=os.path.join(d, "ledger"),
+                failpoint=fp,
+            )
+            run_until_drained(q)
+
+        with pytest.raises(Exception, match="injected crash"):
+            run_stream(failpoint)
+        run_stream(None)  # the at-least-once replay
+
+        corpus = spark.read.parquet(os.path.join(d, "corpus"))
+        assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 3]
+        bands = spark.read.parquet(os.path.join(d, "index_bands"))
+        assert sorted(
+            r["doc_id"] for r in bands.select("doc_id").distinct().collect()
+        ) == [1, 2]
+        assert bands.count() == bands.drop("batch_id").distinct().count()
+        index = spark.read.parquet(os.path.join(d, "index"))
+        assert index.select("fingerprint").distinct().count() == 3
+        assert index.count() == 3  # partition overwrite left no dupes
 
 
 def test_dedup_ingest_stream_near_dup_across_batches_replay_safe(spark):

@@ -587,6 +587,7 @@ def dedup_ingest_stream(
     text_col: str = "text",
     near_dup: bool = True,
     band_index_path: str | None = None,
+    failpoint: str | None = None,
 ) -> StreamingQuery:
     """Continuous corpus ingestion with dedup: every micro-batch is
     exact-dedup screened against the PERSISTED fingerprint index
@@ -604,21 +605,26 @@ def dedup_ingest_stream(
     pass the near-dup tier untouched: only a positive band collision
     drops a document, absence of evidence never does.
 
-    Crash-safety ordering: the screen is side-effect-free, the CORPUS is
-    written first (into a ``batch_id=N`` partition, so a replay
-    overwrites its own output instead of duplicating it), the index
-    append(s) follow, and the ledger marker commits last. Every crash
-    window then replays safely: before the corpus write the replay
-    recomputes identically (indexes unchanged); between corpus write and
-    index appends the replay overwrites the same partition and appends;
-    after the index appends the replay screens to zero survivors and
-    touches nothing — the documents are already in the corpus. The only
-    degradation is in near-dup mode, where a crash between the two index
-    appends can leave band rows unindexed for already-ingested docs
-    (future near-dups of those docs slip the band screen — a missed
-    dedup, never data loss or duplication). Per-batch cost is O(batch +
-    index-joins), independent of corpus size: the streaming form of the
-    crawl-increment screen.
+    Crash-safety: EVERY side effect of a batch lands in that batch's own
+    ``batch_id=N`` partition (corpus, band index, fingerprint index) in
+    overwrite mode, and the SCREEN excludes the current batch id when it
+    reads the indexes. A replayed batch therefore always screens against
+    exactly the pre-batch state — regardless of which of its writes
+    completed before the crash — recomputes the identical survivor set,
+    and overwrites its own partitions byte-for-byte: no duplicates, no
+    lost documents, no self-collision (a batch can never classify its
+    docs as near-dups of their own just-appended band rows), whichever
+    write the crash interrupted. The ledger marker commits last and only
+    skips fully-committed batches. Crash injection at each write
+    boundary is tested in tests/test_incremental_dedup.py. Per-batch
+    cost is O(batch + index-joins), independent of corpus size: the
+    streaming form of the crawl-increment screen. The batch_id partition
+    column also ages the indexes for free (drop oldest partitions to
+    bound index size at 100 TB-scale retention).
+
+    ``failpoint`` is test-only fault injection: raise after the named
+    write ("corpus_write", "band_index_append", "fingerprint_append")
+    to exercise the crash windows above.
     """
     from pyspark.errors import AnalysisException
 
@@ -631,18 +637,28 @@ def dedup_ingest_stream(
     if near_dup and not band_index_path:
         band_index_path = index_path.rstrip("/") + "_bands"
 
-    def _read_or_none(sp: SparkSession, path: str) -> DataFrame | None:
+    def _read_index(
+        sp: SparkSession, path: str, batch_id: int
+    ) -> DataFrame | None:
+        """Read an index, excluding rows the CURRENT batch wrote (a
+        crashed earlier attempt of this same batch id) — partition
+        pruning on the hive ``batch_id`` column, so the exclusion never
+        scans the excluded files."""
         try:
             df = sp.read.parquet(path)
             df.schema
-            return df
         except AnalysisException:
             return None
+        if "batch_id" in df.columns:
+            df = df.filter(F.col("batch_id") != F.lit(batch_id)).drop(
+                "batch_id"
+            )
+        return df
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         # Screen (no side effects yet).
-        seen = _read_or_none(sp, index_path)
+        seen = _read_index(sp, index_path, batch_id)
         survivors = incremental_exact_dedup(
             batch_df, seen, id_col, text_col
         ).localCheckpoint(eager=True)
@@ -659,7 +675,7 @@ def dedup_ingest_stream(
             ).localCheckpoint(eager=True)
             kept_bands = incremental_minhash_filter(
                 kept,
-                _read_or_none(sp, band_index_path),
+                _read_index(sp, band_index_path, batch_id),
                 id_col,
                 text_col,
                 batch_bands=batch_bands,
@@ -679,16 +695,27 @@ def dedup_ingest_stream(
             )
             kept = kept.join(near_dropped, id_col, "left_anti")
             kept = kept.localCheckpoint(eager=True)
-        # 1. Corpus first, replay-overwritable, only if anything survived.
+        # All three writes land in THIS batch's partition in overwrite
+        # mode — a replay after any crash rewrites the same bytes.
+        # 1. Corpus first, only if anything survived.
         if not kept.isEmpty():
             kept.write.mode("overwrite").parquet(
                 os.path.join(corpus_dir, f"batch_id={batch_id}")
             )
-        # 2. Index appends.
+        if failpoint == "corpus_write":
+            raise RuntimeError("injected crash: after corpus write")
+        # 2. Index partition overwrites (the screen above excluded this
+        # batch's partitions, so a replay recomputed the same rows).
         if near_dup and kept_bands is not None:
-            kept_bands.write.mode("append").parquet(band_index_path)
-        survivors.select("fingerprint").write.mode("append").parquet(
-            index_path
+            kept_bands.write.mode("overwrite").parquet(
+                os.path.join(band_index_path, f"batch_id={batch_id}")
+            )
+        if failpoint == "band_index_append":
+            raise RuntimeError("injected crash: after band-index append")
+        survivors.select("fingerprint").write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch_id={batch_id}")
         )
+        if failpoint == "fingerprint_append":
+            raise RuntimeError("injected crash: after fingerprint append")
 
     return idempotent_foreach_batch(sdf, ingest, ledger_dir)
