@@ -312,3 +312,50 @@ def test_parquet_file_stats_resolve_leaf_columns_on_nested_schema(spark):
         # Unknown column: kept conservatively, no IndexError.
         kept2, _ = S.prune_parquet_files(out, "nope", 0, 1)
         assert len(kept2) == 1
+
+
+def test_read_stat_pruned_hive_partitioned_layout(spark):
+    """Regression (round-3 advice): an explicit kept-file list used to
+    drop hive partition columns, so a predicate on the partition column
+    raised AnalysisException. With basePath the partition column
+    survives; footer pruning on it is conservatively a no-op and the
+    re-applied filter does the (partition-pruned) work."""
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("int").alias("cell"), F.col("id").alias("v")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "part")
+        df.write.partitionBy("cell").parquet(out)
+        # Predicate on the PARTITION column: previously AnalysisException.
+        got = S.read_stat_pruned(spark, out, "cell", 1, 2)
+        assert sorted(r["v"] % 4 for r in got.collect()) == sorted(
+            [1] * 25 + [2] * 25
+        )
+        # Predicate on a data column: partition columns still present.
+        got2 = S.read_stat_pruned(spark, out, "v", 10, 19)
+        assert "cell" in got2.columns and got2.count() == 10
+
+
+def test_pq_empty_inputs_raise_clear_errors(spark):
+    """Regression (round-3 advice): empty corpus / empty codebooks used
+    to die with an opaque NoneType TypeError."""
+    import pytest as _pt
+
+    from ue_big_data_project_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="empty items corpus"):
+        pq_codebooks(empty, m=4, k=8, iters=1)
+    empty_cb = spark.createDataFrame(
+        [], "subspace int, code int, cent_vec array<double>"
+    )
+    some = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="empty codebooks"):
+        pq_encode(some, empty_cb)

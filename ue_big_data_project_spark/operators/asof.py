@@ -162,19 +162,21 @@ def asof_join(
         # cannot occur here.
         if right_cols != [right_ts]:
             raise ValueError("sorted_array strategy returns only right_ts")
-        max_rows = 10_000_000  # ~80 MB of int64 — a broadcast-dim budget
-        collected = (
+        # Collected via Arrow (toArrow), so the driver really holds ~one
+        # int64 buffer: ~80 MB at the cap, not millions of Row objects.
+        max_rows = 10_000_000
+        bounded = (
             right.filter(F.col(right_ts).isNotNull())
             .select(F.unix_micros(F.col(right_ts)).alias("_us"))
             .limit(max_rows + 1)
-            .collect()
+            .toArrow()
         )
-        if len(collected) > max_rows:
+        if bounded.num_rows > max_rows:
             raise ValueError(
                 f"sorted_array right side exceeds {max_rows} rows; use "
                 "bucket_minima (unbounded) or bucketed (tolerance) instead"
             )
-        arr = np.sort(np.array([r["_us"] for r in collected], dtype="int64"))
+        arr = np.sort(bounded.column("_us").to_numpy().astype("int64"))
         fwd = direction == "forward"
         side = ("right" if strict else "left") if fwd else (
             "left" if strict else "right"

@@ -675,7 +675,10 @@ def pq_codebooks(
     touching the original floats — at 100 TB the difference between
     scanning vectors and scanning bytes.
     """
-    n_dim = items.select(F.size(F.col(item_vec)).alias("d")).first()["d"]
+    first = items.select(F.size(F.col(item_vec)).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_codebooks: empty items corpus — nothing to train on")
+    n_dim = first["d"]
     if n_dim % m != 0:
         raise ValueError(f"dim {n_dim} must split evenly into m={m} subspaces")
     d = n_dim // m
@@ -831,9 +834,13 @@ def pq_encode(
             )
         ).alias("_cb")
     )
-    n_sub = codebooks.select(F.max("subspace")).first()[0] + 1
-    dim_row = codebooks.select(F.size(F.col("cent_vec")).alias("d")).first()
-    d = dim_row["d"]
+    head = codebooks.select(
+        F.max("subspace").alias("mx"), F.size(F.min("cent_vec")).alias("d")
+    ).first()
+    if head is None or head["mx"] is None:
+        raise ValueError("pq_encode: empty codebooks — train pq_codebooks first")
+    n_sub = head["mx"] + 1
+    d = head["d"]
 
     def best_code(j: int) -> Column:
         sub = F.slice(F.col(item_vec), j * d + 1, d)

@@ -507,17 +507,20 @@ def knn_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     root = _tf.mkdtemp(prefix="spark_graft_ivf_")
     idx = root + "/ivf"
-    build_ivf_index(e, idx, n_centroids=16, kmeans_iters=2)
-    queries = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    # Materialize the (small) result before deleting the scratch index —
-    # repeated gate/bench runs must not accumulate corpus copies in /tmp.
-    out = ivf_knn_indexed(spark, idx, queries, k=5, nprobe=2).localCheckpoint(
-        eager=True
-    )
-    _sh.rmtree(root, ignore_errors=True)
-    return out
+    # Materialize the (small) result before deleting the scratch index;
+    # the finally guarantees failed runs don't accumulate corpus copies
+    # in /tmp either.
+    try:
+        build_ivf_index(e, idx, n_centroids=16, kmeans_iters=2)
+        queries = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return ivf_knn_indexed(
+            spark, idx, queries, k=5, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
 
 
 def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -404,7 +404,13 @@ def read_stat_pruned(
     if not kept:
         df = spark.read.parquet(path).limit(0)
     else:
-        df = spark.read.parquet(*kept)
+        # basePath keeps hive partition columns alive when reading an
+        # explicit file list out of a directory-partitioned dataset
+        # (without it the partition columns vanish and a predicate on
+        # one would raise). Pruning on a partition column itself is
+        # conservative — no footer leaf carries it, every file is kept —
+        # and the re-applied filter below then prunes partitions.
+        df = spark.read.option("basePath", path).parquet(*kept)
     c = F.col(col)
     if lo is not None:
         df = df.filter(c >= F.lit(lo))
