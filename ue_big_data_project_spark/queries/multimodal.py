@@ -53,7 +53,34 @@ FROM documents
 """
 
 
+def multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the REAL codec path (``backend="real"``):
+    every document gets a genuine RIFF/WAVE PCM16 container built in the
+    Arrow workers (operators/multimodal.attach_wav), and the features
+    come from actually parsing those bytes — chunk walk, fmt/data
+    decode, numpy PCM stats (operators/multimodal.decode_wav). The
+    fixture waveform is a square wave whose length/amplitude derive
+    from doc_id, so the decoded numbers are closed-form SQL for the
+    oracle while the decode itself handles any PCM16 WAV."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return MM.wav_features(MM.attach_wav(d))
+
+
+MULTIMODAL_WAV_SQL = """
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST(160 + (doc_id % 64) * 4 AS INTEGER) AS n_samples,
+       CAST((160 + (doc_id % 64) * 4) * 125 AS BIGINT) AS duration_us,
+       CAST(1000 + (doc_id % 7) * 100 AS INTEGER) AS peak_amplitude,
+       CAST(1000 + (doc_id % 7) * 100 AS INTEGER) AS rms_amplitude
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
+    "multimodal_wav": QuerySpec(multimodal_wav, MULTIMODAL_WAV_SQL),
 }
