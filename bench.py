@@ -30,7 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ue_big_data_project_spark import get_spark
-from ue_big_data_project_spark.queries import gate_queries
+from ue_big_data_project_spark.queries import bench_queries
 
 
 def main() -> None:
@@ -50,7 +50,7 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
     started = time.perf_counter()
 
-    queries = sorted(gate_queries().items())
+    queries = sorted(bench_queries().items())
     samples: dict[str, list[float]] = {name: [] for name, _ in queries}
     passes = 0
     for r in range(runs):

@@ -15,9 +15,6 @@ from ue_big_data_project_spark.queries import (
 # Registry entries intentionally NOT in the gate, each with the gate
 # entry that exercises the same operator (see queries/__init__.py).
 PROXIED = {
-    "text_langid": "text_nlp_kit",
-    "text_tokens": "text_nlp_kit",
-    "text_fingerprint": "text_nlp_kit",
     "q6_forecast_revenue": "scan_filter_agg_kit",
     "q14_promo_revenue": "scan_filter_agg_kit",
     "q19_or_predicates": "scan_filter_agg_kit",
@@ -26,20 +23,10 @@ PROXIED = {
     "events_tumbling_window": "streaming_tumbling_window",
     "events_sessionize": "streaming_sessionize",
     "dedup_simhash": "dedup_simhash_pairs",
-    "events_hourly_by_type": "events_rollup",
+    "events_hourly_by_type": "streaming_incremental_rollup",
     "cheapest_supplier_per_part": "window_top1_per_order",
     "q12_priority_by_status": "scan_filter_agg_kit",
     "asof_bucketed_prev_click": "asof_first_ship",
-    "text_repetition": "text_nlp_kit",  # per-doc text metrics family
-    # Persisted-index twin: identical oracle/answer as the in-flight
-    # form; the pruning contract is scan-metric-tested in test_approx.
-    "knn_cosine_ivf_indexed": "knn_cosine_ivf",
-    # PQ/ADC: same ANN family; full-oracle-paired in the registry.
-    "knn_cosine_pq": "knn_cosine_ivf",
-    # Passage chunking: scan-side explode family, packing's upstream.
-    "pipeline_chunk_documents": "pipeline_pack_sequences",
-    # One-pass profiling: grouped-agg family (pipeline_corpus_stats).
-    "pipeline_profile": "pipeline_corpus_stats",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -56,9 +43,9 @@ ROTATED_OUT = {
     "moving_avg_order_price": "pipeline_pack_sequences",  # running window agg
     "q16_supplier_variety": "semi_anti_join_kit",  # not-in + distinct count
     "events_set_ops": "scan_filter_agg_kit",  # union/intersect/except counts
-    "events_percentiles": "events_rollup",  # grouped distribution agg
-    "events_funnel": "events_rollup",  # conditional step agg
-    "events_dedup_first": "dedup_exact",  # keyed first-occurrence dedup
+    "events_percentiles": "q13_order_count_distribution",  # grouped distribution agg
+    "events_funnel": "scan_filter_agg_kit",  # conditional step agg
+    "events_dedup_first": "dedup_incremental",  # keyed first-occurrence dedup
     "events_props_json": "ref_q1_plane_bus_wait",  # parse/scalar family
     "text_scrub": "text_nlp_kit",  # regexp scalar family
     "text_stats": "text_nlp_kit",  # per-doc text metrics
@@ -66,6 +53,16 @@ ROTATED_OUT = {
     # pipeline_chunk_documents (both r1+r2 driver-green):
     "haversine_knn": "knn_cosine_brute",  # distance top-k family
     "scalar_kit": "ref_q1_plane_bus_wait",  # X3-X10 scalar family
+    # Rotated out in round 4 (driver-green r1-r3) for the last 7
+    # never-hashed entries; all still benched via BENCH_EXTRA and
+    # pytest-oracle-gated:
+    "dedup_exact": "dedup_incremental",  # exact-fingerprint dedup
+    "pipeline_split": "pipeline_stratified_sample",  # hash-split family
+    "pipeline_corpus_stats": "pipeline_profile",  # one-pass profiling
+    "events_rollup": "streaming_incremental_rollup",  # rollup family
+    "q1_pricing_summary": "scan_filter_agg_kit",  # grouped multi-agg
+    "theta_join_next_error": "interval_overlap_join",  # non-equi join
+    "knn_cosine_ivf": "knn_cosine_ivf_indexed",  # IVF (indexed twin)
 }
 
 
@@ -99,26 +96,26 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01+r02 covered the rest of the registry; the 17
-    # entries the driver has never hashed (15 pre-existing + 2 new in
-    # round 3) must lead the gate order.
-    never_hashed = GATE_ORDER[:17]
+    # CORRECTNESS_r01-r03 covered the rest of the registry; the 7
+    # entries the driver has never hashed (the last 6 of the round-3
+    # registry + the round-4-new multimodal_wav) must lead the gate.
+    never_hashed = GATE_ORDER[:7]
     assert set(never_hashed) == {
-        "knn_cosine_pq",
-        "pipeline_chunk_documents",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_revenue",
-        "q11_important_parts",
-        "q13_order_count_distribution",
-        "q20_dominant_part_suppliers",
-        "interval_overlap_join",
-        "streaming_interval_join",
-        "streaming_incremental_rollup",
-        "dedup_incremental",
-        "pipeline_pack_sequences",
-        "pipeline_contamination",
-        "pipeline_upsert_corpus",
-        "pipeline_stratified_sample",
-        "pipeline_source_quota",
+        "knn_cosine_ivf_indexed",
+        "pipeline_profile",
+        "text_langid",
+        "text_tokens",
+        "text_fingerprint",
+        "text_repetition",
+        "multimodal_wav",
     }
+
+
+def test_bench_set_superset_of_gate_and_r3_comparable():
+    from ue_big_data_project_spark.queries import BENCH_EXTRA, bench_queries
+
+    bench = bench_queries()
+    assert set(GATE_ORDER) <= set(bench)
+    # Every round-3 gate entry (the BENCH_r03 set) is still benched.
+    assert set(BENCH_EXTRA) <= set(bench)
+    assert not (set(BENCH_EXTRA) & set(GATE_ORDER))

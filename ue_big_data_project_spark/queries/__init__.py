@@ -82,7 +82,17 @@ def all_queries() -> dict[str, QuerySpec]:
 # pipeline_chunk_documents).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed (rounds 1-2 + new in round 3): run first ----
+    # -- never driver-hashed (last 6 of the 85-query registry + the
+    # round-4-new multimodal_wav): run first. Once these hash green,
+    # every registry query is cumulatively driver-verified. ------------
+    "knn_cosine_ivf_indexed",
+    "pipeline_profile",
+    "text_langid",
+    "text_tokens",
+    "text_fingerprint",
+    "text_repetition",
+    "multimodal_wav",
+    # -- first hashed (green) in round 3 ---------------------------------
     "knn_cosine_pq",
     "pipeline_chunk_documents",
     "q8_market_share",
@@ -108,14 +118,12 @@ GATE_ORDER = (
     "ref_wind_rolling_avg",
     "knn_cosine_brute",
     "knn_cosine_lsh",
-    "knn_cosine_ivf",
     "multimodal_features",
     "multimodal_frames",
     "text_nlp_kit",
     "scan_filter_agg_kit",
     "semi_anti_join_kit",
     # -- long-green anchors (distinct operator shapes kept in-gate) ------
-    "q1_pricing_summary",
     "salted_hot_key_agg",
     "q18_large_orders",
     "q3_shipping_priority",
@@ -123,18 +131,28 @@ GATE_ORDER = (
     "asof_first_ship",
     "window_top1_per_order",
     "streaming_sessionize",
-    "events_rollup",
     "streaming_tumbling_window",
-    "theta_join_next_error",
     "pipeline_prep_documents",
-    "pipeline_split",
-    "pipeline_corpus_stats",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "dedup_clusters",
+)
+
+# Rotated out of the gate in round 4 (driver-green in r1-r3) to hand
+# slots to the 7 never-hashed entries above — but still BENCHED every
+# round via bench_queries(), so BENCH_r04 per-query deltas stay directly
+# comparable to BENCH_r03 on all 50 of round 3's gate entries (the
+# round-3 verdict asked for a stable bench set).
+BENCH_EXTRA = (
+    "q1_pricing_summary",
+    "events_rollup",
+    "theta_join_next_error",
+    "pipeline_split",
+    "pipeline_corpus_stats",
+    "dedup_exact",
+    "knn_cosine_ivf",
 )
 
 
@@ -148,3 +166,11 @@ def gate_queries() -> dict[str, QuerySpec]:
         f"{GATE_CAP} per round"
     )
     return {name: registry[name] for name in GATE_ORDER}
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    """The bench.py set: the gate plus the round-4-rotated-out entries,
+    so per-query timings stay comparable across rounds even when the
+    correctness gate rotates."""
+    registry = all_queries()
+    return {name: registry[name] for name in GATE_ORDER + BENCH_EXTRA}
