@@ -34,9 +34,9 @@ PROXIED = {
 # operator family. All stay in all_queries() and the always-full pytest
 # oracle gate (tests/test_oracle.py).
 ROTATED_OUT = {
-    "q15_top_supplier": "q5_region_revenue",  # scalar-subquery threshold + join-agg
+    "q15_top_supplier": "q8_market_share",  # scalar-subquery threshold + join-agg
     "q21_waiting_suppliers": "semi_anti_join_kit",  # exists/not-exists
-    "q7_volume_shipping": "q5_region_revenue",  # multi-join agg
+    "q7_volume_shipping": "q8_market_share",  # multi-join agg
     "q17_small_quantity_revenue": "q18_large_orders",  # per-key agg subquery
     "q22_idle_rich_customers": "semi_anti_join_kit",  # anti-join + scalar avg
     "outer_join_customer_orders": "q13_order_count_distribution",  # left-outer
@@ -63,6 +63,10 @@ ROTATED_OUT = {
     "q1_pricing_summary": "scan_filter_agg_kit",  # grouped multi-agg
     "theta_join_next_error": "interval_overlap_join",  # non-equi join
     "knn_cosine_ivf": "knn_cosine_ivf_indexed",  # IVF (indexed twin)
+    # Rotated out mid-round-4 (driver-green r1-r3) to hand slots to the
+    # real-codec multimodal_bmp / multimodal_video_frames:
+    "q3_shipping_priority": "q10_returned_revenue",  # join+agg+top-k limit
+    "q5_region_revenue": "q8_market_share",  # multi-join region agg
 }
 
 
@@ -96,10 +100,10 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r03 covered the rest of the registry; the 7
+    # CORRECTNESS_r01-r03 covered the rest of the registry; the 9
     # entries the driver has never hashed (the last 6 of the round-3
-    # registry + the round-4-new multimodal_wav) must lead the gate.
-    never_hashed = GATE_ORDER[:7]
+    # registry + the round-4-new real-codec trio) must lead the gate.
+    never_hashed = GATE_ORDER[:9]
     assert set(never_hashed) == {
         "knn_cosine_ivf_indexed",
         "pipeline_profile",
@@ -108,6 +112,8 @@ def test_unhashed_entries_run_first():
         "text_fingerprint",
         "text_repetition",
         "multimodal_wav",
+        "multimodal_bmp",
+        "multimodal_video_frames",
     }
 
 

@@ -115,6 +115,120 @@ def test_wav_features_real_backend_end_to_end(spark):
         assert r["duration_us"] == r["n_samples"] * 125
 
 
+def test_bmp_codec_roundtrip_exact():
+    """Encode a known raster, decode the container bytes, recover the
+    exact dimensions and channel sums — including the padding and
+    bottom-up row order a real BMP carries."""
+    import numpy as np
+
+    px = np.zeros((3, 5, 3), dtype=np.uint8)  # w=5 -> 15-byte rows, 1 pad
+    px[:, :, 0] = np.arange(5)[None, :]  # r = x
+    px[:, :, 1] = np.arange(3)[:, None]  # g = y
+    px[:, :, 2] = 9
+    payload = MM.encode_bmp(px)
+    assert payload[:2] == b"BM"
+    got = MM.decode_bmp(payload)
+    assert (got["width"], got["height"]) == (5, 3)
+    assert got["bits_per_pixel"] == 24 and got["n_pixels"] == 15
+    assert got["sum_r"] == 3 * (0 + 1 + 2 + 3 + 4)
+    assert got["sum_g"] == 5 * (0 + 1 + 2)
+    assert got["sum_b"] == 15 * 9
+
+
+def test_bmp_codec_top_down_and_malformed():
+    """Negative biHeight (top-down row order) decodes to the same sums;
+    malformed containers are rejected, not misdecoded."""
+    import struct
+
+    import numpy as np
+
+    px = MM.synth_bmp_pixels(12345)
+    payload = MM.encode_bmp(px)
+    ref = MM.decode_bmp(payload)
+
+    # Flip to a top-down container: negate biHeight, reverse row blocks.
+    w, h = ref["width"], ref["height"]
+    row = (3 * w + 3) & ~3
+    body = payload[54:]
+    flipped = b"".join(
+        body[(h - 1 - y) * row : (h - y) * row] for y in range(h)
+    )
+    td = bytearray(payload[:54] + flipped)
+    struct.pack_into("<i", td, 22, -h)
+    assert MM.decode_bmp(bytes(td)) == ref
+
+    with pytest.raises(ValueError, match="BMP"):
+        MM.decode_bmp(b"PNG? definitely not a bitmap")
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_bmp(payload[:-4])
+    mutated = bytearray(payload)
+    struct.pack_into("<H", mutated, 28, 8)  # bpp = 8 (palettized)
+    with pytest.raises(ValueError, match="unsupported"):
+        MM.decode_bmp(bytes(mutated))
+
+
+def test_bmpv_frame_stream_sampling():
+    """The video container: every-2nd-frame decode walks the index and
+    returns per-frame features; truncation is caught."""
+    frames = [MM.encode_bmp(MM.synth_bmp_pixels(7, fi)) for fi in range(5)]
+    payload = MM.encode_bmpv(frames)
+    got = MM.decode_bmpv(payload, every=2)
+    assert [fi for fi, _ in got] == [0, 2, 4]
+    for fi, feat in got:
+        ref = MM.decode_bmp(frames[fi])
+        assert feat == ref
+    with pytest.raises(ValueError, match="BMPV"):
+        MM.decode_bmpv(frames[0])
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_bmpv(payload[:-10])
+
+
+def test_bmp_features_real_backend_end_to_end(spark):
+    """attach_bmp -> bmp_features runs the real image decoder inside
+    mapInPandas and reproduces the closed-form gradient sums."""
+    df = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r for r in MM.bmp_features(MM.attach_bmp(df)).collect()}
+    assert len(got) == 30
+    for i in (0, 11, 23, 29):
+        r = got[i]
+        w, h = 8 + i % 23, 4 + i % 11
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == h * (w * (w - 1)) // 2
+        assert r["sum_g"] == w * (h * (h - 1)) // 2
+        assert r["sum_b"] == w * h * (i % 251)
+
+
+def test_sample_frames_real_backend_walks_bmpv(spark):
+    """sample_frames(backend="real") genuinely decodes BMPV streams:
+    counts follow the container's own index, hashes are of real frame
+    bytes."""
+    import hashlib as _hl
+
+    df = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = MM.attach_bmpv(df).withColumn(
+        "media",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(0).alias("sample_rate"),
+            F.lit(999).alias("n_frames"),  # ignored: container index wins
+        ),
+    )
+    rows = MM.sample_frames(media, every=2, backend="real").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(12):
+        n = 1 + i % 8
+        assert len(by_doc[i]) == (n + 1) // 2
+    # Hash of the real frame-0 bytes for doc 3.
+    f0 = MM.encode_bmp(MM.synth_bmp_pixels(3, 0))
+    assert any(
+        r["frame_md5"] == _hl.md5(f0).hexdigest() for r in by_doc[3]
+    )
+
+
 def test_media_features_real_backend_decodes_wav(spark):
     """backend="real" is no longer a pure stub: WAV payloads decode
     (container validated), non-WAV payloads still raise at the seam."""

@@ -83,8 +83,9 @@ def all_queries() -> dict[str, QuerySpec]:
 GATE_CAP = 50
 GATE_ORDER = (
     # -- never driver-hashed (last 6 of the 85-query registry + the
-    # round-4-new multimodal_wav): run first. Once these hash green,
-    # every registry query is cumulatively driver-verified. ------------
+    # round-4-new real-codec trio multimodal_wav/bmp/video_frames): run
+    # first. Once these hash green, every registry query is cumulatively
+    # driver-verified. --------------------------------------------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
     "text_langid",
@@ -92,6 +93,8 @@ GATE_ORDER = (
     "text_fingerprint",
     "text_repetition",
     "multimodal_wav",
+    "multimodal_bmp",
+    "multimodal_video_frames",
     # -- first hashed (green) in round 3 ---------------------------------
     "knn_cosine_pq",
     "pipeline_chunk_documents",
@@ -126,8 +129,6 @@ GATE_ORDER = (
     # -- long-green anchors (distinct operator shapes kept in-gate) ------
     "salted_hot_key_agg",
     "q18_large_orders",
-    "q3_shipping_priority",
-    "q5_region_revenue",
     "asof_first_ship",
     "window_top1_per_order",
     "streaming_sessionize",
@@ -153,6 +154,8 @@ BENCH_EXTRA = (
     "pipeline_corpus_stats",
     "dedup_exact",
     "knn_cosine_ivf",
+    "q3_shipping_priority",
+    "q5_region_revenue",
 )
 
 

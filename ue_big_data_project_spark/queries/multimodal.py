@@ -79,8 +79,73 @@ FROM documents
 """
 
 
+def multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the REAL codec path: every document gets a
+    genuine 24bpp BMP container built in the Arrow workers
+    (operators/multimodal.attach_bmp), and the features come from
+    actually parsing those bytes — file/DIB headers, row padding,
+    bottom-up BGR pixel decode (operators/multimodal.decode_bmp). The
+    fixture raster is a gradient (r=x, g=y, b=f(doc_id)), so every
+    channel sum is closed-form SQL for the oracle while the decode
+    itself handles any uncompressed 24-bit BMP."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return MM.bmp_features(MM.attach_bmp(d))
+
+
+# w = 8 + doc_id % 23, h = 4 + doc_id % 11; r = x, g = y, b = doc_id % 251.
+MULTIMODAL_BMP_SQL = """
+SELECT doc_id,
+       CAST(8 + doc_id % 23 AS INTEGER) AS width,
+       CAST(4 + doc_id % 11 AS INTEGER) AS height,
+       CAST(24 AS INTEGER) AS bits_per_pixel,
+       CAST((8 + doc_id % 23) * (4 + doc_id % 11) AS BIGINT) AS n_pixels,
+       CAST((4 + doc_id % 11) * ((8 + doc_id % 23) * (7 + doc_id % 23)) // 2
+            AS BIGINT) AS sum_r,
+       CAST((8 + doc_id % 23) * ((4 + doc_id % 11) * (3 + doc_id % 11)) // 2
+            AS BIGINT) AS sum_g,
+       CAST((8 + doc_id % 23) * (4 + doc_id % 11) * (doc_id % 251)
+            AS BIGINT) AS sum_b
+FROM documents
+"""
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling through the REAL codec path: each
+    document gets a genuine BMPV frame stream (indexed BMP frames,
+    operators/multimodal.attach_bmpv) and each sampled frame is fully
+    decoded (operators/multimodal.decode_bmpv) — the sampling walks the
+    container's own index, the feature numbers come from the pixels."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return MM.bmpv_frame_features(MM.attach_bmpv(d), every=2)
+
+
+# n_frames = 1 + doc_id % 8; per-frame blue plane = (doc_id + 7*fi) % 251.
+MULTIMODAL_VIDEO_FRAMES_SQL = """
+WITH sampled AS (
+    SELECT doc_id,
+           CAST(unnest(range(0, 1 + doc_id % 8, 2)) AS INTEGER) AS frame_idx
+    FROM documents
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(8 + doc_id % 23 AS INTEGER) AS width,
+       CAST(4 + doc_id % 11 AS INTEGER) AS height,
+       CAST((4 + doc_id % 11) * ((8 + doc_id % 23) * (7 + doc_id % 23)) // 2
+            AS BIGINT) AS sum_r,
+       CAST((8 + doc_id % 23) * ((4 + doc_id % 11) * (3 + doc_id % 11)) // 2
+            AS BIGINT) AS sum_g,
+       CAST((8 + doc_id % 23) * (4 + doc_id % 11)
+            * ((doc_id + 7 * frame_idx) % 251) AS BIGINT) AS sum_b
+FROM sampled
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_wav": QuerySpec(multimodal_wav, MULTIMODAL_WAV_SQL),
+    "multimodal_bmp": QuerySpec(multimodal_bmp, MULTIMODAL_BMP_SQL),
+    "multimodal_video_frames": QuerySpec(
+        multimodal_video_frames, MULTIMODAL_VIDEO_FRAMES_SQL
+    ),
 }
