@@ -83,9 +83,9 @@ def all_queries() -> dict[str, QuerySpec]:
 GATE_CAP = 50
 GATE_ORDER = (
     # -- never driver-hashed (last 6 of the 85-query registry + the
-    # round-4-new real-codec trio multimodal_wav/bmp/video_frames): run
-    # first. Once these hash green, every registry query is cumulatively
-    # driver-verified. --------------------------------------------------
+    # round-4-new real-codec trio multimodal_wav/bmp/video_frames and
+    # the bloom-runtime-filter join): run first. Once these hash green,
+    # every registry query is cumulatively driver-verified. -------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
     "text_langid",
@@ -95,6 +95,7 @@ GATE_ORDER = (
     "multimodal_wav",
     "multimodal_bmp",
     "multimodal_video_frames",
+    "bloom_pruned_join",
     # -- first hashed (green) in round 3 ---------------------------------
     "knn_cosine_pq",
     "pipeline_chunk_documents",
@@ -133,7 +134,6 @@ GATE_ORDER = (
     "window_top1_per_order",
     "streaming_sessionize",
     "streaming_tumbling_window",
-    "pipeline_prep_documents",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
@@ -156,6 +156,7 @@ BENCH_EXTRA = (
     "knn_cosine_ivf",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "pipeline_prep_documents",
 )
 
 

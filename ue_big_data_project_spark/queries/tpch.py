@@ -626,6 +626,51 @@ GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: lineitem is Bloom-pruned by the urgent-order
+    key set BEFORE its shuffle (operators/bloom.bloom_prune_join).
+
+    The probe-side filter is pure whole-stage-codegen (k seeded
+    xxhash64 probes against one word-array literal), so at 100 TB the
+    ~80% of lineitem rows whose orders aren't urgent never leave the
+    scan stage. False positives are removed by the join itself, so the
+    result — and the oracle — is exactly the plain join.
+    """
+    from ue_big_data_project_spark.operators.bloom import bloom_prune_join
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    urgent = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = t["lineitem"].select(
+        "l_orderkey", "l_returnflag", d2(F.col("l_extendedprice")).alias("_p")
+    )
+    joined = bloom_prune_join(li, urgent, "l_orderkey", m_bits=1 << 19)
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            dsum(F.col("_p")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+BLOOM_JOIN_SQL = f"""
+SELECT l_returnflag,
+       {sql_dsum(sql_d2("l_extendedprice"))} AS sum_price,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated-min subquery → window min + rank-1.
 
@@ -1452,6 +1497,7 @@ QUERIES = {
     "scan_filter_agg_kit": QuerySpec(scan_filter_agg_kit, SCAN_FILTER_AGG_SQL),
     "semi_anti_join_kit": QuerySpec(semi_anti_join_kit, SEMI_ANTI_KIT_SQL),
     "salted_hot_key_agg": QuerySpec(salted_hot_key_agg, SALTED_AGG_SQL),
+    "bloom_pruned_join": QuerySpec(bloom_pruned_join, BLOOM_JOIN_SQL),
     "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL),
     "q16_supplier_variety": QuerySpec(q16_supplier_variety, Q16_SQL),
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL),
