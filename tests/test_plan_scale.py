@@ -194,6 +194,11 @@ SHUFFLE_BUDGETS = {
     "pipeline_upsert_corpus": 1,    # one shuffle on the upsert key
     "pipeline_stratified_sample": 1,  # per-language rank
     "pipeline_source_quota": 1,     # per-source rank cap
+    # Round-4 additions.
+    "bloom_pruned_join": 2,         # agg + sort exchange; dim broadcasts
+    "text_repetition": 0,           # pure per-row array fold
+    "multimodal_bmp": 0,            # mapInPandas scan, bytes never move
+    "multimodal_video_frames": 0,   # frame explode stays in-partition
 }
 
 
