@@ -269,3 +269,97 @@ def test_pack_sequences_chunk_invariants(spark, tokens, budget):
         assert r["straddles"] == ((end - 1) // budget > start // budget)
         assert r["oversize"] == (r["n_tokens"] > budget)
         run_by_stream[r["stream"]] = end
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    top_down=st.booleans(),
+)
+def test_bmp_codec_roundtrip_random_rasters(w, h, seed, top_down):
+    """decode(encode(pixels)) recovers exact dimensions and per-channel
+    sums for ANY raster — padding widths, 1-pixel edges, and top-down
+    row order included (no Spark; the codec is pure Python/numpy)."""
+    import struct
+
+    import numpy as np
+
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = MM.encode_bmp(px)
+    if top_down:
+        row = (3 * w + 3) & ~3
+        body = payload[54:]
+        flipped = b"".join(
+            body[(h - 1 - y) * row : (h - y) * row] for y in range(h)
+        )
+        buf = bytearray(payload[:54] + flipped)
+        struct.pack_into("<i", buf, 22, -h)
+        payload = bytes(buf)
+    got = MM.decode_bmp(payload)
+    sums = px.astype(np.int64).sum(axis=(0, 1))
+    assert (got["width"], got["height"], got["n_pixels"]) == (w, h, w * h)
+    assert (got["sum_r"], got["sum_g"], got["sum_b"]) == tuple(int(s) for s in sums)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-(2**15), max_value=2**15 - 1),
+        min_size=1,
+        max_size=400,
+    ),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(min_value=1, max_value=4),
+)
+def test_wav_codec_roundtrip_random_signals(samples, sr, channels):
+    """decode(encode(pcm)) recovers the exact header fields and stats
+    for ANY PCM16 signal, including INT16_MIN and multi-channel layouts
+    (trailing samples that don't fill a frame are dropped, as a real
+    decoder must)."""
+    import numpy as np
+
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    x = np.array(samples, dtype="<i2")
+    payload = MM.encode_wav_pcm16(x, sr, n_channels=channels)
+    got = MM.decode_wav(payload)
+    n_frames = len(samples) // channels
+    kept = x[: n_frames * channels].astype(np.float64)
+    assert got["sample_rate"] == sr and got["n_channels"] == channels
+    assert got["n_samples"] == n_frames
+    if len(kept):
+        assert got["peak_amplitude"] == int(np.max(np.abs(kept)))
+        assert got["rms_amplitude"] == int(np.floor(np.sqrt(np.mean(kept * kept))))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_frames=st.integers(min_value=1, max_value=9),
+    every=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmpv_sampling_matches_per_frame_decode(n_frames, every, seed):
+    """Sampling a frame stream decodes exactly the frames a plain loop
+    over every-th BMP would, whatever the frame sizes."""
+    import numpy as np
+
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        MM.encode_bmp(
+            rng.integers(
+                0, 256, size=(int(rng.integers(1, 12)), int(rng.integers(1, 16)), 3),
+                dtype=np.uint8,
+            )
+        )
+        for _ in range(n_frames)
+    ]
+    got = MM.decode_bmpv(MM.encode_bmpv(frames), every=every)
+    want = [(fi, MM.decode_bmp(frames[fi])) for fi in range(0, n_frames, every)]
+    assert got == want
