@@ -68,6 +68,7 @@ ROTATED_OUT = {
     "q3_shipping_priority": "q10_returned_revenue",  # join+agg+top-k limit
     "q5_region_revenue": "q8_market_share",  # multi-join region agg
     "pipeline_prep_documents": "text_nlp_kit",  # native text filter+metrics
+    "salted_hot_key_agg": "scan_filter_agg_kit",  # grouped multi-agg family
 }
 
 
@@ -104,7 +105,7 @@ def test_unhashed_entries_run_first():
     # CORRECTNESS_r01-r03 covered the rest of the registry; the 9
     # entries the driver has never hashed (the last 6 of the round-3
     # registry + the round-4-new real-codec trio) must lead the gate.
-    never_hashed = GATE_ORDER[:10]
+    never_hashed = GATE_ORDER[:11]
     assert set(never_hashed) == {
         "knn_cosine_ivf_indexed",
         "pipeline_profile",
@@ -116,6 +117,7 @@ def test_unhashed_entries_run_first():
         "multimodal_bmp",
         "multimodal_video_frames",
         "bloom_pruned_join",
+        "streaming_asof_join",
     }
 
 

@@ -356,3 +356,98 @@ def test_incremental_rollup_multi_batch(spark, tmp_path):
     # The update path really did go through multiple batches: the final
     # 00:00 count (3) spans batches 0 and 2.
     assert got[min(got)[0], "click"] == 3
+
+
+def test_streaming_asof_join_multi_batch_improvement(spark, tmp_path):
+    """Cross-batch as-of state machine: a purchase matched in batch 0 is
+    RE-matched when a closer (but still at-or-before) click arrives late
+    in a later batch; out-of-tolerance and never-matched purchases stay
+    absent; the final reduce equals the batch as-of."""
+    from ue_big_data_project_spark.operators.asof import asof_join_stream
+
+    batches = [
+        # user 1: click @2, purchase @10 -> first match = minute 2.
+        [row(1, 2, "click", user=1), row(2, 10, "purchase", user=1)],
+        # user 1: LATE click @8 (within watermark) improves the match;
+        # user 2: purchase @9 with no click yet.
+        [row(3, 8, "click", user=1), row(4, 9, "purchase", user=2)],
+        # user 2: click @5 arrives after its purchase (late, eligible);
+        # user 3: purchase @50 whose only click is 40 min earlier ->
+        # outside the 30-min tolerance, never emits.
+        [
+            row(5, 5, "click", user=2),
+            row(6, 3, "click", user=3),
+            row(7, 50, "purchase", user=3),
+        ],
+    ]
+    path = write_batches(str(tmp_path), batches)
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    purchases = sdf.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = sdf.filter(F.col("event_type") == "click").select("user_id", "ts")
+    drained = S.drain_to_table(
+        spark,
+        asof_join_stream(
+            purchases, clicks,
+            left_ts="ts", right_ts="ts",
+            key="user_id", left_id="event_id",
+            tolerance_seconds=1800, watermark="1 hour",
+        ),
+        mode="update",
+    )
+    # Raw emissions contain BOTH the original and the improved match for
+    # purchase 2 (convergent emission), in micro-batch order.
+    raw = sorted(
+        (r["left_id"], r["asof_us"]) for r in drained.collect()
+    )
+    us = lambda minute: 1704067200000000 + minute * 60_000_000
+    assert raw == [(2, us(2)), (2, us(8)), (4, us(5))]
+    # Final reduce = the batch as-of answer.
+    final = {
+        r["left_id"]: r["best_us"]
+        for r in drained.groupBy("left_id")
+        .agg(F.max("asof_us").alias("best_us"))
+        .collect()
+    }
+    assert final == {2: us(8), 4: us(5)}
+
+
+def test_streaming_asof_join_state_is_pruned(spark, tmp_path):
+    """Watermark-driven pruning: once the watermark passes a purchase,
+    the key's retained state shrinks — asserted via the state-store
+    metrics of the final progress (total state rows < total events)."""
+    from ue_big_data_project_spark.operators.asof import asof_join_stream
+
+    batches = [
+        [row(i, m, "click" if i % 2 else "purchase", user=1)
+         for i, m in enumerate(range(0, 10))],
+        # Jump event time far ahead: watermark (10 min) passes everything
+        # in batch 0, so its lefts AND rights must leave the state.
+        [row(50, 55, "click", user=1)],
+        [row(51, 56, "purchase", user=1)],
+    ]
+    path = write_batches(str(tmp_path), batches)
+    sdf = S.file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger=1)
+    purchases = sdf.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = sdf.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join_stream(
+        purchases, clicks,
+        left_ts="ts", right_ts="ts",
+        key="user_id", left_id="event_id",
+        tolerance_seconds=120, watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_asof_prune")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    rows_in_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    q.stop()
+    # One key with (1 click + 1 purchase) retained, not the 11 earlier
+    # events — state is bounded by the watermark, not stream length.
+    assert rows_in_state <= 1, rows_in_state

@@ -96,6 +96,7 @@ GATE_ORDER = (
     "multimodal_bmp",
     "multimodal_video_frames",
     "bloom_pruned_join",
+    "streaming_asof_join",
     # -- first hashed (green) in round 3 ---------------------------------
     "knn_cosine_pq",
     "pipeline_chunk_documents",
@@ -128,7 +129,6 @@ GATE_ORDER = (
     "scan_filter_agg_kit",
     "semi_anti_join_kit",
     # -- long-green anchors (distinct operator shapes kept in-gate) ------
-    "salted_hot_key_agg",
     "q18_large_orders",
     "asof_first_ship",
     "window_top1_per_order",
@@ -157,6 +157,7 @@ BENCH_EXTRA = (
     "q3_shipping_priority",
     "q5_region_revenue",
     "pipeline_prep_documents",
+    "salted_hot_key_agg",
 )
 
 

@@ -362,6 +362,69 @@ FROM c JOIN e
 """
 
 
+def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming as-of join (operators/asof.asof_join_stream): two
+    file-replay streams — purchases and clicks — joined per user as
+    "latest click at-or-before each purchase, within 30 minutes" via a
+    custom applyInPandasWithState operator (Structured Streaming has no
+    native as-of join). Convergent emission: each batch re-emits a
+    purchase whose best match improved; the final ``max(asof_us)``
+    reduce over the drained table hash-matches the batch as-of SQL.
+    """
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators.asof import asof_join_stream
+
+    apply_session_conf(spark)
+    path = _os.path.join(sf_dir, "events.parquet")
+
+    def replay(event_type: str) -> DataFrame:
+        sdf = ST.replay_parquet(spark, path)
+        if isinstance(sdf.schema["ts"].dataType, T.LongType):
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return sdf.filter(F.col("event_type") == event_type)
+
+    purchases = replay("purchase").select("user_id", "event_id", "ts")
+    clicks = replay("click").select("user_id", "ts")
+    matched = asof_join_stream(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="ts",
+        key="user_id",
+        left_id="event_id",
+        tolerance_seconds=1800,
+        watermark="1 hour",
+    )
+    drained = ST.drain_to_table(spark, matched, mode="update")
+    return drained.groupBy(
+        F.col("key").alias("user_id"), F.col("left_id").alias("event_id")
+    ).agg(
+        F.max("left_us").alias("ts_us"),
+        F.max("asof_us").alias("prev_click_us"),
+    )
+
+
+STREAMING_ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(max(c.click_ts)) AS prev_click_us
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.click_ts <= p.ts
+ AND c.click_ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY p.user_id, p.event_id, p.ts
+"""
+
+
 def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate end-to-end: the events stream maintains a
     parquet rollup TABLE (15-minute windows × event_type) via update-mode
@@ -712,6 +775,7 @@ QUERIES = {
     "streaming_interval_join": QuerySpec(
         streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
     ),
+    "streaming_asof_join": QuerySpec(streaming_asof_join, STREAMING_ASOF_SQL),
     "events_tumbling_window": QuerySpec(events_tumbling_window, EVENTS_TUMBLING_SQL),
     "events_dedup_first": QuerySpec(events_dedup_first, EVENTS_DEDUP_SQL),
     "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_SQL),
