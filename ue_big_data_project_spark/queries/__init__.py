@@ -54,9 +54,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # registry order. The gate set below is (a) capped at 50, (b) ordered so
 # entries the driver has never hashed run first, and (c) rotated each
 # round: once an entry is driver-green it can yield its slot to a
-# never-hashed registry query (round 3 rotated in the 15 remaining
-# distinct shapes; the rotated-out entries stay in all_queries() and the
-# pytest oracle gate, tests/test_oracle.py, which always runs all 81).
+# never-hashed registry query (the rotated-out entries stay in
+# all_queries() and the pytest oracle gate, tests/test_oracle.py, which
+# always runs the FULL registry).
 #
 # Gate-covered-by proxy (near-duplicate shapes merged into kit queries
 # or covered by a stronger twin; see tests/test_gate.py::PROXIED):
