@@ -36,6 +36,18 @@ def test_false_positive_rate_bounded(spark):
     assert fp / 10_000 < 0.05, f"false-positive rate {fp / 10_000:.3f}"
 
 
+def test_mismatched_key_widths_still_match(spark):
+    """xxhash64 is type-sensitive, so hashing raw columns would silently
+    drop EVERY match when the dim key is INT and the fact key is BIGINT
+    (a plain join casts to a common type). The canonical-string hashing
+    makes all integer widths agree."""
+    build = spark.range(0, 200).select(F.col("id").cast("int").alias("k"))
+    probe = spark.range(0, 200).select(F.col("id").cast("bigint").alias("k"))
+    bloom = build_key_bloom(build, "k", m_bits=1 << 13)
+    assert probe.where(~bloom_might_contain(F.col("k"), bloom)).count() == 0
+    assert bloom_prune_join(probe, build, "k").count() == 200
+
+
 def test_string_keys_supported(spark):
     """xxhash64 hashes any atomic type; strings round-trip too."""
     build = spark.range(0, 500).select(F.concat(F.lit("doc-"), "id").alias("k"))

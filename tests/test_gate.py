@@ -102,9 +102,10 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r03 covered the rest of the registry; the 9
+    # CORRECTNESS_r01-r03 covered the rest of the registry; the 11
     # entries the driver has never hashed (the last 6 of the round-3
-    # registry + the round-4-new real-codec trio) must lead the gate.
+    # registry + the round-4-new real-codec trio, bloom runtime-filter
+    # join, and streaming as-of join) must lead the gate.
     never_hashed = GATE_ORDER[:11]
     assert set(never_hashed) == {
         "knn_cosine_ivf_indexed",

@@ -183,6 +183,30 @@ def test_bmpv_frame_stream_sampling():
         MM.decode_bmpv(payload[:-10])
 
 
+def test_bmp_rejects_header_pointing_pixel_offset():
+    """A bfOffBits that points into the headers must raise, not decode
+    header bytes as pixels."""
+    import struct
+
+    payload = bytearray(MM.encode_bmp(MM.synth_bmp_pixels(3)))
+    struct.pack_into("<I", payload, 10, 2)  # pix_off = 2 (inside header)
+    with pytest.raises(ValueError, match="offset"):
+        MM.decode_bmp(bytes(payload))
+
+
+def test_bmpv_walk_is_shared_and_validated():
+    """sample_frames and decode_bmpv share one validated index walk:
+    truncated containers raise the codec's ValueError everywhere (not a
+    raw struct.error from a drifted inline copy)."""
+    frames = [MM.encode_bmp(MM.synth_bmp_pixels(5, fi)) for fi in range(4)]
+    payload = MM.encode_bmpv(frames)
+    assert [fi for fi, _ in MM.bmpv_frames(payload, every=2)] == [0, 2]
+    with pytest.raises(ValueError, match="truncated frame index"):
+        MM.bmpv_frames(payload[:10])
+    with pytest.raises(ValueError, match="truncated frame data"):
+        MM.bmpv_frames(payload[:-5])
+
+
 def test_bmp_features_real_backend_end_to_end(spark):
     """attach_bmp -> bmp_features runs the real image decoder inside
     mapInPandas and reproduces the closed-form gradient sums."""

@@ -327,6 +327,11 @@ ASOF_STREAM_SCHEMA = (
     "key long, left_id long, left_us long, asof_us long"
 )
 
+# "No match yet" sentinel for the per-left best-match state. INT64_MIN,
+# not -1: pre-1970 event times have NEGATIVE epoch micros, and a -1
+# sentinel would suppress any legitimate match below it.
+_NO_MATCH = -(2**63)
+
 
 def asof_join_stream(
     left: DataFrame,
@@ -385,7 +390,11 @@ def asof_join_stream(
     rights = right.withWatermark(right_ts, watermark).select(
         F.col(key).alias("_key"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast("long").alias("_id"),
+        # 0, not NULL: a nullable long column reaches pandas as float64
+        # (Arrow null masking), which silently rounds left ids >= 2^53.
+        # Right rows never read _id, so any non-null filler keeps the
+        # Arrow batch int64 end to end.
+        F.lit(0).cast("long").alias("_id"),
         F.unix_micros(F.col(right_ts)).alias("_us"),
         F.col(right_ts).alias("_event_ts"),
     )
@@ -413,10 +422,12 @@ def asof_join_stream(
             new_r = pdf.loc[pdf["_side"] == 0, "_us"]
             r_us.extend(int(x) for x in new_r)
             new_l = pdf.loc[pdf["_side"] == 1]
-            for lid, lus in zip(new_l["_id"], new_l["_us"]):
+            for lid, lus in zip(
+                new_l["_id"].astype("int64"), new_l["_us"].astype("int64")
+            ):
                 l_ids.append(int(lid))
                 l_us.append(int(lus))
-                l_best.append(-1)
+                l_best.append(_NO_MATCH)
         # Vectorized re-match: latest right in [left - tol, left] via
         # one searchsorted over the sorted right timestamps.
         out_rows = []

@@ -66,9 +66,19 @@ def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
     ``xxhash64`` — k independent draws with no long arithmetic (the
     usual h1 + i*h2 double-hashing overflows, which ANSI mode rejects).
     ``bitwiseAND`` with the power-of-two mask keeps the low bits, which
-    are uniform and non-negative even for negative hashes."""
+    are uniform and non-negative even for negative hashes.
+
+    The key is hashed through its CANONICAL STRING form: xxhash64 is
+    type-sensitive (``xxhash64(7::INT) != xxhash64(7::BIGINT)``), so
+    hashing raw columns silently drops every match when the build and
+    probe sides carry different key widths — a plain equi join would
+    have cast them to a common type. String form makes all integer
+    widths (and equal strings) agree; types whose canonical strings
+    differ for equal values (``7`` vs ``7.0``) must be pre-cast by the
+    caller, as they would be for any hash-based co-partitioning."""
+    s = col.cast("string")
     return [
-        F.xxhash64(col, F.lit(i)).bitwiseAND(F.lit(m_bits - 1)) for i in range(k)
+        F.xxhash64(s, F.lit(i)).bitwiseAND(F.lit(m_bits - 1)) for i in range(k)
     ]
 
 

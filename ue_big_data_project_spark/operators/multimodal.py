@@ -316,6 +316,10 @@ def decode_bmp(payload: bytes) -> dict:
     )
     if dib_size < 40:
         raise ValueError("DIB header too short")
+    if pix_off < 14 + dib_size or pix_off > len(payload):
+        # An offset pointing into (or before) the headers would silently
+        # decode header bytes as pixels instead of failing.
+        raise ValueError("bad pixel-array offset")
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported encoding: bpp={bpp} compression={compression}")
     top_down = h_signed < 0
@@ -436,11 +440,12 @@ def encode_bmpv(frames: list[bytes]) -> bytes:
     return header + index + b"".join(frames)
 
 
-def decode_bmpv(payload: bytes, every: int = 1) -> list[tuple[int, dict]]:
-    """Walk a BMPV container's frame index and fully decode every
-    ``every``-th frame with :func:`decode_bmp`. Returns
-    ``[(frame_idx, features), ...]``. Raises ``ValueError`` on a
-    malformed container or frame."""
+def bmpv_frames(payload: bytes, every: int = 1) -> list[tuple[int, bytes]]:
+    """Validated index walk of a BMPV container: ``[(frame_idx,
+    frame_bytes), ...]`` for every ``every``-th frame. The single walk
+    implementation every consumer shares — ``decode_bmpv`` and
+    ``sample_frames`` both build on it, so validation cannot drift.
+    Raises ``ValueError`` on a malformed container."""
     if len(payload) < 8 or payload[:4] != BMPV_MAGIC:
         raise ValueError("not a BMPV container")
     (n_frames,) = struct.unpack_from("<I", payload, 4)
@@ -451,11 +456,20 @@ def decode_bmpv(payload: bytes, every: int = 1) -> list[tuple[int, dict]]:
     offsets = np.concatenate(([0], np.cumsum(lengths))) + idx_end
     if offsets[-1] > len(payload):
         raise ValueError("truncated frame data")
-    out = []
-    for fi in range(0, n_frames, every):
-        frame = payload[offsets[fi] : offsets[fi + 1]]
-        out.append((fi, decode_bmp(frame)))
-    return out
+    return [
+        (fi, payload[offsets[fi] : offsets[fi + 1]])
+        for fi in range(0, n_frames, every)
+    ]
+
+
+def decode_bmpv(payload: bytes, every: int = 1) -> list[tuple[int, dict]]:
+    """Walk a BMPV container's frame index and fully decode every
+    ``every``-th frame with :func:`decode_bmp`. Returns
+    ``[(frame_idx, features), ...]``. Raises ``ValueError`` on a
+    malformed container or frame."""
+    return [
+        (fi, decode_bmp(frame)) for fi, frame in bmpv_frames(payload, every)
+    ]
 
 
 def synth_bmpv(doc_id: int) -> bytes:
@@ -585,11 +599,7 @@ def sample_frames(df: DataFrame, every: int = 1, backend: str = "fake") -> DataF
                         )
                     # Real path: the container's own index decides the
                     # frame count; each kept frame is genuinely decoded.
-                    (n,) = struct.unpack_from("<I", raw, 4)
-                    lengths = struct.unpack_from(f"<{n}I", raw, 8)
-                    offs = np.concatenate(([0], np.cumsum(lengths))) + 8 + 4 * n
-                    for fi in range(0, n, every):
-                        frame = raw[offs[fi] : offs[fi + 1]]
+                    for fi, frame in bmpv_frames(raw, every):
                         decode_bmp(frame)  # validation + full pixel decode
                         ids.append(doc_id)
                         idxs.append(fi)

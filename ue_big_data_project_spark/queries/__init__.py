@@ -82,10 +82,11 @@ def all_queries() -> dict[str, QuerySpec]:
 # pipeline_chunk_documents).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed (last 6 of the 85-query registry + the
-    # round-4-new real-codec trio multimodal_wav/bmp/video_frames and
-    # the bloom-runtime-filter join): run first. Once these hash green,
-    # every registry query is cumulatively driver-verified. -------------
+    # -- never driver-hashed (the last 6 of the round-3 registry + the
+    # round-4-new real-codec trio multimodal_wav/bmp/video_frames, the
+    # bloom-runtime-filter join, and the streaming as-of join): run
+    # first. Once these hash green, every entry of the 90-query registry
+    # is cumulatively driver-verified. -----------------------------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
     "text_langid",
