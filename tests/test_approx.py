@@ -72,3 +72,61 @@ def test_persisted_ivf_index_prunes_and_matches(spark, tmp_path):
     assert m["numFiles"] == len(cells), (cells, m)
     full = _scan_metrics(spark.read.parquet(idx))
     assert full["numFiles"] == 16
+
+
+def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
+    """Incremental maintenance: build on half the corpus, append the
+    other half with the FROZEN centroids — the appended index must equal
+    a full tag-and-write of the whole corpus against those same
+    centroids, row for row, and probes against it stay partition-pruned
+    (only nprobe cell directories read)."""
+    from ue_big_data_project_spark.operators.similarity import (
+        _write_tagged,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_knn_indexed,
+    )
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    idx = str(tmp_path / "ivf_inc")
+    build_ivf_index(first, idx, n_centroids=8, kmeans_iters=2)
+    ivf_index_append(spark, idx, rest)
+
+    # Reference: one-shot tag+write of the FULL corpus with the SAME
+    # frozen centroids (append must not move any cell boundary).
+    cents = spark.read.parquet(idx + "_centroids")
+    full = str(tmp_path / "ivf_full")
+    _write_tagged(e, cents, full, "vec_id", "embedding", 6, "overwrite")
+    cents.write.parquet(full + "_centroids")
+
+    inc_rows = sorted(
+        map(tuple, spark.read.parquet(idx).select("vec_id", "cell").collect())
+    )
+    full_rows = sorted(
+        map(tuple, spark.read.parquet(full).select("vec_id", "cell").collect())
+    )
+    assert inc_rows == full_rows
+
+    got = ivf_knn_indexed(spark, idx, queries, k=5, nprobe=2)
+    want = ivf_knn_indexed(spark, full, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # Pruning survives the append: a probed-cell scan of the appended
+    # index lists at most 2 files per probed cell (base + increment),
+    # never the whole corpus layout.
+    from ue_big_data_project_spark.operators.similarity import _assign_clusters
+
+    probes = _assign_clusters(queries, cents, "query_vec", "query_id", nprobe=2)
+    cells = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
+    assert 0 < len(cells) < 8
+    m = _scan_metrics(
+        spark.read.parquet(idx).filter(F.col("cell").isin(cells))
+    )
+    assert m["numFiles"] <= 2 * len(cells), (cells, m)

@@ -27,6 +27,9 @@ PROXIED = {
     "cheapest_supplier_per_part": "window_top1_per_order",
     "q12_priority_by_status": "scan_filter_agg_kit",
     "asof_bucketed_prev_click": "asof_first_ship",
+    # Same oracle and probe path; append-vs-build equivalence is pinned
+    # by tests/test_approx.py::test_ivf_index_append_matches_full_rebuild.
+    "knn_cosine_ivf_appended": "knn_cosine_ivf_indexed",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -569,10 +569,14 @@ def build_ivf_index(
     item_id: str = "vec_id",
     item_vec: str = "embedding",
     score_scale: int = 6,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize an IVF index on disk: the corpus tagged with its
     Voronoi cell and written PARTITIONED BY ``cell`` (one directory per
     cell), centroids persisted alongside at ``<path>_centroids``.
+    Pass ``centroids`` to seed the index with an externally trained
+    quantizer (e.g. trained on the full corpus while only a first batch
+    is written, with the rest arriving via :func:`ivf_index_append`).
 
     This is the persisted form of the in-flight index :func:`ivf_knn`
     builds per call: at scale you pay the tagging scan once, and every
@@ -583,16 +587,36 @@ def build_ivf_index(
     :func:`~ue_big_data_project_spark.sources.compact_small_files` per
     cell directory if increments fragment it.
     """
-    centroids = kmeans_centroids(
-        items,
-        n_centroids=n_centroids,
-        iters=kmeans_iters,
-        item_id=item_id,
-        item_vec=item_vec,
-        train_mod=train_mod,
-        score_scale=score_scale,
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            items,
+            n_centroids=n_centroids,
+            iters=kmeans_iters,
+            item_id=item_id,
+            item_vec=item_vec,
+            train_mod=train_mod,
+            score_scale=score_scale,
+        )
     centroids.write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    _write_tagged(
+        items, centroids, path, item_id, item_vec, score_scale, mode="overwrite"
+    )
+
+
+def _write_tagged(
+    items: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    item_id: str,
+    item_vec: str,
+    score_scale: int,
+    mode: str,
+) -> None:
+    """Tag ``items`` with their Voronoi cell (broadcast centroids, zero
+    shuffle) and write them into the cell-partitioned layout. One output
+    file per cell per write (repartition on the partition column), so a
+    probe reads nprobe files per increment, not nprobe × shuffle
+    partitions."""
     tagged = _assign_clusters(
         items,
         centroids,
@@ -601,11 +625,40 @@ def build_ivf_index(
         nprobe=1,
         score_scale=score_scale,
     ).withColumnRenamed("cent_id", "cell")
-    # One output file per cell (repartition on the partition column),
-    # so a probe reads nprobe files, not nprobe * shuffle_partitions.
-    tagged.repartition("cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
+    tagged.repartition("cell").write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ivf_index_append(
+    spark: SparkSession,
+    index_path: str,
+    new_items: DataFrame,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    score_scale: int = 6,
+) -> None:
+    """Incrementally add vectors to a persisted IVF index WITHOUT
+    retraining: new items are assigned with the index's SAVED centroids
+    (the coarse quantizer is a frozen artifact — retraining it would
+    silently shift every existing cell boundary) and appended into their
+    cell directories.
+
+    The 100 TB maintenance path: per-increment cost is one tagged scan
+    of the increment, never a rebuild; cell boundaries — and therefore
+    every existing item's placement and every probe plan — are
+    unchanged, so an appended index returns exactly what a fresh
+    :func:`build_ivf_index` tag-and-write of the full corpus against
+    the same centroids would (equivalence-tested). Each append adds one
+    file per touched cell; compact cell directories
+    (``sources.compact_small_files``) when increments fragment them.
+    Quantizer drift (the corpus distribution moving away from the
+    frozen centroids) is a rebuild decision, not an append concern —
+    monitor via cell-size skew in ``observability.profile_table``.
+    """
+    centroids = spark.read.parquet(index_path.rstrip("/") + "_centroids")
+    _write_tagged(
+        new_items, centroids, index_path, item_id, item_vec, score_scale,
+        mode="append",
+    )
 
 
 def ivf_knn_indexed(

@@ -523,6 +523,43 @@ def knn_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(root, ignore_errors=True)
 
 
+def knn_cosine_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 against an INCREMENTALLY MAINTAINED IVF index: the
+    quantizer trains once on the full corpus, the index is built with
+    only the even vectors, and the odd vectors arrive later via
+    operators/similarity.ivf_index_append — assigned with the frozen
+    centroids, appended into their cell directories, no retrain. The
+    appended index must answer exactly like a one-shot build against
+    the same centroids, so the oracle is the same IVF SQL replay as
+    knn_cosine_ivf / knn_cosine_ivf_indexed."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.similarity import (
+        ivf_index_append,
+        kmeans_centroids,
+    )
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    root = _tf.mkdtemp(prefix="spark_graft_ivf_inc_")
+    idx = root + "/ivf"
+    try:
+        cents = kmeans_centroids(e, n_centroids=16, iters=2)
+        build_ivf_index(
+            e.filter(F.col("vec_id") % 2 == 0), idx, centroids=cents
+        )
+        ivf_index_append(spark, idx, e.filter(F.col("vec_id") % 2 == 1))
+        queries = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return ivf_knn_indexed(
+            spark, idx, queries, k=5, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via product quantization + asymmetric distance:
     4 subspaces x 8-entry L2 codebooks (1 Lloyd iteration, deterministic
@@ -1420,5 +1457,6 @@ QUERIES = {
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_cosine_ivf_indexed": QuerySpec(knn_cosine_ivf_indexed, KNN_IVF_SQL),
+    "knn_cosine_ivf_appended": QuerySpec(knn_cosine_ivf_appended, KNN_IVF_SQL),
     "knn_cosine_pq": QuerySpec(knn_cosine_pq, KNN_PQ_SQL),
 }
