@@ -130,3 +130,32 @@ def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
         spark.read.parquet(idx).filter(F.col("cell").isin(cells))
     )
     assert m["numFiles"] <= 2 * len(cells), (cells, m)
+
+
+def test_ivf_cell_stats_monitor(spark, tmp_path):
+    """The drift monitor: shares sum to 1, skew is size/mean, and the
+    stats scan reads zero data columns (partition column only)."""
+    from ue_big_data_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_cell_stats,
+    )
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    idx = str(tmp_path / "ivf_stats")
+    build_ivf_index(e, idx, n_centroids=8, kmeans_iters=1)
+    rows = ivf_cell_stats(spark, idx).collect()
+    total = e.count()
+    assert sum(r["n_vectors"] for r in rows) == total
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    mean = total / len(rows)
+    for r in rows:
+        assert abs(r["skew"] - r["n_vectors"] / mean) < 1e-9
+    plan = (
+        spark.read.parquet(idx)
+        .groupBy("cell")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<>" in plan

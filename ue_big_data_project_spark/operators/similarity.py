@@ -661,6 +661,34 @@ def ivf_index_append(
     )
 
 
+def ivf_cell_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-cell occupancy of a persisted IVF index — the quantizer-drift
+    monitor :func:`ivf_index_append`'s contract points at: appends with
+    a frozen quantizer are exact, but a corpus whose distribution moves
+    away from the trained centroids shows up here as growing cell-size
+    skew (hot cells slow probes; empty cells waste nprobe). ``cell`` is
+    the partition column, so the count scan prunes to ZERO data columns
+    (empty ReadSchema) — the vectors are never read.
+
+    Columns: cell, n_vectors, share (fraction of corpus), skew (cell
+    size / mean cell size — alert when max(skew) drifts, e.g. > 4).
+    """
+    counts = (
+        spark.read.parquet(index_path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    totals = counts.agg(
+        F.sum("n_vectors").alias("_total"), F.count(F.lit(1)).alias("_cells")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "cell",
+        "n_vectors",
+        (F.col("n_vectors") / F.col("_total")).alias("share"),
+        (F.col("n_vectors") * F.col("_cells") / F.col("_total")).alias("skew"),
+    )
+
+
 def ivf_knn_indexed(
     spark: SparkSession,
     index_path: str,
