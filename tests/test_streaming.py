@@ -451,3 +451,82 @@ def test_streaming_asof_join_state_is_pruned(spark, tmp_path):
     # One key with (1 click + 1 purchase) retained, not the 11 earlier
     # events — state is bounded by the watermark, not stream length.
     assert rows_in_state <= 1, rows_in_state
+
+
+def test_ivf_ingest_stream_matches_one_shot_build(spark, tmp_path):
+    """Continuous embedding ingestion: three micro-batches streamed into
+    a persisted IVF index with a frozen quantizer must equal the one-shot
+    tag-and-write of the full corpus against the same centroids, probes
+    included; a full replay (fresh stream, same ledger) changes nothing."""
+    import os as _os
+
+    from ue_big_data_project_spark.operators.similarity import (
+        _write_tagged,
+        ivf_knn_indexed,
+        kmeans_centroids,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))[
+        "embeddings"
+    ]
+    import glob as _glob
+    import shutil as _shutil
+
+    src = str(tmp_path / "arrivals")
+    _os.makedirs(src)
+    base = 1_700_000_000
+    for i in range(3):
+        stage = str(tmp_path / f"stage_{i}")
+        e.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(stage)
+        # The file-stream source lists plain FILES in src, not nested
+        # write directories — promote the single part file.
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        f = _os.path.join(src, f"part_{i}.parquet")
+        _shutil.move(part, f)
+        _os.utime(f, (base + i * 60, base + i * 60))
+
+    idx = str(tmp_path / "ivf_stream")
+    cents = kmeans_centroids(e, n_centroids=8, iters=1)
+    cents.write.parquet(idx + "_centroids")
+    ledger = str(tmp_path / "ledger")
+
+    def run_stream():
+        sdf = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        S.run_until_drained(S.ivf_ingest_stream(sdf, idx, ledger))
+
+    run_stream()
+
+    full = str(tmp_path / "ivf_oneshot")
+    _write_tagged(e, cents, full, "vec_id", "embedding", 6, "overwrite")
+    cents.write.parquet(full + "_centroids")
+
+    def placement(path):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(path).select("vec_id", "cell").collect(),
+            )
+        )
+
+    assert placement(idx) == placement(full)
+
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = ivf_knn_indexed(spark, idx, queries, k=5, nprobe=2)
+    want = ivf_knn_indexed(spark, full, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # Replay: a fresh stream over the same arrivals re-presents batch
+    # ids 0..2; the ledger skips them all and the index is unchanged.
+    before = placement(idx)
+    run_stream()
+    assert placement(idx) == before

@@ -719,3 +719,59 @@ def dedup_ingest_stream(
             raise RuntimeError("injected crash: after fingerprint append")
 
     return idempotent_foreach_batch(sdf, ingest, ledger_dir)
+
+
+def ivf_ingest_stream(
+    sdf: DataFrame,
+    index_path: str,
+    ledger_dir: str,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    score_scale: int = 6,
+) -> StreamingQuery:
+    """Continuous embedding ingestion into a persisted IVF index: every
+    micro-batch is assigned with the index's FROZEN quantizer (the
+    persisted ``<index_path>_centroids`` — train it once on a bootstrap
+    sample via ``similarity.kmeans_centroids``; retraining mid-stream
+    would move existing cell boundaries) and written into its Voronoi
+    cells, so ANN probes see new vectors as soon as their batch commits.
+
+    Layout: each batch lands under its own ``batch_id=N`` partition,
+    sub-partitioned by ``cell`` (``batch_id=N/cell=C/``) in overwrite
+    mode — the same crash contract as :func:`dedup_ingest_stream`: a
+    replayed batch rewrites its own partitions byte-for-byte, never
+    duplicates vectors, and the ledger marker commits last. Probes
+    (``similarity.ivf_knn_indexed``) filter on the hive ``cell`` column,
+    which prunes cell directories inside every batch partition; the
+    ``batch_id`` level also ages the index for free (drop the oldest
+    partitions for windowed retention) and marks compaction units
+    (``sources.compact_small_files`` per cell when increments fragment).
+
+    Per-batch cost: one broadcast-assign scan of the batch — O(batch),
+    independent of index size. Quantizer drift under a shifting stream
+    is a rebuild decision; watch ``similarity.ivf_cell_stats``.
+    """
+    from ue_big_data_project_spark.operators.similarity import (
+        _assign_clusters,
+    )
+
+    centroids_path = index_path.rstrip("/") + "_centroids"
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        centroids = sp.read.parquet(centroids_path)
+        tagged = _assign_clusters(
+            batch_df,
+            centroids,
+            item_vec,
+            item_id,
+            nprobe=1,
+            score_scale=score_scale,
+        ).withColumnRenamed("cent_id", "cell")
+        if tagged.isEmpty():
+            return
+        tagged.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(os.path.join(index_path, f"batch_id={batch_id}"))
+
+    return idempotent_foreach_batch(sdf, ingest, ledger_dir)
