@@ -133,11 +133,15 @@ def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
 
 
 def test_ivf_cell_stats_monitor(spark, tmp_path):
-    """The drift monitor: shares sum to 1, skew is size/mean, and the
-    stats scan reads zero data columns (partition column only)."""
+    """The drift monitor: shares sum to 1, skew is size/mean over the
+    CENTROID universe (empty cells are explicit 0 rows, not invisible —
+    a collapsed index must read as skewed, not healthy), and the stats
+    scan reads zero data columns (partition column only)."""
     from ue_big_data_project_spark.operators.similarity import (
+        _write_tagged,
         build_ivf_index,
         ivf_cell_stats,
+        kmeans_centroids,
     )
 
     e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
@@ -145,11 +149,27 @@ def test_ivf_cell_stats_monitor(spark, tmp_path):
     build_ivf_index(e, idx, n_centroids=8, kmeans_iters=1)
     rows = ivf_cell_stats(spark, idx).collect()
     total = e.count()
+    assert len(rows) == 8  # every centroid reports, occupied or not
     assert sum(r["n_vectors"] for r in rows) == total
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
-    mean = total / len(rows)
+    mean = total / 8
     for r in rows:
         assert abs(r["skew"] - r["n_vectors"] / mean) < 1e-9
+
+    # Drift blindness regression: write only ONE cell's vectors against
+    # the same 8 centroids — the monitor must report 7 empty cells and
+    # max skew 8.0, not a single healthy-looking skew-1.0 row.
+    cents = kmeans_centroids(e, n_centroids=8, iters=1)
+    one_cell = spark.read.parquet(idx).filter(
+        F.col("cell") == spark.read.parquet(idx).select("cell").first()[0]
+    ).drop("cell")
+    skewed = str(tmp_path / "ivf_skewed")
+    _write_tagged(one_cell, cents, skewed, "vec_id", "embedding", 6, "overwrite")
+    cents.write.parquet(skewed + "_centroids")
+    srows = ivf_cell_stats(spark, skewed).collect()
+    assert len(srows) == 8
+    assert sum(1 for r in srows if r["n_vectors"] == 0) == 7
+    assert abs(max(r["skew"] for r in srows) - 8.0) < 1e-9
     plan = (
         spark.read.parquet(idx)
         .groupBy("cell")
@@ -159,3 +179,33 @@ def test_ivf_cell_stats_monitor(spark, tmp_path):
         .toString()
     )
     assert "ReadSchema: struct<>" in plan
+
+
+def test_ivf_layout_and_param_guards(spark, tmp_path):
+    """Misuse guards: flat append onto a stream-ingested layout is
+    refused (it would brick partition discovery), and external centroids
+    cannot be combined with quantizer-training parameters."""
+    import pytest
+
+    from ue_big_data_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        kmeans_centroids,
+    )
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    cents = kmeans_centroids(e, n_centroids=8, iters=1)
+
+    with pytest.raises(ValueError, match="not both"):
+        build_ivf_index(e, str(tmp_path / "x"), n_centroids=8, centroids=cents)
+
+    # Fake a stream-ingested layout: batch_id=N/cell=C.
+    idx = str(tmp_path / "ivf_streamed")
+    from ue_big_data_project_spark.operators.similarity import _write_tagged
+
+    _write_tagged(
+        e, cents, idx + "/batch_id=0", "vec_id", "embedding", 6, "overwrite"
+    )
+    cents.write.parquet(idx + "_centroids")
+    with pytest.raises(ValueError, match="stream-ingested"):
+        ivf_index_append(spark, idx, e.limit(5))

@@ -530,3 +530,39 @@ def test_ivf_ingest_stream_matches_one_shot_build(spark, tmp_path):
     before = placement(idx)
     run_stream()
     assert placement(idx) == before
+
+
+def test_ivf_ingest_stream_refuses_flat_layout(spark, tmp_path):
+    """The stream refuses to write batch partitions into a one-shot
+    build_ivf_index layout (conflicting partition schemas would brick
+    every subsequent read)."""
+    import os as _os
+
+    from ue_big_data_project_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))[
+        "embeddings"
+    ]
+    idx = str(tmp_path / "ivf_flat")
+    build_ivf_index(e, idx, n_centroids=8, kmeans_iters=1)
+
+    src = str(tmp_path / "arrivals")
+    _os.makedirs(src)
+    e.limit(10).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as _glob
+    import shutil as _shutil
+
+    (part,) = _glob.glob(str(tmp_path / "stage" / "part-*.parquet"))
+    _shutil.move(part, _os.path.join(src, "a.parquet"))
+
+    sdf = spark.readStream.schema(e.schema).parquet(src)
+    q = S.ivf_ingest_stream(sdf, idx, str(tmp_path / "ledger"))
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="flat"):
+        q.processAllAvailable()
+    q.stop()

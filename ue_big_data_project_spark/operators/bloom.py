@@ -187,8 +187,19 @@ def bloom_prune_join(
         )
     # Hash natively when both sides already share one key type (the
     # common case — skips a per-row string cast); fall back to the
-    # type-insensitive canonical form on any mismatch.
-    canonical = big.schema[on].dataType != dim.schema[on].dataType
+    # type-insensitive canonical form on any mismatch. The lookup is
+    # case-insensitive like Spark's own resolution (schema[...] is
+    # exact-match and would raise on a case-variant name the analyzer
+    # accepts); an unresolvable name falls back to canonical and lets
+    # the join itself raise the proper error.
+    def _key_type(df: DataFrame):
+        for fld in df.schema.fields:
+            if fld.name.lower() == on.lower():
+                return fld.dataType
+        return None
+
+    big_t, dim_t = _key_type(big), _key_type(dim)
+    canonical = big_t is None or dim_t is None or big_t != dim_t
     bloom = build_key_bloom(dim, on, m_bits=m_bits, k=k, canonical=canonical)
     pruned = big.where(bloom_might_contain(F.col(on), bloom))
     return pruned.join(dim, on, how)

@@ -563,9 +563,9 @@ def lsh_knn(
 def build_ivf_index(
     items: DataFrame,
     path: str,
-    n_centroids: int = 16,
-    kmeans_iters: int = 2,
-    train_mod: int = 4,
+    n_centroids: int | None = None,
+    kmeans_iters: int | None = None,
+    train_mod: int | None = None,
     item_id: str = "vec_id",
     item_vec: str = "embedding",
     score_scale: int = 6,
@@ -587,14 +587,23 @@ def build_ivf_index(
     :func:`~ue_big_data_project_spark.sources.compact_small_files` per
     cell directory if increments fragment it.
     """
-    if centroids is None:
+    if centroids is not None:
+        if any(v is not None for v in (n_centroids, kmeans_iters, train_mod)):
+            # Training parameters with an external quantizer would be
+            # silently ignored — the index would carry however many
+            # centroids the frame has, not what the caller asked for.
+            raise ValueError(
+                "pass EITHER centroids= OR quantizer-training parameters "
+                "(n_centroids/kmeans_iters/train_mod), not both"
+            )
+    else:
         centroids = kmeans_centroids(
             items,
-            n_centroids=n_centroids,
-            iters=kmeans_iters,
+            n_centroids=16 if n_centroids is None else n_centroids,
+            iters=2 if kmeans_iters is None else kmeans_iters,
             item_id=item_id,
             item_vec=item_vec,
-            train_mod=train_mod,
+            train_mod=4 if train_mod is None else train_mod,
             score_scale=score_scale,
         )
     centroids.write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
@@ -652,9 +661,28 @@ def ivf_index_append(
     (``sources.compact_small_files``) when increments fragment them.
     Quantizer drift (the corpus distribution moving away from the
     frozen centroids) is a rebuild decision, not an append concern —
-    monitor via cell-size skew in ``observability.profile_table``.
+    monitor via :func:`ivf_cell_stats`.
+
+    Guards against the STREAM-ingested layout
+    (``streaming.ivf_ingest_stream`` writes ``batch_id=N/cell=C``):
+    appending flat ``cell=C`` dirs next to batch partitions would brick
+    every subsequent read with conflicting partition schemas — route
+    increments for a streamed index through the stream (or a
+    ``batch_id=...`` subdir write) instead.
     """
+    from pyspark.errors import AnalysisException
+
     centroids = spark.read.parquet(index_path.rstrip("/") + "_centroids")
+    try:
+        existing_cols = spark.read.parquet(index_path).columns
+    except AnalysisException:
+        existing_cols = []  # no data yet: the append creates the layout
+    if "batch_id" in existing_cols:
+        raise ValueError(
+            f"{index_path} uses the stream-ingested batch_id=N/cell=C "
+            "layout; a flat append would conflict with it — ingest the "
+            "increment via streaming.ivf_ingest_stream instead"
+        )
     _write_tagged(
         new_items, centroids, index_path, item_id, item_vec, score_scale,
         mode="append",
@@ -672,16 +700,30 @@ def ivf_cell_stats(spark: SparkSession, index_path: str) -> DataFrame:
 
     Columns: cell, n_vectors, share (fraction of corpus), skew (cell
     size / mean cell size — alert when max(skew) drifts, e.g. > 4).
+
+    The cell universe comes from the PERSISTED CENTROIDS, not from the
+    data's partition directories: a cell no vector maps to has no
+    directory, and averaging over only the occupied cells would read
+    "healthy" exactly when drift is worst (everything collapsed into
+    one cell → skew 1.0). Empty cells emit explicit n_vectors = 0 rows
+    and dilute the mean, so max(skew) grows with the collapse.
     """
+    cells = spark.read.parquet(index_path.rstrip("/") + "_centroids").select(
+        F.col("cent_id").alias("cell")
+    )
     counts = (
         spark.read.parquet(index_path)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
-    totals = counts.agg(
+    occupancy = (
+        cells.join(counts, "cell", "left")
+        .select("cell", F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"))
+    )
+    totals = occupancy.agg(
         F.sum("n_vectors").alias("_total"), F.count(F.lit(1)).alias("_cells")
     )
-    return counts.crossJoin(F.broadcast(totals)).select(
+    return occupancy.crossJoin(F.broadcast(totals)).select(
         "cell",
         "n_vectors",
         (F.col("n_vectors") / F.col("_total")).alias("share"),

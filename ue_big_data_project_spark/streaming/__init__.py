@@ -751,27 +751,46 @@ def ivf_ingest_stream(
     independent of index size. Quantizer drift under a shifting stream
     is a rebuild decision; watch ``similarity.ivf_cell_stats``.
     """
-    from ue_big_data_project_spark.operators.similarity import (
-        _assign_clusters,
-    )
+    from pyspark.errors import AnalysisException
+
+    from ue_big_data_project_spark.operators.similarity import _write_tagged
 
     centroids_path = index_path.rstrip("/") + "_centroids"
+    layout_checked = False
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # Emptiness is decided BEFORE tagging: assignment never changes
+        # the row count, and isEmpty() on the tagged frame would run the
+        # centroid read + broadcast join once for the check and again
+        # for the write.
+        if batch_df.isEmpty():
+            return
         sp = batch_df.sparkSession
+        nonlocal layout_checked
+        if not layout_checked:
+            # A one-shot build/append layout (flat cell=C dirs) at this
+            # path would conflict with the batch_id=N/cell=C partitions
+            # this stream writes — refuse rather than brick the index.
+            try:
+                if "batch_id" not in sp.read.parquet(index_path).columns:
+                    raise ValueError(
+                        f"{index_path} uses the flat build_ivf_index "
+                        "layout; stream batches would conflict with it "
+                        "— append via similarity.ivf_index_append, or "
+                        "point the stream at a fresh index path"
+                    )
+            except AnalysisException:
+                pass  # no data yet: this stream creates the layout
+            layout_checked = True
         centroids = sp.read.parquet(centroids_path)
-        tagged = _assign_clusters(
+        _write_tagged(
             batch_df,
             centroids,
-            item_vec,
+            os.path.join(index_path, f"batch_id={batch_id}"),
             item_id,
-            nprobe=1,
-            score_scale=score_scale,
-        ).withColumnRenamed("cent_id", "cell")
-        if tagged.isEmpty():
-            return
-        tagged.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(os.path.join(index_path, f"batch_id={batch_id}"))
+            item_vec,
+            score_scale,
+            mode="overwrite",
+        )
 
     return idempotent_foreach_batch(sdf, ingest, ledger_dir)
