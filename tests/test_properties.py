@@ -363,3 +363,124 @@ def test_bmpv_sampling_matches_per_frame_decode(n_frames, every, seed):
     got = MM.decode_bmpv(MM.encode_bmpv(frames), every=every)
     want = [(fi, MM.decode_bmp(frames[fi])) for fi in range(0, n_frames, every)]
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),  # user
+            st.integers(min_value=0, max_value=59),  # minute
+            st.booleans(),  # True = purchase (left), False = click (right)
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    cuts=st.sets(st.integers(min_value=1, max_value=13), max_size=2),
+)
+def test_streaming_asof_equals_batch_on_random_batch_splits(
+    spark, tmp_path_factory, events, cuts
+):
+    """asof_join_stream converges to the batch as-of for ANY event set
+    and ANY split into micro-batches (watermark 1h > horizon, so
+    nothing is late): final max(asof_us) per purchase == the plain
+    'latest click at-or-before within 10 min per user' computed in
+    Python."""
+    import json as _json
+    import os as _os
+
+    from ue_big_data_project_spark.operators.asof import asof_join_stream
+
+    tmp = str(tmp_path_factory.mktemp("asof_prop"))
+    path = _os.path.join(tmp, "in")
+    _os.makedirs(path)
+    bounds = sorted(b for b in cuts if b < len(events))
+    slices = []
+    prev = 0
+    for b in bounds + [len(events)]:
+        if b > prev:
+            slices.append(events[prev:b])
+            prev = b
+    base = 1_700_000_000
+    for i, rows in enumerate(slices):
+        with open(_os.path.join(path, f"b{i:03d}.json"), "w") as f:
+            for j, (user, minute, is_purchase) in enumerate(rows):
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": i * 100 + j,
+                            "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+                            "user_id": user,
+                            "event_type": "purchase" if is_purchase else "click",
+                            "value": 1.0,
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(
+            _os.path.join(path, f"b{i:03d}.json"),
+            (base + i * 60, base + i * 60),
+        )
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    from ue_big_data_project_spark import streaming as S
+
+    sdf = S.file_stream(spark, path, schema, max_files_per_trigger=1)
+    purchases = sdf.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = sdf.filter(F.col("event_type") == "click").select("user_id", "ts")
+    drained = S.drain_to_table(
+        spark,
+        asof_join_stream(
+            purchases, clicks,
+            left_ts="ts", right_ts="ts",
+            key="user_id", left_id="event_id",
+            tolerance_seconds=600, watermark="1 hour",
+        ),
+        mode="update",
+    )
+    got = {
+        r["left_id"]: r["best"]
+        for r in drained.groupBy("left_id")
+        .agg(F.max("asof_us").alias("best"))
+        .collect()
+    }
+
+    # Python reference over the flat event list.
+    def us(minute):
+        return 1704067200000000 + minute * 60_000_000
+
+    want = {}
+    flat = [
+        (i * 100 + j, user, minute, is_p)
+        for i, rows in enumerate(slices)
+        for j, (user, minute, is_p) in enumerate(rows)
+    ]
+    for eid, user, minute, is_p in flat:
+        if not is_p:
+            continue
+        cands = [
+            us(m)
+            for _, u, m, p in flat
+            if not p and u == user and us(m) <= us(minute)
+            and us(m) >= us(minute) - 600 * 1_000_000
+        ]
+        if cands:
+            want[eid] = max(cands)
+    assert got == want
