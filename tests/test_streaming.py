@@ -566,3 +566,38 @@ def test_ivf_ingest_stream_refuses_flat_layout(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="flat"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_streaming_asof_join_string_keys(spark, tmp_path):
+    """The join key's type flows into the output schema: string-keyed
+    streams work unchanged (the state machine treats the key opaquely)."""
+    from ue_big_data_project_spark.operators.asof import asof_join_stream
+
+    batches = [
+        [row(1, 2, "click", user=1), row(2, 10, "purchase", user=1)],
+        [row(3, 8, "click", user=1)],
+    ]
+    path = write_batches(str(tmp_path), batches)
+    sdf = S.file_stream(
+        spark, path, EVENTS_SCHEMA, max_files_per_trigger=1
+    ).withColumn("user_id", F.concat(F.lit("u-"), F.col("user_id")))
+    purchases = sdf.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = sdf.filter(F.col("event_type") == "click").select("user_id", "ts")
+    drained = S.drain_to_table(
+        spark,
+        asof_join_stream(
+            purchases, clicks,
+            left_ts="ts", right_ts="ts",
+            key="user_id", left_id="event_id",
+            tolerance_seconds=1800, watermark="1 hour",
+        ),
+        mode="update",
+    )
+    rows = drained.groupBy("key", "left_id").agg(
+        F.max("asof_us").alias("best")
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["key"] == "u-1" and rows[0]["left_id"] == 2
+    assert rows[0]["best"] == 1704067200000000 + 8 * 60_000_000

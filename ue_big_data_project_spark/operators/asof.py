@@ -323,8 +323,11 @@ def asof_join(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+# Output schema template for asof_join_stream; the key slot takes the
+# join key's own type (resolved from the left schema), so string- or
+# int-keyed streams both work.
 ASOF_STREAM_SCHEMA = (
-    "key long, left_id long, left_us long, asof_us long"
+    "key {key_type}, left_id long, left_us long, asof_us long"
 )
 
 # "No match yet" sentinel for the per-left best-match state. INT64_MIN,
@@ -467,9 +470,14 @@ def asof_join_stream(
         "r_us array<long>, l_ids array<long>, "
         "l_us array<long>, l_best array<long>"
     )
+    key_type = next(
+        f.dataType.simpleString()
+        for f in left.schema.fields
+        if f.name.lower() == key.lower()
+    )
     return unioned.groupBy("_key").applyInPandasWithState(
         update,
-        outputStructType=ASOF_STREAM_SCHEMA,
+        outputStructType=ASOF_STREAM_SCHEMA.format(key_type=key_type),
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
