@@ -484,3 +484,35 @@ def test_streaming_asof_equals_batch_on_random_batch_splits(
         if cands:
             want[eid] = max(cands)
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    ),
+    as_string=st.booleans(),
+)
+def test_bloom_no_false_negatives_random_keys(spark, keys, as_string):
+    """The Bloom contract that join correctness rests on, under random
+    (including negative) keys in both native and canonical-string modes:
+    every inserted key passes the membership test."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.bloom import (
+        bloom_might_contain,
+        build_key_bloom,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    if as_string:
+        df = df.select(F.col("k").cast("string").alias("k"))
+    bloom = build_key_bloom(df, "k", m_bits=1 << 13)
+    assert df.where(~bloom_might_contain(F.col("k"), bloom)).count() == 0
