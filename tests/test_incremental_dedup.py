@@ -264,3 +264,104 @@ def test_dedup_ingest_stream_near_dup_across_batches_replay_safe(spark):
         assert bands2.count() == bands.count()
         index = spark.read.parquet(os.path.join(d, "index"))
         assert index.count() == index.distinct().count()
+
+
+def test_incremental_exact_dedup_bloom_prefilter_equivalence(spark):
+    """The bloom-prefiltered screen (negatives bypass the anti join) is
+    row-identical to the plain screen whenever the filter covers the
+    index — the superset property the streaming ingest maintains."""
+    from ue_big_data_project_spark.operators.bloom import build_key_bloom
+    from ue_big_data_project_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    batch = _docs(
+        spark,
+        [(10, "seen before"), (11, "brand new"), (12, "brand new"),
+         (13, "also seen"), (14, "fresh content")],
+    )
+    seen = _docs(spark, [(1, "seen before"), (2, "also seen")])
+    from ue_big_data_project_spark.operators.dedup import exact_dedup
+
+    index = exact_dedup(seen, "doc_id", "text").select("fingerprint")
+    bloom = build_key_bloom(index, "fingerprint", m_bits=1 << 12)
+
+    plain = incremental_exact_dedup(batch, index, "doc_id", "text")
+    fast = incremental_exact_dedup(
+        batch, index, "doc_id", "text", prefilter=bloom
+    )
+    key = lambda r: r["fingerprint"]
+    assert sorted(map(tuple, plain.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, fast.collect()), key=lambda t: t[0]
+    )
+    assert sorted(r["keep_id"] for r in fast.collect()) == [11, 14]
+
+
+def test_dedup_ingest_stream_bloom_sidecar(spark):
+    """With the sidecar enabled the ingest result is unchanged, the
+    persisted filter covers every indexed fingerprint (superset), and a
+    crash injected right after the bloom update replays to the same
+    final state — extra bloom bits are harmless, missing index rows are
+    re-written."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.bloom import (
+        bloom_might_contain,
+        load_bloom,
+    )
+    from ue_big_data_project_spark.streaming import (
+        dedup_ingest_stream,
+        file_stream,
+        run_until_drained,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        b1 = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+        b2 = _docs(
+            spark,
+            [(10, "alpha beta"),  # cross-batch dup -> bloom-positive
+             (11, "epsilon zeta")],  # new -> bloom-negative bypass
+        )
+        b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+        time.sleep(1.1)
+        b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+        bloom_path = os.path.join(d, "index.bloom")
+
+        def run_stream(fp):
+            sdf = file_stream(
+                spark, os.path.join(src, "*"), b1.schema, fmt="parquet",
+                max_files_per_trigger=1,
+            )
+            q = dedup_ingest_stream(
+                sdf,
+                index_path=os.path.join(d, "index"),
+                corpus_dir=os.path.join(d, "corpus"),
+                ledger_dir=os.path.join(d, "ledger"),
+                near_dup=False,
+                bloom_path=bloom_path,
+                bloom_m_bits=1 << 12,
+                failpoint=fp,
+            )
+            run_until_drained(q)
+
+        with pytest.raises(Exception, match="injected crash"):
+            run_stream("bloom_update")  # bloom written, nothing else
+        run_stream(None)  # replay to completion
+
+        corpus = spark.read.parquet(os.path.join(d, "corpus"))
+        assert sorted(r["text"] for r in corpus.collect()) == [
+            "alpha beta", "epsilon zeta", "gamma delta",
+        ]
+        index = spark.read.parquet(os.path.join(d, "index"))
+        assert index.select("fingerprint").distinct().count() == 3
+
+        bloom = load_bloom(bloom_path)
+        assert bloom is not None and bloom.m_bits == 1 << 12
+        missed = index.where(
+            ~bloom_might_contain(F.col("fingerprint"), bloom)
+        ).count()
+        assert missed == 0  # superset invariant survived the crash

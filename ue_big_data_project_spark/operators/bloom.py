@@ -203,3 +203,62 @@ def bloom_prune_join(
     bloom = build_key_bloom(dim, on, m_bits=m_bits, k=k, canonical=canonical)
     pruned = big.where(bloom_might_contain(F.col(on), bloom))
     return pruned.join(dim, on, how)
+
+
+def bloom_union(a: BloomSpec, b: BloomSpec) -> BloomSpec:
+    """OR-merge two filters built with identical parameters — the
+    property that makes a Bloom filter incrementally maintainable (each
+    batch builds its own small filter; the union covers the union of
+    the key sets, exactly as if built in one pass)."""
+    if (a.m_bits, a.k, a.canonical) != (b.m_bits, b.k, b.canonical):
+        raise ValueError(
+            "bloom_union requires identical (m_bits, k, canonical): "
+            f"{(a.m_bits, a.k, a.canonical)} != {(b.m_bits, b.k, b.canonical)}"
+        )
+    return BloomSpec(
+        words=[x | y for x, y in zip(a.words, b.words)],
+        m_bits=a.m_bits,
+        k=a.k,
+        n_items=None,  # distinct count is not union-mergeable
+        canonical=a.canonical,
+    )
+
+
+def save_bloom(spec: BloomSpec, path: str) -> None:
+    """Persist a filter as one JSON file via write-temp + atomic rename
+    (same marker discipline as the streaming ledger: a reader never sees
+    a half-written filter). ~200 KiB at the default 2²⁰ bits."""
+    import json
+    import os
+
+    payload = json.dumps(
+        {
+            "words": spec.words,
+            "m_bits": spec.m_bits,
+            "k": spec.k,
+            "canonical": spec.canonical,
+        }
+    )
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.rename(tmp, path)
+
+
+def load_bloom(path: str) -> BloomSpec | None:
+    """Load a persisted filter; None when the file does not exist."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return BloomSpec(
+        words=[int(w) for w in d["words"]],
+        m_bits=int(d["m_bits"]),
+        k=int(d["k"]),
+        n_items=None,
+        canonical=bool(d["canonical"]),
+    )

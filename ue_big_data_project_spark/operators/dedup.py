@@ -415,6 +415,7 @@ def incremental_exact_dedup(
     seen: DataFrame | None,
     id_col: str,
     text_col: str,
+    prefilter=None,
 ) -> DataFrame:
     """Exact-dedup a new batch within itself AND against the corpus
     fingerprint index ``seen`` (a ``fingerprint`` column; None = empty
@@ -426,13 +427,34 @@ def incremental_exact_dedup(
     index side is one slim row per distinct corpus content; store it
     bucketed by fingerprint so only the (small) batch shuffles, and the
     runtime bloom filter prunes index partitions the batch never touches.
+
+    ``prefilter`` (a ``bloom.BloomSpec`` covering a SUPERSET of the
+    index's fingerprints) splits the batch before the anti join:
+    bloom-NEGATIVE fingerprints cannot be in the index (no false
+    negatives) and bypass the join entirely; only the bloom-positive
+    fraction — true dups plus the FP rate — shuffles against the index.
+    In steady-state ingestion most arrivals are new content, so the
+    anti-join input shrinks to roughly the duplicate rate. Result is
+    EXACTLY the unfiltered screen (equivalence-tested); correctness
+    requires only the superset property, which the streaming ingest
+    maintains by committing bloom updates before index appends.
     """
     batch = exact_dedup(new_docs, id_col, text_col)
     if seen is None:
         return batch
-    return batch.join(
-        seen.select("fingerprint"), "fingerprint", "left_anti"
-    )
+    index = seen.select("fingerprint")
+    if prefilter is not None:
+        from ue_big_data_project_spark.operators.bloom import (
+            bloom_might_contain,
+        )
+
+        maybe_seen = bloom_might_contain(F.col("fingerprint"), prefilter)
+        fresh = batch.where(~maybe_seen)
+        suspects = batch.where(maybe_seen)
+        return fresh.unionByName(
+            suspects.join(index, "fingerprint", "left_anti")
+        )
+    return batch.join(index, "fingerprint", "left_anti")
 
 
 def incremental_minhash_filter(

@@ -587,6 +587,8 @@ def dedup_ingest_stream(
     text_col: str = "text",
     near_dup: bool = True,
     band_index_path: str | None = None,
+    bloom_path: str | None = None,
+    bloom_m_bits: int = 1 << 20,
     failpoint: str | None = None,
 ) -> StreamingQuery:
     """Continuous corpus ingestion with dedup: every micro-batch is
@@ -622,9 +624,22 @@ def dedup_ingest_stream(
     column also ages the indexes for free (drop oldest partitions to
     bound index size at 100 TB-scale retention).
 
+    ``bloom_path`` enables a persisted Bloom SIDECAR over the
+    fingerprint index: each batch screens with the pre-batch filter
+    (bloom-negative fingerprints bypass the index anti-join entirely —
+    see ``dedup.incremental_exact_dedup``), then the updated filter
+    commits BEFORE any index write, so the filter is always a SUPERSET
+    of the indexed fingerprints — the property the join bypass needs;
+    crash-ordering means a replay can leave extra bloom bits (harmless:
+    those fingerprints just take the anti-join path), never missing
+    ones. A missing sidecar next to an existing index is bootstrapped
+    from the index in one scan. Sizing: the filter saturates (FP rate →
+    1, bypass → no-op, still exact) at ~``bloom_m_bits / 10`` distinct
+    contents; rebuild it larger from the index when that approaches.
+
     ``failpoint`` is test-only fault injection: raise after the named
-    write ("corpus_write", "band_index_append", "fingerprint_append")
-    to exercise the crash windows above.
+    write ("bloom_update", "corpus_write", "band_index_append",
+    "fingerprint_append") to exercise the crash windows above.
     """
     from pyspark.errors import AnalysisException
 
@@ -656,11 +671,22 @@ def dedup_ingest_stream(
         return df
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from ue_big_data_project_spark.operators.bloom import (
+            bloom_union,
+            build_key_bloom,
+            load_bloom,
+            save_bloom,
+        )
+
         sp = batch_df.sparkSession
-        # Screen (no side effects yet).
+        # Screen (no side effects yet). The pre-batch bloom sidecar (if
+        # enabled and present) lets definitely-new fingerprints bypass
+        # the index anti-join; a missing sidecar simply means no bypass
+        # this batch (it is seeded below).
+        prefilter = load_bloom(bloom_path) if bloom_path else None
         seen = _read_index(sp, index_path, batch_id)
         survivors = incremental_exact_dedup(
-            batch_df, seen, id_col, text_col
+            batch_df, seen, id_col, text_col, prefilter=prefilter
         ).localCheckpoint(eager=True)
         kept = batch_df.join(
             survivors.select(F.col("keep_id").alias(id_col)), id_col
@@ -695,6 +721,31 @@ def dedup_ingest_stream(
             )
             kept = kept.join(near_dropped, id_col, "left_anti")
             kept = kept.localCheckpoint(eager=True)
+        # Bloom sidecar commits FIRST: the filter must stay a SUPERSET
+        # of the indexed fingerprints at every crash point, so its
+        # update precedes every index/corpus write. A crash after this
+        # line leaves bloomed-but-unindexed fingerprints — they take
+        # the anti-join path next time, which is merely slower, never
+        # wrong. (The reverse order would let a bloom-negative true
+        # duplicate bypass the join: silent corpus duplicates.)
+        if bloom_path:
+            base = prefilter
+            if base is None and seen is not None:
+                # Sidecar enabled mid-life: seed from the full index
+                # once; without this the batch's survivors alone would
+                # understate the index and break the superset property.
+                base = build_key_bloom(
+                    seen, "fingerprint", m_bits=bloom_m_bits
+                )
+            batch_bloom = build_key_bloom(
+                survivors, "fingerprint", m_bits=bloom_m_bits
+            )
+            save_bloom(
+                bloom_union(base, batch_bloom) if base else batch_bloom,
+                bloom_path,
+            )
+        if failpoint == "bloom_update":
+            raise RuntimeError("injected crash: after bloom update")
         # All three writes land in THIS batch's partition in overwrite
         # mode — a replay after any crash rewrites the same bytes.
         # 1. Corpus first, only if anything survived.
