@@ -70,7 +70,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     != 0) against the already-ingested corpus index (fingerprints of
     doc_id % 3 == 0) — operators.dedup.incremental_exact_dedup: one
     batch-side shuffle + anti join on the fingerprint, corpus text
-    never rescanned."""
+    never rescanned. (The Bloom-prefiltered fast path exists for
+    CONTINUOUS ingestion, where the sidecar is persisted and its build
+    cost amortizes across batches — dedup_ingest_stream(bloom_path=…);
+    rebuilding a filter per one-shot batch screen would cost more than
+    the anti join it avoids, so this batch query stays plain.)"""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     corpus = d.filter(F.col("doc_id") % 3 == 0)
     batch = d.filter(F.col("doc_id") % 3 != 0)
