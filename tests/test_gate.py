@@ -30,6 +30,9 @@ PROXIED = {
     # Same oracle and probe path; append-vs-build equivalence is pinned
     # by tests/test_approx.py::test_ivf_index_append_matches_full_rebuild.
     "knn_cosine_ivf_appended": "knn_cosine_ivf_indexed",
+    # Same tokenize/line machinery (sequence/slice/posexplode + per-key
+    # reassembly); full oracle runs in the pytest gate.
+    "pipeline_scrub_boilerplate": "pipeline_chunk_documents",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -196,6 +196,7 @@ SHUFFLE_BUDGETS = {
     "pipeline_source_quota": 1,     # per-source rank cap
     # Round-4 additions.
     "bloom_pruned_join": 2,         # agg + sort exchange; dim broadcasts
+    "pipeline_scrub_boilerplate": 3,  # line df + freq join + reassembly
     "text_repetition": 0,           # pure per-row array fold
     "multimodal_bmp": 0,            # mapInPandas scan, bytes never move
     "multimodal_video_frames": 0,   # frame explode stays in-partition

@@ -409,3 +409,79 @@ def build_corpus(
         .count()
     )
     return stats
+
+
+def scrub_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_words: int = 3,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/RefinedWeb "drop
+    lines repeated across documents" stage): split each document into
+    fixed-width token lines, count each line's DOCUMENT frequency
+    across the corpus, drop lines appearing in more than
+    ``max_doc_freq`` distinct documents (navigation chrome, license
+    footers, templated headers), and report per-document what survived.
+
+    Output: ``(id, n_lines, n_kept, clean_len)`` where ``clean_len`` is
+    the character length of the kept lines re-joined in original order
+    — the reassembled clean text is computed (order preserved via the
+    line position) and summarized rather than returned, keeping the
+    result row narrow.
+
+    Scale: three shuffles — line document-frequency (on the line text,
+    map-side combined), the frequency join back (same key), and the
+    per-document reassembly (on the id). Line texts are the only wide
+    shuffle key; at 100 TB hash them first if lines are long (the
+    frequency join only needs equality). No Python anywhere.
+    """
+    toks = TX.tokens(text_col)
+    n_lines = F.ceil(F.size(toks) / F.lit(float(line_words))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * line_words + 1, line_words)
+        ),
+    )
+    exploded = (
+        df.where(F.size(toks) > 0)
+        .select(F.col(id_col), lines.alias("_lines"))
+        .select(id_col, F.posexplode("_lines").alias("pos", "line"))
+    )
+    line_df = exploded.groupBy("line").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    kept_flag = exploded.join(line_df, "line").select(
+        id_col,
+        "pos",
+        "line",
+        (F.col("_df") <= max_doc_freq).alias("_keep"),
+    )
+    return (
+        kept_flag.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_kept"),
+            F.length(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep"),
+                                    F.struct(F.col("pos"), F.col("line")),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                )
+            ).alias("clean_len"),
+        )
+        .withColumnRenamed(id_col, "doc_id")
+    )

@@ -1170,6 +1170,46 @@ FROM x
 """
 
 
+def pipeline_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/RefinedWeb
+    drop-repeated-lines stage, pipelines.scrub_boilerplate_lines):
+    3-word token lines whose document frequency exceeds 1 are dropped
+    corpus-wide; per doc, how many lines existed, how many survived,
+    and the length of the order-preserving reassembly."""
+    from ue_big_data_project_spark.pipelines import scrub_boilerplate_lines
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return scrub_boilerplate_lines(d, line_words=3, max_doc_freq=1)
+
+
+PIPELINE_SCRUB_BOILERPLATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS toks FROM documents WHERE len({_WORDS}) > 0
+), x AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(0, CAST(ceil(len(toks) / 3.0) AS INTEGER)))
+              AS INTEGER) AS pos
+  FROM t
+), l AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos * 3 + 1 : pos * 3 + 3], ' ') AS line
+  FROM x
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+), k AS (
+  SELECT l.doc_id, l.pos, l.line, (f.df <= 1) AS keep
+  FROM l JOIN freq f USING (line)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+       CAST(coalesce(
+         length(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY pos)),
+         0) AS INTEGER) AS clean_len
+FROM k GROUP BY doc_id
+"""
+
+
 def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass table profile of the documents table (per-column row/
     null/exact-distinct counts + numeric min/max —
@@ -1429,6 +1469,9 @@ QUERIES = {
     "pipeline_profile": QuerySpec(pipeline_profile, PIPELINE_PROFILE_SQL),
     "pipeline_chunk_documents": QuerySpec(
         pipeline_chunk_documents, PIPELINE_CHUNK_SQL
+    ),
+    "pipeline_scrub_boilerplate": QuerySpec(
+        pipeline_scrub_boilerplate, PIPELINE_SCRUB_BOILERPLATE_SQL
     ),
     "pipeline_pack_sequences": QuerySpec(
         pipeline_pack_sequences, PIPELINE_PACK_SQL
