@@ -159,6 +159,9 @@ BENCH_EXTRA = (
     "q5_region_revenue",
     "pipeline_prep_documents",
     "salted_hot_key_agg",
+    # Not yet gated (round-4-new, proxied): benched now so its first
+    # gate round has a prior-round baseline to compare against.
+    "pipeline_scrub_boilerplate",
 )
 
 
