@@ -437,7 +437,15 @@ def scrub_boilerplate_lines(
     shuffle key; at 100 TB hash them first if lines are long (the
     frequency join only needs equality). No Python anywhere.
     """
-    toks = TX.tokens(text_col)
+    # Materialize the token array behind a projection boundary BEFORE
+    # the per-line lambda: referencing the raw tokens expression inside
+    # ``transform`` re-runs the regexp normalization + split once per
+    # LINE (codegen does not CSE through the HOF) — measured 4× slower
+    # on ~18-line documents.
+    toks = F.col("_toks")
+    tokenized = df.select(
+        F.col(id_col), TX.tokens(text_col).alias("_toks")
+    ).where(F.size(toks) > 0)
     n_lines = F.ceil(F.size(toks) / F.lit(float(line_words))).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), n_lines - 1),
@@ -445,10 +453,15 @@ def scrub_boilerplate_lines(
             " ", F.slice(toks, i * line_words + 1, line_words)
         ),
     )
+    # The exploded line table feeds BOTH the frequency count and the
+    # keep-join (a diamond): cache it so the tokenize + line-build work
+    # runs once, not once per consumer (same reasoning as the shingle
+    # cache in dedup.ngram_jaccard_pairs). Storage is the line table
+    # itself — the same order as one shuffle of it — and LRU-evicted.
     exploded = (
-        df.where(F.size(toks) > 0)
-        .select(F.col(id_col), lines.alias("_lines"))
+        tokenized.select(F.col(id_col), lines.alias("_lines"))
         .select(id_col, F.posexplode("_lines").alias("pos", "line"))
+        .cache()
     )
     line_df = exploded.groupBy("line").agg(
         F.count_distinct(F.col(id_col)).alias("_df")
