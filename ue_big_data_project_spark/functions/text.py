@@ -202,12 +202,22 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     path for MinHash over billions of documents.
     """
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    # n shifted views of the token array, zipped: shingle i is
+    # (toks[i], toks[i+1], …, toks[i+n-1]). The transform lambda below
+    # touches ONLY its argument — referencing ``toks`` inside the lambda
+    # (the previous form sliced it per index) re-runs the regexp
+    # normalization + split once per SHINGLE, because codegen cannot
+    # CSE through higher-order-function lambdas; the n slice() calls
+    # here all share one CSE'd tokens subtree instead.
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, width) for j in range(n)])
     shingled = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.transform(
+            zipped,
+            lambda z: F.concat_ws(" ", *[z[str(j)] for j in range(n)]),
+        )
     )
-    # Guard: sequence(0, negative) counts *down* in Spark — docs shorter
-    # than n words get an empty shingle set instead.
+    # Guard: docs shorter than n words get an empty shingle set.
     return F.when(F.size(toks) >= n, shingled).otherwise(
         F.array().cast("array<string>")
     )

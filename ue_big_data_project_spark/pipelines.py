@@ -202,7 +202,12 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = TX.tokens(text_col)
+    # Tokens materialize behind a projection before the per-chunk
+    # lambda: codegen does not CSE through higher-order functions, so
+    # referencing the raw tokens expression inside ``transform`` would
+    # re-run the regexp normalization + split once per CHUNK.
+    toks = F.col("_toks")
+    tokenized = df.select(F.col(id_col), TX.tokens(text_col).alias("_toks"))
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int") + 1
@@ -214,7 +219,7 @@ def chunk_documents(
         ),
     )
     return (
-        df.select(F.col(id_col), chunks.alias("_chunks"))
+        tokenized.select(F.col(id_col), chunks.alias("_chunks"))
         .select(
             id_col, F.posexplode(F.col("_chunks")).alias("chunk_idx", "chunk_text")
         )
