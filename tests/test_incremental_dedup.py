@@ -290,7 +290,6 @@ def test_incremental_exact_dedup_bloom_prefilter_equivalence(spark):
     fast = incremental_exact_dedup(
         batch, index, "doc_id", "text", prefilter=bloom
     )
-    key = lambda r: r["fingerprint"]
     assert sorted(map(tuple, plain.collect()), key=lambda t: t[0]) == sorted(
         map(tuple, fast.collect()), key=lambda t: t[0]
     )
@@ -365,3 +364,67 @@ def test_dedup_ingest_stream_bloom_sidecar(spark):
             ~bloom_might_contain(F.col("fingerprint"), bloom)
         ).count()
         assert missed == 0  # superset invariant survived the crash
+
+
+def test_dedup_ingest_stream_bloom_resize_reseeds(spark):
+    """Restarting the stream with a different bloom_m_bits (the
+    documented response to sidecar saturation) must not crash-loop on a
+    size-mismatched union: the old filter is discarded, the batch
+    screens plain, and the sidecar is reseeded from the index at the
+    new size."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.bloom import (
+        bloom_might_contain,
+        load_bloom,
+    )
+    from ue_big_data_project_spark.streaming import (
+        dedup_ingest_stream,
+        file_stream,
+        run_until_drained,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        b1 = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+        b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+        bloom_path = os.path.join(d, "index.bloom")
+
+        def run_stream(m_bits):
+            sdf = file_stream(
+                spark, os.path.join(src, "*"), b1.schema, fmt="parquet",
+                max_files_per_trigger=1,
+            )
+            q = dedup_ingest_stream(
+                sdf,
+                index_path=os.path.join(d, "index"),
+                corpus_dir=os.path.join(d, "corpus"),
+                ledger_dir=os.path.join(d, "ledger"),
+                near_dup=False,
+                bloom_path=bloom_path,
+                bloom_m_bits=m_bits,
+            )
+            run_until_drained(q)
+
+        run_stream(1 << 10)
+        assert load_bloom(bloom_path).m_bits == 1 << 10
+
+        # Second increment arrives; operator restarts resized.
+        time.sleep(1.1)
+        b2 = _docs(spark, [(10, "alpha beta"), (11, "epsilon zeta")])
+        b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+        run_stream(1 << 12)
+
+        bloom = load_bloom(bloom_path)
+        assert bloom.m_bits == 1 << 12
+        corpus = spark.read.parquet(os.path.join(d, "corpus"))
+        assert sorted(r["text"] for r in corpus.collect()) == [
+            "alpha beta", "epsilon zeta", "gamma delta",
+        ]
+        index = spark.read.parquet(os.path.join(d, "index"))
+        assert index.where(
+            ~bloom_might_contain(F.col("fingerprint"), bloom)
+        ).count() == 0  # reseeded superset at the new size

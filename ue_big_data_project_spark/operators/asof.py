@@ -470,11 +470,12 @@ def asof_join_stream(
         "r_us array<long>, l_ids array<long>, "
         "l_us array<long>, l_best array<long>"
     )
-    key_type = next(
-        f.dataType.simpleString()
-        for f in left.schema.fields
-        if f.name.lower() == key.lower()
-    )
+    # The key's output type comes from the UNIONED frame's own _key
+    # column: unionByName has already reconciled the two sides to their
+    # common type (resolving from one input schema would under-declare
+    # when the other side is wider, and re-resolving the user's name
+    # can miss qualified references F.col already accepted).
+    key_type = unioned.schema["_key"].dataType.simpleString()
     return unioned.groupBy("_key").applyInPandasWithState(
         update,
         outputStructType=ASOF_STREAM_SCHEMA.format(key_type=key_type),

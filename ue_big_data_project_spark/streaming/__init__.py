@@ -684,6 +684,14 @@ def dedup_ingest_stream(
         # the index anti-join; a missing sidecar simply means no bypass
         # this batch (it is seeded below).
         prefilter = load_bloom(bloom_path) if bloom_path else None
+        if prefilter is not None and prefilter.m_bits != bloom_m_bits:
+            # Resized sidecar (the documented saturation response):
+            # discard the old filter — this batch screens plain — and
+            # let the seed-from-index branch below rebuild it at the
+            # new size. Without this, bloom_union would raise on the
+            # size mismatch inside foreachBatch, crash-looping the
+            # stream until someone deleted the file by hand.
+            prefilter = None
         seen = _read_index(sp, index_path, batch_id)
         survivors = incremental_exact_dedup(
             batch_df, seen, id_col, text_col, prefilter=prefilter
