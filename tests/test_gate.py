@@ -30,9 +30,6 @@ PROXIED = {
     # Same oracle and probe path; append-vs-build equivalence is pinned
     # by tests/test_approx.py::test_ivf_index_append_matches_full_rebuild.
     "knn_cosine_ivf_appended": "knn_cosine_ivf_indexed",
-    # Same tokenize/line machinery (sequence/slice/posexplode + per-key
-    # reassembly); full oracle runs in the pytest gate.
-    "pipeline_scrub_boilerplate": "pipeline_chunk_documents",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -57,7 +54,7 @@ ROTATED_OUT = {
     "text_stats": "text_nlp_kit",  # per-doc text metrics
     # Retired mid-round-3 to hand slots to knn_cosine_pq /
     # pipeline_chunk_documents (both r1+r2 driver-green):
-    "haversine_knn": "knn_cosine_brute",  # distance top-k family
+    "haversine_knn": "knn_cosine_lsh",  # distance top-k family
     "scalar_kit": "ref_q1_plane_bus_wait",  # X3-X10 scalar family
     # Rotated out in round 4 (driver-green r1-r3) for the last 7
     # never-hashed entries; all still benched via BENCH_EXTRA and
@@ -75,6 +72,11 @@ ROTATED_OUT = {
     "q5_region_revenue": "q8_market_share",  # multi-join region agg
     "pipeline_prep_documents": "text_nlp_kit",  # native text filter+metrics
     "salted_hot_key_agg": "scan_filter_agg_kit",  # grouped multi-agg family
+    # Rotated out mid-round-4 (driver-green r2+r3) to hand slots to
+    # TPC-H q2/q4 and the first gating of pipeline_scrub_boilerplate:
+    "multimodal_features": "multimodal_wav",  # real-codec features twin
+    "multimodal_frames": "multimodal_video_frames",  # real-codec frames twin
+    "knn_cosine_brute": "knn_cosine_lsh",  # cosine top-k family
 }
 
 
@@ -108,11 +110,12 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r03 covered the rest of the registry; the 11
+    # CORRECTNESS_r01-r03 covered the rest of the registry; the 14
     # entries the driver has never hashed (the last 6 of the round-3
     # registry + the round-4-new real-codec trio, bloom runtime-filter
-    # join, and streaming as-of join) must lead the gate.
-    never_hashed = GATE_ORDER[:11]
+    # join, streaming as-of join, TPC-H q2/q4, and the boilerplate
+    # scrub) must lead the gate.
+    never_hashed = GATE_ORDER[:14]
     assert set(never_hashed) == {
         "knn_cosine_ivf_indexed",
         "pipeline_profile",
@@ -125,6 +128,9 @@ def test_unhashed_entries_run_first():
         "multimodal_video_frames",
         "bloom_pruned_join",
         "streaming_asof_join",
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "pipeline_scrub_boilerplate",
     }
 
 

@@ -84,9 +84,10 @@ GATE_CAP = 50
 GATE_ORDER = (
     # -- never driver-hashed (the last 6 of the round-3 registry + the
     # round-4-new real-codec trio multimodal_wav/bmp/video_frames, the
-    # bloom-runtime-filter join, and the streaming as-of join): run
-    # first. Once these hash green, every entry of the 90-query registry
-    # is cumulatively driver-verified. -----------------------------------
+    # bloom-runtime-filter join, the streaming as-of join, TPC-H q2/q4,
+    # and the boilerplate scrub): run first. Once these hash green,
+    # every entry of the 94-query registry is cumulatively
+    # driver-verified. ---------------------------------------------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
     "text_langid",
@@ -98,6 +99,9 @@ GATE_ORDER = (
     "multimodal_video_frames",
     "bloom_pruned_join",
     "streaming_asof_join",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "pipeline_scrub_boilerplate",
     # -- first hashed (green) in round 3 ---------------------------------
     "knn_cosine_pq",
     "pipeline_chunk_documents",
@@ -122,10 +126,7 @@ GATE_ORDER = (
     "ref_q3_bus_positions",
     "ref_q4_bike_occupancy",
     "ref_wind_rolling_avg",
-    "knn_cosine_brute",
     "knn_cosine_lsh",
-    "multimodal_features",
-    "multimodal_frames",
     "text_nlp_kit",
     "scan_filter_agg_kit",
     "semi_anti_join_kit",
@@ -159,9 +160,12 @@ BENCH_EXTRA = (
     "q5_region_revenue",
     "pipeline_prep_documents",
     "salted_hot_key_agg",
-    # Not yet gated (round-4-new, proxied): benched now so its first
-    # gate round has a prior-round baseline to compare against.
-    "pipeline_scrub_boilerplate",
+    # Rotated out mid-round-4 (driver-green r2+r3) to hand slots to the
+    # new q2/q4 and the first gating of pipeline_scrub_boilerplate; the
+    # real-codec trio and the lsh/pq/ivf knn entries cover the families.
+    "multimodal_features",
+    "multimodal_frames",
+    "knn_cosine_brute",
 )
 
 

@@ -1465,8 +1465,145 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
 """
 
 
+# --------------------------------------------------------------------------
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for each qualifying
+    part, the EUROPE supplier(s) whose cost equals the part's minimum
+    cost among EUROPE suppliers.
+
+    The testdata has no partsupp table, so supply cost derives from
+    lineitem: ``min(discounted price)`` a supplier ever charged for the
+    part — an exact decimal min, so both engines agree bit-for-bit. The
+    correlated ``= (SELECT min ...)`` decorrelates into one window MIN
+    over p_partkey (no re-probe join). The part filter broadcasts and
+    prunes lineitem BELOW the (part, supplier) aggregation, so the big
+    shuffle only carries qualifying parts; the supplier⋈nation⋈region
+    chain broadcasts its dimension side. All ties at the minimum are
+    returned (TPC-H semantics), so no LIMIT nondeterminism.
+    """
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "supplier", "nation", "region", "part")
+    )
+    wanted = (
+        t["part"]
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    ps = (
+        t["lineitem"]
+        .join(
+            F.broadcast(wanted.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(disc_price_dec()).alias("_cost"))
+    )
+    eu = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eps = ps.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    best = eps.withColumn("_min_cost", F.min("_cost").over(w)).filter(
+        F.col("_cost") == F.col("_min_cost")
+    )
+    return best.join(
+        F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_name",
+        pround(F.col("_cost").cast("double"), 2).alias("supply_cost"),
+    )
+
+
+# Oracle keeps the LITERAL correlated-min formulation, so the hash match
+# also proves the window-decorrelation is semantics-preserving.
+Q2_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min({SQL_DISC_PRICE}) AS _cost
+  FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_size <= 10 AND p_type = 'STANDARD'
+  )
+  GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+eps AS (SELECT * FROM ps JOIN eu ON l_suppkey = s_suppkey)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_name,
+       {sql_round("CAST(_cost AS DOUBLE)", 2)} AS supply_cost
+FROM eps JOIN part ON l_partkey = p_partkey
+WHERE _cost = (SELECT min(e2._cost) FROM eps e2
+               WHERE e2.l_partkey = eps.l_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi join + priority distribution — orders
+    placed in 1995 Q1 with at least one LATE line, counted by priority.
+
+    The testdata has no commit/receipt dates, so "late" adapts to the
+    q21 convention: shipped >30 days after the order date. The EXISTS
+    compiles to a LEFT SEMI join whose condition mixes the equi key
+    (orderkey) with the theta predicate (F5) — one shuffle on orderkey,
+    and the quarter filter prunes the orders side before it. The
+    priority groupBy aggregates a 5-value domain (map-side partials
+    collapse it to almost nothing).
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    late = o.join(
+        t["lineitem"],
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q2_min_cost_supplier": QuerySpec(q2_min_cost_supplier, Q2_SQL),
+    "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
     "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
     "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL),
