@@ -77,6 +77,7 @@ ROTATED_OUT = {
     "multimodal_features": "multimodal_wav",  # real-codec features twin
     "multimodal_frames": "multimodal_video_frames",  # real-codec frames twin
     "knn_cosine_brute": "knn_cosine_lsh",  # cosine top-k family
+    "q9_product_profit": "q8_market_share",  # multi-join grouped agg
 }
 
 
@@ -113,9 +114,9 @@ def test_unhashed_entries_run_first():
     # CORRECTNESS_r01-r03 covered the rest of the registry; the 14
     # entries the driver has never hashed (the last 6 of the round-3
     # registry + the round-4-new real-codec trio, bloom runtime-filter
-    # join, streaming as-of join, TPC-H q2/q4, and the boilerplate
-    # scrub) must lead the gate.
-    never_hashed = GATE_ORDER[:14]
+    # join, streaming as-of join, TPC-H q2/q4, the boilerplate scrub,
+    # and the events pivot) must lead the gate.
+    never_hashed = GATE_ORDER[:15]
     assert set(never_hashed) == {
         "knn_cosine_ivf_indexed",
         "pipeline_profile",
@@ -131,6 +132,7 @@ def test_unhashed_entries_run_first():
         "q2_min_cost_supplier",
         "q4_order_priority",
         "pipeline_scrub_boilerplate",
+        "events_pivot",
     }
 
 

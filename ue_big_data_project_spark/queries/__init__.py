@@ -85,9 +85,9 @@ GATE_ORDER = (
     # -- never driver-hashed (the last 6 of the round-3 registry + the
     # round-4-new real-codec trio multimodal_wav/bmp/video_frames, the
     # bloom-runtime-filter join, the streaming as-of join, TPC-H q2/q4,
-    # and the boilerplate scrub): run first. Once these hash green,
-    # every entry of the 94-query registry is cumulatively
-    # driver-verified. ---------------------------------------------------
+    # the boilerplate scrub, and the events pivot): run first. Once
+    # these hash green, every entry of the 95-query registry is
+    # cumulatively driver-verified. --------------------------------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
     "text_langid",
@@ -102,11 +102,11 @@ GATE_ORDER = (
     "q2_min_cost_supplier",
     "q4_order_priority",
     "pipeline_scrub_boilerplate",
+    "events_pivot",
     # -- first hashed (green) in round 3 ---------------------------------
     "knn_cosine_pq",
     "pipeline_chunk_documents",
     "q8_market_share",
-    "q9_product_profit",
     "q10_returned_revenue",
     "q11_important_parts",
     "q13_order_count_distribution",
@@ -166,6 +166,7 @@ BENCH_EXTRA = (
     "multimodal_features",
     "multimodal_frames",
     "knn_cosine_brute",
+    "q9_product_profit",
 )
 
 

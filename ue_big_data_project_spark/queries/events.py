@@ -758,8 +758,67 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The pivot value list is EXPLICIT: Spark's values-less pivot runs an
+# extra distinct-collect job over the whole input to discover the
+# columns — at 100 TB that's a full scan just to name the output schema.
+# Declaring the domain keeps the pivot to its one aggregation shuffle.
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: the long (day, event_type) pairs → one wide row per day
+    with per-type count and value-sum columns — the cross-tab shape BI
+    layers ask of an OLAP engine.
+
+    One shuffle on the day key; the per-type cells are conditional
+    aggregates Catalyst evaluates in a single pass (no per-type scans,
+    no joins). Count cells coalesce to 0 (a day without that type is a
+    real zero); sum cells stay NULL, matching SQL FILTER semantics.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    wide = (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            d2(F.col("value")).alias("_v"),
+        )
+        .groupBy("day")
+        .pivot("event_type", list(PIVOT_EVENT_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("_v")).alias("v"),
+        )
+    )
+    cols = [F.col("day")]
+    for t in PIVOT_EVENT_TYPES:
+        cols.append(
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n")
+        )
+        cols.append(F.col(f"{t}_v"))
+    return wide.select(*cols)
+
+
+_PIVOT_CELLS = ",\n  ".join(
+    f"CAST(coalesce(count(*) FILTER (event_type = '{t}'), 0) AS BIGINT)"
+    f" AS {t}_n,\n  "
+    + sql_round(
+        f"CAST(sum({sql_d2('value')}) FILTER (event_type = '{t}') AS DOUBLE)",
+        2,
+    )
+    + f" AS {t}_v"
+    for t in PIVOT_EVENT_TYPES
+)
+EVENTS_PIVOT_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  {_PIVOT_CELLS}
+FROM events
+GROUP BY day
+"""
+
+
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
+    "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
     "streaming_sessionize": QuerySpec(streaming_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_set_ops": QuerySpec(events_set_ops, EVENTS_SET_OPS_SQL),
     "events_percentiles": QuerySpec(events_percentiles, EVENTS_PERCENTILES_SQL),
