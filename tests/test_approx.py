@@ -209,3 +209,45 @@ def test_ivf_layout_and_param_guards(spark, tmp_path):
     cents.write.parquet(idx + "_centroids")
     with pytest.raises(ValueError, match="stream-ingested"):
         ivf_index_append(spark, idx, e.limit(5))
+
+
+def test_driver_trainer_bit_identical_to_distributed(spark):
+    """The driver-side Lloyd (trainer='driver') replays the distributed
+    plan's float/decimal arithmetic exactly — centroids must be
+    BIT-identical (same ids, same doubles), for both metrics. This is
+    the guarantee that lets trainer='auto' swap paths without touching
+    any oracle."""
+    from ue_big_data_project_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    for metric in ("cosine", "l2"):
+        dist = kmeans_centroids(
+            e, n_centroids=16, iters=2, metric=metric, trainer="distributed"
+        )
+        drv = kmeans_centroids(
+            e, n_centroids=16, iters=2, metric=metric, trainer="driver"
+        )
+        a = sorted((r["cent_id"], tuple(r["cent_vec"])) for r in dist.collect())
+        b = sorted((r["cent_id"], tuple(r["cent_vec"])) for r in drv.collect())
+        assert a == b, f"driver/distributed centroids diverge ({metric})"
+
+
+def test_driver_trainer_budget_fallback(spark):
+    """trainer='driver' raises past the op budget; trainer='auto' falls
+    back to the distributed path and still returns centroids."""
+    import pytest as _pytest
+
+    from ue_big_data_project_spark.operators import similarity as S
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    old = S._DRIVER_TRAIN_OP_BUDGET
+    S._DRIVER_TRAIN_OP_BUDGET = 1  # force max_rows=0
+    try:
+        with _pytest.raises(ValueError, match="training sample exceeds"):
+            S.kmeans_centroids(e, n_centroids=4, iters=1, trainer="driver")
+        auto = S.kmeans_centroids(e, n_centroids=4, iters=1, trainer="auto")
+        assert auto.count() == 4
+    finally:
+        S._DRIVER_TRAIN_OP_BUDGET = old

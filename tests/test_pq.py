@@ -219,3 +219,27 @@ def test_ivf_pq_residual_high_recall_and_nprobe_monotone(spark):
         recalls[nprobe] = _recall_at5(exact, rows)
     assert recalls[4] >= 0.8, recalls
     assert recalls[8] >= recalls[4] >= recalls[1], recalls
+
+
+def test_pq_driver_trainer_bit_identical(spark):
+    """Driver-side PQ codebook training (trainer='driver') must be
+    bit-identical to the distributed Lloyd — same (subspace, code)
+    layout, same double centroids — so trainer='auto' cannot change any
+    encode/score result."""
+    from ue_big_data_project_spark.operators.similarity import pq_codebooks
+    from ue_big_data_project_spark.session import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))[
+        "embeddings"
+    ]
+    dist = pq_codebooks(e, m=4, k=8, iters=2, trainer="distributed")
+    drv = pq_codebooks(e, m=4, k=8, iters=2, trainer="driver")
+    a = sorted(
+        (r["subspace"], r["code"], tuple(r["cent_vec"]))
+        for r in dist.collect()
+    )
+    b = sorted(
+        (r["subspace"], r["code"], tuple(r["cent_vec"]))
+        for r in drv.collect()
+    )
+    assert a == b

@@ -359,6 +359,166 @@ def _assign_clusters(
     )
 
 
+# --------------------------------------------------------------------------
+# Driver-side quantizer training (bit-identical twin of the distributed
+# Lloyd loops below).
+#
+# Quantizer training is SAMPLE-bounded by design — a coarse quantizer or
+# PQ codebook never needs more than ~1e5-1e6 training vectors no matter
+# how big the corpus is (that is the whole point of train_mod). When the
+# sample fits a modest driver budget, running Lloyd locally replaces
+# 2·iters Spark jobs (broadcast-assign scan + (cell,dim) shuffle +
+# localCheckpoint each) with one bounded Arrow collect — the same
+# build-once/query-many economics FAISS uses. Every float/decimal op
+# replays the distributed plan EXACTLY:
+#
+# - dot/norm: left-to-right float64 folds (functions.vectors).
+# - scores: pround(x, scale) = floor(x·10ˢ + 0.5)/10ˢ, IEEE double.
+# - argmax: (rounded score desc, cent_id asc), same as max_by struct.
+# - update: per-(cell,dim) sums of Decimal(repr(x)) quantized HALF_UP at
+#   10 dp — the same shortest-repr conversion Spark's double→decimal(27,10)
+#   cast performs (BigDecimal.valueOf) — cast back via correctly-rounded
+#   float(); L2 means divide by the member count in float64.
+#
+# Equivalence is pinned bit-for-bit against the distributed path in
+# tests/test_approx.py / tests/test_pq.py; oracles are unchanged.
+_DRIVER_TRAIN_OP_BUDGET = 50_000_000
+_DEC_Q10 = None  # initialized lazily (decimal import kept local)
+
+
+def _dec10(x: float):
+    """Spark's Cast(double → decimal(27,10)): shortest decimal repr,
+    then HALF_UP at 10 decimal places."""
+    import decimal
+
+    global _DEC_Q10
+    if _DEC_Q10 is None:
+        _DEC_Q10 = decimal.Decimal("1E-10")
+    return decimal.Decimal(repr(x)).quantize(
+        _DEC_Q10, rounding=decimal.ROUND_HALF_UP
+    )
+
+
+def _pround_py(x: float, scale: int) -> float:
+    import math
+
+    k = float(10**scale)
+    return math.floor(x * k + 0.5) / k
+
+
+def _dot_py(a: list, b: list) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _norm2_py(a: list) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _md5_init(rows: list, n: int) -> list:
+    """The deterministic init: n training vectors with the smallest
+    (md5(str(id)), id) — same ordering the distributed plan sorts by."""
+    import hashlib
+
+    return sorted(
+        rows,
+        key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+    )[:n]
+
+
+def _lloyd_driver(
+    rows: list,
+    n_centroids: int,
+    iters: int,
+    metric: str,
+    score_scale: int,
+    init: list | None = None,
+) -> list:
+    """Pure-Python Lloyd, bit-identical to the distributed loop.
+
+    ``rows`` is [(id, [float64,...]), ...]; returns [(cent_id, vec)].
+    """
+    import decimal
+
+    cents = [
+        (rid, list(vec))
+        for rid, vec in (init if init is not None else _md5_init(rows, n_centroids))
+    ]
+    with decimal.localcontext() as ctx:
+        ctx.prec = 50
+        for _ in range(iters):
+            cnorms = [
+                (cid, cvec, _norm2_py(cvec)) for cid, cvec in cents
+            ]
+            members: dict = {}
+            for rid, vec in rows:
+                rn = _norm2_py(vec) if metric != "l2" else 0.0
+                best_s = None
+                best_c = None
+                for cid, cvec, cn in cnorms:
+                    if metric == "l2":
+                        s = _pround_py(
+                            2.0 * _dot_py(vec, cvec) - cn * cn, score_scale
+                        )
+                    else:
+                        denom = rn * cn
+                        s = (
+                            _pround_py(_dot_py(vec, cvec) / denom, score_scale)
+                            if denom > 0
+                            else _pround_py(0.0, score_scale)
+                        )
+                    if (
+                        best_s is None
+                        or s > best_s
+                        or (s == best_s and cid < best_c)
+                    ):
+                        best_s, best_c = s, cid
+                members.setdefault(best_c, []).append(vec)
+            new_cents = []
+            for cid, old in cents:
+                mem = members.get(cid)
+                if not mem:
+                    new_cents.append((cid, old))
+                    continue
+                nv = []
+                for p in range(len(old)):
+                    sdec = decimal.Decimal(0)
+                    for v in mem:
+                        sdec = sdec + _dec10(v[p])
+                    f = float(sdec)
+                    nv.append(f / len(mem) if metric == "l2" else f)
+                new_cents.append((cid, nv))
+            cents = new_cents
+    return cents
+
+
+def _collect_train_sample(
+    train: DataFrame, item_id: str, item_vec: str, max_rows: int
+) -> list | None:
+    """Arrow-collect the bounded training sample as [(id, float64 vec)],
+    or None when it exceeds ``max_rows`` (caller falls back to the
+    distributed Lloyd)."""
+    tbl = (
+        train.select(F.col(item_id).alias("_id"), F.col(item_vec).alias("_v"))
+        .limit(max_rows + 1)
+        .toArrow()
+    )
+    if tbl.num_rows > max_rows:
+        return None
+    ids = tbl.column("_id").to_pylist()
+    vecs = tbl.column("_v").to_pylist()  # float32 → exact float64
+    return [
+        (i, [float(x) for x in v]) for i, v in zip(ids, vecs)
+    ]
+
+
 def kmeans_centroids(
     items: DataFrame,
     n_centroids: int = 16,
@@ -368,6 +528,7 @@ def kmeans_centroids(
     train_mod: int = 4,
     score_scale: int = 6,
     metric: str = "cosine",
+    trainer: str = "auto",
 ) -> DataFrame:
     """Deterministic sampled k-means centroids as pure DataFrame ops.
 
@@ -396,9 +557,44 @@ def kmeans_centroids(
     shuffle of decimal scalars — O(N·dim) rows of a few bytes; the
     centroid table (``n_centroids`` rows) is localCheckpointed per
     iteration so the lazy plan doesn't snowball.
+
+    ``trainer="auto"`` (default) runs the bit-identical DRIVER-side
+    Lloyd when the sample fits the op budget (one bounded Arrow collect
+    instead of 2·iters Spark jobs — see the block comment above);
+    ``"distributed"`` forces the cluster path, ``"driver"`` forces the
+    local path (raising if the sample exceeds the budget).
     """
     sid, svec = F.col(item_id), F.col(item_vec)
     train = items if train_mod <= 1 else items.filter(sid % train_mod == 0)
+    if trainer in ("auto", "driver"):
+        first = train.select(F.size(svec).alias("d")).first()
+        dim = first["d"] if first is not None else 0
+        max_rows = _DRIVER_TRAIN_OP_BUDGET // max(
+            dim * n_centroids * max(iters, 1), 1
+        )
+        sample = (
+            _collect_train_sample(train, item_id, item_vec, max_rows)
+            if dim
+            else []
+        )
+        if sample is None and trainer == "driver":
+            raise ValueError(
+                f"kmeans_centroids: training sample exceeds {max_rows} rows"
+                " — use trainer='distributed' (or raise train_mod)"
+            )
+        if sample is not None:
+            cents = _lloyd_driver(
+                sample, n_centroids, iters, metric, score_scale
+            )
+            return items.sparkSession.createDataFrame(
+                [(int(cid), list(vec)) for cid, vec in cents],
+                T.StructType(
+                    [
+                        T.StructField("cent_id", T.LongType()),
+                        T.StructField("cent_vec", T.ArrayType(T.DoubleType())),
+                    ]
+                ),
+            )
     cents = (
         train.select(
             sid.alias("cent_id"),
@@ -783,6 +979,7 @@ def pq_codebooks(
     item_vec: str = "embedding",
     train_mod: int = 4,
     score_scale: int = 6,
+    trainer: str = "auto",
 ) -> DataFrame:
     """Product-quantization codebooks: the embedding space is split into
     ``m`` contiguous subspaces and each gets its own ``k``-entry L2
@@ -807,6 +1004,49 @@ def pq_codebooks(
     d = n_dim // m
     sid = F.col(item_id)
     train = items if train_mod <= 1 else items.filter(sid % train_mod == 0)
+
+    # Driver-side twin (see the block comment above kmeans_centroids):
+    # one bounded Arrow collect, then m independent L2 Lloyd runs over
+    # the subvector slices — same md5-smallest init rows shared across
+    # subspaces, same decimal-exact means, bit-identical codebooks
+    # (pinned in tests/test_pq.py).
+    if trainer in ("auto", "driver"):
+        max_rows = _DRIVER_TRAIN_OP_BUDGET // max(
+            n_dim * k * max(iters, 1), 1
+        )
+        sample = _collect_train_sample(train, item_id, item_vec, max_rows)
+        if sample is None and trainer == "driver":
+            raise ValueError(
+                f"pq_codebooks: training sample exceeds {max_rows} rows"
+                " — use trainer='distributed' (or raise train_mod)"
+            )
+        if sample is not None:
+            init_full = _md5_init(sample, k)
+            out_rows = []
+            for j in range(m):
+                lo, hi = j * d, (j + 1) * d
+                cents_j = _lloyd_driver(
+                    [(rid, vec[lo:hi]) for rid, vec in sample],
+                    k,
+                    iters,
+                    "l2",
+                    score_scale,
+                    init=[(rid, vec[lo:hi]) for rid, vec in init_full],
+                )
+                for code, (_cid, cvec) in enumerate(
+                    sorted(cents_j, key=lambda c: c[0])
+                ):
+                    out_rows.append((j, code, list(cvec)))
+            return items.sparkSession.createDataFrame(
+                out_rows,
+                T.StructType(
+                    [
+                        T.StructField("subspace", T.IntegerType()),
+                        T.StructField("code", T.IntegerType()),
+                        T.StructField("cent_vec", T.ArrayType(T.DoubleType())),
+                    ]
+                ),
+            )
 
     def sub_structs(vec: Column) -> Column:
         return F.array(
