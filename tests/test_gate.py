@@ -30,6 +30,9 @@ PROXIED = {
     # Same oracle and probe path; append-vs-build equivalence is pinned
     # by tests/test_approx.py::test_ivf_index_append_matches_full_rebuild.
     "knn_cosine_ivf_appended": "knn_cosine_ivf_indexed",
+    # Ranking-window family (one WindowExec pass after the same
+    # per-key shuffle); benched via BENCH_EXTRA for a first baseline.
+    "window_rank_kit": "window_top1_per_order",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -64,7 +67,7 @@ ROTATED_OUT = {
     "pipeline_corpus_stats": "pipeline_profile",  # one-pass profiling
     "events_rollup": "streaming_incremental_rollup",  # rollup family
     "q1_pricing_summary": "scan_filter_agg_kit",  # grouped multi-agg
-    "theta_join_next_error": "interval_overlap_join",  # non-equi join
+    "theta_join_next_error": "streaming_interval_join",  # non-equi join
     "knn_cosine_ivf": "knn_cosine_ivf_indexed",  # IVF (indexed twin)
     # Rotated out mid-round-4 (driver-green r1-r3) to hand slots to the
     # real-codec multimodal_bmp / multimodal_video_frames:
@@ -78,6 +81,7 @@ ROTATED_OUT = {
     "multimodal_frames": "multimodal_video_frames",  # real-codec frames twin
     "knn_cosine_brute": "knn_cosine_lsh",  # cosine top-k family
     "q9_product_profit": "q8_market_share",  # multi-join grouped agg
+    "interval_overlap_join": "streaming_interval_join",  # interval join
 }
 
 
@@ -115,8 +119,8 @@ def test_unhashed_entries_run_first():
     # entries the driver has never hashed (the last 6 of the round-3
     # registry + the round-4-new real-codec trio, bloom runtime-filter
     # join, streaming as-of join, TPC-H q2/q4, the boilerplate scrub,
-    # and the events pivot) must lead the gate.
-    never_hashed = GATE_ORDER[:15]
+    # the events pivot, and the resample) must lead the gate.
+    never_hashed = GATE_ORDER[:16]
     assert set(never_hashed) == {
         "knn_cosine_ivf_indexed",
         "pipeline_profile",
@@ -133,6 +137,7 @@ def test_unhashed_entries_run_first():
         "q4_order_priority",
         "pipeline_scrub_boilerplate",
         "events_pivot",
+        "events_resample",
     }
 
 

@@ -956,7 +956,9 @@ def ivf_knn_indexed(
         queries, centroids, query_vec, query_id, nprobe=nprobe,
         score_scale=score_scale,
     ).withColumnRenamed("cent_id", "cell")
-    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    # Dedup driver-side: the collect is bounded by |Q|·nprobe rows of
+    # ints either way, and skipping .distinct() saves a shuffle stage.
+    cells = sorted({r["cell"] for r in probes.select("cell").collect()})
     items = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     items, probes = _with_norms(items, probes, item_vec, query_vec)
     scored = items.join(F.broadcast(probes), "cell").filter(

@@ -85,9 +85,12 @@ GATE_ORDER = (
     # -- never driver-hashed (the last 6 of the round-3 registry + the
     # round-4-new real-codec trio multimodal_wav/bmp/video_frames, the
     # bloom-runtime-filter join, the streaming as-of join, TPC-H q2/q4,
-    # the boilerplate scrub, and the events pivot): run first. Once
-    # these hash green, every entry of the 95-query registry is
-    # cumulatively driver-verified. --------------------------------------
+    # the boilerplate scrub, the events pivot, and the gap-filling
+    # resample): run first. Once these hash green, every entry of the
+    # 97-query registry is cumulatively driver-verified except the two
+    # equivalence-pinned proxies window_rank_kit (same WindowExec family
+    # as window_top1_per_order) and knn_cosine_ivf_appended (same oracle
+    # and probe path as knn_cosine_ivf_indexed). -------------------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
     "text_langid",
@@ -103,6 +106,7 @@ GATE_ORDER = (
     "q4_order_priority",
     "pipeline_scrub_boilerplate",
     "events_pivot",
+    "events_resample",
     # -- first hashed (green) in round 3 ---------------------------------
     "knn_cosine_pq",
     "pipeline_chunk_documents",
@@ -111,7 +115,6 @@ GATE_ORDER = (
     "q11_important_parts",
     "q13_order_count_distribution",
     "q20_dominant_part_suppliers",
-    "interval_overlap_join",
     "streaming_interval_join",
     "streaming_incremental_rollup",
     "dedup_incremental",
@@ -167,6 +170,10 @@ BENCH_EXTRA = (
     "multimodal_frames",
     "knn_cosine_brute",
     "q9_product_profit",
+    "interval_overlap_join",
+    # Round-4-new and not yet gated (proxied by window_top1_per_order):
+    # benched now so its first gate round has a prior-round baseline.
+    "window_rank_kit",
 )
 
 

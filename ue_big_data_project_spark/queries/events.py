@@ -816,9 +816,84 @@ GROUP BY day
 """
 
 
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE with gap filling + forward fill: per
+    event_type, the 15-minute bucket grid from its first to its last
+    event — buckets with no events materialized with n_events = 0 and
+    avg_value carried forward from the last observed bucket.
+
+    The grid is ``sequence()`` over the per-type [min, max] bucket span
+    exploded into rows (generated, never scanned — dense-grid cost is
+    O(time-range/width) per type, data-size independent), left-joined to
+    the aggregated buckets; the fill is one ``last(ignorenulls)`` running
+    window per type. Two shuffles total (bucket agg, type window) — no
+    per-gap probing, no driver loop.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    width_us = 900_000_000  # 15 min
+    agg = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(width_us)).alias("_b"),
+            d2(F.col("value")).alias("_v"),
+        )
+        .groupBy("event_type", "_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            davg(F.col("_v")).alias("_avg"),
+        )
+    )
+    grid = (
+        agg.groupBy("event_type")
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(agg, ["event_type", "_b"], "left")
+        .select(
+            "event_type",
+            (F.col("_b") * F.lit(width_us)).alias("bucket_start_us"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("_avg", ignorenulls=True).over(w).alias("avg_value_ffill"),
+        )
+    )
+
+
+EVENTS_RESAMPLE_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) AS _b,
+         count(*) AS _n,
+         {sql_davg(sql_d2("value"))} AS _avg
+  FROM events GROUP BY event_type, _b
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(min(_b), max(_b))) AS _b
+  FROM agg GROUP BY event_type
+)
+SELECT g.event_type,
+       g._b * 900000000 AS bucket_start_us,
+       CAST(coalesce(a._n, 0) AS BIGINT) AS n_events,
+       last_value(a._avg IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g._b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_ffill
+FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g._b = a._b
+"""
+
+
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
     "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
+    "events_resample": QuerySpec(events_resample, EVENTS_RESAMPLE_SQL),
     "streaming_sessionize": QuerySpec(streaming_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_set_ops": QuerySpec(events_set_ops, EVENTS_SET_OPS_SQL),
     "events_percentiles": QuerySpec(events_percentiles, EVENTS_PERCENTILES_SQL),

@@ -1555,6 +1555,51 @@ WHERE _cost = (SELECT min(e2._cost) FROM eps e2
 
 
 # --------------------------------------------------------------------------
+def window_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth kit (W1 family): dense_rank, percent_rank,
+    cume_dist, ntile(4) and lead over the same per-customer
+    order-history window — ONE Window spec, so Catalyst evaluates all
+    five in a single WindowExec pass after one shuffle on o_custkey.
+
+    percent_rank/cume_dist divide window-local integer counts in
+    float64 (identical bits in any engine) and the ordering carries the
+    unique o_orderkey tie-break, so every rank is deterministic. The
+    quarter filter prunes the scan before the shuffle.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("rk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+WINDOW_RANK_KIT_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(dense_rank() OVER w AS INTEGER) AS rk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       lead(o_totalprice) OVER w AS next_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-04-01'
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# --------------------------------------------------------------------------
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS semi join + priority distribution — orders
     placed in 1995 Q1 with at least one LATE line, counted by priority.
@@ -1604,6 +1649,7 @@ QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "q2_min_cost_supplier": QuerySpec(q2_min_cost_supplier, Q2_SQL),
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
+    "window_rank_kit": QuerySpec(window_rank_kit, WINDOW_RANK_KIT_SQL),
     "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
     "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL),
