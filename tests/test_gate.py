@@ -82,6 +82,7 @@ ROTATED_OUT = {
     "knn_cosine_brute": "knn_cosine_lsh",  # cosine top-k family
     "q9_product_profit": "q8_market_share",  # multi-join grouped agg
     "interval_overlap_join": "streaming_interval_join",  # interval join
+    "q20_dominant_part_suppliers": "q2_min_cost_supplier",  # correlated agg threshold
 }
 
 
@@ -115,12 +116,13 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r03 covered the rest of the registry; the 14
+    # CORRECTNESS_r01-r03 covered the rest of the registry; the 17
     # entries the driver has never hashed (the last 6 of the round-3
     # registry + the round-4-new real-codec trio, bloom runtime-filter
     # join, streaming as-of join, TPC-H q2/q4, the boilerplate scrub,
-    # the events pivot, and the resample) must lead the gate.
-    never_hashed = GATE_ORDER[:16]
+    # the events pivot, the resample, and the shared-SQL-text front
+    # door) must lead the gate.
+    never_hashed = GATE_ORDER[:17]
     assert set(never_hashed) == {
         "knn_cosine_ivf_indexed",
         "pipeline_profile",
@@ -138,6 +140,7 @@ def test_unhashed_entries_run_first():
         "pipeline_scrub_boilerplate",
         "events_pivot",
         "events_resample",
+        "sql_text_nation_revenue",
     }
 
 

@@ -85,8 +85,9 @@ GATE_ORDER = (
     # -- never driver-hashed (the last 6 of the round-3 registry + the
     # round-4-new real-codec trio multimodal_wav/bmp/video_frames, the
     # bloom-runtime-filter join, the streaming as-of join, TPC-H q2/q4,
-    # the boilerplate scrub, the events pivot, and the gap-filling
-    # resample): run first. Once these hash green, every entry of the
+    # the boilerplate scrub, the events pivot, the gap-filling
+    # resample, and the shared-SQL-text front door): run first. Once
+    # these hash green, every entry of the
     # 97-query registry is cumulatively driver-verified except the two
     # equivalence-pinned proxies window_rank_kit (same WindowExec family
     # as window_top1_per_order) and knn_cosine_ivf_appended (same oracle
@@ -107,6 +108,7 @@ GATE_ORDER = (
     "pipeline_scrub_boilerplate",
     "events_pivot",
     "events_resample",
+    "sql_text_nation_revenue",
     # -- first hashed (green) in round 3 ---------------------------------
     "knn_cosine_pq",
     "pipeline_chunk_documents",
@@ -114,7 +116,6 @@ GATE_ORDER = (
     "q10_returned_revenue",
     "q11_important_parts",
     "q13_order_count_distribution",
-    "q20_dominant_part_suppliers",
     "streaming_interval_join",
     "streaming_incremental_rollup",
     "dedup_incremental",
@@ -171,6 +172,7 @@ BENCH_EXTRA = (
     "knn_cosine_brute",
     "q9_product_profit",
     "interval_overlap_join",
+    "q20_dominant_part_suppliers",
     # Round-4-new and not yet gated (proxied by window_top1_per_order):
     # benched now so its first gate round has a prior-round baseline.
     "window_rank_kit",

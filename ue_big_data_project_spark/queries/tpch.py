@@ -1555,6 +1555,43 @@ WHERE _cost = (SELECT min(e2._cost) FROM eps e2
 
 
 # --------------------------------------------------------------------------
+# ONE portable ANSI string executed verbatim by BOTH engines: the Spark
+# side is literally ``spark.sql(SQL_TEXT_SHARED)`` over the temp views
+# load_tables registers, and the oracle is the SAME string in DuckDB —
+# the strongest possible form of the A5 dual-engine idea, and the proof
+# that the engine's SQL front door (not just its DataFrame API) carries
+# the cross-engine determinism conventions (decimal sums on base
+# columns, portable floor-rounding, TIMESTAMP literals). One trap the
+# shared text must dodge: Spark SQL parses decimal-POINT literals
+# (100.0) as DECIMAL, so `floor(x)/100.0` would come back as a decimal
+# division; scientific literals (1e2) are DOUBLE in both engines.
+SQL_TEXT_SHARED = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             * 1e2 + 0.5) / 1e2 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+def sql_text_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text front door: registered temp views + a raw
+    ``spark.sql`` query — Catalyst plans the text into the same
+    broadcast-dim/shuffle-fact shape the DataFrame API produces (the
+    year filter prunes orders before its join; nation/customer
+    broadcast under AQE)."""
+    load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    return spark.sql(SQL_TEXT_SHARED)
+
+
+# --------------------------------------------------------------------------
 def window_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window breadth kit (W1 family): dense_rank, percent_rank,
     cume_dist, ntile(4) and lead over the same per-customer
@@ -1650,6 +1687,9 @@ QUERIES = {
     "q2_min_cost_supplier": QuerySpec(q2_min_cost_supplier, Q2_SQL),
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
     "window_rank_kit": QuerySpec(window_rank_kit, WINDOW_RANK_KIT_SQL),
+    "sql_text_nation_revenue": QuerySpec(
+        sql_text_nation_revenue, SQL_TEXT_SHARED
+    ),
     "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
     "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL),
