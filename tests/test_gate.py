@@ -33,6 +33,10 @@ PROXIED = {
     # Ranking-window family (one WindowExec pass after the same
     # per-key shuffle); benched via BENCH_EXTRA for a first baseline.
     "window_rank_kit": "window_top1_per_order",
+    # Same gradient raster and closed-form oracle through the real
+    # COMPRESSED container (zlib inflate + per-scanline unfiltering);
+    # codec pinned by tests/test_multimodal.py + hypothesis roundtrip.
+    "multimodal_png": "multimodal_bmp",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

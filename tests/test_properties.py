@@ -516,3 +516,28 @@ def test_bloom_no_false_negatives_random_keys(spark, keys, as_string):
         df = df.select(F.col("k").cast("string").alias("k"))
     bloom = build_key_bloom(df, "k", m_bits=1 << 13)
     assert df.where(~bloom_might_contain(F.col("k"), bloom)).count() == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_codec_roundtrip_random_rasters(w, h, seed):
+    """decode(encode(pixels)) through the compressed PNG container
+    recovers exact dimensions and channel sums for ANY raster — every
+    filter type hit whenever h >= 5 (encoder rotates filters per
+    scanline), 1-pixel edges included."""
+    import numpy as np
+
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = MM.decode_png(MM.encode_png(px))
+    sums = px.astype(np.int64).sum(axis=(0, 1))
+    assert (got["width"], got["height"], got["n_pixels"]) == (w, h, w * h)
+    assert (got["sum_r"], got["sum_g"], got["sum_b"]) == tuple(
+        int(s) for s in sums
+    )

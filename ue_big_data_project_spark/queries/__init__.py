@@ -88,7 +88,7 @@ GATE_ORDER = (
     # the boilerplate scrub, the events pivot, the gap-filling
     # resample, and the shared-SQL-text front door): run first. Once
     # these hash green, every entry of the
-    # 97-query registry is cumulatively driver-verified except the two
+    # 98-query registry is cumulatively driver-verified except the two
     # equivalence-pinned proxies window_rank_kit (same WindowExec family
     # as window_top1_per_order) and knn_cosine_ivf_appended (same oracle
     # and probe path as knn_cosine_ivf_indexed). -------------------------
@@ -173,9 +173,10 @@ BENCH_EXTRA = (
     "q9_product_profit",
     "interval_overlap_join",
     "q20_dominant_part_suppliers",
-    # Round-4-new and not yet gated (proxied by window_top1_per_order):
-    # benched now so its first gate round has a prior-round baseline.
+    # Round-4-new and not yet gated (proxied; see tests/test_gate.py):
+    # benched now so their first gate round has a prior-round baseline.
     "window_rank_kit",
+    "multimodal_png",
 )
 
 

@@ -140,8 +140,41 @@ FROM sampled
 """
 
 
+def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the COMPRESSED-container codec path:
+    every document gets a genuine PNG (stdlib-zlib DEFLATE, filter type
+    rotating per scanline) built in the Arrow workers
+    (operators/multimodal.attach_png), and the features come from real
+    decoding — CRC-verified chunk walk, inflate, unfiltering of all
+    five PNG filter types (operators/multimodal.decode_png). Same
+    gradient raster as the BMP path, so the same closed-form oracle
+    applies; the bytes on the wire are a completely different (and
+    compressed) container."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return MM.png_features(MM.attach_png(d))
+
+
+# Same raster as multimodal_bmp (w = 8 + doc_id % 23, h = 4 + doc_id % 11,
+# r = x, g = y, b = doc_id % 251); PNG reports bit_depth 8 per channel.
+MULTIMODAL_PNG_SQL = """
+SELECT doc_id,
+       CAST(8 + doc_id % 23 AS INTEGER) AS width,
+       CAST(4 + doc_id % 11 AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bit_depth,
+       CAST((8 + doc_id % 23) * (4 + doc_id % 11) AS BIGINT) AS n_pixels,
+       CAST((4 + doc_id % 11) * ((8 + doc_id % 23) * (7 + doc_id % 23)) // 2
+            AS BIGINT) AS sum_r,
+       CAST((8 + doc_id % 23) * ((4 + doc_id % 11) * (3 + doc_id % 11)) // 2
+            AS BIGINT) AS sum_g,
+       CAST((8 + doc_id % 23) * (4 + doc_id % 11) * (doc_id % 251)
+            AS BIGINT) AS sum_b
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_wav": QuerySpec(multimodal_wav, MULTIMODAL_WAV_SQL),
     "multimodal_bmp": QuerySpec(multimodal_bmp, MULTIMODAL_BMP_SQL),
