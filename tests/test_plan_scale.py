@@ -200,6 +200,14 @@ SHUFFLE_BUDGETS = {
     "text_repetition": 0,           # pure per-row array fold
     "multimodal_bmp": 0,            # mapInPandas scan, bytes never move
     "multimodal_video_frames": 0,   # frame explode stays in-partition
+    # Mid-round-4 additions.
+    "q2_min_cost_supplier": 2,      # (part,supp) agg + part window; dims broadcast
+    "q4_order_priority": 1,         # semi-join key; 5-row agg collapses map-side
+    "events_pivot": 2,              # Spark plans pivot as two aggregates
+    "events_resample": 2,           # bucket agg + per-type ffill window
+    "window_rank_kit": 1,           # one WindowExec pass, one key exchange
+    "sql_text_nation_revenue": 1,   # SQL text plans like the DataFrame twin
+    "multimodal_png": 0,            # mapInPandas scan, bytes never move
 }
 
 
