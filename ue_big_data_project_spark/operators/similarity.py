@@ -830,7 +830,13 @@ def _write_tagged(
         nprobe=1,
         score_scale=score_scale,
     ).withColumnRenamed("cent_id", "cell")
-    tagged.repartition("cell").write.mode(mode).partitionBy("cell").parquet(path)
+    # Right-size the write shuffle to the (bounded) cell count: one task
+    # per cell gives one file per cell without paying the session's
+    # default shuffle width for a ≤n_centroids-way split.
+    n_cells = centroids.count()
+    tagged.repartition(max(int(n_cells), 1), "cell").write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def ivf_index_append(
