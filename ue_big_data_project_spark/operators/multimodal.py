@@ -554,16 +554,20 @@ def decode_png(payload: bytes) -> dict:
             cur = line
         elif t == 2:
             cur = (line + prev) % 256
-        elif t in (1, 3, 4):
+        elif t == 1:
+            # Sub unfilters to a per-byte-lane running sum mod 256 —
+            # three independent cumsums, fully vectorized.
+            cur = np.empty(bpp * w, dtype=np.int32)
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(line[lane::bpp]) % 256
+        elif t in (3, 4):
             # Left-neighbor dependency → sequential within the row.
             cur = np.zeros(bpp * w, dtype=np.int32)
             for i in range(bpp * w):
                 left = cur[i - bpp] if i >= bpp else 0
                 up = prev[i]
                 ul = prev[i - bpp] if i >= bpp else 0
-                if t == 1:
-                    cur[i] = (line[i] + left) % 256
-                elif t == 3:
+                if t == 3:
                     cur[i] = (line[i] + (left + up) // 2) % 256
                 else:
                     pa = abs(up - ul)

@@ -149,9 +149,17 @@ def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     five PNG filter types (operators/multimodal.decode_png). Same
     gradient raster as the BMP path, so the same closed-form oracle
     applies; the bytes on the wire are a completely different (and
-    compressed) container."""
+    compressed) container.
+
+    The single-file documents table would otherwise hand the whole
+    corpus to ONE mapInPandas worker; the ids-only repartition (8 bytes
+    a row — payloads are built after it) spreads the inflate/unfilter
+    work across every core. A production binary lake arrives
+    many-filed, so this shuffle is the fixture's cost, not the
+    operator's."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return MM.png_features(MM.attach_png(d))
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return MM.png_features(MM.attach_png(ids))
 
 
 # Same raster as multimodal_bmp (w = 8 + doc_id % 23, h = 4 + doc_id % 11,
