@@ -64,6 +64,11 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
+        # localCheckpoint blocks inside query implementations are freed
+        # by the ContextCleaner only after the driver GCs the dropped
+        # references; nudge it between passes so later passes don't run
+        # against a storage layer full of dead blocks from ~70 queries.
+        spark.sparkContext._jvm.System.gc()
         passes += 1
 
     timings = {
