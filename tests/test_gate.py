@@ -37,6 +37,9 @@ PROXIED = {
     # COMPRESSED container (zlib inflate + per-scanline unfiltering);
     # codec pinned by tests/test_multimodal.py + hypothesis roundtrip.
     "multimodal_png": "multimodal_bmp",
+    # Grouping-sets family (rollup/cube expand in one scan); benched
+    # via BENCH_EXTRA for a first baseline.
+    "events_cube": "streaming_incremental_rollup",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

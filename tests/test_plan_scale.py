@@ -209,6 +209,7 @@ SHUFFLE_BUDGETS = {
     "sql_text_nation_revenue": 1,   # SQL text plans like the DataFrame twin
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
+    "events_cube": 1,               # Expand feeds one aggregation exchange
 }
 
 

@@ -816,6 +816,42 @@ GROUP BY day
 """
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week) with an explicit
+    ``grouping_id`` — all four grouping sets (detail, per-type, per-dow,
+    grand total) in ONE scan, and the grouping-id column disambiguates a
+    genuinely-NULL dimension from a rolled-up one (the correctness trap
+    ROLLUP/CUBE consumers hit). Day-of-week stays numeric so no
+    locale/format divergence can leak in (Spark's Sunday=1 convention;
+    the oracle shifts DuckDB's Sunday=0 to match).
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.select(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            d2(F.col("value")).alias("_v"),
+        )
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("_v")).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_CUBE_SQL = f"""
+SELECT event_type,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(GROUPING(event_type, dow) AS INTEGER) AS gid,
+       count(*) AS n_events,
+       {sql_dsum(sql_d2("value"))} AS sum_value
+FROM events
+GROUP BY CUBE (event_type, dow)
+"""
+
+
 def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series RESAMPLE with gap filling + forward fill: per
     event_type, the 15-minute bucket grid from its first to its last
@@ -893,6 +929,7 @@ FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g._b = a._b
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
     "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
+    "events_cube": QuerySpec(events_cube, EVENTS_CUBE_SQL),
     "events_resample": QuerySpec(events_resample, EVENTS_RESAMPLE_SQL),
     "streaming_sessionize": QuerySpec(streaming_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_set_ops": QuerySpec(events_set_ops, EVENTS_SET_OPS_SQL),
