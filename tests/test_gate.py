@@ -40,6 +40,9 @@ PROXIED = {
     # Grouping-sets family (rollup/cube expand in one scan); benched
     # via BENCH_EXTRA for a first baseline.
     "events_cube": "streaming_incremental_rollup",
+    # Open-schema VARIANT twin of the StructType parse; same parse
+    # family as events_props_json.
+    "events_props_variant": "ref_q1_plane_bus_wait",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -210,6 +210,7 @@ SHUFFLE_BUDGETS = {
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "events_cube": 1,               # Expand feeds one aggregation exchange
+    "events_props_variant": 1,      # variant path walk + one agg exchange
 }
 
 

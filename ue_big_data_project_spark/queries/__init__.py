@@ -88,7 +88,7 @@ GATE_ORDER = (
     # the boilerplate scrub, the events pivot, the gap-filling
     # resample, and the shared-SQL-text front door): run first. Once
     # these hash green, every entry of the
-    # 99-query registry is cumulatively driver-verified except the two
+    # 100-query registry is cumulatively driver-verified except the two
     # equivalence-pinned proxies window_rank_kit (same WindowExec family
     # as window_top1_per_order) and knn_cosine_ivf_appended (same oracle
     # and probe path as knn_cosine_ivf_indexed). -------------------------
@@ -178,6 +178,7 @@ BENCH_EXTRA = (
     "window_rank_kit",
     "multimodal_png",
     "events_cube",
+    "events_props_variant",
 )
 
 

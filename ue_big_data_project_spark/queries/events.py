@@ -148,6 +148,39 @@ GROUP BY 1
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` encodes
+    the props column once into the binary variant form, and
+    ``try_variant_get`` does typed path extraction WITHOUT a declared
+    schema — the open-schema twin of events_props_json's
+    StructType-registry parse (X1). At scale the variant binary
+    encoding is parsed once at ingest and every downstream extraction
+    is a cheap path walk instead of a JSON re-parse.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 7).alias("k_mod7"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+EVENTS_PROPS_VARIANT_SQL = """
+WITH x AS (
+  SELECT CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
+  FROM events
+)
+SELECT k % 7 AS k_mod7, count(*) AS n,
+       min(k) AS k_min, max(k) AS k_max
+FROM x GROUP BY 1
+"""
+
+
 def theta_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 reference-exact shape: pure non-equi theta join (no key) +
     rank-1, right side broadcast — "first error event platform-wide
@@ -950,6 +983,9 @@ QUERIES = {
     "events_tumbling_window": QuerySpec(events_tumbling_window, EVENTS_TUMBLING_SQL),
     "events_dedup_first": QuerySpec(events_dedup_first, EVENTS_DEDUP_SQL),
     "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_SQL),
+    "events_props_variant": QuerySpec(
+        events_props_variant, EVENTS_PROPS_VARIANT_SQL
+    ),
     "theta_join_next_error": QuerySpec(theta_join_next_error, THETA_NEXT_ERROR_SQL),
     "asof_bucketed_prev_click": QuerySpec(asof_bucketed_prev_click, ASOF_BUCKETED_SQL),
     "interval_overlap_join": QuerySpec(interval_overlap_join, INTERVAL_OVERLAP_SQL),
