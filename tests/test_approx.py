@@ -245,7 +245,7 @@ def test_driver_trainer_budget_fallback(spark):
     old = S._DRIVER_TRAIN_OP_BUDGET
     S._DRIVER_TRAIN_OP_BUDGET = 1  # force max_rows=0
     try:
-        with _pytest.raises(ValueError, match="training sample exceeds"):
+        with _pytest.raises(ValueError, match="driver training unavailable"):
             S.kmeans_centroids(e, n_centroids=4, iters=1, trainer="driver")
         auto = S.kmeans_centroids(e, n_centroids=4, iters=1, trainer="auto")
         assert auto.count() == 4

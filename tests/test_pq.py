@@ -227,11 +227,8 @@ def test_pq_driver_trainer_bit_identical(spark):
     layout, same double centroids — so trainer='auto' cannot change any
     encode/score result."""
     from ue_big_data_project_spark.operators.similarity import pq_codebooks
-    from ue_big_data_project_spark.session import load_tables
 
-    e = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))[
-        "embeddings"
-    ]
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
     dist = pq_codebooks(e, m=4, k=8, iters=2, trainer="distributed")
     drv = pq_codebooks(e, m=4, k=8, iters=2, trainer="driver")
     a = sorted(

@@ -228,18 +228,26 @@ def sessionize_stream_tws(
     class _SessionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
+            # Unlike GroupState.setTimeoutTimestamp (which REPLACES the
+            # key's timeout), transformWithState timers are ADDITIVE —
+            # the state carries the live timer's expiry so each batch
+            # can delete the superseded one, and the expiry callback can
+            # ignore a stale fire that raced the delete.
             self._sess = handle.getValueState(
                 "sess",
-                "last_us long, sidx int, n long, start_us long, end_us long",
+                "last_us long, sidx int, n long, start_us long, "
+                "end_us long, timer_ms long",
             )
 
         def handleInputRows(
             self, key, rows, timerValues: TimerValues
         ) -> Iterator[pd.DataFrame]:
             (user,) = key
-            cur = (
-                tuple(self._sess.get()) if self._sess.exists() else _EMPTY_STATE
-            )
+            if self._sess.exists():
+                *cur, old_timer_ms = tuple(self._sess.get())
+                cur = tuple(cur)
+            else:
+                cur, old_timer_ms = _EMPTY_STATE, None
             parts = [pdf["_ts_us"] for pdf in rows]
             closed, cur = _fold_sessions(
                 user,
@@ -248,11 +256,14 @@ def sessionize_stream_tws(
                 gap_us,
             )
             last_us, sidx, n, start_us, end_us = cur
-            self._sess.update(cur)
+            timer_ms = old_timer_ms
             if evict and last_us is not None:
-                self._handle.registerTimer(
-                    last_us // 1000 + gap_seconds * 1000
-                )
+                timer_ms = last_us // 1000 + gap_seconds * 1000
+                if old_timer_ms is not None and old_timer_ms != timer_ms:
+                    self._handle.deleteTimer(old_timer_ms)
+                if old_timer_ms != timer_ms:
+                    self._handle.registerTimer(timer_ms)
+            self._sess.update(cur + (timer_ms,))
             open_row = [(user, sidx, n, start_us, end_us)] if sidx > 0 else []
             yield pd.DataFrame(closed + open_row, columns=cols)
 
@@ -265,7 +276,18 @@ def sessionize_stream_tws(
             (user,) = key
             out = []
             if self._sess.exists():
-                last_us, sidx, n, start_us, end_us = self._sess.get()
+                last_us, sidx, n, start_us, end_us, timer_ms = (
+                    self._sess.get()
+                )
+                if (
+                    timer_ms is not None
+                    and expiredTimerInfo.getExpiryTimeInMs() < timer_ms
+                ):
+                    # Stale timer from a superseded registration — the
+                    # session was extended; the live timer is still
+                    # pending. Emit nothing, keep state.
+                    yield pd.DataFrame([], columns=cols)
+                    return
                 if sidx > 0:
                     out = [(user, sidx, n, start_us, end_us)]
                 self._sess.clear()

@@ -568,19 +568,29 @@ def kmeans_centroids(
     train = items if train_mod <= 1 else items.filter(sid % train_mod == 0)
     if trainer in ("auto", "driver"):
         first = train.select(F.size(svec).alias("d")).first()
-        dim = first["d"] if first is not None else 0
-        max_rows = _DRIVER_TRAIN_OP_BUDGET // max(
-            dim * n_centroids * max(iters, 1), 1
-        )
-        sample = (
-            _collect_train_sample(train, item_id, item_vec, max_rows)
-            if dim
-            else []
-        )
+        if first is None:
+            dim = 0  # empty corpus → empty centroid frame, both paths
+        else:
+            dim = first["d"]
+            if not dim:
+                # NULL/empty first vector: the driver probe can't size
+                # the budget — leave these shapes to the distributed
+                # path, which handles them row by row.
+                dim = None
+        if dim is None:
+            sample = None
+        elif dim == 0:
+            sample = []
+        else:
+            max_rows = _DRIVER_TRAIN_OP_BUDGET // max(
+                dim * n_centroids * max(iters, 1), 1
+            )
+            sample = _collect_train_sample(train, item_id, item_vec, max_rows)
         if sample is None and trainer == "driver":
             raise ValueError(
-                f"kmeans_centroids: training sample exceeds {max_rows} rows"
-                " — use trainer='distributed' (or raise train_mod)"
+                "kmeans_centroids: driver training unavailable (sample "
+                "over budget, or NULL/empty leading vector) — use "
+                "trainer='distributed' (or raise train_mod)"
             )
         if sample is not None:
             cents = _lloyd_driver(
@@ -962,9 +972,13 @@ def ivf_knn_indexed(
         queries, centroids, query_vec, query_id, nprobe=nprobe,
         score_scale=score_scale,
     ).withColumnRenamed("cent_id", "cell")
-    # Dedup driver-side: the collect is bounded by |Q|·nprobe rows of
-    # ints either way, and skipping .distinct() saves a shuffle stage.
-    cells = sorted({r["cell"] for r in probes.select("cell").collect()})
+    # collect_set keeps the driver materialization bounded at
+    # ≤ n_centroids ints regardless of |Q| (map-side partials cap each
+    # partition's contribution) — one tiny single-row agg instead of a
+    # distinct shuffle of the probe table.
+    cells = sorted(
+        probes.select("cell").agg(F.collect_set("cell").alias("c")).first()["c"]
+    )
     items = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     items, probes = _with_norms(items, probes, item_vec, query_vec)
     scored = items.join(F.broadcast(probes), "cell").filter(
@@ -1007,6 +1021,11 @@ def pq_codebooks(
     if first is None:
         raise ValueError("pq_codebooks: empty items corpus — nothing to train on")
     n_dim = first["d"]
+    if not n_dim:
+        raise ValueError(
+            "pq_codebooks: leading embedding is NULL/empty — cannot size "
+            "subspaces"
+        )
     if n_dim % m != 0:
         raise ValueError(f"dim {n_dim} must split evenly into m={m} subspaces")
     d = n_dim // m

@@ -87,11 +87,12 @@ GATE_ORDER = (
     # bloom-runtime-filter join, the streaming as-of join, TPC-H q2/q4,
     # the boilerplate scrub, the events pivot, the gap-filling
     # resample, and the shared-SQL-text front door): run first. Once
-    # these hash green, every entry of the
-    # 100-query registry is cumulatively driver-verified except the two
-    # equivalence-pinned proxies window_rank_kit (same WindowExec family
-    # as window_top1_per_order) and knn_cosine_ivf_appended (same oracle
-    # and probe path as knn_cosine_ivf_indexed). -------------------------
+    # these hash green, every entry of the 101-query registry is
+    # cumulatively driver-verified except the five equivalence-pinned
+    # proxies listed in tests/test_gate.py::PROXIED as round-4-new
+    # (window_rank_kit, knn_cosine_ivf_appended, multimodal_png,
+    # events_cube, events_props_variant) — candidates for the round-5
+    # rotation. ----------------------------------------------------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
     "text_langid",
