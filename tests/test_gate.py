@@ -43,6 +43,10 @@ PROXIED = {
     # Open-schema VARIANT twin of the StructType parse; same parse
     # family as events_props_json.
     "events_props_variant": "ref_q1_plane_bus_wait",
+    # Inverted-index + BM25 retrieval: postings-join family (token-key
+    # equi-join + per-query top-k window); benched via BENCH_EXTRA for
+    # a first baseline ahead of its round-5 gate rotation.
+    "text_bm25_search": "dedup_ngram_jaccard",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

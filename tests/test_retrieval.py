@@ -1,0 +1,76 @@
+"""BM25 retrieval semantics on a hand-checkable toy corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from ue_big_data_project_spark.operators.retrieval import (
+    bm25_topk,
+    build_postings,
+)
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join"),
+            (2, "spark spark spark spark spark spark spark spark"),
+            (3, "the the the the join"),
+            (4, "gardening soil compost"),
+            (5, "spark join   Join SPARK"),  # case/whitespace normalize
+        ],
+        "doc_id long, text string",
+    )
+    return docs
+
+
+def _q(spark, *texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "query_id int, query_text string"
+    )
+
+
+def test_postings_and_doclen(spark, toy):
+    postings, doclen = build_postings(toy)
+    p = {(r.doc_id, r.term): (r.tf, r.dl) for r in postings.collect()}
+    assert p[(1, "spark")] == (1, 3)
+    assert p[(2, "spark")] == (8, 8)
+    assert p[(5, "spark")] == (2, 4)  # normalized: lower + collapsed ws
+    assert {r.doc_id: r.dl for r in doclen.collect()} == {
+        1: 3, 2: 8, 3: 5, 4: 3, 5: 4,
+    }
+
+
+def test_bm25_ranks_multi_term_match_over_spam(spark, toy):
+    out = bm25_topk(toy, _q(spark, "spark join"), k=5).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # Docs 1 and 5 match BOTH terms; tf-saturation (k1) keeps the
+    # 8x-"spark" spam doc 2 below them; doc 4 matches nothing.
+    assert set(ranked[:2]) == {1, 5}
+    assert 4 not in ranked
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert scores[1] > scores[2] and scores[5] > scores[2]
+
+
+def test_bm25_idf_downweights_common_terms(spark, toy):
+    # "spark" appears in 3 docs, "gardening" in 1 — a one-term query on
+    # the rare term scores its doc higher than the one-term common-term
+    # query scores its best doc (same tf=1 ballpark, higher idf).
+    rare = bm25_topk(toy, _q(spark, "gardening"), k=1).collect()[0]
+    assert rare.doc_id == 4
+    common = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(toy, _q(spark, "shuffle"), k=5).collect()
+    }
+    assert common == pytest.approx({1: common[1]})  # only doc 1 matches
+
+
+def test_bm25_unknown_term_yields_no_rows(spark, toy):
+    assert bm25_topk(toy, _q(spark, "quantum"), k=3).count() == 0
+
+
+def test_bm25_k_bounds_results(spark, toy):
+    out = bm25_topk(toy, _q(spark, "spark"), k=2).collect()
+    assert len(out) == 2
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]

@@ -1,0 +1,154 @@
+"""Full-text retrieval: distributed inverted index + BM25 ranking.
+
+Beyond-reference capability for the training-data-pipeline surface
+(the reference, a Kafka streaming course project, has no text search;
+see SURVEY §2 "beyond-reference" block). BM25 retrieval is the standard
+way a corpus team finds "documents about X" inside a 100 TB crawl —
+e.g. to audit topical coverage or mine domain-specific subsets — so it
+belongs next to dedup and ANN as a first-class operator.
+
+Scale contract (100 TB):
+
+- ``build_postings`` is the classic MapReduce inverted index: tokenize
+  (narrow), then ONE shuffle on ``(doc_id, term)`` to count term
+  frequencies. The document length rides along as a column computed
+  BEFORE the explode (``size(tokens)``, narrow), so no second
+  aggregation pass over the postings is ever needed — at 100 TB that
+  saves a full re-tokenize + re-shuffle of the corpus.
+- ``bm25_topk`` never shuffles the postings list by query: the query
+  term table (a few dozen rows) is joined BROADCAST onto the postings,
+  so candidate generation is a map-side filter of the index. Only the
+  surviving candidates (|terms ∩ corpus| rows) shuffle — once — for the
+  per-(query, doc) score sum, then a per-query top-k window.
+- Corpus-level statistics (N, total length) are a single-partition
+  global aggregate of the narrow per-doc lengths — never a driver
+  ``collect``, and no wide exchange.
+
+Determinism (oracle hash-matching): the per-term partial score is
+rounded to 6 dp (``pround`` — bit-identical IEEE ops in any engine),
+then summed exactly via DECIMAL(18,6) so partition order cannot change
+the total; the final score is the decimal total cast back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.functions import pround
+from ue_big_data_project_spark.functions.text import normalize_text
+
+
+def _token_array(text_col: str) -> Column:
+    """Non-empty tokens: normalized text split on single spaces.
+
+    Mirrors :func:`functions.text.tokens` / the oracle's
+    ``list_filter(string_split(norm, ' '), w -> w <> '')`` so index
+    terms hash-match DuckDB's.
+    """
+    return F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted index: ``postings(doc_id, term, tf, dl)`` + ``doclen``.
+
+    One shuffle total, on ``(doc_id, term)`` (map-side combined). The
+    document length ``dl`` is computed narrow (array size before the
+    explode) and carried through the aggregation via ``max`` — it is
+    constant per doc, so this adds no exchange. ``doclen`` is a narrow
+    per-doc projection (docs with zero tokens excluded, matching the
+    postings' support).
+    """
+    arr = _token_array(text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(arr).alias("dl"),
+        F.explode(arr).alias("term"),
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(arr).alias("dl")
+    ).filter(F.col("dl") > 0)
+    return postings, doclen
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries`` is ``(query_id, query_text)``; scoring uses the
+    Robertson/Sparck-Jones "+1" idf, ``ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    which is non-negative for every df, over each query's DISTINCT terms.
+
+    Plan: postings ⋈ broadcast(query-term stats) → decimal score sum per
+    (query, doc) → per-query top-k window with ``doc_id`` tie-break.
+    """
+    postings, doclen = build_postings(docs, id_col, text_col)
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    termdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col("query_text")), " "))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    # Tiny: (query terms ⋈ per-term df ⋈ 1-row corpus stats). Joining the
+    # vocabulary-sized termdf TO the broadcast qterms keeps the big side
+    # streaming; the result (≤ |query terms| rows) broadcasts onward.
+    qstats = (
+        termdf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "query_id",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ).alias("idf"),
+            (F.col("total_len").cast("double") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+
+    cand = postings.join(F.broadcast(qstats), "term")
+    partial = pround(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scores = (
+        cand.select("query_id", "doc_id", partial.alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )

@@ -180,6 +180,7 @@ BENCH_EXTRA = (
     "multimodal_png",
     "events_cube",
     "events_props_variant",
+    "text_bm25_search",
 )
 
 

@@ -1398,6 +1398,90 @@ FROM per_word GROUP BY doc_id, n_words, distinct_ratio
 """
 
 
+_BM25_QUERIES = (
+    (0, "spark join window"),
+    (1, "customer order data"),
+    (2, "hash merge sort batch"),
+    (3, "vector stream group"),
+)
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval over the documents corpus for four fixed
+    query strings (operators/retrieval.bm25_topk).
+
+    The inverted index is built in one (doc_id, term) shuffle; query
+    terms broadcast onto the postings, so candidate generation never
+    shuffles the index. Per-term partials round at 6 dp and sum through
+    DECIMAL so the score is partition-order-independent (hash-stable
+    against the DuckDB oracle).
+    """
+    from ue_big_data_project_spark.operators.retrieval import bm25_topk
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, query_text string"
+    )
+    return bm25_topk(d, q, k=5)
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75, k: int = 5) -> str:
+    """Oracle twin of operators/retrieval.bm25_topk: identical token
+    stream, idf form, FP op order, 6-dp per-term rounding, decimal sum."""
+    values = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    avgdl = "(total_len::DOUBLE / n_docs)"
+    idf = "ln(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))"
+    partial = sql_round(
+        f"{idf} * (tf * {k1 + 1.0!r}) / "
+        f"(tf + {k1!r} * ({1.0 - b!r} + ({b!r} * dl) / {avgdl}))",
+        6,
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter({_WORDS}, w -> w <> '') AS words FROM documents
+),
+toks AS (
+  SELECT doc_id, len(words) AS dl, unnest(words) AS term FROM base
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM toks GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT doc_id, len(words) AS dl FROM base WHERE len(words) > 0
+),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
+termdf AS (SELECT term, count(*) AS df_t FROM postings GROUP BY term),
+q(query_id, query_text) AS (VALUES {values}),
+qterms AS (
+  SELECT query_id, unnest(list_distinct(string_split(query_text, ' '))) AS term
+  FROM q
+),
+cand AS (
+  SELECT qt.query_id, p.doc_id, {partial} AS s
+  FROM postings p
+  JOIN qterms qt USING (term)
+  JOIN termdf USING (term)
+  CROSS JOIN stats
+),
+scores AS (
+  SELECT query_id, doc_id,
+         CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+  FROM cand GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scores
+)
+SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+TEXT_BM25_SQL = _bm25_sql()
+
+
 def pipeline_upsert_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus maintenance (operators/cdc.upsert_latest):
     apply an update batch (re-crawled text for every 7th document) and a
@@ -1500,6 +1584,7 @@ QUERIES = {
     "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_nlp_kit": QuerySpec(text_nlp_kit, TEXT_NLP_KIT_SQL),
+    "text_bm25_search": QuerySpec(text_bm25_search, TEXT_BM25_SQL),
     "knn_cosine_brute": QuerySpec(knn_cosine_brute, KNN_BRUTE_SQL),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_IVF_SQL),
