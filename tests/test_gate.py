@@ -47,6 +47,10 @@ PROXIED = {
     # equi-join + per-query top-k window); benched via BENCH_EXTRA for
     # a first baseline ahead of its round-5 gate rotation.
     "text_bm25_search": "dedup_ngram_jaccard",
+    # Iterative-graph family (join + grouped agg per round, eager
+    # checkpoint truncation) — same loop skeleton the gate exercises
+    # through dedup_clusters; benched via BENCH_EXTRA for a baseline.
+    "graph_pagerank_nations": "dedup_clusters",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

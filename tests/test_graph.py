@@ -120,3 +120,68 @@ def test_phantom_edge_endpoints_never_become_labels(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {5: 5, 7: 7}
+
+
+# -- pagerank ---------------------------------------------------------------
+
+
+def _numpy_pagerank(edges, iters=3, d=0.85):
+    """Driver-side ground truth with the same fixed-iteration,
+    no-dangling-redistribution semantics (unrounded — compared loosely)."""
+    verts = sorted({v for e in edges for v in e[:2]})
+    n = len(verts)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    pr = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in verts}
+        for s, t, w in edges:
+            contrib[t] += pr[s] * w / outw[s]
+        pr = {v: (1.0 - d) / n + d * contrib[v] for v in verts}
+    return pr
+
+
+@pytest.fixture(scope="module")
+def pr_edges(spark):
+    # 1 and 2 both endorse 3; 3 endorses 4; 5 is a weighted self-loop
+    # community feeding 3 lightly. 4 is a pure sink (dangling).
+    edges = [
+        (1, 3, 1), (2, 3, 1), (3, 4, 1), (5, 3, 1), (5, 5, 9),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    return edges, df
+
+
+def test_pagerank_matches_driver_ground_truth(spark, pr_edges):
+    from ue_big_data_project_spark.operators.graph import pagerank
+
+    edges, df = pr_edges
+    got = {r.id: r.pr for r in pagerank(df, iters=3, weight_col="w").collect()}
+    want = _numpy_pagerank(edges, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_pagerank_sink_collects_most_rank(spark, pr_edges):
+    from ue_big_data_project_spark.operators.graph import pagerank
+
+    _, df = pr_edges
+    got = {r.id: r.pr for r in pagerank(df, iters=3, weight_col="w").collect()}
+    # 3 receives from three distinct nodes; 4 only relays 3's rank.
+    assert got[3] > got[1] and got[3] > got[2]
+    # The heavy self-loop keeps most of 5's rank at home.
+    assert got[5] > got[1]
+
+
+def test_pagerank_unweighted_default(spark):
+    from ue_big_data_project_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r.id: r.pr for r in pagerank(df, iters=4).collect()}
+    # Symmetric 2-cycle: both nodes hold 1/2 at every iteration.
+    assert got[1] == pytest.approx(0.5, abs=1e-9)
+    assert got[2] == pytest.approx(0.5, abs=1e-9)

@@ -236,3 +236,83 @@ def connected_components_star(
             F.coalesce("label", F.col("node")).alias("component"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``(id, pr)`` after a FIXED number of weighted PageRank rounds.
+
+    Beyond-reference iterative-graph sibling of connected components:
+    rank flows along out-edges proportionally to edge weight,
+
+        pr'(v) = (1-d)/N + d · Σ_{u→v} pr(u) · w(u,v) / outw(u)
+
+    with no dangling-mass redistribution (sinks leak mass; standard in
+    edge-list implementations, and mirrored exactly by the oracle).
+
+    The driver loop is control flow only — each round is one join of the
+    (edge, out-weight) table with the current ranks plus one grouped sum
+    on ``dst``; ranks are truncated with an eager localCheckpoint per
+    round so the plan stays O(1) deep regardless of ``iters``. A fixed
+    iteration count (not a convergence test) keeps the operator
+    oracle-expressible as unrolled SQL.
+
+    Determinism: per-edge contributions and the post-teleport rank are
+    rounded at 12 dp (``pround``) and contribution sums go through
+    DECIMAL(32,12), so partition order cannot perturb any round.
+    """
+    from ue_big_data_project_spark.functions import pround
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # Reused every round: materialize once instead of re-running the
+    # (possibly expensive) edge-building plan per iteration.
+    ew = e.join(outw, "src").localCheckpoint(eager=True)
+    nv = verts.agg(F.count(F.lit(1)).alias("n_v"))
+    ranks = verts.crossJoin(F.broadcast(nv)).select(
+        "id", pround(F.lit(1.0) / F.col("n_v"), 12).alias("pr")
+    )
+    for _ in range(iters):
+        contribs = (
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                "dst",
+                pround(F.col("pr") * F.col("w") / F.col("outw"), 12).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("c").cast("decimal(32,12)"))
+                .cast("double")
+                .alias("csum")
+            )
+        )
+        ranks = (
+            verts.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(nv))
+            .select(
+                "id",
+                pround(
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n_v")
+                    + F.lit(damping) * F.coalesce(F.col("csum"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

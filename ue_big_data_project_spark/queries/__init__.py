@@ -181,6 +181,7 @@ BENCH_EXTRA = (
     "events_cube",
     "events_props_variant",
     "text_bm25_search",
+    "graph_pagerank_nations",
 )
 
 

@@ -1682,8 +1682,99 @@ GROUP BY o_orderpriority
 """
 
 
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.pagerank, 3 rounds, d=0.85)
+    over the nation trade graph: one edge per (customer nation →
+    supplier nation) with weight = number of lineitems shipped along it.
+
+    The edge build is the scale-heavy part (lineitem ⋈ orders ⋈
+    customer ⋈ supplier, aggregated to ≤ |nation|² edges); the
+    iterations then run on the tiny aggregated graph with the same
+    distributed plan shape they'd use on a billion-edge graph.
+    """
+    from ue_big_data_project_spark.operators.graph import pagerank
+
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    e = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(e, iters=3, damping=0.85, weight_col="w")
+    out = pr.join(t["nation"], pr["id"] == F.col("n_nationkey")).select(
+        "n_name", pround(F.col("pr"), 6).alias("pagerank")
+    )
+    w = Window.orderBy(F.col("pagerank").desc(), F.col("n_name").asc())
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Oracle twin of graph_pagerank_nations: the fixed iteration count
+    unrolls into one CTE pair per round with identical FP op order,
+    12-dp per-round rounding, and DECIMAL contribution sums."""
+    parts = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        contrib = sql_round("pr * w / outw", 12)
+        step = sql_round(
+            f"(1.0 - {d!r}) / n_v + {d!r} * coalesce(csum, 0.0)", 12
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT dst,
+         CAST(sum(CAST({contrib} AS DECIMAL(32,12))) AS DOUBLE) AS csum
+  FROM ew JOIN {prev} ON ew.src = {prev}.id GROUP BY dst
+),
+r{i} AS (
+  SELECT id, {step} AS pr
+  FROM verts LEFT JOIN c{i} ON verts.id = c{i}.dst CROSS JOIN nv
+)"""
+        )
+        prev = f"r{i}"
+    rounds = ",\n".join(parts)
+    return f"""
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY src, dst
+),
+verts AS (
+  SELECT DISTINCT id
+  FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+),
+nv AS (SELECT count(*) AS n_v FROM verts),
+outw AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, outw.outw FROM e JOIN outw USING (src)),
+r0 AS (
+  SELECT id, {sql_round("1.0 / n_v", 12)} AS pr FROM verts CROSS JOIN nv
+),
+{rounds}
+SELECT n.n_name AS n_name,
+       {sql_round("pr", 6)} AS pagerank,
+       CAST(row_number() OVER (
+         ORDER BY {sql_round("pr", 6)} DESC, n.n_name ASC
+       ) AS INTEGER) AS rank
+FROM {prev} JOIN nation n ON {prev}.id = n.n_nationkey
+"""
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "graph_pagerank_nations": QuerySpec(graph_pagerank_nations, PAGERANK_SQL),
     "q2_min_cost_supplier": QuerySpec(q2_min_cost_supplier, Q2_SQL),
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
     "window_rank_kit": QuerySpec(window_rank_kit, WINDOW_RANK_KIT_SQL),
