@@ -51,6 +51,9 @@ PROXIED = {
     # checkpoint truncation) — same loop skeleton the gate exercises
     # through dedup_clusters; benched via BENCH_EXTRA for a baseline.
     "graph_pagerank_nations": "dedup_clusters",
+    # SCD2 interval build: per-key lead-window family (same shuffle/sort
+    # shape as window_top1_per_order); benched via BENCH_EXTRA.
+    "cdc_scd2_history": "window_top1_per_order",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

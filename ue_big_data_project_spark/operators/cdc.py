@@ -21,7 +21,7 @@ changed keys when composed with dynamic partition overwrite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,4 +69,41 @@ def upsert_latest(
     )
     return latest.filter(~F.col(f"_w.{tombstone_col}")).select(
         *keys, *[F.col(f"_w.{c}").alias(c) for c in data_cols]
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+    order_cols: list[str] | None = None,
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log.
+
+    Each change row becomes a VERSION with a validity interval:
+    ``valid_from`` = its own version value, ``valid_to`` = the NEXT
+    change's version for the same key (NULL while current), and
+    ``is_current`` marking the open interval. If ``tombstone_col`` is
+    given, deletes CLOSE the preceding interval (their version becomes
+    its ``valid_to``) but emit no row of their own — a key whose last
+    change is a delete has no current version, exactly the Kimball SCD2
+    contract warehouses build from CDC feeds.
+
+    One shuffle: the per-key ``lead`` window on (version, tie-breakers).
+    At 100 TB this is a sort within key partitions — the same shape as
+    sessionization, no driver state. ``order_cols`` break version ties
+    deterministically (pass the change's unique id).
+    """
+    order = [F.col(version_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    hist = changes.withColumn(
+        "_valid_to", F.lead(version_col).over(w)
+    ).withColumn("is_current", F.col("_valid_to").isNull())
+    if tombstone_col is not None:
+        hist = hist.filter(~F.col(tombstone_col)).drop(tombstone_col)
+    return hist.withColumnRenamed(version_col, "valid_from").withColumnRenamed(
+        "_valid_to", "valid_to"
     )

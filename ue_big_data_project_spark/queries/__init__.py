@@ -182,6 +182,7 @@ BENCH_EXTRA = (
     "events_props_variant",
     "text_bm25_search",
     "graph_pagerank_nations",
+    "cdc_scd2_history",
 )
 
 

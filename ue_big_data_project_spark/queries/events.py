@@ -959,8 +959,66 @@ FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g._b = a._b
 """
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (operators/cdc.scd2_history) from the
+    events stream read as a per-user change log: each event opens a
+    version valid until the user's next event; ``error`` events act as
+    TOMBSTONES — they close the preceding interval but emit no version,
+    so a user whose last event errored has no current row.
+
+    One per-user lead window (ts, event_id tie-break); timestamps leave
+    as epoch micros per the cross-engine convention.
+    """
+    from ue_big_data_project_spark.operators.cdc import scd2_history
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    chg = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        (F.col("event_type") == "error").alias("_del"),
+    )
+    hist = scd2_history(
+        chg,
+        keys=["user_id"],
+        version_col="ts",
+        order_cols=["event_id"],
+        tombstone_col="_del",
+    )
+    return hist.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "event_type",
+        "value",
+        "is_current",
+    )
+
+
+CDC_SCD2_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         (event_type = 'error') AS del,
+         lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS valid_to
+  FROM events
+)
+SELECT user_id, event_id,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(valid_to) AS valid_to_us,
+       event_type, value,
+       (valid_to IS NULL) AS is_current
+FROM c WHERE NOT del
+"""
+
+
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
+    "cdc_scd2_history": QuerySpec(cdc_scd2_history, CDC_SCD2_SQL),
     "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
     "events_cube": QuerySpec(events_cube, EVENTS_CUBE_SQL),
     "events_resample": QuerySpec(events_resample, EVENTS_RESAMPLE_SQL),
