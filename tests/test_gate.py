@@ -54,6 +54,9 @@ PROXIED = {
     # SCD2 interval build: per-key lead-window family (same shuffle/sort
     # shape as window_top1_per_order); benched via BENCH_EXTRA.
     "cdc_scd2_history": "window_top1_per_order",
+    # Degree-oriented triangle counting: multi-self-join graph family
+    # (same candidate-join discipline as the dedup pair pipelines).
+    "graph_triangle_parts": "dedup_clusters",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -185,3 +185,70 @@ def test_pagerank_unweighted_default(spark):
     # Symmetric 2-cycle: both nodes hold 1/2 at every iteration.
     assert got[1] == pytest.approx(0.5, abs=1e-9)
     assert got[2] == pytest.approx(0.5, abs=1e-9)
+
+
+# -- triangle_counts --------------------------------------------------------
+
+
+def _brute_triangles(edges):
+    adj = {}
+    und = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        und.add((min(a, b), max(a, b)))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # K4: every node in 3 triangles.
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+        # Square + one chord: two triangles sharing the chord.
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)],
+        # Triangle + pendant + isolated-by-edge pair: pendant/pair = 0.
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)],
+    ],
+)
+def test_triangle_counts_match_brute_force(spark, edges):
+    from ue_big_data_project_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.triangles for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_ignore_direction_dupes_loops(spark):
+    from ue_big_data_project_spark.operators.graph import triangle_counts
+
+    # Same triangle listed messily: reversed edges, duplicates, a loop.
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_random_graph(spark):
+    from ue_big_data_project_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    edges = list({
+        (rng.randrange(30), rng.randrange(30)) for _ in range(150)
+    })
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.triangles for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)

@@ -316,3 +316,71 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts: ``(id, triangles)``.
+
+    Node-iterator with DEGREE ORIENTATION (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    every undirected edge is directed from its lower-(degree, id)
+    endpoint to the higher, so wedges are only enumerated at their
+    lowest-degree corner. That bounds per-node wedge fanout by
+    O(sqrt(|E|)) even on power-law graphs — the difference between a
+    plan that finishes at 100 TB and one whose hottest reducer gets a
+    celebrity node's full neighborhood squared.
+
+    Shuffles: degree count (1), wedge self-join on the pivot (1), the
+    closing-edge join on (v, w) (1), and the final per-node count (1).
+    Each triangle is found exactly once; every corner then gets +1.
+    Input edges may list pairs in either direction and may repeat;
+    self-loops are dropped.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b")), "b")
+    )
+    lower_is_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    e_or = withdeg.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_is_a, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    )
+    x, y = e_or.alias("x"), e_or.alias("y")
+    wedges = x.join(y, F.col("x.u") == F.col("y.u")).filter(
+        (F.col("x.deg_v") < F.col("y.deg_v"))
+        | (
+            (F.col("x.deg_v") == F.col("y.deg_v"))
+            & (F.col("x.v") < F.col("y.v"))
+        )
+    )
+    tri = wedges.join(
+        e_or.alias("z"),
+        (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")),
+    ).select(
+        F.col("x.u").alias("n1"), F.col("x.v").alias("n2"), F.col("y.v").alias("n3")
+    )
+    corners = (
+        tri.select(F.col("n1").alias("id"))
+        .unionAll(tri.select(F.col("n2").alias("id")))
+        .unionAll(tri.select(F.col("n3").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))

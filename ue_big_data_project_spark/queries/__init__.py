@@ -183,6 +183,7 @@ BENCH_EXTRA = (
     "text_bm25_search",
     "graph_pagerank_nations",
     "cdc_scd2_history",
+    "graph_triangle_parts",
 )
 
 

@@ -1772,9 +1772,88 @@ FROM {prev} JOIN nation n ON {prev}.id = n.n_nationkey
 PAGERANK_SQL = _pagerank_sql()
 
 
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase graph
+    (operators/graph.triangle_counts): parts are linked when they appear
+    in the same order; a triangle is three parts pairwise co-purchased.
+
+    The edge build is a per-order self-join (bounded fanout: orders hold
+    a handful of lineitems); counting then uses degree-oriented wedges,
+    so the hottest part's wedge list stays O(sqrt(|E|)) at any scale.
+    """
+    from ue_big_data_project_spark.operators.graph import triangle_counts
+
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = l.alias("a"), l.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    tc = triangle_counts(edges)
+    w = Window.orderBy(F.col("triangles").desc(), F.col("id").asc())
+    return (
+        tc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("id").alias("p_partkey"), "triangles", "rank")
+    )
+
+
+_TRI_ORIENT = "(deg_a < deg_b) OR (deg_a = deg_b AND a < b)"
+TRIANGLES_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+  ) GROUP BY n
+),
+wd AS (
+  SELECT e.a, e.b, da.deg AS deg_a, db.deg AS deg_b
+  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+),
+eor AS (
+  SELECT CASE WHEN {_TRI_ORIENT} THEN a ELSE b END AS u,
+         CASE WHEN {_TRI_ORIENT} THEN b ELSE a END AS v,
+         CASE WHEN {_TRI_ORIENT} THEN deg_b ELSE deg_a END AS deg_v
+  FROM wd
+),
+tri AS (
+  SELECT x.u AS n1, x.v AS n2, y.v AS n3
+  FROM eor x
+  JOIN eor y ON x.u = y.u
+   AND ((x.deg_v < y.deg_v) OR (x.deg_v = y.deg_v AND x.v < y.v))
+  JOIN eor z ON z.u = x.v AND z.v = y.v
+),
+tc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT n1 AS id FROM tri
+    UNION ALL SELECT n2 AS id FROM tri
+    UNION ALL SELECT n3 AS id FROM tri
+  ) GROUP BY id
+),
+ranked AS (
+  SELECT id AS p_partkey, triangles,
+         CAST(row_number() OVER (
+           ORDER BY triangles DESC, id ASC
+         ) AS INTEGER) AS rank
+  FROM tc
+)
+SELECT p_partkey, triangles, rank FROM ranked WHERE rank <= 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "graph_pagerank_nations": QuerySpec(graph_pagerank_nations, PAGERANK_SQL),
+    "graph_triangle_parts": QuerySpec(graph_triangle_parts, TRIANGLES_SQL),
     "q2_min_cost_supplier": QuerySpec(q2_min_cost_supplier, Q2_SQL),
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
     "window_rank_kit": QuerySpec(window_rank_kit, WINDOW_RANK_KIT_SQL),
