@@ -47,6 +47,9 @@ PROXIED = {
     # equi-join + per-query top-k window); benched via BENCH_EXTRA for
     # a first baseline ahead of its round-5 gate rotation.
     "text_bm25_search": "dedup_ngram_jaccard",
+    # Same oracle and scoring; persisted-index == one-shot equivalence
+    # plus partition-pruned probes pinned in tests/test_retrieval.py.
+    "text_bm25_indexed": "dedup_ngram_jaccard",
     # Iterative-graph family (join + grouped agg per round, eager
     # checkpoint truncation) — same loop skeleton the gate exercises
     # through dedup_clusters; benched via BENCH_EXTRA for a baseline.

@@ -252,3 +252,15 @@ def test_triangle_counts_random_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.triangles for r in triangle_counts(df).collect()}
     assert got == _brute_triangles(edges)
+
+
+def test_pagerank_drops_weightless_edges(spark):
+    from ue_big_data_project_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (3, 1, 0)],  # 3's only edge has weight 0
+        "src long, dst long, w long",
+    )
+    got = {r.id: r.pr for r in pagerank(df, iters=3, weight_col="w").collect()}
+    assert set(got) == {1, 2}  # 3 is not a vertex of the positive graph
+    assert all(v == v for v in got.values())  # no NaNs

@@ -541,3 +541,115 @@ def test_png_codec_roundtrip_random_rasters(w, h, seed):
     assert (got["sum_r"], got["sum_g"], got["sum_b"]) == tuple(
         int(s) for s in sums
     )
+
+
+# -- scd2 history -----------------------------------------------------------
+
+scd2_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # key
+        st.integers(min_value=0, max_value=50),   # version
+        st.booleans(),                            # tombstone
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[0], t[1]),  # CDC contract: (key, version) unique
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(changes=scd2_changes)
+def test_scd2_interval_invariants(spark, changes):
+    from ue_big_data_project_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame(changes, "k long, v long, del boolean")
+    rows = scd2_history(
+        df, keys=["k"], version_col="v", tombstone_col="del"
+    ).collect()
+
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    log: dict[int, list] = {}
+    for k, v, dele in changes:
+        log.setdefault(k, []).append((v, dele))
+
+    for k, versions in log.items():
+        versions.sort()
+        live = [v for v, dele in versions if not dele]
+        got = sorted(by_key.get(k, []), key=lambda r: r.valid_from)
+        # One output row per live change, in version order.
+        assert [r.valid_from for r in got] == live
+        for r in got:
+            nxt = [v for v, _ in versions if v > r.valid_from]
+            # valid_to is the NEXT change of any kind (delete included).
+            assert r.valid_to == (min(nxt) if nxt else None)
+            assert r.is_current == (not nxt)
+        # At most one current row per key; none if the log ends deleted.
+        currents = [r for r in got if r.is_current]
+        ends_deleted = versions[-1][1]
+        assert len(currents) == (0 if ends_deleted or not live else 1)
+
+
+# -- bm25 -------------------------------------------------------------------
+
+bm25_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _bm25_ground_truth(docs, qterms, k1=1.2, b=0.75):
+    docs = {i: d for i, d in enumerate(docs) if d}
+    n = len(docs)
+    if n == 0:
+        return {}
+    avgdl = sum(len(d) for d in docs.values()) / n
+    import math
+
+    scores: dict[int, float] = {}
+    for t in dict.fromkeys(qterms):
+        df_t = sum(1 for d in docs.values() if t in d)
+        if df_t == 0:
+            continue
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        for i, d in docs.items():
+            tf = d.count(t)
+            if tf:
+                scores[i] = scores.get(i, 0.0) + (
+                    idf * (tf * (k1 + 1.0))
+                    / (tf + k1 * (1.0 - b + b * len(d) / avgdl))
+                )
+    return scores
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=bm25_corpus, qi=st.integers(min_value=0, max_value=4))
+def test_bm25_matches_python_ground_truth(spark, docs, qi):
+    from ue_big_data_project_spark.operators.retrieval import bm25_topk
+
+    qtext = ["alpha", "beta gamma", "delta eps alpha", "eps", "beta beta"][qi]
+    ddf = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame([(0, qtext)], "query_id int, query_text string")
+    got = {r.doc_id: r.bm25 for r in bm25_topk(ddf, qdf, k=1000).collect()}
+    want = _bm25_ground_truth(docs, qtext.split(" "))
+    assert set(got) == set(want)
+    for i, s in want.items():
+        # 6-dp partial rounding bounds total drift by terms * 5e-7.
+        assert abs(got[i] - s) < 5e-6, i

@@ -74,3 +74,80 @@ def test_bm25_k_bounds_results(spark, toy):
     out = bm25_topk(toy, _q(spark, "spark"), k=2).collect()
     assert len(out) == 2
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+# -- persisted index --------------------------------------------------------
+
+
+def test_indexed_bm25_matches_one_shot_and_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.observability import (
+        executed_scan_metrics as _scan_metrics,
+    )
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+        bm25_topk,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    q = spark.createDataFrame(
+        [(0, "spark join window"), (1, "customer order data")],
+        "query_id int, query_text string",
+    )
+    idx = str(tmp_path / "text_index")
+    build_text_index(docs, idx, n_buckets=8)
+
+    got = sorted(
+        bm25_topk_indexed(spark, idx, q, k=5).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    want = sorted(
+        bm25_topk(docs, q, k=5).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # Partition pruning: the probe's scan reads only the bucket
+    # directories the query terms hash to (layout writes one file per
+    # populated bucket partition after the n_buckets repartition).
+    n_buckets = 8
+    buckets = {
+        r[0]
+        for r in spark.createDataFrame(
+            [("spark",), ("join",), ("window",), ("customer",),
+             ("order",), ("data",)],
+            "term string",
+        )
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .collect()
+    }
+    m = _scan_metrics(
+        spark.read.parquet(idx).filter(
+            F.col("term_bucket").isin(list(buckets))
+        )
+    )
+    full = _scan_metrics(spark.read.parquet(idx))
+    assert m["numFiles"] < full["numFiles"]
+    assert m["numFiles"] <= len(buckets)
+
+
+def test_index_stats_carry_bucket_count(spark, tmp_path, toy):
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+        bm25_topk,
+    )
+
+    idx = str(tmp_path / "toy_index")
+    build_text_index(toy, idx, n_buckets=4)
+    q = _q(spark, "spark join")
+    got = {(r.query_id, r.doc_id): r.bm25
+           for r in bm25_topk_indexed(spark, idx, q, k=10).collect()}
+    want = {(r.query_id, r.doc_id): r.bm25
+            for r in bm25_topk(toy, q, k=10).collect()}
+    assert got == want

@@ -269,11 +269,16 @@ def pagerank(
     """
     from ue_big_data_project_spark.functions import pround
 
+    # Zero/negative-weight edges are dropped up front: they carry no
+    # rank, but would poison outw with 0 (NaN contributions) for a node
+    # whose every out-edge is weightless. The node itself stays a
+    # vertex only if some positive edge touches it — matching the
+    # "edges define the graph" contract of the other graph operators.
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
-    )
+    ).filter(F.col("w") > 0)
     verts = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))

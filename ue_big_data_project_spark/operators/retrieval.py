@@ -32,7 +32,7 @@ the total; the final score is the decimal total cast back to double.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ue_big_data_project_spark.functions import pround
@@ -102,17 +102,28 @@ def bm25_topk(
         F.sum("dl").alias("total_len"),
     )
     termdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    qstats = _query_stats(termdf, _query_terms(queries), stats)
+    return _rank_candidates(postings, qstats, k, k1, b)
 
-    qterms = queries.select(
+
+def _query_terms(queries: DataFrame) -> DataFrame:
+    """``(query_id, term)``: each query's DISTINCT normalized tokens."""
+    return queries.select(
         "query_id",
         F.explode(
             F.array_distinct(F.split(normalize_text(F.col("query_text")), " "))
         ).alias("term"),
     ).filter(F.col("term") != "")
-    # Tiny: (query terms ⋈ per-term df ⋈ 1-row corpus stats). Joining the
-    # vocabulary-sized termdf TO the broadcast qterms keeps the big side
-    # streaming; the result (≤ |query terms| rows) broadcasts onward.
-    qstats = (
+
+
+def _query_stats(
+    termdf: DataFrame, qterms: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Per-(query, term) idf + corpus avgdl. Tiny: (query terms ⋈
+    per-term df ⋈ 1-row corpus stats). Joining the vocabulary-sized
+    termdf TO the broadcast qterms keeps the big side streaming; the
+    result (≤ |query terms| rows) broadcasts onward."""
+    return (
         termdf.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -127,6 +138,11 @@ def bm25_topk(
         )
     )
 
+
+def _rank_candidates(
+    postings: DataFrame, qstats: DataFrame, k: int, k1: float, b: float
+) -> DataFrame:
+    """Score postings ⋈ broadcast(qstats) and take the per-query top-k."""
     cand = postings.join(F.broadcast(qstats), "term")
     partial = pround(
         F.col("idf")
@@ -152,3 +168,83 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "bm25", "rank")
     )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index on disk, SHARDED BY TERM BUCKET:
+    postings land partitioned by ``term_bucket = pmod(xxhash64(term),
+    n_buckets)`` (one directory per bucket), with the per-term document
+    frequencies at ``<path>_termdf`` and the 1-row corpus stats (doc
+    count, total length, bucket count) at ``<path>_stats``.
+
+    This is the persisted form of :func:`bm25_topk`'s in-flight index:
+    at scale you tokenize the corpus once, and every subsequent query
+    batch reads ONLY the bucket directories its terms hash to —
+    partition pruning cuts the scan before any posting row is read
+    (asserted via scan metrics in tests/test_retrieval.py). The write
+    repartitions on the bucket key so each directory is one file per
+    shuffle partition, not one per upstream task.
+    """
+    root = path.rstrip("/")
+    postings, doclen = build_postings(docs, id_col, text_col)
+    postings = postings.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    (
+        postings.repartition(n_buckets, "term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(root)
+    )
+    postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(root + "_termdf")
+    doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).write.mode("overwrite").parquet(root + "_stats")
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` per query against a :func:`build_text_index` layout.
+
+    Reads only the term-bucket partitions the query terms hash to: the
+    probe list is at most |query terms| bucket ids (computed with the
+    same ``xxhash64`` the index used — a bounded collect, like the IVF
+    probe list). Scoring is identical to :func:`bm25_topk`, so
+    persisting the index must not change any answer.
+    """
+    root = path.rstrip("/")
+    stats = spark.read.parquet(root + "_stats")
+    n_buckets = stats.select("n_buckets").first()[0]
+    qterms = _query_terms(queries).localCheckpoint(eager=True)
+    buckets = [
+        r[0]
+        for r in qterms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    postings = spark.read.parquet(root).filter(
+        F.col("term_bucket").isin(buckets)
+    )
+    termdf = spark.read.parquet(root + "_termdf")
+    qstats = _query_stats(
+        termdf, qterms, stats.select("n_docs", "total_len")
+    )
+    return _rank_candidates(postings, qstats, k, k1, b)

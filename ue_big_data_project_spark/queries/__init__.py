@@ -181,9 +181,11 @@ BENCH_EXTRA = (
     "events_cube",
     "events_props_variant",
     "text_bm25_search",
+    "text_bm25_indexed",
     "graph_pagerank_nations",
     "cdc_scd2_history",
     "graph_triangle_parts",
+    "text_bm25_indexed",
 )
 
 

@@ -1482,6 +1482,38 @@ SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= {k}
 TEXT_BM25_SQL = _bm25_sql()
 
 
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 against a PERSISTED term-sharded inverted index
+    (operators/retrieval.build_text_index → bm25_topk_indexed): the
+    probe reads only the term-bucket partitions the query terms hash to
+    (partition pruning asserted in tests/test_retrieval.py). Same
+    parameters and oracle as text_bm25_search: persisting the index
+    must not change the answer."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, query_text string"
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_bm25_")
+    idx = root + "/text_index"
+    # Materialize the (small) result before deleting the scratch index;
+    # the finally keeps failed runs from accumulating copies in /tmp.
+    try:
+        build_text_index(d, idx, n_buckets=32)
+        return bm25_topk_indexed(spark, idx, q, k=5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def pipeline_upsert_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus maintenance (operators/cdc.upsert_latest):
     apply an update batch (re-crawled text for every 7th document) and a
@@ -1585,6 +1617,7 @@ QUERIES = {
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_nlp_kit": QuerySpec(text_nlp_kit, TEXT_NLP_KIT_SQL),
     "text_bm25_search": QuerySpec(text_bm25_search, TEXT_BM25_SQL),
+    "text_bm25_indexed": QuerySpec(text_bm25_indexed, TEXT_BM25_SQL),
     "knn_cosine_brute": QuerySpec(knn_cosine_brute, KNN_BRUTE_SQL),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_IVF_SQL),
