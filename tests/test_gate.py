@@ -50,6 +50,9 @@ PROXIED = {
     # Same oracle and scoring; persisted-index == one-shot equivalence
     # plus partition-pruned probes pinned in tests/test_retrieval.py.
     "text_bm25_indexed": "dedup_ngram_jaccard",
+    # BM25 recall + cosine rerank composition; both stages' operator
+    # families are gate-covered (postings join + cosine top-k).
+    "text_hybrid_search": "knn_cosine_lsh",
     # Iterative-graph family (join + grouped agg per round, eager
     # checkpoint truncation) — same loop skeleton the gate exercises
     # through dedup_clusters; benched via BENCH_EXTRA for a baseline.

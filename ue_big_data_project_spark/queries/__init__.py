@@ -186,6 +186,7 @@ BENCH_EXTRA = (
     "cdc_scd2_history",
     "graph_triangle_parts",
     "text_bm25_indexed",
+    "text_hybrid_search",
 )
 
 

@@ -1482,6 +1482,93 @@ SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= {k}
 TEXT_BM25_SQL = _bm25_sql()
 
 
+def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the standard RAG shape: BM25 generates a
+    lexical candidate pool (top-50 per query), the pool is re-ranked by
+    embedding cosine against the query's vector (here: the embedding of
+    the query's seed document, ids aligned across the testdata tables),
+    and the final score is max-normalized BM25 + cosine.
+
+    Scale shape: the expensive lexical stage is the already-audited
+    bm25_topk; the rerank then touches only |queries| × 50 rows — the
+    embedding join is a candidate-side lookup, never a corpus scan.
+    """
+    from ue_big_data_project_spark.functions.vectors import cosine
+    from ue_big_data_project_spark.operators.retrieval import bm25_topk
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, query_text string"
+    )
+    cand = bm25_topk(d, q, k=50)
+    qvec = e.filter(F.col("vec_id") < len(_BM25_QUERIES)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    dvec = e.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("doc_vec")
+    )
+    j = (
+        cand.join(F.broadcast(qvec), "query_id")
+        .join(dvec, "doc_id")
+        .withColumn(
+            "cos_sim", pround(cosine(F.col("doc_vec"), F.col("query_vec")), 6)
+        )
+    )
+    wmax = Window.partitionBy("query_id")
+    scored = j.withColumn(
+        "hybrid_score",
+        pround(
+            F.col("bm25") / F.max("bm25").over(wmax) + F.col("cos_sim"), 6
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hybrid_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "hybrid_score", "rank")
+    )
+
+
+def _hybrid_sql() -> str:
+    """Oracle twin of text_hybrid_search: the k=50 BM25 oracle nested as
+    a derived table, the same fold-left cosine, identical FP op order."""
+    cos = _cos_sql("dv.doc_vec", "qv.query_vec")
+    return f"""
+WITH bm AS (SELECT * FROM ({_bm25_sql(k=50)}) b),
+qv AS (
+  SELECT vec_id::INTEGER AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < {len(_BM25_QUERIES)}
+),
+dv AS (SELECT vec_id AS doc_id, embedding AS doc_vec FROM embeddings),
+j AS (
+  SELECT bm.query_id, bm.doc_id, bm.bm25, {cos} AS cos_sim
+  FROM bm
+  JOIN qv ON bm.query_id = qv.query_id
+  JOIN dv ON bm.doc_id = dv.doc_id
+),
+h AS (
+  SELECT query_id, doc_id,
+         {sql_round("bm25 / max(bm25) OVER (PARTITION BY query_id) + cos_sim", 6)}
+           AS hybrid_score
+  FROM j
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY hybrid_score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM h
+)
+SELECT query_id, doc_id, hybrid_score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+TEXT_HYBRID_SQL = _hybrid_sql()
+
+
 def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 against a PERSISTED term-sharded inverted index
     (operators/retrieval.build_text_index → bm25_topk_indexed): the
@@ -1618,6 +1705,7 @@ QUERIES = {
     "text_nlp_kit": QuerySpec(text_nlp_kit, TEXT_NLP_KIT_SQL),
     "text_bm25_search": QuerySpec(text_bm25_search, TEXT_BM25_SQL),
     "text_bm25_indexed": QuerySpec(text_bm25_indexed, TEXT_BM25_SQL),
+    "text_hybrid_search": QuerySpec(text_hybrid_search, TEXT_HYBRID_SQL),
     "knn_cosine_brute": QuerySpec(knn_cosine_brute, KNN_BRUTE_SQL),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_IVF_SQL),
