@@ -202,9 +202,12 @@ def build_text_index(
         .partitionBy("term_bucket")
         .parquet(root)
     )
-    postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t")).coalesce(
-        1
-    ).write.mode("overwrite").parquet(root + "_termdf")
+    # No coalesce(1): the vocabulary is corpus-scale data (heavy-tailed
+    # but large); its aggregation keeps the shuffle's parallelism and
+    # AQE right-sizes the output files.
+    postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t")).write.mode(
+        "overwrite"
+    ).parquet(root + "_termdf")
     doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),

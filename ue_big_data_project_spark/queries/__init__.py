@@ -88,11 +88,13 @@ GATE_ORDER = (
     # the boilerplate scrub, the events pivot, the gap-filling
     # resample, and the shared-SQL-text front door): run first. Once
     # these hash green, every entry of the 105-query registry is
-    # cumulatively driver-verified except the five equivalence-pinned
-    # proxies listed in tests/test_gate.py::PROXIED as round-4-new
+    # cumulatively driver-verified except the equivalence-pinned
+    # round-4-new proxies listed in tests/test_gate.py::PROXIED
     # (window_rank_kit, knn_cosine_ivf_appended, multimodal_png,
-    # events_cube, events_props_variant) — candidates for the round-5
-    # rotation. ----------------------------------------------------------
+    # events_cube, events_props_variant, text_bm25_search/_indexed,
+    # text_hybrid_search, graph_pagerank_nations, graph_triangle_parts,
+    # cdc_scd2_history) — all benched via BENCH_EXTRA this round, the
+    # round-5 rotation pool. ---------------------------------------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
     "text_langid",
