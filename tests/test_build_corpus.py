@@ -107,3 +107,43 @@ def test_chunk_documents_boundaries(spark):
     assert c0[-2:] == c1[:2] and c1[-2:] == c2[:2]
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+# -- weighted_sample --------------------------------------------------------
+
+
+def test_weighted_sample_heavy_weight_dominates(spark):
+    from ue_big_data_project_spark.pipelines import weighted_sample
+
+    rows = [(i, 1) for i in range(50)] + [(99, 10**9)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    top = weighted_sample(df, k=1, weight_col="w").collect()
+    # key = ln(u)/w: the 1e9-weight row's key is ~0 while unit-weight
+    # keys average -1; the heavy row wins for any u short of u == 1.
+    assert top[0].doc_id == 99
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    from ue_big_data_project_spark.pipelines import weighted_sample
+
+    rows = [(i, (i % 5)) for i in range(40)]  # weights 0..4, 0s excluded
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = [r.doc_id for r in weighted_sample(df, k=8, weight_col="w").collect()]
+    b = [r.doc_id for r in weighted_sample(df, k=8, weight_col="w").collect()]
+    assert a == b
+    assert all(d % 5 != 0 for d in a)
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    from ue_big_data_project_spark.pipelines import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_id long, w long"
+    )
+    plan = (
+        weighted_sample(df, k=5, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a full global sort

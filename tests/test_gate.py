@@ -53,6 +53,9 @@ PROXIED = {
     # BM25 recall + cosine rerank composition; both stages' operator
     # families are gate-covered (postings join + cosine top-k).
     "text_hybrid_search": "knn_cosine_lsh",
+    # Deterministic-hash sampling family (same md5-draw discipline as
+    # the gated pipeline_stratified_sample; global top-k shape).
+    "pipeline_weighted_sample": "pipeline_stratified_sample",
     # Iterative-graph family (join + grouped agg per round, eager
     # checkpoint truncation) — same loop skeleton the gate exercises
     # through dedup_clusters; benched via BENCH_EXTRA for a baseline.

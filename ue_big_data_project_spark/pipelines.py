@@ -96,6 +96,39 @@ def sample_deterministic(
     return df.filter(hash_bucket(id_col, 100) < rate_pct)
 
 
+def weighted_sample(
+    df: DataFrame, k: int, weight_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically:
+    Efraimidis–Spirakis (A-ES) — each row draws ``key = ln(u) / w``
+    with ``u`` an md5-uniform in (0, 1], and the global top-``k`` keys
+    are exactly a weight-proportional sample. The log form of the
+    classic ``u^(1/w)`` keeps keys well-spread for large weights.
+
+    The "random" draw is the same id-hash discipline as
+    :func:`hash_bucket` (48 md5 bits), so the sample is reproducible
+    across runs, engines, and cluster sizes — a corpus-mixing decision
+    you can audit. Rows with non-positive weight are excluded (they
+    have zero sampling mass; this also keeps ``ln(u)/w`` finite).
+
+    Scale: the key is a pure codegen expression and the global top-k is
+    ``TakeOrderedAndProject`` (per-partition heaps + one k-row merge),
+    never a full sort.
+    """
+    c = F.col(id_col)
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(1)) / F.lit(float(16**12 + 1))
+    key = pround(F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("wkey", key)
+        .orderBy(F.col("wkey").desc(), c.asc())
+        .limit(k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

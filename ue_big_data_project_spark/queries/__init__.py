@@ -189,6 +189,7 @@ BENCH_EXTRA = (
     "graph_triangle_parts",
     "text_bm25_indexed",
     "text_hybrid_search",
+    "pipeline_weighted_sample",
 )
 
 

@@ -1053,6 +1053,48 @@ FROM sampled GROUP BY split, lang
 """
 
 
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (pipelines.weighted_sample, Efraimidis–Spirakis): top-10 documents
+    by ``ln(u)/w`` key with weight = n_chars — longer documents are
+    proportionally likelier, yet the draw is an auditable md5 function
+    of the doc id. Global top-k plans as TakeOrderedAndProject."""
+    from ue_big_data_project_spark.pipelines import weighted_sample
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    s = weighted_sample(d, k=10, weight_col="n_chars")
+    w = Window.orderBy(F.col("wkey").desc(), F.col("doc_id").asc())
+    return s.select("doc_id", "n_chars", "wkey").withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    )
+
+
+_MD5_48 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1)"
+        f" * {16 ** (11 - k)}"
+        for k in range(12)
+    )
+    + ")"
+)
+PIPELINE_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         {sql_round(f"ln(({_MD5_48} + 1) / CAST(281474976710657 AS DOUBLE)) / n_chars", 9)}
+           AS wkey
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           ORDER BY wkey DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM keyed
+)
+SELECT doc_id, n_chars, wkey, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsample (rebalance the training
     mix: keep 80% en, 50% zh/es, 25% de/fr), counted per language
@@ -1684,6 +1726,9 @@ QUERIES = {
     ),
     "pipeline_source_quota": QuerySpec(
         pipeline_source_quota, PIPELINE_SOURCE_QUOTA_SQL
+    ),
+    "pipeline_weighted_sample": QuerySpec(
+        pipeline_weighted_sample, PIPELINE_WEIGHTED_SAMPLE_SQL
     ),
     "pipeline_upsert_corpus": QuerySpec(
         pipeline_upsert_corpus, PIPELINE_UPSERT_SQL
