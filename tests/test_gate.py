@@ -56,6 +56,10 @@ PROXIED = {
     # Deterministic-hash sampling family (same md5-draw discipline as
     # the gated pipeline_stratified_sample; global top-k shape).
     "pipeline_weighted_sample": "pipeline_stratified_sample",
+    # Per-key sequential recurrence as a native array fold — same
+    # collect/sort/fold family as text_repetition (gated) over the
+    # grouped shuffle the sessionize family pins.
+    "events_ewma": "streaming_sessionize",
     # Iterative-graph family (join + grouped agg per round, eager
     # checkpoint truncation) — same loop skeleton the gate exercises
     # through dedup_clusters; benched via BENCH_EXTRA for a baseline.

@@ -190,6 +190,7 @@ BENCH_EXTRA = (
     "text_bm25_indexed",
     "text_hybrid_search",
     "pipeline_weighted_sample",
+    "events_ewma",
 )
 
 

@@ -730,6 +730,56 @@ FROM silent
 """
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``value``
+    (α = 0.3), computed as a NATIVE array fold: one shuffle collects
+    each user's (ts, event_id, value) list, ``array_sort`` orders it by
+    event time, and ``F.aggregate`` folds ``acc ← α·x + (1-α)·acc``
+    seeded with the first value — an inherently sequential per-key
+    recurrence with zero Python and no window-function state.
+
+    Scale contract: cost is one grouped shuffle; the fold is O(events
+    per key) within the row. Keys with unbounded history belong in the
+    streaming sessionize/rollup family instead — this shape is for the
+    bounded-per-key case (user histories, device telemetry).
+
+    The DuckDB oracle's ``list_reduce`` also seeds with the first
+    element and folds left, so the recurrence is bit-identical.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col("value").alias("v")))
+    )
+    vals = F.transform(arr, lambda s: s["v"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(ewma, 6).alias("ewma_value"),
+        )
+        .select("user_id", "n_events", "ewma_value")
+    )
+
+
+EVENTS_EWMA_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         list(value ORDER BY ts ASC, event_id ASC) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       {sql_round("list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc)", 6)}
+         AS ewma_value
+FROM per_user
+"""
+
+
 def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per event type (sort-based `percentile`, linear
     interpolation — matches ANSI percentile_cont). The approx path
@@ -1019,6 +1069,7 @@ FROM c WHERE NOT del
 QUERIES = {
     "events_hourly_by_type": QuerySpec(events_hourly_by_type, EVENTS_HOURLY_SQL),
     "cdc_scd2_history": QuerySpec(cdc_scd2_history, CDC_SCD2_SQL),
+    "events_ewma": QuerySpec(events_ewma, EVENTS_EWMA_SQL),
     "events_pivot": QuerySpec(events_pivot, EVENTS_PIVOT_SQL),
     "events_cube": QuerySpec(events_cube, EVENTS_CUBE_SQL),
     "events_resample": QuerySpec(events_resample, EVENTS_RESAMPLE_SQL),
