@@ -87,7 +87,7 @@ GATE_ORDER = (
     # bloom-runtime-filter join, the streaming as-of join, TPC-H q2/q4,
     # the boilerplate scrub, the events pivot, the gap-filling
     # resample, and the shared-SQL-text front door): run first. Once
-    # these hash green, every entry of the 105-query registry is
+    # these hash green, every entry of the 109-query registry is
     # cumulatively driver-verified except the equivalence-pinned
     # round-4-new proxies listed in tests/test_gate.py::PROXIED
     # (window_rank_kit, knn_cosine_ivf_appended, multimodal_png,
