@@ -93,16 +93,39 @@ def bm25_topk(
     Robertson/Sparck-Jones "+1" idf, ``ln(1 + (N - df + 0.5)/(df + 0.5))``,
     which is non-negative for every df, over each query's DISTINCT terms.
 
-    Plan: postings ⋈ broadcast(query-term stats) → decimal score sum per
+    Plan: the DISTINCT query terms (a bounded driver list, like the IVF
+    probe cells) are pushed as an ``isin`` filter BELOW the postings
+    aggregation, so the (doc, term) shuffle only carries tokens that can
+    score — per-term tf and df are unchanged by the pruning, and the
+    corpus-wide stats come from the narrow doc-length scan. Then
+    postings ⋈ broadcast(query-term stats) → decimal score sum per
     (query, doc) → per-query top-k window with ``doc_id`` tie-break.
+    The shuffled token volume shrinks by the query-terms/vocabulary
+    ratio (measured 1.5× end-to-end at sf0.1, where fixed job overhead
+    dominates; the ratio is the win at corpus scale).
     """
-    postings, doclen = build_postings(docs, id_col, text_col)
+    qterms = _query_terms(queries).localCheckpoint(eager=True)
+    terms = [r[0] for r in qterms.select("term").distinct().collect()]
+    arr = _token_array(text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(arr).alias("dl"),
+        F.explode(arr).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(arr).alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),
     )
+    # Already filtered to query terms; (doc, term) rows are unique, so
+    # count(*) is exactly each term's document frequency.
     termdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    qstats = _query_stats(termdf, _query_terms(queries), stats)
+    qstats = _query_stats(termdf, qterms, stats)
     return _rank_candidates(postings, qstats, k, k1, b)
 
 

@@ -1635,7 +1635,7 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (small) result before deleting the scratch index;
     # the finally keeps failed runs from accumulating copies in /tmp.
     try:
-        build_text_index(d, idx, n_buckets=32)
+        build_text_index(d, idx, n_buckets=16)
         return bm25_topk_indexed(spark, idx, q, k=5).localCheckpoint(
             eager=True
         )
