@@ -211,9 +211,11 @@ SHUFFLE_BUDGETS = {
                                     # payloads are built after it
     "events_cube": 1,               # Expand feeds one aggregation exchange
     "events_props_variant": 1,      # variant path walk + one agg exchange
-    # (doc,term) postings + term df + stats single-partition + score agg
-    # + per-query rank; query terms broadcast, index never moves by query
-    "text_bm25_search": 6,
+    # Corpus-size-dependent: (doc,term) postings + term df + stats
+    # single-partition + score agg + per-query rank. The other two are
+    # the literal query-term dedup feeding the two broadcasts — rows
+    # bounded by |query terms|, constant in corpus size.
+    "text_bm25_search": 8,
 }
 
 

@@ -93,25 +93,26 @@ def bm25_topk(
     Robertson/Sparck-Jones "+1" idf, ``ln(1 + (N - df + 0.5)/(df + 0.5))``,
     which is non-negative for every df, over each query's DISTINCT terms.
 
-    Plan: the DISTINCT query terms (a bounded driver list, like the IVF
-    probe cells) are pushed as an ``isin`` filter BELOW the postings
-    aggregation, so the (doc, term) shuffle only carries tokens that can
-    score — per-term tf and df are unchanged by the pruning, and the
-    corpus-wide stats come from the narrow doc-length scan. Then
-    postings ⋈ broadcast(query-term stats) → decimal score sum per
-    (query, doc) → per-query top-k window with ``doc_id`` tie-break.
-    The shuffled token volume shrinks by the query-terms/vocabulary
-    ratio (measured 1.5× end-to-end at sf0.1, where fixed job overhead
-    dominates; the ratio is the win at corpus scale).
+    Plan: the DISTINCT query terms prune the token stream BELOW the
+    postings aggregation via a broadcast LEFT-SEMI join, so the
+    (doc, term) shuffle only carries tokens that can score — per-term
+    tf and df are unchanged by the pruning, and the corpus-wide stats
+    come from the narrow doc-length scan. (A semi join, not a collected
+    ``isin`` list: same map-side hash filter, but no driver round-trip
+    and no cardinality assumption on the query batch.) Then postings ⋈
+    broadcast(query-term stats) → decimal score sum per (query, doc) →
+    per-query top-k window with ``doc_id`` tie-break. The shuffled
+    token volume shrinks by the query-terms/vocabulary ratio (measured
+    1.5× end-to-end at sf0.1, where fixed job overhead dominates; the
+    ratio is the win at corpus scale).
     """
-    qterms = _query_terms(queries).localCheckpoint(eager=True)
-    terms = [r[0] for r in qterms.select("term").distinct().collect()]
+    qterms = _query_terms(queries)
     arr = _token_array(text_col)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(arr).alias("dl"),
         F.explode(arr).alias("term"),
-    ).filter(F.col("term").isin(terms))
+    ).join(F.broadcast(qterms.select("term").distinct()), "term", "leftsemi")
     postings = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
