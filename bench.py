@@ -1,8 +1,13 @@
-"""Benchmark harness: run the headline (gate) query set at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON line:
+"""Benchmark harness: run the bench query set (gate + rotated-out
+extras) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print
+ONE compact JSON line on stdout:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": ...}
+     "queries": {<gate-set timings, 2 dp>}, "sf": ...}
+
+The driver keeps only the last 2000 bytes of stdout, so the stdout line
+carries the ≤50-entry gate subset (guard-fitted under 1900 bytes); the
+FULL per-query map is written to ./bench_full.json and echoed to stderr.
 
 Each query is materialized with a ``noop`` write (full execution, no
 driver collect). First run of a session pays JVM/codegen warmup; a
@@ -75,18 +80,60 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver records only the LAST 2000 BYTES of stdout; round 4's
+    # 79-query JSON line outgrew that and came back "parsed": null, so
+    # 14 timings were invisible to the perf gate. The full per-query map
+    # (every bench entry, 3-dp) therefore goes to a repo file + stderr,
+    # and stdout ends with a compact line that is guaranteed to fit:
+    # gate-set timings at 2 dp plus the suite totals.
+    full = {
+        "metric": "engine_query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "runs_per_query": passes,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(full), file=sys.stderr)
+
+    from ue_big_data_project_spark.queries import GATE_ORDER
+
+    compact_queries = {
+        name: round(statistics.median(samples[name]), 2)
+        for name in sorted(GATE_ORDER)
+        if samples.get(name)
+    }
+    line = ""
+    while True:
+        line = json.dumps(
             {
                 "metric": "engine_query_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": compact_queries,
+                "sf": sf_val,
                 "runs_per_query": passes,
-            }
+                "bench_n": len(timings),
+                "full": "bench_full.json",
+            },
+            separators=(",", ":"),
         )
-    )
+        # Hard fit guard: stdout tail budget is 2000 bytes; leave slack
+        # for the trailing newline and any wrapper prefix. Should never
+        # trigger for the 50-entry gate (~1.6 KB) — drop the
+        # alphabetically-last entries deterministically if it ever does.
+        if len(line) <= 1900 or not compact_queries:
+            break
+        compact_queries.pop(sorted(compact_queries)[-1])
+    print(line)
 
 
 if __name__ == "__main__":

@@ -22,54 +22,18 @@ PROXIED = {
     "anti_join_small_customers": "semi_anti_join_kit",
     "events_tumbling_window": "streaming_tumbling_window",
     "events_sessionize": "streaming_sessionize",
-    "dedup_simhash": "dedup_simhash_pairs",
+    "dedup_simhash": "dedup_ngram_jaccard",
     "events_hourly_by_type": "streaming_incremental_rollup",
     "cheapest_supplier_per_part": "window_top1_per_order",
     "q12_priority_by_status": "scan_filter_agg_kit",
     "asof_bucketed_prev_click": "asof_first_ship",
-    # Same oracle and probe path; append-vs-build equivalence is pinned
-    # by tests/test_approx.py::test_ivf_index_append_matches_full_rebuild.
-    "knn_cosine_ivf_appended": "knn_cosine_ivf_indexed",
-    # Ranking-window family (one WindowExec pass after the same
-    # per-key shuffle); benched via BENCH_EXTRA for a first baseline.
-    "window_rank_kit": "window_top1_per_order",
-    # Same gradient raster and closed-form oracle through the real
-    # COMPRESSED container (zlib inflate + per-scanline unfiltering);
-    # codec pinned by tests/test_multimodal.py + hypothesis roundtrip.
-    "multimodal_png": "multimodal_bmp",
-    # Grouping-sets family (rollup/cube expand in one scan); benched
-    # via BENCH_EXTRA for a first baseline.
-    "events_cube": "streaming_incremental_rollup",
-    # Open-schema VARIANT twin of the StructType parse; same parse
-    # family as events_props_json.
-    "events_props_variant": "ref_q1_plane_bus_wait",
-    # Inverted-index + BM25 retrieval: postings-join family (token-key
-    # equi-join + per-query top-k window); benched via BENCH_EXTRA for
-    # a first baseline ahead of its round-5 gate rotation.
-    "text_bm25_search": "dedup_ngram_jaccard",
-    # Same oracle and scoring; persisted-index == one-shot equivalence
-    # plus partition-pruned probes pinned in tests/test_retrieval.py.
-    "text_bm25_indexed": "dedup_ngram_jaccard",
-    # BM25 recall + cosine rerank composition; both stages' operator
-    # families are gate-covered (postings join + cosine top-k).
-    "text_hybrid_search": "knn_cosine_lsh",
-    # Deterministic-hash sampling family (same md5-draw discipline as
-    # the gated pipeline_stratified_sample; global top-k shape).
-    "pipeline_weighted_sample": "pipeline_stratified_sample",
-    # Per-key sequential recurrence as a native array fold — same
-    # collect/sort/fold family as text_repetition (gated) over the
-    # grouped shuffle the sessionize family pins.
-    "events_ewma": "streaming_sessionize",
-    # Iterative-graph family (join + grouped agg per round, eager
-    # checkpoint truncation) — same loop skeleton the gate exercises
-    # through dedup_clusters; benched via BENCH_EXTRA for a baseline.
-    "graph_pagerank_nations": "dedup_clusters",
-    # SCD2 interval build: per-key lead-window family (same shuffle/sort
-    # shape as window_top1_per_order); benched via BENCH_EXTRA.
-    "cdc_scd2_history": "window_top1_per_order",
-    # Degree-oriented triangle counting: multi-self-join graph family
-    # (same candidate-join discipline as the dedup pair pipelines).
-    "graph_triangle_parts": "dedup_clusters",
+    # Probe-only bench twins of the persisted-index gate entries: same
+    # oracle and answer (index built once per session instead of per
+    # run), benched via BENCH_EXTRA so the probe latency is a visible
+    # number (round-4 verdict task 4); indexed==probe equivalence is
+    # pinned in tests/test_retrieval.py / tests/test_approx.py.
+    "knn_cosine_ivf_probe": "knn_cosine_ivf_indexed",
+    "text_bm25_probe": "text_bm25_indexed",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -120,6 +84,22 @@ ROTATED_OUT = {
     "q9_product_profit": "q8_market_share",  # multi-join grouped agg
     "interval_overlap_join": "streaming_interval_join",  # interval join
     "q20_dominant_part_suppliers": "q2_min_cost_supplier",  # correlated agg threshold
+    # Rotated out in round 5 (driver-green >= 2 rounds each) to hand
+    # slots to the 13 never-hashed round-4 entries; all still benched
+    # via BENCH_EXTRA and pytest-oracle-gated:
+    "knn_cosine_pq": "knn_cosine_ivf_indexed",  # quantizer-train + code-scored knn
+    "pipeline_chunk_documents": "pipeline_scrub_boilerplate",  # per-doc text transform
+    "q11_important_parts": "q2_min_cost_supplier",  # scalar threshold + join-agg
+    "pipeline_contamination": "dedup_ngram_jaccard",  # n-gram overlap family
+    "pipeline_upsert_corpus": "dedup_incremental",  # keyed latest-version upsert
+    "pipeline_source_quota": "pipeline_weighted_sample",  # deterministic-hash draw
+    "ref_q2_affluence": "ref_q1_plane_bus_wait",  # reference scalar/agg family
+    "ref_q3_bus_positions": "ref_q1_plane_bus_wait",  # reference array-walk family
+    "ref_q4_bike_occupancy": "ref_q1_plane_bus_wait",  # reference agg+sort family
+    "ref_wind_rolling_avg": "streaming_tumbling_window",  # windowed agg + keyed dedup
+    "dedup_minhash_lsh": "dedup_ngram_jaccard",  # banded candidate-pair family
+    "dedup_simhash_pairs": "dedup_ngram_jaccard",  # signature candidate-pair family
+    "dedup_embedding_cosine": "knn_cosine_lsh",  # cosine-similarity family
 }
 
 
@@ -153,32 +133,49 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r03 covered the rest of the registry; the 17
-    # entries the driver has never hashed (the last 6 of the round-3
-    # registry + the round-4-new real-codec trio, bloom runtime-filter
-    # join, streaming as-of join, TPC-H q2/q4, the boilerplate scrub,
-    # the events pivot, the resample, and the shared-SQL-text front
-    # door) must lead the gate.
-    never_hashed = GATE_ORDER[:17]
+    # CORRECTNESS_r01-r04 covered the rest of the registry; the 13
+    # entries the driver has never hashed (the round-5 rotation pool the
+    # round-4 verdict named in task 2) must lead the gate. Once these
+    # hash green, every registry entry is cumulatively driver-verified.
+    never_hashed = GATE_ORDER[:13]
     assert set(never_hashed) == {
-        "knn_cosine_ivf_indexed",
-        "pipeline_profile",
-        "text_langid",
-        "text_tokens",
-        "text_fingerprint",
-        "text_repetition",
-        "multimodal_wav",
-        "multimodal_bmp",
-        "multimodal_video_frames",
-        "bloom_pruned_join",
-        "streaming_asof_join",
-        "q2_min_cost_supplier",
-        "q4_order_priority",
-        "pipeline_scrub_boilerplate",
-        "events_pivot",
-        "events_resample",
-        "sql_text_nation_revenue",
+        "text_bm25_search",
+        "text_bm25_indexed",
+        "text_hybrid_search",
+        "graph_pagerank_nations",
+        "graph_triangle_parts",
+        "cdc_scd2_history",
+        "knn_cosine_ivf_appended",
+        "multimodal_png",
+        "events_cube",
+        "events_props_variant",
+        "events_ewma",
+        "pipeline_weighted_sample",
+        "window_rank_kit",
     }
+
+
+def test_bench_stdout_line_fits_driver_tail():
+    # The driver records only the last 2000 bytes of bench stdout
+    # (BENCH_r04 overflowed and came back "parsed": null). Worst-case
+    # compact line: every gate entry timed at 999.99 s plus the
+    # envelope bench.py emits — must fit with newline slack.
+    import json
+
+    line = json.dumps(
+        {
+            "metric": "engine_query_suite_seconds",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {name: 999.99 for name in sorted(GATE_ORDER)},
+            "sf": 0.1,
+            "runs_per_query": 3,
+            "bench_n": 99,
+            "full": "bench_full.json",
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1900, f"bench stdout line would be {len(line)} bytes"
 
 
 def test_bench_set_superset_of_gate_and_r3_comparable():

@@ -82,19 +82,26 @@ def all_queries() -> dict[str, QuerySpec]:
 # pipeline_chunk_documents).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed (the last 6 of the round-3 registry + the
-    # round-4-new real-codec trio multimodal_wav/bmp/video_frames, the
-    # bloom-runtime-filter join, the streaming as-of join, TPC-H q2/q4,
-    # the boilerplate scrub, the events pivot, the gap-filling
-    # resample, and the shared-SQL-text front door): run first. Once
-    # these hash green, every entry of the 109-query registry is
-    # cumulatively driver-verified except the equivalence-pinned
-    # round-4-new proxies listed in tests/test_gate.py::PROXIED
-    # (window_rank_kit, knn_cosine_ivf_appended, multimodal_png,
-    # events_cube, events_props_variant, text_bm25_search/_indexed,
-    # text_hybrid_search, graph_pagerank_nations, graph_triangle_parts,
-    # cdc_scd2_history) — all benched via BENCH_EXTRA this round, the
-    # round-5 rotation pool. ---------------------------------------------
+    # -- never driver-hashed (the round-4 rotation pool the round-4
+    # verdict mandated, task 2): run first. Once these 13 hash green,
+    # EVERY entry of the registry is cumulatively driver-verified and
+    # rotation can stop — the gate stays frozen from round 6 on so
+    # bench deltas stay clean. All 13 have round-4 bench baselines
+    # (they were pre-benched via BENCH_EXTRA last round). ----------------
+    "text_bm25_search",
+    "text_bm25_indexed",
+    "text_hybrid_search",
+    "graph_pagerank_nations",
+    "graph_triangle_parts",
+    "cdc_scd2_history",
+    "knn_cosine_ivf_appended",
+    "multimodal_png",
+    "events_cube",
+    "events_props_variant",
+    "events_ewma",
+    "pipeline_weighted_sample",
+    "window_rank_kit",
+    # -- first hashed (green) in round 4 ---------------------------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
     "text_langid",
@@ -113,26 +120,16 @@ GATE_ORDER = (
     "events_resample",
     "sql_text_nation_revenue",
     # -- first hashed (green) in round 3 ---------------------------------
-    "knn_cosine_pq",
-    "pipeline_chunk_documents",
     "q8_market_share",
     "q10_returned_revenue",
-    "q11_important_parts",
     "q13_order_count_distribution",
     "streaming_interval_join",
     "streaming_incremental_rollup",
     "dedup_incremental",
     "pipeline_pack_sequences",
-    "pipeline_contamination",
-    "pipeline_upsert_corpus",
     "pipeline_stratified_sample",
-    "pipeline_source_quota",
     # -- first hashed (green) in round 2 ---------------------------------
     "ref_q1_plane_bus_wait",
-    "ref_q2_affluence",
-    "ref_q3_bus_positions",
-    "ref_q4_bike_occupancy",
-    "ref_wind_rolling_avg",
     "knn_cosine_lsh",
     "text_nlp_kit",
     "scan_filter_agg_kit",
@@ -143,18 +140,14 @@ GATE_ORDER = (
     "window_top1_per_order",
     "streaming_sessionize",
     "streaming_tumbling_window",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
     "dedup_clusters",
 )
 
-# Rotated out of the gate in round 4 (driver-green in r1-r3) to hand
-# slots to the 7 never-hashed entries above — but still BENCHED every
-# round via bench_queries(), so BENCH_r04 per-query deltas stay directly
-# comparable to BENCH_r03 on all 50 of round 3's gate entries (the
-# round-3 verdict asked for a stable bench set).
+# Rotated out of the gate in earlier rounds (driver-green) — but still
+# BENCHED every round via bench_queries(), so per-query deltas stay
+# directly comparable across rounds even as the correctness gate
+# rotates (the round-3 verdict asked for a stable bench set).
 BENCH_EXTRA = (
     "q1_pricing_summary",
     "events_rollup",
@@ -176,22 +169,35 @@ BENCH_EXTRA = (
     "q9_product_profit",
     "interval_overlap_join",
     "q20_dominant_part_suppliers",
-    # Round-4-new and not yet gated (proxied; see tests/test_gate.py):
-    # benched now so their first gate round has a prior-round baseline.
-    "window_rank_kit",
-    "multimodal_png",
-    "events_cube",
-    "events_props_variant",
-    "text_bm25_search",
-    "text_bm25_indexed",
-    "graph_pagerank_nations",
-    "cdc_scd2_history",
-    "graph_triangle_parts",
-    "text_bm25_indexed",
-    "text_hybrid_search",
-    "pipeline_weighted_sample",
-    "events_ewma",
+    # Rotated out in round 5 (driver-green >= 2 rounds each) to hand
+    # slots to the 13 never-hashed round-4 entries now leading the gate.
+    "knn_cosine_pq",
+    "pipeline_chunk_documents",
+    "q11_important_parts",
+    "pipeline_contamination",
+    "pipeline_upsert_corpus",
+    "pipeline_source_quota",
+    "ref_q2_affluence",
+    "ref_q3_bus_positions",
+    "ref_q4_bike_occupancy",
+    "ref_wind_rolling_avg",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    # Probe-only twins of the persisted-index gate entries: same oracle
+    # and answer, but the index is built ONCE per bench session
+    # (memoized scratch dir) so the timing isolates the 100 TB-relevant
+    # probe latency that the build+probe gate entries conflate
+    # (round-4 verdict task 4).
+    "knn_cosine_ivf_probe",
+    "text_bm25_probe",
 )
+
+# BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or
+# the bench-set size reported in docs drifts from the real entry count
+# (round-4 advice).
+assert len(set(BENCH_EXTRA)) == len(BENCH_EXTRA), "duplicate in BENCH_EXTRA"
+assert not set(BENCH_EXTRA) & set(GATE_ORDER), "BENCH_EXTRA overlaps gate"
 
 
 def gate_queries() -> dict[str, QuerySpec]:

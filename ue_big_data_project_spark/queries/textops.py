@@ -564,6 +564,71 @@ def knn_cosine_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(root, ignore_errors=True)
 
 
+# Session-scoped prebuilt scratch indexes for the probe-only bench
+# twins below: built ONCE per (kind, sf_dir) per process, removed at
+# interpreter exit. The build+probe gate entries (knn_cosine_ivf_indexed
+# / text_bm25_indexed) stay self-contained — these twins exist so the
+# bench can report the 100 TB-relevant probe latency separately from the
+# one-time index build it amortizes (round-4 verdict task 4).
+_SESSION_INDEXES: dict[tuple[str, str], str] = {}
+
+
+def _session_index(kind: str, sf_dir: str, build) -> str:
+    import atexit as _atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    key = (kind, sf_dir)
+    if key not in _SESSION_INDEXES:
+        root = _tf.mkdtemp(prefix=f"spark_graft_{kind}_session_")
+        idx = root + "/index"
+        try:
+            build(idx)
+        except BaseException:
+            _sh.rmtree(root, ignore_errors=True)
+            raise
+        _atexit.register(_sh.rmtree, root, ignore_errors=True)
+        _SESSION_INDEXES[key] = idx
+    return _SESSION_INDEXES[key]
+
+
+def knn_cosine_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin of knn_cosine_ivf_indexed: identical parameters,
+    answer, and oracle, but the persisted IVF index is built once per
+    session and reused, so a timed run measures ONLY the pruned probe
+    (read nprobe cell directories + rescore) — the steady-state cost a
+    100 TB deployment pays per query batch."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    idx = _session_index(
+        "ivf",
+        sf_dir,
+        lambda p: build_ivf_index(e, p, n_centroids=16, kmeans_iters=2),
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_knn_indexed(spark, idx, queries, k=5, nprobe=2)
+
+
+def text_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin of text_bm25_indexed: the term-sharded inverted
+    index is built once per session, so a timed run measures ONLY the
+    bucket-pruned postings probe + BM25 top-k."""
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    idx = _session_index(
+        "bm25", sf_dir, lambda p: build_text_index(d, p, n_buckets=16)
+    )
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, query_text string"
+    )
+    return bm25_topk_indexed(spark, idx, q, k=5)
+
+
 def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via product quantization + asymmetric distance:
     4 subspaces x 8-entry L2 codebooks (1 Lloyd iteration, deterministic
@@ -1756,5 +1821,7 @@ QUERIES = {
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_cosine_ivf_indexed": QuerySpec(knn_cosine_ivf_indexed, KNN_IVF_SQL),
     "knn_cosine_ivf_appended": QuerySpec(knn_cosine_ivf_appended, KNN_IVF_SQL),
+    "knn_cosine_ivf_probe": QuerySpec(knn_cosine_ivf_probe, KNN_IVF_SQL),
+    "text_bm25_probe": QuerySpec(text_bm25_probe, TEXT_BM25_SQL),
     "knn_cosine_pq": QuerySpec(knn_cosine_pq, KNN_PQ_SQL),
 }
