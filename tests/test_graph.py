@@ -175,6 +175,24 @@ def test_pagerank_sink_collects_most_rank(spark, pr_edges):
     assert got[5] > got[1]
 
 
+def test_pagerank_fractional_weights(spark):
+    # Regression (round-4 advice): weights were cast to long, so a
+    # double weight was silently truncated and any 0 < w < 1 edge was
+    # dropped entirely by the w > 0 filter. Fractional weights must
+    # flow proportionally, exactly like the driver ground truth.
+    from ue_big_data_project_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 0.25), (1, 3, 0.75), (2, 3, 0.5), (3, 1, 1.5)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r.id: r.pr for r in pagerank(df, iters=3, weight_col="w").collect()}
+    want = _numpy_pagerank(edges, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    # 3 takes 3x the share 2 takes from node 1's rank.
+    assert got[3] > got[2]
+
+
 def test_pagerank_unweighted_default(spark):
     from ue_big_data_project_spark.operators.graph import pagerank
 

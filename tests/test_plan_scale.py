@@ -216,6 +216,25 @@ SHUFFLE_BUDGETS = {
     # the literal query-term dedup feeding the two broadcasts — rows
     # bounded by |query terms|, constant in corpus size.
     "text_bm25_search": 8,
+    # Round-5 pins (round-4 verdict tasks 3 + 6). The *_indexed gate
+    # entries return eager localCheckpoints (plan truncated at the
+    # probe result), so the probe twins pin the 100 TB-relevant probe
+    # shape instead.
+    "text_bm25_probe": 2,           # bucket-pruned postings scan + score agg
+    "knn_cosine_ivf_probe": 3,      # pruned cell scan + rescore + per-query rank
+    "text_hybrid_search": 8,        # BM25 pool (8); rerank joins broadcast
+    # Degree-oriented triangle chain at fixture stats: the TPC-H edge
+    # derivation (partsupp-style self-pairing) is rebuilt for degrees,
+    # adjacency, and both join probes — distinct exchanges, no reuse.
+    # High but bounded; a creep past this means a NEW shuffle class.
+    "graph_triangle_parts": 32,
+    "graph_pagerank_nations": 1,    # per-round checkpoints truncate; final
+                                    # rank join + window pass
+    "knn_cosine_lsh": 1,            # band explode + per-query rank share key
+    "knn_cosine_pq": 3,             # codes agg + ADC score + per-query rank
+    "cdc_scd2_history": 1,          # one per-key lead window
+    "events_ewma": 1,               # one grouped collect/fold
+    "pipeline_weighted_sample": 0,  # global top-k collapses map-side
 }
 
 

@@ -211,3 +211,37 @@ def test_events_ewma_matches_python_recurrence(spark):
             assert abs(got[u][1] - e) < 1e-6, u
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_events_ewma_over_threshold_key_raises(spark):
+    """The bounded-per-key contract is ENFORCED (round-4 verdict task
+    5): a key whose history exceeds max_per_key fails loudly instead of
+    silently materializing an unbounded row."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from ue_big_data_project_spark.queries.events import events_ewma
+
+    tmp = tempfile.mkdtemp(prefix="ewma_guard_")
+    try:
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(minutes=i), i % 2, "click", float(i), "{}")
+            for i in range(12)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        # 6 events per key: fine at the default threshold...
+        assert events_ewma(spark, tmp).count() == 2
+        # ...and a loud failure when the per-key bound is exceeded.
+        with pytest.raises(Exception, match="bounded-per-key contract"):
+            events_ewma(spark, tmp, max_per_key=5).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -136,6 +136,36 @@ def test_indexed_bm25_matches_one_shot_and_prunes(spark, tmp_path):
     assert m["numFiles"] <= len(buckets)
 
 
+def test_bm25_oracle_normalizes_raw_query_text(spark):
+    # Round-4 advice: the oracle's qterms CTE used to split the RAW
+    # query string, matching the Spark path only because the fixed
+    # _BM25_QUERIES happened to be pre-normalized. Pin that an
+    # uppercase / doubled-space / padded query string hash-matches
+    # through BOTH engines.
+    import duckdb
+
+    from ue_big_data_project_spark.operators.retrieval import bm25_topk
+    from ue_big_data_project_spark.queries.textops import _bm25_sql
+    from ue_big_data_project_spark.session import load_tables
+    from tests.test_oracle import duck_con, normalize
+
+    raw = ("  Spark   JOIN  window ", "CUSTOMER  order   Data")
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(raw)], "query_id int, query_text string"
+    )
+    got = normalize(bm25_topk(docs, q, k=5).toPandas())
+    con = duck_con("/root/testdata/sf0.001")
+    sql = _bm25_sql(queries=tuple(enumerate(raw)))
+    want = normalize(con.sql(sql).df())
+    assert len(got) == len(want) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_index_stats_carry_bucket_count(spark, tmp_path, toy):
     from ue_big_data_project_spark.operators.retrieval import (
         bm25_topk_indexed,

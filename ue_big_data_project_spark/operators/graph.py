@@ -274,10 +274,16 @@ def pagerank(
     # whose every out-edge is weightless. The node itself stays a
     # vertex only if some positive edge touches it — matching the
     # "edges define the graph" contract of the other graph operators.
+    # Weights are carried as DOUBLE (a long cast would truncate
+    # fractional weights — and silently drop any 0 < w < 1 edge at the
+    # filter); out-weight sums go through DECIMAL so partition order
+    # cannot perturb outw.
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
-        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
+        (F.col(weight_col) if weight_col else F.lit(1))
+        .cast("double")
+        .alias("w"),
     ).filter(F.col("w") > 0)
     verts = (
         e.select(F.col("src").alias("id"))
@@ -285,7 +291,9 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    outw = e.groupBy("src").agg(
+        F.sum(F.col("w").cast("decimal(32,12)")).cast("double").alias("outw")
+    )
     # Reused every round: materialize once instead of re-running the
     # (possibly expensive) edge-building plan per iteration.
     ew = e.join(outw, "src").localCheckpoint(eager=True)

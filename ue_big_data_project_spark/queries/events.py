@@ -730,7 +730,17 @@ FROM silent
 """
 
 
-def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+# events_ewma concentrates a key's whole history into one row; above
+# this many events per key the query fails LOUDLY instead of silently
+# building giant rows (the streaming rollup family is the unbounded
+# path). 1M doubles ≈ 8 MB per row — well within an executor, far above
+# any per-user history in the testdata.
+EWMA_MAX_PER_KEY = 1_000_000
+
+
+def events_ewma(
+    spark: SparkSession, sf_dir: str, max_per_key: int = EWMA_MAX_PER_KEY
+) -> DataFrame:
     """Per-user exponentially weighted moving average of ``value``
     (α = 0.3), computed as a NATIVE array fold: one shuffle collects
     each user's (ts, event_id, value) list, ``array_sort`` orders it by
@@ -738,13 +748,16 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded with the first value — an inherently sequential per-key
     recurrence with zero Python and no window-function state.
 
-    Scale contract: cost is one grouped shuffle; the fold is O(events
-    per key) within the row. Keys with unbounded history belong in the
-    streaming sessionize/rollup family instead — this shape is for the
-    bounded-per-key case (user histories, device telemetry).
+    Scale contract (ENFORCED): cost is one grouped shuffle; the fold is
+    O(events per key) within the row. A key with more than
+    ``max_per_key`` events raises at execution time instead of silently
+    materializing an unbounded row — unbounded histories belong in the
+    streaming sessionize/rollup family.
 
     The DuckDB oracle's ``list_reduce`` also seeds with the first
-    element and folds left, so the recurrence is bit-identical.
+    element and folds left, and orders by the full (ts, event_id,
+    value) struct key, so the recurrence is bit-identical even if a
+    (ts, event_id) pair were ever duplicated.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     arr = F.array_sort(
@@ -756,11 +769,21 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vals, 1),
         lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
     )
+    guarded = F.when(
+        F.size(vals) > F.lit(max_per_key),
+        F.raise_error(
+            F.concat(
+                F.lit("events_ewma: per-key history exceeds the bounded"),
+                F.lit(f"-per-key contract ({max_per_key} events); "),
+                F.lit("use the streaming rollup family for unbounded keys"),
+            )
+        ).cast("double"),
+    ).otherwise(pround(ewma, 6))
     return (
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(ewma, 6).alias("ewma_value"),
+            guarded.alias("ewma_value"),
         )
         .select("user_id", "n_events", "ewma_value")
     )
@@ -770,7 +793,7 @@ EVENTS_EWMA_SQL = f"""
 WITH per_user AS (
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS n_events,
-         list(value ORDER BY ts ASC, event_id ASC) AS vals
+         list(value ORDER BY ts ASC, event_id ASC, value ASC) AS vals
   FROM events GROUP BY user_id
 )
 SELECT user_id, n_events,

@@ -1532,10 +1532,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, q, k=5)
 
 
-def _bm25_sql(k1: float = 1.2, b: float = 0.75, k: int = 5) -> str:
+def _bm25_sql(
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 5,
+    queries: tuple[tuple[int, str], ...] = _BM25_QUERIES,
+) -> str:
     """Oracle twin of operators/retrieval.bm25_topk: identical token
-    stream, idf form, FP op order, 6-dp per-term rounding, decimal sum."""
-    values = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    stream, query normalization, idf form, FP op order, 6-dp per-term
+    rounding, decimal sum."""
+    values = ", ".join(f"({i}, '{t}')" for i, t in queries)
     avgdl = "(total_len::DOUBLE / n_docs)"
     idf = "ln(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))"
     partial = sql_round(
@@ -1561,7 +1567,15 @@ stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
 termdf AS (SELECT term, count(*) AS df_t FROM postings GROUP BY term),
 q(query_id, query_text) AS (VALUES {values}),
 qterms AS (
-  SELECT query_id, unnest(list_distinct(string_split(query_text, ' '))) AS term
+  -- Mirrors the Spark path (operators/retrieval._query_terms →
+  -- functions/text.normalize_text): lowercase, collapse whitespace,
+  -- trim, split, distinct, drop empties — so a future query string
+  -- with uppercase or doubled spaces cannot silently diverge.
+  SELECT query_id,
+         unnest(list_filter(
+           list_distinct(string_split(
+             trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')),
+           w -> w <> '')) AS term
   FROM q
 ),
 cand AS (
