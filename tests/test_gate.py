@@ -34,6 +34,11 @@ PROXIED = {
     # pinned in tests/test_retrieval.py / tests/test_approx.py.
     "knn_cosine_ivf_probe": "knn_cosine_ivf_indexed",
     "text_bm25_probe": "text_bm25_indexed",
+    # Transform-coded sibling of the gated compressed-container PNG
+    # path (same gradient→features shape, full DuckDB oracle, benched
+    # via BENCH_EXTRA); codec pinned by the JPEG roundtrip/interop
+    # tests in tests/test_multimodal.py.
+    "multimodal_jpeg": "multimodal_png",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

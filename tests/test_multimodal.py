@@ -338,3 +338,134 @@ def test_png_features_real_backend_end_to_end(spark):
         w, h = 8 + i % 23, 4 + i % 11
         assert rows[i]["width"] == w and rows[i]["height"] == h
         assert rows[i]["sum_b"] == w * h * (i % 251)
+
+
+# --- JPEG (baseline, pure numpy) ---------------------------------------
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """The lossy codec round-trips the block-constant fixture rasters
+    BIT-EXACTLY (DC-only blocks whose coefficients are exact quantizer
+    multiples) — the property the closed-form oracle relies on."""
+    import numpy as np
+
+    for doc_id in (0, 1, 7, 42, 123, 4999):
+        px = MM.synth_jpeg_pixels(doc_id)
+        payload = MM.encode_jpeg_baseline(px)
+        assert payload[:2] == MM.JPEG_SOI and payload[-2:] == b"\xff\xd9"
+        out = MM.decode_jpeg_pixels(payload)
+        assert out.shape == px.shape
+        assert np.array_equal(out, px), doc_id
+
+
+def test_jpeg_lossy_roundtrip_within_quantizer_error():
+    """General rasters (not quantizer-aligned) survive a decode within
+    normal JPEG quantization error — gray, color 4:4:4, and
+    non-multiple-of-8 dimensions (edge-replicated padding)."""
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(53), np.arange(37))
+    smooth = (255 * (xx + yy) / (52 + 36)).astype(np.uint8)
+    ds = MM.decode_jpeg_pixels(MM.encode_jpeg_baseline(smooth))
+    assert ds.shape == smooth.shape
+    err = np.abs(ds.astype(int) - smooth.astype(int))
+    assert err.mean() < 3 and err.max() < 20
+
+    color = np.stack([smooth, smooth[::-1], np.roll(smooth, 9, axis=1)], axis=-1)
+    dc = MM.decode_jpeg_pixels(MM.encode_jpeg_baseline(color))
+    assert dc.shape == color.shape
+    errc = np.abs(dc.astype(int) - color.astype(int))
+    assert errc.mean() < 6  # chroma quantizer is coarser
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn handling: the decoder resets DC predictors at restart
+    markers parsed from the stream — same pixels as the unrestarted
+    encoding."""
+    import numpy as np
+
+    px = MM.synth_jpeg_pixels(123)  # 4x3 blocks = 12 MCUs
+    plain = MM.decode_jpeg_pixels(MM.encode_jpeg_baseline(px))
+    restarted = MM.decode_jpeg_pixels(
+        MM.encode_jpeg_baseline(px, restart_interval=5)
+    )
+    assert np.array_equal(plain, restarted)
+    assert np.array_equal(restarted, px)
+
+
+def test_jpeg_rejects_malformed_and_names_the_seam():
+    import numpy as np
+    import pytest
+
+    good = MM.encode_jpeg_baseline(MM.synth_jpeg_pixels(3))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        MM.decode_jpeg_pixels(b"JUNK" + good[4:])
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(good[:40])  # truncated before SOS
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(good[:-30])  # truncated entropy data
+    # Progressive (SOF2) names the remaining plug-in seam.
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="plug"):
+        MM.decode_jpeg_pixels(bytes(prog))
+    # Subsampled (H,V != 1) likewise.
+    sub = bytearray(good)
+    sub[sof + 7 + 4] = 0x22  # component 0 sampling factors
+    with pytest.raises(NotImplementedError, match="plug"):
+        MM.decode_jpeg_pixels(bytes(sub))
+
+
+def test_jpeg_features_real_backend_end_to_end(spark):
+    """attach_jpeg -> jpeg_features over a real Spark frame: genuine
+    baseline JFIF streams built in the Arrow workers, fully decoded
+    back, sums matching the closed-form raster."""
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["doc_id"]: r
+        for r in MM.jpeg_features(MM.attach_jpeg(df)).collect()
+    }
+    assert len(rows) == 40
+    for i in (0, 7, 23, 39):
+        bw, bh = 1 + i % 5, 1 + i % 3
+        expect = 64 * sum(
+            128 + 2 * (((i + 3 * bx + 5 * by) % 50) - 25)
+            for bx in range(bw)
+            for by in range(bh)
+        )
+        assert rows[i]["width"] == 8 * bw and rows[i]["height"] == 8 * bh
+        assert rows[i]["n_components"] == 1
+        assert rows[i]["sum_luma"] == expect
+
+
+def test_jpeg_pil_interop():
+    """Import-gated interop proof (round-4 verdict task 7): where PIL
+    exists, libjpeg must decode OUR bytes (exactly, for the DC-only
+    fixtures) and WE must decode libjpeg's — demonstrating the seam
+    rather than asserting it. Skips cleanly where PIL is absent."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    px = MM.synth_jpeg_pixels(17)
+    theirs = np.asarray(
+        PIL_Image.open(io.BytesIO(MM.encode_jpeg_baseline(px))).convert("L")
+    )
+    # libjpeg's integer IDCT may differ by ±1 on exact-DC blocks.
+    assert theirs.shape == px.shape
+    assert np.abs(theirs.astype(int) - px.astype(int)).max() <= 1
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    smooth = (255 * (xx + yy) / (47 + 31)).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(smooth, mode="L").save(
+        buf, format="JPEG", quality=75, subsampling=0
+    )
+    ours = MM.decode_jpeg_pixels(buf.getvalue())
+    assert ours.shape == smooth.shape
+    err = np.abs(ours.astype(int) - smooth.astype(int))
+    assert err.mean() < 4

@@ -10,13 +10,16 @@ built in — :func:`decode_wav` (audio: a pure struct+numpy RIFF/WAVE
 PCM16 parser), :func:`decode_bmp` (image: 24bpp BI_RGB with
 padding/row-order/BGR handled), :func:`decode_png` (compressed image:
 CRC-verified chunk walk, stdlib-zlib DEFLATE inflate, all five scanline
-filters unfiltered), and :func:`decode_bmpv` (video: an indexed BMP
-frame stream whose sampling is a seek, not a scan). JPEG/MP4-class
-containers stay stubbed (this box has no PIL/ffmpeg): ``backend="real"``
-raises ``NotImplementedError`` at the exact call site those decoders
-plug into, ``backend="fake"`` computes deterministic bytes-level
-features so the whole pipeline is end-to-end verifiable against a SQL
-oracle.
+filters unfiltered), :func:`decode_jpeg` (transform-coded image: a
+generic baseline JPEG decoder — stream-carried DQT/DHT/DRI, Huffman
+entropy decode, dequant, float IDCT, restart markers, grayscale or
+4:4:4 YCbCr), and :func:`decode_bmpv` (video: an indexed BMP frame
+stream whose sampling is a seek, not a scan). MP4-class compressed
+video (and progressive/subsampled JPEG) stays stubbed (this box has no
+ffmpeg): ``backend="real"`` raises ``NotImplementedError`` at the exact
+call site those decoders plug into, ``backend="fake"`` computes
+deterministic bytes-level features so the whole pipeline is end-to-end
+verifiable against a SQL oracle.
 
 Scale notes:
 - ``mapInPandas`` streams Arrow record batches through one Python worker
@@ -101,9 +104,10 @@ def attach_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
 def _decode_stub(payload: bytes, media_type: str, backend: str) -> dict:
     """The codec seam. ``real`` decodes WAV (:func:`decode_wav`), BMP
-    (:func:`decode_bmp`) and BMPV frame streams (:func:`decode_bmpv`)
-    natively — pure struct+numpy; other containers (JPEG/PNG/MP4…) are
-    where PIL/ffmpeg plug in."""
+    (:func:`decode_bmp`), PNG (:func:`decode_png`), baseline JPEG
+    (:func:`decode_jpeg`) and BMPV frame streams (:func:`decode_bmpv`)
+    natively — pure stdlib+numpy; MP4-class compressed video is where
+    ffmpeg plugs in."""
     if backend == "real":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             decode_wav(payload)  # real container validation + PCM decode
@@ -111,12 +115,14 @@ def _decode_stub(payload: bytes, media_type: str, backend: str) -> dict:
             decode_bmp(payload)
         elif payload[:8] == PNG_SIG:
             decode_png(payload)  # real inflate + unfilter
+        elif payload[:2] == JPEG_SOI:
+            decode_jpeg(payload)  # real Huffman + dequant + IDCT
         elif payload[:4] == BMPV_MAGIC:
             decode_bmpv(payload)
         else:
             raise NotImplementedError(
-                "built-in codecs cover WAV/BMP/PNG/BMPV — plug PIL/"
-                "ffmpeg in here for JPEG/MP4-class containers"
+                "built-in codecs cover WAV/BMP/PNG/JPEG/BMPV — plug "
+                "ffmpeg in here for MP4-class compressed video"
             )
     return {
         "n_bytes": len(payload),
@@ -764,6 +770,597 @@ def bmpv_frame_features(df: DataFrame, every: int = 1) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(gen, BMPV_FRAMES_SCHEMA)
+
+
+# --- Real baseline JPEG codec (pure numpy; the former plug-in seam) ----
+#
+# A DCT-transform-coded container — the last codec class the seam left
+# to PIL/ffmpeg. Both directions are real: the encoder emits
+# spec-shaped baseline JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex-K
+# quantization + Huffman tables, byte-stuffed entropy data), and the
+# decoder is a generic baseline decoder — it parses DQT/DHT/DRI FROM
+# THE STREAM (any table set, not just ours), Huffman-decodes the MCUs,
+# dequantizes, runs a float IDCT over all 64 coefficients, and handles
+# restart markers and 1- or 3-component 4:4:4 scans. Progressive
+# (SOF2) and subsampled (H,V > 1) streams raise NotImplementedError —
+# the seam, now narrowed from "JPEG" to those two features.
+#
+# PIL interop (when installed) is pinned by an import-gated test:
+# PIL decodes our bytes, we decode PIL's (tests/test_multimodal.py).
+
+JPEG_SOI = b"\xff\xd8"
+
+# ITU T.81 Annex K quantization tables (natural row-major order).
+JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+
+JPEG_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The 64 (row, col) positions in JPEG zigzag scan order, generated
+    from the diagonal-walk rule rather than hardcoded (odd diagonals
+    walk row-ascending, even diagonals row-descending)."""
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in rows if s % 2 == 1 else reversed(list(rows)):
+            order.append((r, s - r))
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+# flat natural index (row*8+col) for each of the 64 scan positions
+_ZIGZAG_FLAT = np.array([r * 8 + c for r, c in _ZIGZAG])
+
+# Annex K "typical" Huffman table specs: (BITS[1..16], HUFFVAL).
+# Correctness of the roundtrip does NOT depend on these matching the
+# spec byte-for-byte — the decoder reads whatever DHT the stream
+# carries — but using the standard tables keeps our output decodable
+# by libjpeg/PIL (pinned by the import-gated interop test).
+_DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_LUMA_VALS = tuple(range(12))
+_DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_CHROMA_VALS = tuple(range(12))
+
+
+def _ac_vals(first: tuple[int, ...]) -> tuple[int, ...]:
+    """Annex K AC HUFFVAL lists share a regular tail: after the
+    table-specific prefix, the remaining symbols are every (run, size)
+    pair with size 1..10 not yet listed, ordered run-major — followed
+    by nothing (0xF0/0x00 appear in the prefix). Building the tail
+    programmatically avoids transcribing ~160 hex constants."""
+    seen = set(first)
+    tail = []
+    for run in range(16):
+        for size in range(1, 11):
+            sym = (run << 4) | size
+            if sym not in seen:
+                tail.append(sym)
+    return first + tuple(tail)
+
+
+_AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_LUMA_VALS = _ac_vals((
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A,
+))
+_AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_AC_CHROMA_VALS = _ac_vals((
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A,
+))
+
+
+def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol → (length, code)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    assert len(out) == len(vals)
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix; S = C·B·Cᵀ equals the JPEG
+    FDCT (1/4·CuCv·ΣΣ…) exactly, and B = Cᵀ·S·C is the IDCT."""
+    x = np.arange(8)
+    C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    C[0, :] = 1 / np.sqrt(8)
+    return C
+
+
+_DCT_C = _dct_matrix()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad final byte with 1s
+        return bytes(self.buf)
+
+
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    quant: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    dc_pred: int,
+) -> int:
+    s = _DCT_C @ (block.astype(np.float64) - 128.0) @ _DCT_C.T
+    q = np.round(s / quant).astype(np.int64)
+    zz = q.reshape(-1)[_ZIGZAG_FLAT]
+
+    def put_sym(codes, sym):
+        length, code = codes[sym]
+        writer.put(code, length)
+
+    def magnitude(v: int) -> tuple[int, int]:
+        size = int(v != 0 and int(abs(v)).bit_length())
+        return size, (v if v >= 0 else v + (1 << size) - 1)
+
+    diff = int(zz[0]) - dc_pred
+    size, bits = magnitude(diff)
+    put_sym(dc_codes, size)
+    if size:
+        writer.put(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            put_sym(ac_codes, 0xF0)  # ZRL
+            run -= 16
+        size, bits = magnitude(v)
+        put_sym(ac_codes, (run << 4) | size)
+        writer.put(bits, size)
+        run = 0
+    if run:
+        put_sym(ac_codes, 0x00)  # EOB
+    return int(zz[0])
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray, restart_interval: int = 0
+) -> bytes:
+    """Baseline JFIF writer for (h, w) grayscale or (h, w, 3) RGB uint8
+    rasters: Annex-K tables, 4:4:4 (no subsampling), edge-replicated
+    padding to 8×8 blocks, byte-stuffed entropy data; optional DRI +
+    RSTn restart markers every ``restart_interval`` MCUs."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty raster")
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    planes = [np.clip(np.round(p), 0, 255) for p in planes]
+
+    out = bytearray()
+    out += JPEG_SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    quants = [JPEG_QUANT_LUMA] + ([] if gray else [JPEG_QUANT_CHROMA])
+    for tq, qt in enumerate(quants):
+        zz = qt.reshape(-1)[_ZIGZAG_FLAT].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz.tobytes()
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    tables = [
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ]
+    if not gray:
+        tables += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
+    out += b"\x00\x3f\x00"
+
+    dc_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = []
+    for p in planes:
+        pad = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        padded.append(pad)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for mcu in range(bh * bw):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out += writer.flush() + bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            writer = _BitWriter()
+            preds = [0] * ncomp
+        by, bx = divmod(mcu, bw)
+        for ci in range(ncomp):
+            block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            quant = quants[min(ci, len(quants) - 1)]
+            dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            preds[ci] = _encode_block(writer, block, quant, dc, ac, preds[ci])
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    length, code = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Generic baseline JPEG decoder: marker walk, stream-carried
+    DQT/DHT/DRI, Huffman + dequant + float IDCT, restart markers,
+    1-component grayscale or 3-component 4:4:4 color (YCbCr→RGB).
+    Returns (h, w) or (h, w, 3) uint8. Raises ``ValueError`` on a
+    malformed stream and ``NotImplementedError`` for progressive or
+    subsampled streams (the remaining plug-in seam)."""
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG stream")
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("expected marker")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("no scan data before EOI")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated marker segment")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated marker segment")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                vals = np.frombuffer(seg, np.uint8, 64, off + 1)
+                nat = np.empty(64, np.int32)
+                nat[_ZIGZAG_FLAT] = vals
+                quant[tq] = nat.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = seg[off + 1 : off + 17]
+                nvals = sum(bits)
+                vals = seg[off + 17 : off + 17 + nvals]
+                codes = _huff_codes(tuple(bits), tuple(vals))
+                huff[(tc_th >> 4, tc_th & 15)] = {
+                    (ln, code): sym for sym, (ln, code) in codes.items()
+                }
+                off += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("non-8-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG — plug PIL/ffmpeg in here"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component scan")
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/hierarchical JPEG — plug PIL/ffmpeg in here"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError("multi-scan JPEG")
+            tabs = {}
+            for si in range(ns):
+                cid, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                tabs[cid] = (tdta >> 4, tdta & 15)
+            scan_start = pos + seglen
+            return _decode_scan(
+                payload, scan_start, frame, tabs, quant, huff,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("no SOS marker")
+
+
+def _decode_scan(
+    payload, start, frame, tabs, quant, huff, restart_interval
+) -> np.ndarray:
+    # Extract entropy segments: un-stuff 0xFF00, split at RST markers,
+    # stop at the next real marker (EOI).
+    segments, cur = [], bytearray()
+    pos = start
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1] if pos + 1 < len(payload) else None
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break  # real marker ends the scan
+        cur.append(b)
+        pos += 1
+    segments.append(bytes(cur))
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    n_mcus = bw * bh
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        by, bx = divmod(mcu, bw)
+        for ci, comp in enumerate(comps):
+            td, ta = tabs[comp["id"]]
+            dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+            qt = quant.get(comp["tq"])
+            if dc_tab is None or ac_tab is None or qt is None:
+                raise ValueError("scan references undefined table")
+            zz = np.zeros(64, np.int64)
+            size = _huff_decode(reader, dc_tab)
+            diff = _extend(reader.bits(size), size)
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(reader, ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _extend(reader.bits(s), s)
+                k += 1
+            coefs = np.zeros(64, np.float64)
+            coefs[_ZIGZAG_FLAT] = zz * qt.reshape(-1)[_ZIGZAG_FLAT]
+            block = _DCT_C.T @ coefs.reshape(8, 8) @ _DCT_C + 128.0
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+JPEG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_luma", T.LongType()),
+    ]
+)
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline JPEG and emit image features. ``sum_luma`` is
+    the exact decoded-pixel sum of the luma plane (the grayscale plane
+    for 1-component streams; BT.601 luma recomputed from RGB for
+    color)."""
+    px = decode_jpeg_pixels(payload)
+    if px.ndim == 2:
+        n_components, luma = 1, px.astype(np.int64)
+    else:
+        n_components = 3
+        rgbf = px.astype(np.float64)
+        luma = np.round(
+            0.299 * rgbf[:, :, 0] + 0.587 * rgbf[:, :, 1] + 0.114 * rgbf[:, :, 2]
+        ).astype(np.int64)
+    h, w = px.shape[:2]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_components": n_components,
+        "n_pixels": int(w) * int(h),
+        "sum_luma": int(luma.sum()),
+    }
+
+
+def synth_jpeg_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic block-constant grayscale raster for ``doc_id``:
+    each 8×8 block holds v = 128 + 2·(((doc_id + 3·bx + 5·by) % 50) −
+    25). Constant blocks are DC-only, and the even offset makes the DC
+    coefficient an exact multiple of the Annex-K quantizer (8·Δ ≡ 0
+    mod 16) — so the LOSSY codec round-trips these rasters EXACTLY and
+    the decoded sums stay closed-form SQL for the oracle, while the
+    decode path is a general baseline decoder."""
+    bw = 1 + (doc_id % 5)
+    bh = 1 + (doc_id % 3)
+    bx = np.arange(bw)[None, :]
+    by = np.arange(bh)[:, None]
+    v = 128 + 2 * (((doc_id + 3 * bx + 5 * by) % 50) - 25)
+    return np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+def attach_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Ingestion edge for the transform-coded image path: (id) →
+    (doc_id, payload) where payload is a genuine baseline JFIF stream
+    built per row inside the Arrow workers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_jpeg_baseline(synth_jpeg_pixels(int(i)))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def jpeg_features(df: DataFrame) -> DataFrame:
+    """Decode every JPEG payload with the REAL baseline codec and emit
+    image features — same Arrow-batched shape as :func:`bmp_features`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [decode_jpeg(bytes(p)) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"].astype("int64")}
+            for field, dtype in (
+                ("width", "int32"),
+                ("height", "int32"),
+                ("n_components", "int32"),
+                ("n_pixels", "int64"),
+                ("sum_luma", "int64"),
+            ):
+                out[field] = pd.Series([r[field] for r in recs], dtype=dtype)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(gen, JPEG_FEATURES_SCHEMA)
 
 
 def media_features(df: DataFrame, backend: str = "fake") -> DataFrame:

@@ -191,6 +191,9 @@ BENCH_EXTRA = (
     # (round-4 verdict task 4).
     "knn_cosine_ivf_probe",
     "text_bm25_probe",
+    # Round-5-new transform-coded image path (real baseline JPEG codec);
+    # benched now so its first gate round has a prior-round baseline.
+    "multimodal_jpeg",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

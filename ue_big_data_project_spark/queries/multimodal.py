@@ -180,9 +180,55 @@ FROM documents
 """
 
 
+def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the TRANSFORM-CODED codec path: every
+    document gets a genuine baseline JFIF stream (Annex-K tables,
+    Huffman entropy coding, byte stuffing) built in the Arrow workers
+    (operators/multimodal.attach_jpeg), and the features come from a
+    full decode — marker walk, stream-carried table parse, Huffman
+    decode, dequantization, float IDCT
+    (operators/multimodal.decode_jpeg). The fixture raster is
+    block-constant grayscale with even offsets, so the DC-only blocks
+    quantize EXACTLY and the lossy codec round-trips them bit-perfectly
+    — the decoded sums stay closed-form SQL for the oracle while the
+    decoder handles any baseline 4:4:4 JPEG. Ids-only repartition for
+    the same reason as multimodal_png: payloads are built after it."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return MM.jpeg_features(MM.attach_jpeg(ids))
+
+
+# 8x8 blocks: bw = 1 + doc_id % 5, bh = 1 + doc_id % 3; block (bx, by)
+# holds v = 128 + 2*(((doc_id + 3*bx + 5*by) % 50) - 25), 64 px each.
+MULTIMODAL_JPEG_SQL = """
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 5 AS bw, 1 + doc_id % 3 AS bh FROM documents
+),
+bxs AS (
+  SELECT doc_id, bw, bh, unnest(range(0, bw)) AS bx FROM dims
+),
+blocks AS (
+  SELECT doc_id, bw, bh, bx, unnest(range(0, bh)) AS by FROM bxs
+),
+vals AS (
+  SELECT doc_id, bw, bh,
+         128 + 2 * (((doc_id + 3 * bx + 5 * by) % 50) - 25) AS v
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(8 * any_value(bw) AS INTEGER) AS width,
+       CAST(8 * any_value(bh) AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_components,
+       CAST(64 * any_value(bw) * any_value(bh) AS BIGINT) AS n_pixels,
+       CAST(sum(64 * v) AS BIGINT) AS sum_luma
+FROM vals GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
+    "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_wav": QuerySpec(multimodal_wav, MULTIMODAL_WAV_SQL),
     "multimodal_bmp": QuerySpec(multimodal_bmp, MULTIMODAL_BMP_SQL),
