@@ -212,17 +212,17 @@ SHUFFLE_BUDGETS = {
     "events_cube": 1,               # Expand feeds one aggregation exchange
     "events_props_variant": 1,      # variant path walk + one agg exchange
     # Corpus-size-dependent: (doc,term) postings + term df + stats
-    # single-partition + score agg + per-query rank. The other two are
-    # the literal query-term dedup feeding the two broadcasts — rows
-    # bounded by |query terms|, constant in corpus size.
-    "text_bm25_search": 8,
+    # single-partition + score agg + per-query rank; the query-term
+    # pruning is an inline isin predicate (no exchange) for bounded
+    # query batches.
+    "text_bm25_search": 6,
     # Round-5 pins (round-4 verdict tasks 3 + 6). The *_indexed gate
     # entries return eager localCheckpoints (plan truncated at the
     # probe result), so the probe twins pin the 100 TB-relevant probe
     # shape instead.
     "text_bm25_probe": 2,           # bucket-pruned postings scan + score agg
     "knn_cosine_ivf_probe": 3,      # pruned cell scan + rescore + per-query rank
-    "text_hybrid_search": 8,        # BM25 pool (8); rerank joins broadcast
+    "text_hybrid_search": 6,        # BM25 pool (6); rerank joins broadcast
     # Degree-oriented triangle chain at fixture stats: the TPC-H edge
     # derivation (partsupp-style self-pairing) is rebuilt for degrees,
     # adjacency, and both join probes — distinct exchanges, no reuse.

@@ -136,6 +136,23 @@ def test_indexed_bm25_matches_one_shot_and_prunes(spark, tmp_path):
     assert m["numFiles"] <= len(buckets)
 
 
+def test_bm25_semi_join_fallback_matches_isin_path(spark, toy, monkeypatch):
+    """Above _ISIN_TERM_CAP the pruning falls back to a broadcast semi
+    join; both paths must rank identically."""
+    from ue_big_data_project_spark.operators import retrieval as R
+
+    q = _q(spark, "spark join", "gardening compost")
+    fast = sorted(
+        bm25_topk(toy, q, k=5).collect(), key=lambda r: (r.query_id, r.rank)
+    )
+    monkeypatch.setattr(R, "_ISIN_TERM_CAP", 0)
+    slow = sorted(
+        bm25_topk(toy, q, k=5).collect(), key=lambda r: (r.query_id, r.rank)
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert len(fast) > 0
+
+
 def test_bm25_oracle_normalizes_raw_query_text(spark):
     # Round-4 advice: the oracle's qterms CTE used to split the RAW
     # query string, matching the Spark path only because the fixed
