@@ -276,18 +276,28 @@ def bm25_topk_indexed(
     stats = spark.read.parquet(root + "_stats")
     n_buckets = stats.select("n_buckets").first()[0]
     qterms = _query_terms(queries).localCheckpoint(eager=True)
-    buckets = [
-        r[0]
-        for r in qterms.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+    pairs = (
+        qterms.select(
+            "term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
         )
         .distinct()
         .collect()
-    ]
-    postings = spark.read.parquet(root).filter(
-        F.col("term_bucket").isin(buckets)
     )
-    termdf = spark.read.parquet(root + "_termdf")
+    buckets = sorted({r.b for r in pairs})
+    terms = sorted({r.term for r in pairs})
+    # Two pruning levels, both from the same bounded collect: the
+    # bucket list prunes whole partition DIRECTORIES before any file is
+    # opened, and the term isin lands in the scan's PushedFilters so
+    # parquet row-group stats skip the non-query terms that share a
+    # bucket. The vocabulary read prunes the same way.
+    postings = (
+        spark.read.parquet(root)
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    termdf = spark.read.parquet(root + "_termdf").filter(
+        F.col("term").isin(terms)
+    )
     qstats = _query_stats(
         termdf, qterms, stats.select("n_docs", "total_len")
     )
