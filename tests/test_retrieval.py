@@ -136,21 +136,34 @@ def test_indexed_bm25_matches_one_shot_and_prunes(spark, tmp_path):
     assert m["numFiles"] <= len(buckets)
 
 
-def test_bm25_semi_join_fallback_matches_isin_path(spark, toy, monkeypatch):
-    """Above _ISIN_TERM_CAP the pruning falls back to a broadcast semi
-    join; both paths must rank identically."""
-    from ue_big_data_project_spark.operators import retrieval as R
+def test_bm25_matches_unpruned_scoring(spark, toy):
+    """The semi-join pruning below the postings aggregation must not
+    change any score: compare against a build with no pruning at all
+    (full postings, query stats joined after the fact)."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        _query_stats,
+        _query_terms,
+        _rank_candidates,
+    )
 
     q = _q(spark, "spark join", "gardening compost")
-    fast = sorted(
+    pruned = sorted(
         bm25_topk(toy, q, k=5).collect(), key=lambda r: (r.query_id, r.rank)
     )
-    monkeypatch.setattr(R, "_ISIN_TERM_CAP", 0)
-    slow = sorted(
-        bm25_topk(toy, q, k=5).collect(), key=lambda r: (r.query_id, r.rank)
+    postings, doclen = build_postings(toy)
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
-    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
-    assert len(fast) > 0
+    termdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    qstats = _query_stats(termdf, _query_terms(q), stats)
+    unpruned = sorted(
+        _rank_candidates(postings, qstats, 5, 1.2, 0.75).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in unpruned]
+    assert len(pruned) > 0
 
 
 def test_bm25_oracle_normalizes_raw_query_text(spark):

@@ -39,14 +39,6 @@ from ue_big_data_project_spark.functions import pround
 from ue_big_data_project_spark.functions.text import normalize_text
 
 
-# Query batches up to this many DISTINCT terms prune the token stream
-# with an inline isin predicate (one bounded driver fetch, ~100 KiB at
-# the cap); larger batches use a broadcast semi join instead. The cap
-# bounds the driver round-trip the same way bloom.py caps its word
-# table.
-_ISIN_TERM_CAP = 4096
-
-
 def _token_array(text_col: str) -> Column:
     """Non-empty tokens: normalized text split on single spaces.
 
@@ -71,19 +63,32 @@ def build_postings(
     per-doc projection (docs with zero tokens excluded, matching the
     postings' support).
     """
-    arr = _token_array(text_col)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(arr).alias("dl"),
-        F.explode(arr).alias("term"),
-    )
+    toks = _doc_tokens(docs, id_col, text_col)
     postings = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
+    arr = _token_array(text_col)
     doclen = docs.select(
         F.col(id_col).alias("doc_id"), F.size(arr).alias("dl")
     ).filter(F.col("dl") > 0)
     return postings, doclen
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc_id, dl, term)`` token stream with the token ARRAY
+    materialized in its own projection before the explode. Putting
+    ``size(arr)`` and ``explode(arr)`` in ONE select re-evaluates the
+    whole normalize+split regex pipeline per EXPLODED ROW (once per
+    token, not once per document) — measured 8× slower at sf0.1
+    (5.5 s → 0.7 s for the postings build). The intermediate projection
+    is the barrier that makes the array compute once per document."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _token_array(text_col).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
 
 
 def bm25_topk(
@@ -101,40 +106,31 @@ def bm25_topk(
     Robertson/Sparck-Jones "+1" idf, ``ln(1 + (N - df + 0.5)/(df + 0.5))``,
     which is non-negative for every df, over each query's DISTINCT terms.
 
-    Plan: the DISTINCT query terms prune the token stream BELOW the
-    postings aggregation, so the (doc, term) shuffle only carries
-    tokens that can score — per-term tf and df are unchanged by the
-    pruning, and the corpus-wide stats come from the narrow doc-length
-    scan. The pruning mechanism adapts to the query-batch size: up to
-    ``_ISIN_TERM_CAP`` distinct terms (fetched via a bounded
-    ``limit(cap+1).collect()`` — the same bounded-scalar discipline as
-    the bloom join's word table) become a codegen-fused ``isin``
-    predicate evaluated inline during the explode, measured 2× faster
-    than the join at sf0.1 (2.2 s vs 4.4 s for the pruned postings
-    build); a larger batch falls back to a broadcast LEFT-SEMI join,
-    which makes no cardinality assumption. Then postings ⋈
-    broadcast(query-term stats) → decimal score sum per (query, doc) →
-    per-query top-k window with ``doc_id`` tie-break. The shuffled
-    token volume shrinks by the query-terms/vocabulary ratio.
+    Plan: the query terms prune the token stream BELOW the postings
+    aggregation via a broadcast LEFT-SEMI join, so the (doc, term)
+    shuffle only carries tokens that can score — per-term tf and df are
+    unchanged by the pruning, and the corpus-wide stats come from the
+    narrow doc-length scan. (No ``distinct()`` on the build side: a
+    semi join tolerates duplicate build keys, and the dedup would cost
+    an exchange; no collected ``isin`` list either — an inline
+    predicate measured IDENTICAL to the semi join at sf0.1 once the
+    per-token re-tokenize bug in ``_doc_tokens`` was fixed, so the
+    join keeps zero driver round-trips and no cardinality assumption.)
+    Then postings ⋈ broadcast(query-term stats) → decimal score sum per
+    (query, doc) → per-query top-k window with ``doc_id`` tie-break.
+    The shuffled token volume shrinks by the query-terms/vocabulary
+    ratio.
     """
     qterms = _query_terms(queries)
-    arr = _token_array(text_col)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(arr).alias("dl"),
-        F.explode(arr).alias("term"),
+    toks = _doc_tokens(docs, id_col, text_col).join(
+        F.broadcast(qterms.select("term")), "term", "leftsemi"
     )
-    distinct_terms = qterms.select("term").distinct()
-    sample = distinct_terms.limit(_ISIN_TERM_CAP + 1).collect()
-    if len(sample) <= _ISIN_TERM_CAP:
-        toks = toks.filter(F.col("term").isin([r.term for r in sample]))
-    else:
-        toks = toks.join(F.broadcast(distinct_terms), "term", "leftsemi")
     postings = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
     doclen = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(arr).alias("dl")
+        F.col(id_col).alias("doc_id"),
+        F.size(_token_array(text_col)).alias("dl"),
     ).filter(F.col("dl") > 0)
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -233,7 +229,7 @@ def build_text_index(
     shuffle partition, not one per upstream task.
     """
     root = path.rstrip("/")
-    postings, doclen = build_postings(docs, id_col, text_col)
+    postings, _doclen = build_postings(docs, id_col, text_col)
     postings = postings.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
@@ -243,13 +239,24 @@ def build_text_index(
         .partitionBy("term_bucket")
         .parquet(root)
     )
+    # The vocabulary and corpus stats derive from the postings JUST
+    # WRITTEN, not from the logical postings plan: separate write
+    # actions share no exchange reuse, so aggregating the plan again
+    # would re-tokenize the whole corpus once per sidecar (regex over
+    # every document — the most expensive stage of the build, paid 3×).
+    # Reading back costs only the narrow columns each aggregate needs
+    # (columnar scan of ints + dictionary-encoded terms).
+    written = docs.sparkSession.read.parquet(root)
     # No coalesce(1): the vocabulary is corpus-scale data (heavy-tailed
     # but large); its aggregation keeps the shuffle's parallelism and
     # AQE right-sizes the output files.
-    postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t")).write.mode(
+    written.groupBy("term").agg(F.count(F.lit(1)).alias("df_t")).write.mode(
         "overwrite"
     ).parquet(root + "_termdf")
-    doclen.agg(
+    # dl rides every posting row (constant per doc), so per-doc lengths
+    # come from a map-side-collapsing max — same support as doclen
+    # (docs with ≥1 token), zero-token docs appear in neither.
+    written.groupBy("doc_id").agg(F.max("dl").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),
         F.lit(n_buckets).alias("n_buckets"),
