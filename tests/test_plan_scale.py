@@ -213,8 +213,8 @@ SHUFFLE_BUDGETS = {
     "events_props_variant": 1,      # variant path walk + one agg exchange
     # Corpus-size-dependent: (doc,term) postings + term df + stats
     # single-partition + score agg + per-query rank; the query-term
-    # pruning is an inline isin predicate (no exchange) for bounded
-    # query batches.
+    # semi join broadcasts (build side kept duplicate-tolerant, so no
+    # dedup exchange).
     "text_bm25_search": 6,
     # Round-5 pins (round-4 verdict tasks 3 + 6). The *_indexed gate
     # entries return eager localCheckpoints (plan truncated at the
