@@ -39,6 +39,11 @@ PROXIED = {
     # via BENCH_EXTRA); codec pinned by the JPEG roundtrip/interop
     # tests in tests/test_multimodal.py.
     "multimodal_jpeg": "multimodal_png",
+    # Corpus-statistics scoring family: term-count LM + log scoring
+    # over the same token stream the gated BM25 shuffles; full DuckDB
+    # oracles + python ground-truth tests; benched via BENCH_EXTRA.
+    "text_surprisal": "text_bm25_search",
+    "text_source_kl": "text_bm25_search",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

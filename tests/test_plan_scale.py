@@ -235,6 +235,10 @@ SHUFFLE_BUDGETS = {
     "cdc_scd2_history": 1,          # one per-key lead window
     "events_ewma": 1,               # one grouped collect/fold
     "pipeline_weighted_sample": 0,  # global top-k collapses map-side
+    # Round-5-new corpus-quality ops.
+    "text_surprisal": 4,            # LM agg + totals + token join + doc agg
+    "text_source_kl": 9,            # (grp,term) agg feeds corpus/gtot/join
+                                    # branches + single-row totals
 }
 
 

@@ -211,3 +211,83 @@ def test_index_stats_carry_bucket_count(spark, tmp_path, toy):
     want = {(r.query_id, r.doc_id): r.bm25
             for r in bm25_topk(toy, q, k=10).collect()}
     assert got == want
+
+
+def test_unigram_surprisal_matches_python_ground_truth(spark, toy):
+    """Per-doc mean surprisal equals the textbook add-α computation."""
+    import math
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        unigram_surprisal,
+    )
+
+    docs = {
+        1: "spark shuffle join".split(),
+        2: ("spark " * 8).split(),
+        3: "the the the the join".split(),
+        4: "gardening soil compost".split(),
+        5: "spark join join spark".split(),  # normalized form of doc 5
+    }
+    counts: dict[str, int] = {}
+    for d in docs.values():
+        for t in d:
+            counts[t] = counts.get(t, 0) + 1
+    n_tok = sum(counts.values())
+    v = len(counts)
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_nll)
+        for r in unigram_surprisal(toy, alpha=0.5).collect()
+    }
+    assert set(got) == set(docs)
+    for i, d in docs.items():
+        nll = sum(
+            -math.log((counts[t] + 0.5) / (n_tok + 0.5 * v)) for t in d
+        ) / len(d)
+        assert got[i][0] == len(d)
+        assert abs(got[i][1] - nll) < 1e-3, i
+    # The all-common-terms spam doc is less surprising than the
+    # rare-terms gardening doc.
+    assert got[2][1] < got[4][1]
+
+
+def test_source_unigram_kl_ground_truth_and_zero_self(spark):
+    """KL of a source identical to the corpus distribution is ~0; a
+    divergent source scores higher, matching the python computation."""
+    import math
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        source_unigram_kl,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "a"),
+        (2, "alpha beta gamma", "b"),
+        (3, "delta delta delta", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.kl_nats for r in source_unigram_kl(df).collect()}
+
+    toks = {s: t.split() for _, t, s in rows}
+    corpus: dict[str, int] = {}
+    for t in toks.values():
+        for w in t:
+            corpus[w] = corpus.get(w, 0) + 1
+    n_tok, v = sum(corpus.values()), len(corpus)
+
+    def kl(source_tokens):
+        c: dict[str, int] = {}
+        for w in source_tokens:
+            c[w] = c.get(w, 0) + 1
+        n_g = sum(c.values())
+        out = 0.0
+        for w, cg in c.items():
+            p_g = (cg + 0.5) / (n_g + 0.5 * v)
+            p_c = (corpus[w] + 0.5) / (n_tok + 0.5 * v)
+            out += p_g * math.log(p_g / p_c)
+        return out
+
+    for s in ("a", "b", "c"):
+        assert abs(got[s] - kl(toks[s])) < 1e-4, s
+    # identical sources score identically; the divergent one scores higher
+    assert got["a"] == got["b"]
+    assert got["c"] > got["a"]

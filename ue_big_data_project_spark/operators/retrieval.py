@@ -309,3 +309,117 @@ def bm25_topk_indexed(
         termdf, qterms, stats.select("n_docs", "total_len")
     )
     return _rank_candidates(postings, qstats, k, k1, b)
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean token surprisal (nats/token) under an add-α
+    smoothed unigram LM trained on the corpus itself — the CCNet-style
+    quality/outlier score: documents full of corpus-typical tokens
+    score low, gibberish and off-distribution text score high.
+
+    ``(doc_id, n_tokens, mean_nll)`` with
+    ``p(t) = (c_t + α) / (N + α·V)`` over the corpus token counts
+    (N tokens, V distinct terms) and
+    ``mean_nll = −(1/n) Σ ln p(tᵢ)`` over the document's tokens.
+
+    Scale: the classic two-aggregate MapReduce shape — one (term)
+    shuffle for the LM counts, one token ⋈ LM join on the term (the LM
+    side reuses the aggregation's partitioning), one per-doc aggregate.
+    Corpus totals are a single-row aggregate that broadcasts; nothing
+    collects. Per-token surprisals round at 6 dp and sum through
+    DECIMAL, so the score is partition-order independent (oracle
+    hash-stable) — same determinism discipline as BM25.
+    """
+    toks = _doc_tokens(docs, id_col, text_col)
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    totals = lm.agg(
+        F.sum("c_t").alias("n_tok"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        toks.join(lm, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "dl",
+            pround(
+                -F.log(
+                    (F.col("c_t") + F.lit(alpha))
+                    / (F.col("n_tok") + F.lit(alpha) * F.col("v"))
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.max("dl").cast("long").alias("n_tokens"),
+        pround(
+            F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+            / F.max("dl"),
+            4,
+        ).alias("mean_nll"),
+    )
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-``group_col`` KL divergence (nats) between the group's
+    unigram distribution and the whole-corpus distribution — the
+    domain-drift audit a corpus team runs per crawl source / snapshot:
+    a source whose token distribution departs from the corpus lights
+    up; near-zero means interchangeable.
+
+    ``KL(P_g ‖ P_corpus) = Σ_t p_g(t) · ln(p_g(t)/p(t))`` with add-α
+    smoothing on both sides, summed over the group's OBSERVED terms
+    (truncated KL — the standard practical form: the unobserved-term
+    tail needs a V×groups expansion for a strictly complete sum, and
+    its contribution is α-small by construction).
+
+    Scale: per-(group, term) counts in one shuffle; the corpus LM
+    derives from THOSE counts (a second, smaller aggregate — the corpus
+    never re-tokenizes); one term join; one per-group sum. Decimal sums
+    + 6 dp partials, same determinism discipline as BM25.
+    """
+    gtoks = docs.select(
+        F.col(group_col).alias("grp"), _token_array(text_col).alias("toks")
+    ).select("grp", F.explode("toks").alias("term"))
+    gcounts = gtoks.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("c_gt")
+    )
+    corpus = gcounts.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
+    gtot = gcounts.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))
+    totals = corpus.agg(
+        F.sum("c_t").alias("n_tok"), F.count(F.lit(1)).alias("v")
+    )
+    joined = (
+        gcounts.join(corpus, "term")
+        .join(F.broadcast(gtot), "grp")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_g = (F.col("c_gt") + F.lit(alpha)) / (
+        F.col("n_g") + F.lit(alpha) * F.col("v")
+    )
+    p_c = (F.col("c_t") + F.lit(alpha)) / (
+        F.col("n_tok") + F.lit(alpha) * F.col("v")
+    )
+    contrib = pround(p_g * F.log(p_g / p_c), 9)
+    return (
+        joined.select(F.col("grp"), contrib.alias("kl_term"))
+        .groupBy("grp")
+        .agg(
+            pround(
+                F.sum(F.col("kl_term").cast("decimal(22,9)")).cast("double"),
+                6,
+            ).alias("kl_nats")
+        )
+        .withColumnRenamed("grp", group_col)
+    )

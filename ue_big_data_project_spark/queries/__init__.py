@@ -194,6 +194,11 @@ BENCH_EXTRA = (
     # Round-5-new transform-coded image path (real baseline JPEG codec);
     # benched now so its first gate round has a prior-round baseline.
     "multimodal_jpeg",
+    # Round-5-new corpus-quality scoring (CCNet-style unigram-LM
+    # surprisal) and per-source distribution-drift audit; benched for
+    # first baselines.
+    "text_surprisal",
+    "text_source_kl",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

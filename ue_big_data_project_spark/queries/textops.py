@@ -958,6 +958,98 @@ FROM t
 """
 
 
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token surprisal (nats/token) under an add-0.5
+    smoothed unigram LM trained on the corpus itself
+    (operators/retrieval.unigram_surprisal) — the CCNet-style
+    quality/outlier score used to rank pretraining data: corpus-typical
+    text scores low, gibberish and off-distribution text scores high.
+    One (term) shuffle for the LM, one token⋈LM join reusing its
+    partitioning, one per-doc aggregate; 6-dp partials + decimal sums
+    keep the score hash-stable."""
+    from ue_big_data_project_spark.operators.retrieval import (
+        unigram_surprisal,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return unigram_surprisal(d, alpha=0.5)
+
+
+TEXT_SURPRISAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter({_WORDS}, w -> w <> '') AS words FROM documents
+),
+toks AS (
+  SELECT doc_id, len(words) AS dl, unnest(words) AS term FROM base
+),
+lm AS (SELECT term, count(*) AS c_t FROM toks GROUP BY term),
+totals AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS n_tok, count(*) AS v FROM lm
+),
+scored AS (
+  SELECT doc_id, dl,
+         {sql_round("-ln((c_t + 0.5) / (n_tok + 0.5 * v))", 6)} AS nll
+  FROM toks JOIN lm USING (term) CROSS JOIN totals
+)
+SELECT doc_id,
+       CAST(max(dl) AS BIGINT) AS n_tokens,
+       {sql_round(
+           "CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / max(dl)", 4
+       )} AS mean_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence (nats) between each crawl source's
+    unigram distribution and the whole corpus
+    (operators/retrieval.source_unigram_kl) — the domain-drift audit a
+    corpus team runs per source/snapshot. Truncated to each source's
+    observed terms, add-0.5 smoothed on both sides; the corpus LM
+    derives from the per-(source, term) counts, so the corpus is
+    tokenized exactly once."""
+    from ue_big_data_project_spark.operators.retrieval import (
+        source_unigram_kl,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return source_unigram_kl(d, alpha=0.5, group_col="source")
+
+
+TEXT_SOURCE_KL_SQL = f"""
+WITH base AS (
+  SELECT source AS grp, list_filter({_WORDS}, w -> w <> '') AS words
+  FROM documents
+),
+gtoks AS (SELECT grp, unnest(words) AS term FROM base),
+gcounts AS (
+  SELECT grp, term, count(*) AS c_gt FROM gtoks GROUP BY grp, term
+),
+corpus AS (
+  SELECT term, CAST(sum(c_gt) AS BIGINT) AS c_t FROM gcounts GROUP BY term
+),
+gtot AS (SELECT grp, CAST(sum(c_gt) AS BIGINT) AS n_g FROM gcounts GROUP BY grp),
+totals AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS n_tok, count(*) AS v FROM corpus
+),
+j AS (
+  SELECT grp,
+         {sql_round(
+             "((c_gt + 0.5) / (n_g + 0.5 * v)) * "
+             "ln(((c_gt + 0.5) / (n_g + 0.5 * v)) / "
+             "((c_t + 0.5) / (n_tok + 0.5 * v)))", 9
+         )} AS kl_term
+  FROM gcounts JOIN corpus USING (term) JOIN gtot USING (grp)
+  CROSS JOIN totals
+)
+SELECT grp AS source,
+       {sql_round(
+           "CAST(sum(CAST(kl_term AS DECIMAL(22,9))) AS DOUBLE)", 6
+       )} AS kl_nats
+FROM j GROUP BY grp
+"""
+
+
 def text_nlp_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate kit: language-ID + token counting + document fingerprinting
     in ONE per-document pass.
@@ -1827,6 +1919,8 @@ QUERIES = {
     "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_nlp_kit": QuerySpec(text_nlp_kit, TEXT_NLP_KIT_SQL),
+    "text_surprisal": QuerySpec(text_surprisal, TEXT_SURPRISAL_SQL),
+    "text_source_kl": QuerySpec(text_source_kl, TEXT_SOURCE_KL_SQL),
     "text_bm25_search": QuerySpec(text_bm25_search, TEXT_BM25_SQL),
     "text_bm25_indexed": QuerySpec(text_bm25_indexed, TEXT_BM25_SQL),
     "text_hybrid_search": QuerySpec(text_hybrid_search, TEXT_HYBRID_SQL),
