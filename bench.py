@@ -49,6 +49,17 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     spark.createDataFrame([(1, "w")], "a int, b string").count()
 
+    # Pre-build the session-scoped scratch indexes the probe-only twins
+    # query, so their timings measure ONLY the probe even when a single
+    # pass runs (without this, pass 1 of knn_cosine_ivf_probe /
+    # text_bm25_probe would pay the one-off index build, and a 1-pass
+    # run would report build+probe as "probe latency").
+    from ue_big_data_project_spark.queries.textops import (
+        warm_session_indexes,
+    )
+
+    warm_session_indexes(spark, sf_dir)
+
     # Wall-clock budget: the FIRST pass always completes (every query
     # gets a number); later passes start only while under budget, so a
     # caller with a hard timeout still gets a full result line.

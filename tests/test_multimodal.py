@@ -415,6 +415,22 @@ def test_jpeg_rejects_malformed_and_names_the_seam():
     sub[sof + 7 + 4] = 0x22  # component 0 sampling factors
     with pytest.raises(NotImplementedError, match="plug"):
         MM.decode_jpeg_pixels(bytes(sub))
+    # Deep-parser corruption surfaces as ValueError, never a raw
+    # IndexError/KeyError/struct.error (the boundary contract).
+    dht = good.find(b"\xff\xc4")
+    trunc_dht = good[: dht + 12]  # cut mid-BITS/HUFFVAL
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(trunc_dht + good[-2:])
+    mismatch = bytearray(good)
+    sos = mismatch.find(b"\xff\xda")
+    mismatch[sos + 5] = 9  # SOS names a component id absent from SOF
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(bytes(mismatch))
+    short_sof = bytearray(good)
+    # Shrink the SOF length field so the parser reads past the segment.
+    short_sof[sof + 2 : sof + 4] = (5).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(bytes(short_sof))
 
 
 def test_jpeg_features_real_backend_end_to_end(spark):

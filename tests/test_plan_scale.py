@@ -236,7 +236,9 @@ SHUFFLE_BUDGETS = {
     "events_ewma": 1,               # one grouped collect/fold
     "pipeline_weighted_sample": 0,  # global top-k collapses map-side
     # Round-5-new corpus-quality ops.
-    "text_surprisal": 4,            # LM agg + totals + token join + doc agg
+    "text_surprisal": 7,            # postings agg + LM agg + totals +
+                                    # postings join + doc agg (tf-aggregated
+                                    # rows through the join, not raw tokens)
     "text_source_kl": 9,            # (grp,term) agg feeds corpus/gtot/join
                                     # branches + single-row totals
 }

@@ -240,8 +240,10 @@ def test_events_ewma_over_threshold_key_raises(spark):
         ).write.parquet(os.path.join(tmp, "events.parquet"))
         # 6 events per key: fine at the default threshold...
         assert events_ewma(spark, tmp).count() == 2
-        # ...and a loud failure when the per-key bound is exceeded.
-        with pytest.raises(Exception, match="bounded-per-key contract"):
-            events_ewma(spark, tmp, max_per_key=5).collect()
+        # ...and a loud failure BEFORE the fold materializes anything
+        # when the per-key bound is exceeded (the guard is a cheap
+        # counting pre-pass, so it raises at query-build time).
+        with pytest.raises(ValueError, match="bounded-per-key contract"):
+            events_ewma(spark, tmp, max_per_key=5)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

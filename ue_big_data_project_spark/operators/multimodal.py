@@ -880,7 +880,11 @@ _AC_CHROMA_VALS = _ac_vals((
 
 
 def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman assignment (T.81 C.2): symbol → (length, code)."""
+    """Canonical Huffman assignment (T.81 C.2): symbol → (length, code).
+    Raises ``ValueError`` when the BITS counts don't match the value
+    list (a truncated/corrupt DHT segment)."""
+    if sum(bits) != len(vals):
+        raise ValueError("Huffman table BITS/HUFFVAL length mismatch")
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -888,7 +892,6 @@ def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
             code += 1
             k += 1
         code <<= 1
-    assert len(out) == len(vals)
     return out
 
 
@@ -1098,7 +1101,21 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     1-component grayscale or 3-component 4:4:4 color (YCbCr→RGB).
     Returns (h, w) or (h, w, 3) uint8. Raises ``ValueError`` on a
     malformed stream and ``NotImplementedError`` for progressive or
-    subsampled streams (the remaining plug-in seam)."""
+    subsampled streams (the remaining plug-in seam).
+
+    The error contract is enforced at this boundary: a corrupt stream
+    can trip indexing/struct/lookup errors deep in the segment parsers
+    (truncated DHT mid-values, SOS referencing an id absent from the
+    SOF, short SOF), and all of them surface as ``ValueError`` — never
+    a raw ``IndexError``/``KeyError``/``struct.error``.
+    """
+    try:
+        return _decode_jpeg_pixels(payload)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     if payload[:2] != JPEG_SOI:
         raise ValueError("not a JPEG stream")
     quant: dict[int, np.ndarray] = {}

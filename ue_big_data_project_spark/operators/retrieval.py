@@ -327,25 +327,29 @@ def unigram_surprisal(
     (N tokens, V distinct terms) and
     ``mean_nll = −(1/n) Σ ln p(tᵢ)`` over the document's tokens.
 
-    Scale: the classic two-aggregate MapReduce shape — one (term)
-    shuffle for the LM counts, one token ⋈ LM join on the term (the LM
-    side reuses the aggregation's partitioning), one per-doc aggregate.
-    Corpus totals are a single-row aggregate that broadcasts; nothing
-    collects. Per-token surprisals round at 6 dp and sum through
-    DECIMAL, so the score is partition-order independent (oracle
-    hash-stable) — same determinism discipline as BM25.
+    Scale: scoring runs over the TF-AGGREGATED postings, not raw
+    tokens — every token of a term in a doc contributes the same
+    rounded surprisal, so ``tf × round₆(nll)`` through an exact
+    decimal multiply equals the per-token decimal sum bit-for-bit
+    while shrinking the LM join and doc aggregate from |tokens| to
+    |distinct (doc, term)| rows. The postings aggregation's exchange
+    is the shared upstream of both the LM branch and the join branch
+    (one canonical subplan → one runtime stage → the corpus tokenizes
+    once). Corpus totals are a single-row aggregate that broadcasts;
+    nothing collects. Same determinism discipline as BM25.
     """
-    toks = _doc_tokens(docs, id_col, text_col)
-    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    postings, _doclen = build_postings(docs, id_col, text_col)
+    lm = postings.groupBy("term").agg(F.sum("tf").alias("c_t"))
     totals = lm.agg(
         F.sum("c_t").alias("n_tok"), F.count(F.lit(1)).alias("v")
     )
     scored = (
-        toks.join(lm, "term")
+        postings.join(lm, "term")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
             "dl",
+            "tf",
             pround(
                 -F.log(
                     (F.col("c_t") + F.lit(alpha))
@@ -358,7 +362,8 @@ def unigram_surprisal(
     return scored.groupBy("doc_id").agg(
         F.max("dl").cast("long").alias("n_tokens"),
         pround(
-            F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+            F.sum(F.col("nll").cast("decimal(18,6)") * F.col("tf"))
+            .cast("double")
             / F.max("dl"),
             4,
         ).alias("mean_nll"),

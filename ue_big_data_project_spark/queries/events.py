@@ -748,11 +748,15 @@ def events_ewma(
     seeded with the first value — an inherently sequential per-key
     recurrence with zero Python and no window-function state.
 
-    Scale contract (ENFORCED): cost is one grouped shuffle; the fold is
-    O(events per key) within the row. A key with more than
-    ``max_per_key`` events raises at execution time instead of silently
-    materializing an unbounded row — unbounded histories belong in the
-    streaming sessionize/rollup family.
+    Scale contract (ENFORCED, and enforced BEFORE materialization): a
+    cheap pre-pass counts events per key (narrow map-side-combined
+    aggregate, one scalar max to the driver) and raises loudly if any
+    key exceeds ``max_per_key`` — an in-plan guard on the collected
+    array would only fire AFTER ``collect_list`` had already built the
+    oversized row, i.e. after the OOM it exists to prevent. Unbounded
+    histories belong in the streaming sessionize/rollup family. Past
+    the guard, cost is one grouped shuffle; the fold is O(events per
+    key) within the row.
 
     The DuckDB oracle's ``list_reduce`` also seeds with the first
     element and folds left, and orders by the full (ts, event_id,
@@ -760,6 +764,18 @@ def events_ewma(
     (ts, event_id) pair were ever duplicated.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    worst = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if worst is not None and worst > max_per_key:
+        raise ValueError(
+            f"events_ewma: per-key history of {worst} events exceeds the "
+            f"bounded-per-key contract ({max_per_key}); use the streaming "
+            "rollup family for unbounded keys"
+        )
     arr = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", F.col("value").alias("v")))
     )
@@ -769,21 +785,11 @@ def events_ewma(
         F.element_at(vals, 1),
         lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
     )
-    guarded = F.when(
-        F.size(vals) > F.lit(max_per_key),
-        F.raise_error(
-            F.concat(
-                F.lit("events_ewma: per-key history exceeds the bounded"),
-                F.lit(f"-per-key contract ({max_per_key} events); "),
-                F.lit("use the streaming rollup family for unbounded keys"),
-            )
-        ).cast("double"),
-    ).otherwise(pround(ewma, 6))
     return (
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            guarded.alias("ewma_value"),
+            pround(ewma, 6).alias("ewma_value"),
         )
         .select("user_id", "n_events", "ewma_value")
     )

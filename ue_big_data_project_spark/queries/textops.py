@@ -592,6 +592,29 @@ def _session_index(kind: str, sf_dir: str, build) -> str:
     return _SESSION_INDEXES[key]
 
 
+def warm_session_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Build the session-scoped scratch indexes the probe-only bench
+    twins query, WITHOUT timing them. bench.py calls this before its
+    timed passes: otherwise the first timed invocation of a probe twin
+    pays the one-off index build, and with a single pass (or a budget
+    that ends after pass 1) the 'probe-only' number would silently be a
+    build+probe number."""
+    from ue_big_data_project_spark.operators.retrieval import (
+        build_text_index,
+    )
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    _session_index(
+        "ivf",
+        sf_dir,
+        lambda p: build_ivf_index(e, p, n_centroids=16, kmeans_iters=2),
+    )
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    _session_index(
+        "bm25", sf_dir, lambda p: build_text_index(d, p, n_buckets=16)
+    )
+
+
 def knn_cosine_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-only twin of knn_cosine_ivf_indexed: identical parameters,
     answer, and oracle, but the persisted IVF index is built once per
@@ -982,19 +1005,24 @@ WITH base AS (
 toks AS (
   SELECT doc_id, len(words) AS dl, unnest(words) AS term FROM base
 ),
-lm AS (SELECT term, count(*) AS c_t FROM toks GROUP BY term),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM toks GROUP BY doc_id, term
+),
+lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c_t FROM postings GROUP BY term),
 totals AS (
   SELECT CAST(sum(c_t) AS BIGINT) AS n_tok, count(*) AS v FROM lm
 ),
 scored AS (
-  SELECT doc_id, dl,
+  SELECT doc_id, dl, tf,
          {sql_round("-ln((c_t + 0.5) / (n_tok + 0.5 * v))", 6)} AS nll
-  FROM toks JOIN lm USING (term) CROSS JOIN totals
+  FROM postings JOIN lm USING (term) CROSS JOIN totals
 )
 SELECT doc_id,
        CAST(max(dl) AS BIGINT) AS n_tokens,
        {sql_round(
-           "CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / max(dl)", 4
+           "CAST(sum(CAST(nll AS DECIMAL(18,6)) * tf) AS DOUBLE) / max(dl)",
+           4,
        )} AS mean_nll
 FROM scored GROUP BY doc_id
 """
