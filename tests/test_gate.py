@@ -27,23 +27,6 @@ PROXIED = {
     "cheapest_supplier_per_part": "window_top1_per_order",
     "q12_priority_by_status": "scan_filter_agg_kit",
     "asof_bucketed_prev_click": "asof_first_ship",
-    # Probe-only bench twins of the persisted-index gate entries: same
-    # oracle and answer (index built once per session instead of per
-    # run), benched via BENCH_EXTRA so the probe latency is a visible
-    # number (round-4 verdict task 4); indexed==probe equivalence is
-    # pinned in tests/test_retrieval.py / tests/test_approx.py.
-    "knn_cosine_ivf_probe": "knn_cosine_ivf_indexed",
-    "text_bm25_probe": "text_bm25_indexed",
-    # Transform-coded sibling of the gated compressed-container PNG
-    # path (same gradient→features shape, full DuckDB oracle, benched
-    # via BENCH_EXTRA); codec pinned by the JPEG roundtrip/interop
-    # tests in tests/test_multimodal.py.
-    "multimodal_jpeg": "multimodal_png",
-    # Corpus-statistics scoring family: term-count LM + log scoring
-    # over the same token stream the gated BM25 shuffles; full DuckDB
-    # oracles + python ground-truth tests; benched via BENCH_EXTRA.
-    "text_surprisal": "text_bm25_search",
-    "text_source_kl": "text_bm25_search",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -110,6 +93,13 @@ ROTATED_OUT = {
     "dedup_minhash_lsh": "dedup_ngram_jaccard",  # banded candidate-pair family
     "dedup_simhash_pairs": "dedup_ngram_jaccard",  # signature candidate-pair family
     "dedup_embedding_cosine": "knn_cosine_lsh",  # cosine-similarity family
+    # Rotated out mid-round-5 (driver-green r4) to hand slots to the 5
+    # round-5-new entries so the whole registry is driver-hashed:
+    "text_langid": "text_nlp_kit",  # standalone twin of the kit column
+    "text_tokens": "text_nlp_kit",  # standalone twin of the kit column
+    "text_fingerprint": "text_nlp_kit",  # standalone twin of the kit column
+    "events_pivot": "events_cube",  # grouping-sets/pivot expand family
+    "q4_order_priority": "semi_anti_join_kit",  # semi-join + grouped count
 }
 
 
@@ -143,11 +133,12 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r04 covered the rest of the registry; the 13
-    # entries the driver has never hashed (the round-5 rotation pool the
-    # round-4 verdict named in task 2) must lead the gate. Once these
-    # hash green, every registry entry is cumulatively driver-verified.
-    never_hashed = GATE_ORDER[:13]
+    # CORRECTNESS_r01-r04 covered the rest of the registry; the 18
+    # entries the driver has never hashed (the 13-entry round-5
+    # rotation pool the round-4 verdict named in task 2, plus the 5
+    # round-5-new queries) must lead the gate. Once these hash green,
+    # every registry entry is cumulatively driver-verified.
+    never_hashed = GATE_ORDER[:18]
     assert set(never_hashed) == {
         "text_bm25_search",
         "text_bm25_indexed",
@@ -162,6 +153,11 @@ def test_unhashed_entries_run_first():
         "events_ewma",
         "pipeline_weighted_sample",
         "window_rank_kit",
+        "multimodal_jpeg",
+        "text_surprisal",
+        "text_source_kl",
+        "knn_cosine_ivf_probe",
+        "text_bm25_probe",
     }
 
 

@@ -82,12 +82,14 @@ def all_queries() -> dict[str, QuerySpec]:
 # pipeline_chunk_documents).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed (the round-4 rotation pool the round-4
-    # verdict mandated, task 2): run first. Once these 13 hash green,
+    # -- never driver-hashed: run first. The first 13 are the round-4
+    # rotation pool the round-4 verdict mandated (task 2, all with
+    # round-4 bench baselines); the next 5 are round-5-new (real
+    # baseline-JPEG codec, unigram-LM surprisal, per-source KL drift,
+    # and the two probe-only index twins). Once these 18 hash green,
     # EVERY entry of the registry is cumulatively driver-verified and
-    # rotation can stop — the gate stays frozen from round 6 on so
-    # bench deltas stay clean. All 13 have round-4 bench baselines
-    # (they were pre-benched via BENCH_EXTRA last round). ----------------
+    # rotation can stop — the gate freezes from round 6 on so bench
+    # deltas stay clean. ------------------------------------------------
     "text_bm25_search",
     "text_bm25_indexed",
     "text_hybrid_search",
@@ -101,12 +103,14 @@ GATE_ORDER = (
     "events_ewma",
     "pipeline_weighted_sample",
     "window_rank_kit",
+    "multimodal_jpeg",
+    "text_surprisal",
+    "text_source_kl",
+    "knn_cosine_ivf_probe",
+    "text_bm25_probe",
     # -- first hashed (green) in round 4 ---------------------------------
     "knn_cosine_ivf_indexed",
     "pipeline_profile",
-    "text_langid",
-    "text_tokens",
-    "text_fingerprint",
     "text_repetition",
     "multimodal_wav",
     "multimodal_bmp",
@@ -114,9 +118,7 @@ GATE_ORDER = (
     "bloom_pruned_join",
     "streaming_asof_join",
     "q2_min_cost_supplier",
-    "q4_order_priority",
     "pipeline_scrub_boilerplate",
-    "events_pivot",
     "events_resample",
     "sql_text_nation_revenue",
     # -- first hashed (green) in round 3 ---------------------------------
@@ -184,21 +186,15 @@ BENCH_EXTRA = (
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
-    # Probe-only twins of the persisted-index gate entries: same oracle
-    # and answer, but the index is built ONCE per bench session
-    # (memoized scratch dir) so the timing isolates the 100 TB-relevant
-    # probe latency that the build+probe gate entries conflate
-    # (round-4 verdict task 4).
-    "knn_cosine_ivf_probe",
-    "text_bm25_probe",
-    # Round-5-new transform-coded image path (real baseline JPEG codec);
-    # benched now so its first gate round has a prior-round baseline.
-    "multimodal_jpeg",
-    # Round-5-new corpus-quality scoring (CCNet-style unigram-LM
-    # surprisal) and per-source distribution-drift audit; benched for
-    # first baselines.
-    "text_surprisal",
-    "text_source_kl",
+    # Rotated out mid-round-5 (driver-green r4, near-duplicate shapes
+    # whose family kits stay in-gate) to hand slots to the 5
+    # round-5-new entries, so the ENTIRE registry is driver-hashed this
+    # round and the gate can freeze.
+    "text_langid",
+    "text_tokens",
+    "text_fingerprint",
+    "events_pivot",
+    "q4_order_priority",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or
