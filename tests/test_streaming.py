@@ -601,3 +601,65 @@ def test_streaming_asof_join_string_keys(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["key"] == "u-1" and rows[0]["left_id"] == 2
     assert rows[0]["best"] == 1704067200000000 + 8 * 60_000_000
+
+
+def test_restart_from_checkpoint_restores_dedup_state(spark, tmp_path):
+    """K7 lifecycle: stop a stateful streaming query mid-source and
+    RESTART it from the same checkpointLocation — the dedup state must
+    survive the restart (a key emitted before the stop must NOT
+    re-emit after it), and the file-sink transaction log must keep the
+    output exactly-once across the restart."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark import streaming as S
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+
+    schema = "entry_id long, v long"
+
+    def write_file(name, rows):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        import glob as _glob
+        import shutil as _shutil
+
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _shutil.move(part, _os.path.join(src, f"{name}.parquet"))
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).parquet(src)
+        deduped = S.dedup_stream(sdf, ["entry_id"])
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # Phase 1: keys 1-3 flow through and the query STOPS.
+    write_file("f0", [(1, 10), (2, 20), (3, 30), (2, 21)])
+    run_once()
+    first = spark.read.parquet(out)
+    assert sorted(r.entry_id for r in first.collect()) == [1, 2, 3]
+
+    # Phase 2: a new file re-sends keys 2-3 and adds 4-5; the restarted
+    # query must suppress 2-3 from its RESTORED state, not re-emit them.
+    write_file("f1", [(2, 22), (3, 31), (4, 40), (5, 50)])
+    run_once()
+    final = spark.read.parquet(out)
+    assert sorted(r.entry_id for r in final.collect()) == [1, 2, 3, 4, 5]
+    # Exactly one surviving row per key across both runs (no duplicate
+    # emission through the restart).
+    counts = final.groupBy("entry_id").count().collect()
+    assert all(r["count"] == 1 for r in counts)
+    # The first-seen value won for re-sent keys (state, not reprocessing).
+    vals = {r.entry_id: r.v for r in final.collect()}
+    assert vals[2] in (20, 21) and vals[3] == 30
