@@ -291,3 +291,26 @@ def test_source_unigram_kl_ground_truth_and_zero_self(spark):
     # identical sources score identically; the divergent one scores higher
     assert got["a"] == got["b"]
     assert got["c"] > got["a"]
+
+
+def test_surprisal_and_kl_edge_cases(spark):
+    """Empty corpus → empty result (no division-by-null surprises);
+    whitespace-only docs are excluded exactly like the oracle's
+    zero-token exclusion."""
+    from ue_big_data_project_spark.operators.retrieval import (
+        source_unigram_kl,
+        unigram_surprisal,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert unigram_surprisal(empty).count() == 0
+    assert source_unigram_kl(empty).count() == 0
+
+    ws = spark.createDataFrame(
+        [(1, "alpha beta", "a"), (2, "   ", "a"), (3, "", "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.doc_id for r in unigram_surprisal(ws).collect()}
+    assert rows == {1}  # whitespace-only and empty docs excluded
+    kl = {r.source for r in source_unigram_kl(ws).collect()}
+    assert kl == {"a"}  # source "b" contributed zero tokens
