@@ -203,10 +203,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    Inverted-index join: explode shingles, equi-join on the shingle, count
-    intersections, then |A∪B| = |A|+|B|−|A∩B|. The shuffle key is the
-    shingle, so hot shingles (stopword runs) are the skew risk — at scale,
-    drop ultra-frequent shingles first (df-style pruning).
+    Inverted-index join: explode shingles, equi-join on the shingle key,
+    count intersections, then |A∪B| = |A|+|B|−|A∩B|. Candidate
+    generation joins on ``xxhash64(shingle)`` (8-byte shuffle keys; the
+    text itself never shuffles until verification), and hot shingles
+    (stopword runs) remain the skew risk — at scale, additionally drop
+    ultra-frequent shingles first (df-style pruning).
 
     Prefix filtering (Bayardo/PPJoin, lossless): order each document's
     shingles globally by (document frequency asc, shingle asc) and index
@@ -228,14 +230,27 @@ def ngram_jaccard_pairs(
     # runs once. Storage is ~|corpus shingles| rows — the same order as
     # one shuffle of the naive join, and LRU-evicted under pressure.
     sh = shingle_rows(df, id_col, text_col, shingle_n).cache()
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = sh.join(freq, "shingle").select(
+    # Candidate generation runs on xxhash64 KEYS, not shingle strings:
+    # every frequency/rank/join shuffle then moves 8-byte longs instead
+    # of n-word text (the "hash them first" lever the scale note below
+    # prescribes, now the default). Still LOSSLESS: the global order is
+    # (df(h), h) — a fixed preorder consistent across documents — and
+    # rank ties occur ONLY among rows with equal h, so however a tie
+    # splits across the prefix boundary, some equal-h representative
+    # stays in the prefix and the h-equality join still surfaces the
+    # pair. A 64-bit collision can only ADD a spurious candidate (two
+    # different shingles, same key), and the exact string-array
+    # verification below rejects it — candidates are a superset, the
+    # verified output is identical.
+    shh = sh.select(
+        F.col(id_col), F.xxhash64("shingle").alias("_h")
+    )
+    freq = shh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = shh.join(freq, "_h").select(
         id_col,
-        "shingle",
+        "_h",
         F.row_number()
-        .over(
-            Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
-        )
+        .over(Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("_h")))
         .alias("_rn"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_sh"),
     )
@@ -249,7 +264,7 @@ def ngram_jaccard_pairs(
     candidates = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a._h") == F.col("b._h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (
                 F.least(F.col("a.n_sh"), F.col("b.n_sh"))
