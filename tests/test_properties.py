@@ -705,3 +705,43 @@ def test_jpeg_gradient_roundtrip_bounded_error(w, h, seed):
     assert out.shape == px.shape
     err = np.abs(out.astype(int) - px.astype(int))
     assert err.max() <= 28 and err.mean() <= 4.0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=bm25_corpus)
+def test_unigram_surprisal_matches_python_on_random_corpora(spark, docs):
+    """Property twin of the BM25 ground-truth check: on random corpora
+    the tf-aggregated surprisal equals the textbook per-token loop."""
+    import math
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        unigram_surprisal,
+    )
+
+    counts: dict[str, int] = {}
+    for d in docs:
+        for t in d:
+            counts[t] = counts.get(t, 0) + 1
+    n_tok, v = sum(counts.values()), len(counts)
+    ddf = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_nll)
+        for r in unigram_surprisal(ddf, alpha=0.5).collect()
+    }
+    for i, d in enumerate(docs):
+        if not d:
+            assert i not in got
+            continue
+        want = sum(
+            -math.log((counts[t] + 0.5) / (n_tok + 0.5 * v)) for t in d
+        ) / len(d)
+        assert got[i][0] == len(d)
+        # 6-dp per-term rounding bounds drift by n_tokens * 5e-7 / n.
+        assert abs(got[i][1] - want) < 1e-3, i
