@@ -38,10 +38,68 @@ from ue_big_data_project_spark import get_spark
 from ue_big_data_project_spark.queries import bench_queries
 
 
+def isolate(name: str) -> None:
+    """Triage mode (``SPARK_GRAFT_BENCH_ISOLATE=<query>``): run ONE
+    query n times in a fresh, otherwise-idle session and print the
+    median + every sample as one JSON line.
+
+    Exists because three rounds in a row produced a false-regression
+    scare (knn_cosine_lsh r4, multimodal_jpeg r5) whose cause was suite
+    contention on a shared box, each triaged by hand-running isolated
+    medians; this makes that triage a single command whose output can
+    be pasted into the round artifacts (round-5 verdict task 7).
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Default 5 isolated samples — the precedent set by the manual
+    # lsh/jpeg triages recorded in COVERAGE.md.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    spec = bench_queries().get(name)
+    if spec is None:
+        from ue_big_data_project_spark.queries import all_queries
+
+        spec = all_queries().get(name)
+    if spec is None:
+        print(json.dumps({"error": f"unknown query {name!r}"}))
+        sys.exit(2)
+    spark = get_spark(app_name=f"bench-isolate-{name}")
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.createDataFrame([(1, "w")], "a int, b string").count()
+    if name in ("knn_cosine_ivf_probe", "text_bm25_probe"):
+        # Same contract as the suite: probe twins time ONLY the probe.
+        from ue_big_data_project_spark.queries.textops import (
+            warm_session_indexes,
+        )
+
+        warm_session_indexes(spark, sf_dir)
+    samples: list[float] = []
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        samples.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_isolated_seconds",
+                "query": name,
+                "median": round(statistics.median(samples), 3),
+                "samples": samples,
+                "sf": sf,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    isolate_q = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE")
+    if isolate_q:
+        isolate(isolate_q)
+        return
     spark = get_spark(app_name="bench")
 
     # Warmup: JVM + parquet footer caches + codegen + the first
@@ -123,6 +181,7 @@ def main() -> None:
         if samples.get(name)
     }
     line = ""
+    n_gate = len(compact_queries)
     while True:
         line = json.dumps(
             {
@@ -133,6 +192,10 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": passes,
                 "bench_n": len(timings),
+                # Truncation must be detectable from stdout ALONE
+                # (round-5 advice): a reader who sees dropped > 0 knows
+                # to consult bench_full.json for the missing entries.
+                "dropped": n_gate - len(compact_queries),
                 "full": "bench_full.json",
             },
             separators=(",", ":"),

@@ -108,6 +108,21 @@ def test_gate_within_driver_cap():
     assert len(set(GATE_ORDER)) == len(GATE_ORDER)
 
 
+def test_gate_is_frozen_at_round5_set():
+    """From round 6 the gate is FROZEN (round-5 verdict task 2): the
+    driver must hash the SAME 50 entries every round so round-over-round
+    correctness and bench deltas compare identical query sets. Editing
+    GATE_ORDER is now a deliberate act that requires updating this pin
+    (and accepting that the delta baseline resets)."""
+    import hashlib
+
+    frozen = hashlib.sha256("\n".join(GATE_ORDER).encode()).hexdigest()
+    assert len(GATE_ORDER) == 50
+    assert frozen == (
+        "c308a9e9f1e4f6a2b15165bbdce1cee5bc59364a414a0e89dcfc7e7f013dfa24"
+    ), "GATE_ORDER changed — the gate is frozen from round 6"
+
+
 def test_gate_is_registry_subset():
     registry = all_queries()
     missing = [n for n in GATE_ORDER if n not in registry]
@@ -177,6 +192,7 @@ def test_bench_stdout_line_fits_driver_tail():
             "sf": 0.1,
             "runs_per_query": 3,
             "bench_n": 99,
+            "dropped": 50,
             "full": "bench_full.json",
         },
         separators=(",", ":"),

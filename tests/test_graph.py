@@ -282,3 +282,17 @@ def test_pagerank_drops_weightless_edges(spark):
     got = {r.id: r.pr for r in pagerank(df, iters=3, weight_col="w").collect()}
     assert set(got) == {1, 2}  # 3 is not a vertex of the positive graph
     assert all(v == v for v in got.values())  # no NaNs
+
+
+def test_pagerank_overflowing_weight_fails_loudly(spark):
+    # decimal(32,12) holds |w| < 1e20; a pathological weight above that
+    # must raise (ANSI cast error or the explicit per-row guard), never
+    # silently skew outw by having sum() skip a NULLed row (round-5
+    # advice).
+    from ue_big_data_project_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1e25)], "src long, dst long, w double"
+    )
+    with pytest.raises(Exception, match="(?i)overflow|cannot be represented"):
+        pagerank(df, iters=1, weight_col="w").collect()

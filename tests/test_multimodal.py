@@ -410,10 +410,12 @@ def test_jpeg_rejects_malformed_and_names_the_seam():
     prog[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="plug"):
         MM.decode_jpeg_pixels(bytes(prog))
-    # Subsampled (H,V != 1) likewise.
+    # Sampling factors outside T.81's 1-4 range are malformed (in-range
+    # factors, 4:2:0 included, DECODE since round 6 — see
+    # test_jpeg_subsampled_roundtrips).
     sub = bytearray(good)
-    sub[sof + 7 + 4] = 0x22  # component 0 sampling factors
-    with pytest.raises(NotImplementedError, match="plug"):
+    sub[sof + 7 + 4] = 0x05  # component 0 sampling factors: H=0
+    with pytest.raises(ValueError, match="sampling"):
         MM.decode_jpeg_pixels(bytes(sub))
     # Deep-parser corruption surfaces as ValueError, never a raw
     # IndexError/KeyError/struct.error (the boundary contract).
@@ -485,3 +487,124 @@ def test_jpeg_pil_interop():
     assert ours.shape == smooth.shape
     err = np.abs(ours.astype(int) - smooth.astype(int))
     assert err.mean() < 4
+
+
+def test_huff_codes_reject_code_space_overflow():
+    import pytest
+
+    from ue_big_data_project_spark.operators.multimodal import _huff_codes
+
+    # 3 codes of length 1 overflow the 2-code space at that length: a
+    # canonical assignment would wrap into a duplicate (length, code)
+    # key and the decoder's inverted table would silently let the last
+    # symbol win (round-5 advice) — must raise instead.
+    bits = (3,) + (0,) * 15
+    with pytest.raises(ValueError, match="overflow"):
+        _huff_codes(bits, (1, 2, 3))
+    # 2 codes of length 1 exactly fill the space — still legal.
+    assert len(_huff_codes((2,) + (0,) * 15, (1, 2))) == 2
+
+
+def test_jpeg_subsampled_roundtrips():
+    """Round-6 seam narrowing (round-5 verdict task 5): the decoder's
+    MCU walk handles general T.81 H/V sampling factors, so 4:2:0 (the
+    dominant real-world layout) and 4:2:2 streams decode. The encoder
+    grew matching layouts (average-pooled chroma) to produce fixtures
+    without needing PIL in the container."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    # Constant 16x16 tiles: chroma average-pool is exact, so only the
+    # quantizer touches the signal — error stays within a few codes.
+    tile = np.kron(
+        rng.integers(40, 216, (3, 5, 3)), np.ones((16, 16, 1), np.int64)
+    ).astype(np.uint8)
+    for sub in ("420", "422"):
+        dec = MM.decode_jpeg_pixels(
+            MM.encode_jpeg_baseline(tile, subsampling=sub)
+        )
+        assert dec.shape == tile.shape
+        assert np.abs(dec.astype(int) - tile.astype(int)).max() <= 4, sub
+
+    # Odd (non-multiple-of-MCU) dimensions: edge padding + crop.
+    odd = tile[:41, :61]
+    for sub in ("420", "422"):
+        dec = MM.decode_jpeg_pixels(
+            MM.encode_jpeg_baseline(odd, subsampling=sub)
+        )
+        assert dec.shape == odd.shape
+        assert np.abs(dec.astype(int) - odd.astype(int)).max() <= 4, sub
+
+    # Restart markers reset DC predictors mid-scan in subsampled MCUs
+    # exactly like 4:4:4.
+    plain = MM.decode_jpeg_pixels(MM.encode_jpeg_baseline(tile, subsampling="420"))
+    restarted = MM.decode_jpeg_pixels(
+        MM.encode_jpeg_baseline(tile, restart_interval=2, subsampling="420")
+    )
+    assert np.array_equal(plain, restarted)
+
+    # Smooth natural-signal raster stays within normal JPEG+subsample
+    # error bounds.
+    yy, xx = np.mgrid[0:48, 0:64]
+    smooth = np.clip(
+        np.round(
+            np.stack(
+                [
+                    128 + 60 * np.sin(xx / 15),
+                    128 + 50 * np.cos(yy / 12),
+                    128 + 40 * np.sin((xx + yy) / 20),
+                ],
+                axis=-1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    ds = MM.decode_jpeg_pixels(MM.encode_jpeg_baseline(smooth, subsampling="420"))
+    err = np.abs(ds.astype(int) - smooth.astype(int))
+    assert err.mean() < 6 and err.max() < 40
+
+    # Grayscale ignores subsampling (single-component scans are
+    # non-interleaved) — still bit-exact on the DC-only fixtures.
+    px = MM.synth_jpeg_pixels(9)
+    assert np.array_equal(
+        MM.decode_jpeg_pixels(MM.encode_jpeg_baseline(px, subsampling="420")),
+        px,
+    )
+
+    with pytest.raises(ValueError, match="subsampling"):
+        MM.encode_jpeg_baseline(tile, subsampling="411")
+
+
+def test_jpeg_pil_interop_420():
+    """Import-gated libjpeg cross-check on the 4:2:0 path (round-5
+    verdict task 5 'done' criterion): PIL must decode OUR 4:2:0 bytes
+    and WE must decode PIL's 4:2:0 output. Skips where PIL is absent."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    rng = np.random.default_rng(23)
+    tile = np.kron(
+        rng.integers(40, 216, (3, 4, 3)), np.ones((16, 16, 1), np.int64)
+    ).astype(np.uint8)
+    theirs = np.asarray(
+        PIL_Image.open(
+            io.BytesIO(MM.encode_jpeg_baseline(tile, subsampling="420"))
+        ).convert("RGB")
+    )
+    assert theirs.shape == tile.shape
+    assert np.abs(theirs.astype(int) - tile.astype(int)).max() <= 6
+
+    buf = io.BytesIO()
+    PIL_Image.fromarray(tile, mode="RGB").save(
+        buf, format="JPEG", quality=75, subsampling=2  # 4:2:0
+    )
+    ours = MM.decode_jpeg_pixels(buf.getvalue())
+    assert ours.shape == tile.shape
+    err = np.abs(ours.astype(int) - tile.astype(int))
+    assert err.mean() < 8

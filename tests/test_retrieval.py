@@ -314,3 +314,43 @@ def test_surprisal_and_kl_edge_cases(spark):
     assert rows == {1}  # whitespace-only and empty docs excluded
     kl = {r.source for r in source_unigram_kl(ws).collect()}
     assert kl == {"a"}  # source "b" contributed zero tokens
+
+
+def test_indexed_bm25_large_batch_semi_join_fallback(spark, tmp_path):
+    """Past _MAX_INLINE_TERMS distinct query terms the indexed probe
+    must switch from an inlined isin (whose In-list would grow with the
+    batch) to a broadcast semi join, without changing any answer
+    (round-5 advice)."""
+    import ue_big_data_project_spark.operators.retrieval as R
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    q = spark.createDataFrame(
+        [(0, "spark join window"), (1, "customer order data")],
+        "query_id int, query_text string",
+    )
+    idx = str(tmp_path / "text_index")
+    build_text_index(docs, idx, n_buckets=8)
+
+    want = sorted(
+        bm25_topk(docs, q, k=5).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    old = R._MAX_INLINE_TERMS
+    R._MAX_INLINE_TERMS = 3  # force the fallback with a small batch
+    try:
+        df = bm25_topk_indexed(spark, idx, q, k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # Term pruning now rides a semi join, not a giant In-list.
+        assert "LeftSemi" in plan, plan
+        got = sorted(df.collect(), key=lambda r: (r.query_id, r.rank))
+    finally:
+        R._MAX_INLINE_TERMS = old
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -291,8 +291,26 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The per-row decimal(32,12) cast truncates to 12 dp (documented)
+    # but OVERFLOWS to NULL for |w| >= 1e20 under non-ANSI semantics —
+    # and sum() would then silently skip the row, understating outw and
+    # skewing every downstream rank. Guard each row so pathological
+    # weights fail loudly instead (round-5 advice).
+    wdec = F.col("w").cast("decimal(32,12)")
     outw = e.groupBy("src").agg(
-        F.sum(F.col("w").cast("decimal(32,12)")).cast("double").alias("outw")
+        F.sum(
+            F.when(
+                wdec.isNull(),
+                F.raise_error(
+                    F.format_string(
+                        "pagerank: edge weight %s overflows decimal(32,12)",
+                        F.col("w"),
+                    )
+                ).cast("decimal(32,12)"),
+            ).otherwise(wdec)
+        )
+        .cast("double")
+        .alias("outw")
     )
     # Reused every round: materialize once instead of re-running the
     # (possibly expensive) edge-building plan per iteration.
@@ -351,11 +369,22 @@ def triangle_counts(
     Input edges may list pairs in either direction and may repeat;
     self-loops are dropped.
 
-    Deliberately NOT checkpointed: the multi-consumer subplans (e, e_or,
-    adj) are shared through Spark's exchange reuse, and eagerly
-    materializing them was measured SLOWER at sf0.1 (7.1 s → 8.9 s
-    median) because the eager checkpoints serialize stages the scheduler
-    otherwise overlaps.
+    The multi-consumer intermediates — the distinct edge set ``e``
+    (feeds the degree count twice and the degree joins), the degree
+    table ``deg`` (joined on both endpoints), the oriented edge list
+    ``e_or`` (adjacency build + both probe sides of the closing join),
+    and the adjacency table ``adj`` (both closing-join sides) — are
+    LAZILY persisted (memory-and-disk, so spill-safe at scale: ``e``,
+    ``e_or``, ``adj`` are O(|E|), ``deg`` O(|V|) — the algorithm's
+    working set). Without the persists each consumer re-plans its
+    whole upstream from the raw edge input, which for a derived edge
+    set (e.g. a lineitem self-join) re-runs the most expensive stage
+    of the query 4× (the round-5 plan paid 32 exchanges this way; the
+    persisted plan pays 12). Lazy ``persist`` (not eager
+    ``localCheckpoint``, which was measured SLOWER at sf0.1, 7.1 s →
+    8.9 s median, because eager materialization serializes stages the
+    scheduler otherwise overlaps) lets the first job populate the
+    cache in-line.
     """
     e = (
         edges.select(
@@ -364,12 +393,14 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     withdeg = (
         e.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a")), "a")
@@ -382,14 +413,16 @@ def triangle_counts(
         F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_is_a, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    )
+    ).persist()
     # Edge-iterator with adjacency intersection, NOT a wedge self-join:
     # materializing every wedge shuffles O(Σ d_or(u)²) rows (41M at
     # sf0.1, measured 22 s) while the per-edge ``array_intersect`` of
     # the two oriented neighbor LISTS does the same pruned enumeration
     # inside codegen and only materializes actual triangles. Orientation
     # keeps every list O(√E) long, so each intersect is tiny.
-    adj = e_or.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    adj = e_or.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
+    ).persist()
     tri = (
         e_or.select("u", "v")
         .join(

@@ -13,9 +13,10 @@ CRC-verified chunk walk, stdlib-zlib DEFLATE inflate, all five scanline
 filters unfiltered), :func:`decode_jpeg` (transform-coded image: a
 generic baseline JPEG decoder — stream-carried DQT/DHT/DRI, Huffman
 entropy decode, dequant, float IDCT, restart markers, grayscale or
-4:4:4 YCbCr), and :func:`decode_bmpv` (video: an indexed BMP frame
-stream whose sampling is a seek, not a scan). MP4-class compressed
-video (and progressive/subsampled JPEG) stays stubbed (this box has no
+YCbCr at any T.81 sampling layout incl. 4:2:0/4:2:2), and
+:func:`decode_bmpv` (video: an indexed BMP frame stream whose sampling
+is a seek, not a scan). MP4-class compressed
+video (and progressive JPEG) stays stubbed (this box has no
 ffmpeg): ``backend="real"`` raises ``NotImplementedError`` at the exact
 call site those decoders plug into, ``backend="fake"`` computes
 deterministic bytes-level features so the whole pipeline is end-to-end
@@ -781,9 +782,11 @@ def bmpv_frame_features(df: DataFrame, every: int = 1) -> DataFrame:
 # decoder is a generic baseline decoder — it parses DQT/DHT/DRI FROM
 # THE STREAM (any table set, not just ours), Huffman-decodes the MCUs,
 # dequantizes, runs a float IDCT over all 64 coefficients, and handles
-# restart markers and 1- or 3-component 4:4:4 scans. Progressive
-# (SOF2) and subsampled (H,V > 1) streams raise NotImplementedError —
-# the seam, now narrowed from "JPEG" to those two features.
+# restart markers and 1- or 3-component scans at any T.81 H/V sampling
+# layout (4:4:4, 4:2:2, real-world 4:2:0; the encoder writes all three,
+# average-pooling chroma). Progressive (SOF2) streams raise
+# NotImplementedError — the seam, narrowed in round 6 from
+# "progressive + subsampled" to progressive alone.
 #
 # PIL interop (when installed) is pinned by an import-gated test:
 # PIL decodes our bytes, we decode PIL's (tests/test_multimodal.py).
@@ -888,6 +891,16 @@ def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code > (1 << length) - 1:
+                # BITS counts that overflow the canonical code space
+                # would wrap into duplicate (length, code) keys, and the
+                # decoder's inverted table would silently let the last
+                # symbol win — a corrupt DHT must raise, not mis-decode
+                # (round-5 advice).
+                raise ValueError(
+                    "Huffman table BITS counts overflow the code space "
+                    f"at length {length}"
+                )
             out[vals[k]] = (length, code)
             code += 1
             k += 1
@@ -975,16 +988,30 @@ def _encode_block(
 
 
 def encode_jpeg_baseline(
-    pixels: np.ndarray, restart_interval: int = 0
+    pixels: np.ndarray, restart_interval: int = 0, subsampling: str = "444"
 ) -> bytes:
     """Baseline JFIF writer for (h, w) grayscale or (h, w, 3) RGB uint8
-    rasters: Annex-K tables, 4:4:4 (no subsampling), edge-replicated
-    padding to 8×8 blocks, byte-stuffed entropy data; optional DRI +
-    RSTn restart markers every ``restart_interval`` MCUs."""
+    rasters: Annex-K tables, edge-replicated padding to the MCU grid,
+    byte-stuffed entropy data; optional DRI + RSTn restart markers
+    every ``restart_interval`` MCUs. ``subsampling`` selects the chroma
+    layout for color input: ``"444"`` (1×1, default), ``"422"`` (luma
+    2×1), or ``"420"`` (luma 2×2, the dominant real-world layout) —
+    chroma is average-pooled to its subsampled resolution before the
+    DCT, and the scan interleaves H·V luma blocks per MCU per T.81
+    A.2.3. Grayscale ignores ``subsampling`` (single-component scans
+    are non-interleaved)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if h < 1 or w < 1:
         raise ValueError("empty raster")
+    layouts = {
+        "444": [(1, 1), (1, 1), (1, 1)],
+        "422": [(2, 1), (1, 1), (1, 1)],
+        "420": [(2, 2), (1, 1), (1, 1)],
+    }
+    if subsampling not in layouts:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    factors = [(1, 1)] if gray else layouts[subsampling]
     if gray:
         planes = [pixels.astype(np.float64)]
     else:
@@ -995,7 +1022,6 @@ def encode_jpeg_baseline(
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
-    planes = [np.clip(np.round(p), 0, 255) for p in planes]
 
     out = bytearray()
     out += JPEG_SOI
@@ -1007,7 +1033,10 @@ def encode_jpeg_baseline(
     ncomp = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        fh, fv = factors[ci]
+        out += struct.pack(
+            "BBB", ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1
+        )
     tables = [
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -1031,26 +1060,50 @@ def encode_jpeg_baseline(
     ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(fh for fh, _ in factors)
+    vmax = max(fv for _, fv in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     padded = []
-    for p in planes:
-        pad = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        padded.append(pad)
+    for ci, p in enumerate(planes):
+        fh, fv = factors[ci]
+        # Edge-pad the full-resolution plane to the MCU grid, then
+        # average-pool a subsampled component down to its own
+        # resolution (the standard chroma decimation filter).
+        full = np.pad(
+            p,
+            ((0, mcuy * 8 * vmax - h), (0, mcux * 8 * hmax - w)),
+            mode="edge",
+        )
+        ry, rx = vmax // fv, hmax // fh
+        if ry > 1 or rx > 1:
+            full = full.reshape(
+                full.shape[0] // ry, ry, full.shape[1] // rx, rx
+            ).mean(axis=(1, 3))
+        padded.append(np.clip(np.round(full), 0, 255))
     writer = _BitWriter()
     preds = [0] * ncomp
     rst = 0
-    for mcu in range(bh * bw):
+    for mcu in range(mcuy * mcux):
         if restart_interval and mcu and mcu % restart_interval == 0:
             out += writer.flush() + bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) % 8
             writer = _BitWriter()
             preds = [0] * ncomp
-        by, bx = divmod(mcu, bw)
+        my, mx = divmod(mcu, mcux)
         for ci in range(ncomp):
-            block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            fh, fv = factors[ci]
             quant = quants[min(ci, len(quants) - 1)]
             dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            preds[ci] = _encode_block(writer, block, quant, dc, ac, preds[ci])
+            for byi in range(fv):
+                for bxi in range(fh):
+                    by, bx = my * fv + byi, mx * fh + bxi
+                    block = padded[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ]
+                    preds[ci] = _encode_block(
+                        writer, block, quant, dc, ac, preds[ci]
+                    )
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -1098,10 +1151,13 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """Generic baseline JPEG decoder: marker walk, stream-carried
     DQT/DHT/DRI, Huffman + dequant + float IDCT, restart markers,
-    1-component grayscale or 3-component 4:4:4 color (YCbCr→RGB).
-    Returns (h, w) or (h, w, 3) uint8. Raises ``ValueError`` on a
-    malformed stream and ``NotImplementedError`` for progressive or
-    subsampled streams (the remaining plug-in seam).
+    1-component grayscale or 3-component color (YCbCr→RGB) at any
+    T.81 sampling-factor layout from 1 to 4 per axis — 4:4:4, 4:2:2,
+    and the dominant real-world 4:2:0 included; subsampled chroma is
+    upsampled by nearest-neighbor index mapping. Returns (h, w) or
+    (h, w, 3) uint8. Raises ``ValueError`` on a malformed stream and
+    ``NotImplementedError`` for progressive streams (the remaining
+    plug-in seam).
 
     The error contract is enforced at this boundary: a corrupt stream
     can trip indexing/struct/lookup errors deep in the segment parsers
@@ -1174,11 +1230,12 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG — plug PIL/ffmpeg in here"
+                sh, sv = hv >> 4, hv & 15
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        f"invalid sampling factors {sh}x{sv} (T.81 allows 1-4)"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component scan")
             frame = {"h": fh, "w": fw, "comps": comps}
@@ -1232,12 +1289,50 @@ def _decode_scan(
     segments.append(bytes(cur))
 
     h, w, comps = frame["h"], frame["w"], frame["comps"]
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
-    n_mcus = bw * bh
+    # Sampling-factor geometry (T.81 A.2.3): the MCU covers an
+    # 8·Hmax × 8·Vmax pixel tile and each component contributes
+    # H_c × V_c blocks per MCU, stored at its own (subsampled)
+    # resolution. A single-component scan is non-interleaved: its MCU
+    # is one block regardless of the declared factors.
+    if len(comps) == 1:
+        factors = [(1, 1)]
+    else:
+        factors = [(c["h"], c["v"]) for c in comps]
+    hmax = max(fh for fh, _ in factors)
+    vmax = max(fv for _, fv in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * fv, mcux * 8 * fh)) for fh, fv in factors
+    ]
+    n_mcus = mcux * mcuy
     seg_idx = 0
     reader = _BitReader(segments[0])
     preds = [0] * len(comps)
+
+    def read_block(dc_tab, ac_tab, qt, pred) -> tuple[np.ndarray, int]:
+        zz = np.zeros(64, np.int64)
+        size = _huff_decode(reader, dc_tab)
+        pred += _extend(reader.bits(size), size)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = _extend(reader.bits(s), s)
+            k += 1
+        coefs = np.zeros(64, np.float64)
+        coefs[_ZIGZAG_FLAT] = zz * qt.reshape(-1)[_ZIGZAG_FLAT]
+        return _DCT_C.T @ coefs.reshape(8, 8) @ _DCT_C + 128.0, pred
+
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg_idx += 1
@@ -1245,37 +1340,37 @@ def _decode_scan(
                 raise ValueError("missing restart segment")
             reader = _BitReader(segments[seg_idx])
             preds = [0] * len(comps)
-        by, bx = divmod(mcu, bw)
+        my, mx = divmod(mcu, mcux)
         for ci, comp in enumerate(comps):
             td, ta = tabs[comp["id"]]
             dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
             qt = quant.get(comp["tq"])
             if dc_tab is None or ac_tab is None or qt is None:
                 raise ValueError("scan references undefined table")
-            zz = np.zeros(64, np.int64)
-            size = _huff_decode(reader, dc_tab)
-            diff = _extend(reader.bits(size), size)
-            preds[ci] += diff
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(reader, ac_tab)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _extend(reader.bits(s), s)
-                k += 1
-            coefs = np.zeros(64, np.float64)
-            coefs[_ZIGZAG_FLAT] = zz * qt.reshape(-1)[_ZIGZAG_FLAT]
-            block = _DCT_C.T @ coefs.reshape(8, 8) @ _DCT_C + 128.0
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+            fh, fv = factors[ci]
+            for byi in range(fv):
+                for bxi in range(fh):
+                    block, preds[ci] = read_block(
+                        dc_tab, ac_tab, qt, preds[ci]
+                    )
+                    by, bx = my * fv + byi, mx * fh + bxi
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = block
+    # Crop to each component's true resolution, then bring subsampled
+    # chroma back to full resolution by nearest-neighbor index mapping:
+    # full-res pixel (x, y) reads component sample
+    # (x·H_c÷Hmax, y·V_c÷Vmax) — integer floor, the T.81 convention.
+    up = []
+    for ci, p in enumerate(planes):
+        fh, fv = factors[ci]
+        if fh == hmax and fv == vmax:
+            up.append(p[:h, :w])
+        else:
+            yi = (np.arange(h) * fv) // vmax
+            xi = (np.arange(w) * fh) // hmax
+            up.append(p[np.ix_(yi, xi)])
+    planes = up
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

@@ -263,6 +263,14 @@ def build_text_index(
     ).write.mode("overwrite").parquet(root + "_stats")
 
 
+# Query-term prune strategy switch for the indexed probe: below this
+# many distinct terms the list inlines as an isin (reaches parquet
+# row-group stats via PushedFilters); above it, a broadcast semi join
+# (same plan shape bm25_topk always uses) keeps the plan and driver
+# memory independent of the query-batch size (round-5 advice).
+_MAX_INLINE_TERMS = 256
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     path: str,
@@ -283,28 +291,40 @@ def bm25_topk_indexed(
     stats = spark.read.parquet(root + "_stats")
     n_buckets = stats.select("n_buckets").first()[0]
     qterms = _query_terms(queries).localCheckpoint(eager=True)
-    pairs = (
-        qterms.select(
-            "term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+    # Two pruning levels, each with a BOUNDED driver cost: the bucket
+    # list (≤ n_buckets distinct values by construction — it is a mod)
+    # prunes whole partition DIRECTORIES before any file is opened, and
+    # the term-level prune lands in the scan either as an isin in
+    # PushedFilters (parquet row-group stats skip the non-query terms
+    # that share a bucket) or — past _MAX_INLINE_TERMS distinct terms —
+    # as a broadcast semi join, so a huge query batch can neither bloat
+    # the plan with an unbounded In-list nor the driver with an
+    # unbounded collect (the limit(N+1) probe collects at most N+1
+    # rows; ≤ N rows back means the set was complete). The vocabulary
+    # read prunes the same way.
+    buckets = sorted(
+        r.b
+        for r in qterms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
         )
         .distinct()
         .collect()
     )
-    buckets = sorted({r.b for r in pairs})
-    terms = sorted({r.term for r in pairs})
-    # Two pruning levels, both from the same bounded collect: the
-    # bucket list prunes whole partition DIRECTORIES before any file is
-    # opened, and the term isin lands in the scan's PushedFilters so
-    # parquet row-group stats skip the non-query terms that share a
-    # bucket. The vocabulary read prunes the same way.
-    postings = (
-        spark.read.parquet(root)
-        .filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
+    term_rows = (
+        qterms.select("term").distinct().limit(_MAX_INLINE_TERMS + 1).collect()
     )
-    termdf = spark.read.parquet(root + "_termdf").filter(
-        F.col("term").isin(terms)
+    postings = spark.read.parquet(root).filter(
+        F.col("term_bucket").isin(buckets)
     )
+    termdf = spark.read.parquet(root + "_termdf")
+    if len(term_rows) <= _MAX_INLINE_TERMS:
+        terms = sorted(r.term for r in term_rows)
+        postings = postings.filter(F.col("term").isin(terms))
+        termdf = termdf.filter(F.col("term").isin(terms))
+    else:
+        tkeys = F.broadcast(qterms.select("term"))
+        postings = postings.join(tkeys, "term", "leftsemi")
+        termdf = termdf.join(tkeys, "term", "leftsemi")
     qstats = _query_stats(
         termdf, qterms, stats.select("n_docs", "total_len")
     )
@@ -393,12 +413,22 @@ def source_unigram_kl(
     derives from THOSE counts (a second, smaller aggregate — the corpus
     never re-tokenizes); one term join; one per-group sum. Decimal sums
     + 6 dp partials, same determinism discipline as BM25.
+
+    The (grp, term) count table is PERSISTED (lazy, memory-and-disk):
+    it feeds four consumers — the corpus LM, the per-group totals, the
+    single-row corpus totals, and the scoring join — and without the
+    persist each consumer re-runs the tokenize + explode + count
+    subplan, re-reading (and re-regexing) the whole corpus once per
+    branch. Lazy persist (not eager localCheckpoint) so the scheduler
+    still overlaps the first computation with its first consumer.
     """
     gtoks = docs.select(
         F.col(group_col).alias("grp"), _token_array(text_col).alias("toks")
     ).select("grp", F.explode("toks").alias("term"))
-    gcounts = gtoks.groupBy("grp", "term").agg(
-        F.count(F.lit(1)).alias("c_gt")
+    gcounts = (
+        gtoks.groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c_gt"))
+        .persist()
     )
     corpus = gcounts.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
     gtot = gcounts.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))

@@ -51,12 +51,15 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The driver's CORRECTNESS gate hashes at most 50 queries per round, in
-# registry order. The gate set below is (a) capped at 50, (b) ordered so
-# entries the driver has never hashed run first, and (c) rotated each
-# round: once an entry is driver-green it can yield its slot to a
-# never-hashed registry query (the rotated-out entries stay in
-# all_queries() and the pytest oracle gate, tests/test_oracle.py, which
-# always runs the FULL registry).
+# registry order. Rounds 1–5 ROTATED this set so every registry query
+# got a driver-green row (114/114 cumulative by round 5, zero fails);
+# from ROUND 6 the gate is FROZEN at the round-5 set below (round-5
+# verdict task 2), so round-over-round bench and correctness deltas
+# compare identical query sets. The 64 permanently rotated-out entries
+# stay in all_queries(), the pytest oracle gate (tests/test_oracle.py,
+# which always hash-checks the FULL registry against DuckDB), and the
+# BENCH_EXTRA timing set. tests/test_gate.py pins the frozen set —
+# editing GATE_ORDER now is a test failure, not a rotation.
 #
 # Gate-covered-by proxy (near-duplicate shapes merged into kit queries
 # or covered by a stronger twin; see tests/test_gate.py::PROXIED):
