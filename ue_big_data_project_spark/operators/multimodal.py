@@ -987,19 +987,11 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg_baseline(
-    pixels: np.ndarray, restart_interval: int = 0, subsampling: str = "444"
-) -> bytes:
-    """Baseline JFIF writer for (h, w) grayscale or (h, w, 3) RGB uint8
-    rasters: Annex-K tables, edge-replicated padding to the MCU grid,
-    byte-stuffed entropy data; optional DRI + RSTn restart markers
-    every ``restart_interval`` MCUs. ``subsampling`` selects the chroma
-    layout for color input: ``"444"`` (1×1, default), ``"422"`` (luma
-    2×1), or ``"420"`` (luma 2×2, the dominant real-world layout) —
-    chroma is average-pooled to its subsampled resolution before the
-    DCT, and the scan interleaves H·V luma blocks per MCU per T.81
-    A.2.3. Grayscale ignores ``subsampling`` (single-component scans
-    are non-interleaved)."""
+def _jpeg_prepare_planes(pixels: np.ndarray, subsampling: str):
+    """Shared encoder front end: RGB→YCbCr (or grayscale passthrough),
+    edge-pad to the MCU grid, average-pool subsampled chroma down to
+    its component resolution. Returns
+    (gray, factors, padded_planes, hmax, vmax, mcux, mcuy)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if h < 1 or w < 1:
@@ -1022,6 +1014,44 @@ def encode_jpeg_baseline(
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
+    hmax = max(fh for fh, _ in factors)
+    vmax = max(fv for _, fv in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for ci, p in enumerate(planes):
+        fh, fv = factors[ci]
+        full = np.pad(
+            p,
+            ((0, mcuy * 8 * vmax - h), (0, mcux * 8 * hmax - w)),
+            mode="edge",
+        )
+        ry, rx = vmax // fv, hmax // fh
+        if ry > 1 or rx > 1:
+            full = full.reshape(
+                full.shape[0] // ry, ry, full.shape[1] // rx, rx
+            ).mean(axis=(1, 3))
+        padded.append(np.clip(np.round(full), 0, 255))
+    return gray, factors, padded, hmax, vmax, mcux, mcuy
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
+    """Baseline JFIF writer for (h, w) grayscale or (h, w, 3) RGB uint8
+    rasters: Annex-K tables, edge-replicated padding to the MCU grid,
+    byte-stuffed entropy data; optional DRI + RSTn restart markers
+    every ``restart_interval`` MCUs. ``subsampling`` selects the chroma
+    layout for color input: ``"444"`` (1×1, default), ``"422"`` (luma
+    2×1), or ``"420"`` (luma 2×2, the dominant real-world layout) —
+    chroma is average-pooled to its subsampled resolution before the
+    DCT, and the scan interleaves H·V luma blocks per MCU per T.81
+    A.2.3. Grayscale ignores ``subsampling`` (single-component scans
+    are non-interleaved)."""
+    gray, factors, padded, hmax, vmax, mcux, mcuy = _jpeg_prepare_planes(
+        pixels, subsampling
+    )
+    h, w = pixels.shape[:2]
 
     out = bytearray()
     out += JPEG_SOI
@@ -1060,27 +1090,6 @@ def encode_jpeg_baseline(
     ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    hmax = max(fh for fh, _ in factors)
-    vmax = max(fv for _, fv in factors)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    padded = []
-    for ci, p in enumerate(planes):
-        fh, fv = factors[ci]
-        # Edge-pad the full-resolution plane to the MCU grid, then
-        # average-pool a subsampled component down to its own
-        # resolution (the standard chroma decimation filter).
-        full = np.pad(
-            p,
-            ((0, mcuy * 8 * vmax - h), (0, mcux * 8 * hmax - w)),
-            mode="edge",
-        )
-        ry, rx = vmax // fv, hmax // fh
-        if ry > 1 or rx > 1:
-            full = full.reshape(
-                full.shape[0] // ry, ry, full.shape[1] // rx, rx
-            ).mean(axis=(1, 3))
-        padded.append(np.clip(np.round(full), 0, 255))
     writer = _BitWriter()
     preds = [0] * ncomp
     rst = 0
@@ -1105,6 +1114,216 @@ def encode_jpeg_baseline(
                         writer, block, quant, dc, ac, preds[ci]
                     )
     out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """T.81 magnitude category + appended bits for a signed value."""
+    size = int(v != 0 and int(abs(v)).bit_length())
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _quantize_plane(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """All quantized coefficients of a padded component plane, in
+    zigzag order: (nby, nbx, 64). Bit-identical to what
+    ``_encode_block`` computes per block (same FDCT matrix, same
+    banker's rounding), so a progressive encoding of a raster carries
+    exactly the coefficients its baseline encoding would."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    s = np.einsum("ab,yxbc,dc->yxad", _DCT_C, blocks, _DCT_C)
+    q = np.round(s / quant).astype(np.int64)
+    return q.reshape(nby, nbx, 64)[:, :, _ZIGZAG_FLAT]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, subsampling: str = "444", scans=None
+) -> bytes:
+    """Progressive (SOF2) JFIF writer — the fixture source that lets the
+    progressive decoder be tested without PIL in the container. Uses
+    the libjpeg-shaped default scan script: interleaved DC first pass
+    (Al=1), coarse AC bands per component, then successive-approximation
+    refinement passes down to full precision, so a decode reproduces
+    BIT-EXACTLY the coefficients of the baseline encoding (same
+    quantizers, same FDCT). Annex-K Huffman tables are used as-is; they
+    carry no EOBn (n>0) run symbols, so end-of-band runs are emitted as
+    per-block EOB0 — legal T.81, just less compact than optimized
+    tables. ``scans`` overrides the script with a list of
+    ``(comp_indices, Ss, Se, Ah, Al)`` tuples."""
+    gray, factors, padded, hmax, vmax, mcux, mcuy = _jpeg_prepare_planes(
+        pixels, subsampling
+    )
+    h, w = pixels.shape[:2]
+    ncomp = 1 if gray else 3
+    quants = [JPEG_QUANT_LUMA] + ([] if gray else [JPEG_QUANT_CHROMA])
+    coef = [
+        _quantize_plane(padded[ci], quants[min(ci, len(quants) - 1)])
+        for ci in range(ncomp)
+    ]
+    dims = []
+    for fh, fv in factors:
+        cw = (w * fh + hmax - 1) // hmax
+        ch = (h * fv + vmax - 1) // vmax
+        dims.append(((ch + 7) // 8, (cw + 7) // 8))
+    if scans is None:
+        if gray:
+            scans = [
+                ((0,), 0, 0, 0, 1),
+                ((0,), 1, 63, 0, 2),
+                ((0,), 1, 63, 2, 1),
+                ((0,), 0, 0, 1, 0),
+                ((0,), 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ((0, 1, 2), 0, 0, 0, 1),
+                ((0,), 1, 5, 0, 2),
+                ((1,), 1, 63, 0, 1),
+                ((2,), 1, 63, 0, 1),
+                ((0,), 6, 63, 0, 2),
+                ((0,), 1, 63, 2, 1),
+                ((0, 1, 2), 0, 0, 1, 0),
+                ((1,), 1, 63, 1, 0),
+                ((2,), 1, 63, 1, 0),
+                ((0,), 1, 63, 1, 0),
+            ]
+
+    out = bytearray()
+    out += JPEG_SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16)
+    out += b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qt in enumerate(quants):
+        zz = qt.reshape(-1)[_ZIGZAG_FLAT].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz.tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        out += struct.pack("BBB", ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1)
+    tables = [
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ]
+    if not gray:
+        tables += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    dc_codes = [_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)] + [
+        _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    ac_codes = [_huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)] + [
+        _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    ] * (ncomp - 1)
+
+    for comp_idxs, ss, se, ah, al in scans:
+        out += b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comp_idxs), len(comp_idxs)
+        )
+        for ci in comp_idxs:
+            td = 0 if ci == 0 else 1
+            out += struct.pack("BB", ci + 1, (td << 4) | td)
+        out += bytes([ss, se, (ah << 4) | al])
+        writer = _BitWriter()
+
+        def put_sym(codes, sym):
+            length, code = codes[sym]
+            writer.put(code, length)
+
+        if ss == 0:  # DC scan
+            preds = [0] * ncomp
+
+            def dc_block(ci, blk):
+                v = int(blk[0])
+                if ah == 0:
+                    t = v >> al
+                    size, bits = _jpeg_magnitude(t - preds[ci])
+                    preds[ci] = t
+                    put_sym(dc_codes[ci], size)
+                    if size:
+                        writer.put(bits, size)
+                else:
+                    writer.put((v >> al) & 1, 1)
+
+            if len(comp_idxs) > 1:  # interleaved MCU walk
+                for mcu in range(mcuy * mcux):
+                    my, mx = divmod(mcu, mcux)
+                    for ci in comp_idxs:
+                        fh, fv = factors[ci]
+                        for byi in range(fv):
+                            for bxi in range(fh):
+                                dc_block(
+                                    ci,
+                                    coef[ci][my * fv + byi, mx * fh + bxi],
+                                )
+            else:
+                ci = comp_idxs[0]
+                bhc, bwc = dims[ci]
+                for u in range(bhc * bwc):
+                    by, bx = divmod(u, bwc)
+                    dc_block(ci, coef[ci][by, bx])
+        else:  # AC scan: single component, non-interleaved
+            ci = comp_idxs[0]
+            ac = ac_codes[ci]
+            bhc, bwc = dims[ci]
+            for u in range(bhc * bwc):
+                by, bx = divmod(u, bwc)
+                band = coef[ci][by, bx]
+                if ah == 0:  # first pass for this band
+                    r = 0
+                    for k in range(ss, se + 1):
+                        v = int(band[k])
+                        t = (v >> al) if v >= 0 else -((-v) >> al)
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            put_sym(ac, 0xF0)
+                            r -= 16
+                        size, bits = _jpeg_magnitude(t)
+                        put_sym(ac, (r << 4) | size)
+                        writer.put(bits, size)
+                        r = 0
+                    if r > 0:
+                        put_sym(ac, 0x00)  # per-block EOB0
+                else:  # refinement pass (libjpeg encode_mcu_AC_refine)
+                    absv = [
+                        abs(int(band[k])) >> al for k in range(ss, se + 1)
+                    ]
+                    eob = ss - 1
+                    for k in range(ss, se + 1):
+                        if absv[k - ss] == 1:
+                            eob = k
+                    r, br = 0, []
+                    for k in range(ss, se + 1):
+                        t = absv[k - ss]
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob:
+                            put_sym(ac, 0xF0)
+                            r -= 16
+                            for b in br:
+                                writer.put(b, 1)
+                            br = []
+                        if t > 1:  # already significant: correction bit
+                            br.append(t & 1)
+                            continue
+                        put_sym(ac, (r << 4) | 1)
+                        r = 0
+                        writer.put(1 if int(band[k]) >= 0 else 0, 1)
+                        for b in br:
+                            writer.put(b, 1)
+                        br = []
+                    if r > 0 or br:
+                        put_sym(ac, 0x00)
+                        for b in br:
+                            writer.put(b, 1)
+        out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1178,6 +1397,7 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None
+    coef = None  # progressive: per-component coefficient accumulators
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -1189,6 +1409,10 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if coef is not None:
+                # Progressive frame complete: dequantize + IDCT the
+                # accumulated coefficients.
+                return _reconstruct_frame(frame, coef, quant)
             raise ValueError("no scan data before EOI")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -1223,7 +1447,7 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 off += 17 + nvals
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
@@ -1238,23 +1462,44 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component scan")
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if marker == 0xC2:
+                coef = _alloc_coefficients(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/hierarchical JPEG — plug PIL/ffmpeg in here"
+                "hierarchical/lossless/arithmetic JPEG — plug PIL/ffmpeg "
+                "in here"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise NotImplementedError("multi-scan JPEG")
+            if not 1 <= ns <= len(frame["comps"]):
+                raise ValueError("SOS component count out of range")
             tabs = {}
+            scan_cids = []
             for si in range(ns):
                 cid, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 tabs[cid] = (tdta >> 4, tdta & 15)
+                scan_cids.append(cid)
             scan_start = pos + seglen
+            if frame["progressive"]:
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                pos = _decode_scan_progressive(
+                    payload, scan_start, frame, scan_cids, tabs, huff,
+                    coef, ss, se, ahal >> 4, ahal & 15, restart_interval,
+                )
+                continue
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG"
+                )
             return _decode_scan(
                 payload, scan_start, frame, tabs, quant, huff,
                 restart_interval,
@@ -1263,11 +1508,11 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     raise ValueError("no SOS marker")
 
 
-def _decode_scan(
-    payload, start, frame, tabs, quant, huff, restart_interval
-) -> np.ndarray:
-    # Extract entropy segments: un-stuff 0xFF00, split at RST markers,
-    # stop at the next real marker (EOI).
+def _entropy_segments(payload, start) -> tuple[list[bytes], int]:
+    """Extract a scan's entropy-coded segments: un-stuff 0xFF00, split
+    at RST markers, stop at the next real marker. Returns the segments
+    and the position of that terminating marker (where the caller's
+    marker walk resumes)."""
     segments, cur = [], bytearray()
     pos = start
     while pos < len(payload):
@@ -1287,34 +1532,36 @@ def _decode_scan(
         cur.append(b)
         pos += 1
     segments.append(bytes(cur))
+    return segments, pos
 
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+
+def _decode_scan(
+    payload, start, frame, tabs, quant, huff, restart_interval
+) -> np.ndarray:
+    segments, _end = _entropy_segments(payload, start)
+
+    comps = frame["comps"]
     # Sampling-factor geometry (T.81 A.2.3): the MCU covers an
     # 8·Hmax × 8·Vmax pixel tile and each component contributes
     # H_c × V_c blocks per MCU, stored at its own (subsampled)
     # resolution. A single-component scan is non-interleaved: its MCU
     # is one block regardless of the declared factors.
-    if len(comps) == 1:
-        factors = [(1, 1)]
-    else:
-        factors = [(c["h"], c["v"]) for c in comps]
-    hmax = max(fh for fh, _ in factors)
-    vmax = max(fv for _, fv in factors)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * 8 * fv, mcux * 8 * fh)) for fh, fv in factors
-    ]
+    factors, _hmax, _vmax, mcux, mcuy, _dims = _frame_geometry(frame)
+    # Coefficients accumulate in zigzag order and the whole frame is
+    # dequantized + IDCTed in one vectorized pass at the end — the SAME
+    # reconstruction routine the progressive path uses, so a sequential
+    # and a progressive encoding of identical coefficients decode to
+    # identical pixels (and the per-block Python-loop IDCT disappears).
+    coef = _alloc_coefficients(frame)
     n_mcus = mcux * mcuy
     seg_idx = 0
     reader = _BitReader(segments[0])
     preds = [0] * len(comps)
 
-    def read_block(dc_tab, ac_tab, qt, pred) -> tuple[np.ndarray, int]:
-        zz = np.zeros(64, np.int64)
+    def read_block(dc_tab, ac_tab, blk, pred) -> int:
         size = _huff_decode(reader, dc_tab)
         pred += _extend(reader.bits(size), size)
-        zz[0] = pred
+        blk[0] = pred
         k = 1
         while k < 64:
             rs = _huff_decode(reader, ac_tab)
@@ -1327,11 +1574,9 @@ def _decode_scan(
             k += r
             if k > 63:
                 raise ValueError("AC run past end of block")
-            zz[k] = _extend(reader.bits(s), s)
+            blk[k] = _extend(reader.bits(s), s)
             k += 1
-        coefs = np.zeros(64, np.float64)
-        coefs[_ZIGZAG_FLAT] = zz * qt.reshape(-1)[_ZIGZAG_FLAT]
-        return _DCT_C.T @ coefs.reshape(8, 8) @ _DCT_C + 128.0, pred
+        return pred
 
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
@@ -1344,23 +1589,26 @@ def _decode_scan(
         for ci, comp in enumerate(comps):
             td, ta = tabs[comp["id"]]
             dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
-            qt = quant.get(comp["tq"])
-            if dc_tab is None or ac_tab is None or qt is None:
+            if dc_tab is None or ac_tab is None or comp["tq"] not in quant:
                 raise ValueError("scan references undefined table")
             fh, fv = factors[ci]
             for byi in range(fv):
                 for bxi in range(fh):
-                    block, preds[ci] = read_block(
-                        dc_tab, ac_tab, qt, preds[ci]
+                    preds[ci] = read_block(
+                        dc_tab,
+                        ac_tab,
+                        coef[ci][my * fv + byi, mx * fh + bxi],
+                        preds[ci],
                     )
-                    by, bx = my * fv + byi, mx * fh + bxi
-                    planes[ci][
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ] = block
-    # Crop to each component's true resolution, then bring subsampled
-    # chroma back to full resolution by nearest-neighbor index mapping:
-    # full-res pixel (x, y) reads component sample
-    # (x·H_c÷Hmax, y·V_c÷Vmax) — integer floor, the T.81 convention.
+    return _reconstruct_frame(frame, coef, quant)
+
+
+def _assemble_planes(planes, factors, hmax, vmax, h, w) -> np.ndarray:
+    """Crop each component plane to its true resolution, bring
+    subsampled chroma back to full resolution by nearest-neighbor index
+    mapping — full-res pixel (x, y) reads component sample
+    (x·H_c÷Hmax, y·V_c÷Vmax), integer floor, the T.81 convention —
+    then color-convert (YCbCr→RGB for 3 components)."""
     up = []
     for ci, p in enumerate(planes):
         fh, fv = factors[ci]
@@ -1379,6 +1627,226 @@ def _decode_scan(
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _frame_geometry(frame):
+    """Sampling geometry shared by the progressive scan walker and the
+    final reconstruction: per-component factors, Hmax/Vmax, the MCU
+    grid, and each component's true (non-MCU-padded) block dims."""
+    comps = frame["comps"]
+    if len(comps) == 1:
+        factors = [(1, 1)]
+    else:
+        factors = [(c["h"], c["v"]) for c in comps]
+    hmax = max(fh for fh, _ in factors)
+    vmax = max(fv for _, fv in factors)
+    h, w = frame["h"], frame["w"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    dims = []
+    for fh, fv in factors:
+        cw = (w * fh + hmax - 1) // hmax
+        ch = (h * fv + vmax - 1) // vmax
+        dims.append(((ch + 7) // 8, (cw + 7) // 8))  # (bhc, bwc)
+    return factors, hmax, vmax, mcux, mcuy, dims
+
+
+def _alloc_coefficients(frame) -> list[np.ndarray]:
+    """Per-component zigzag-order coefficient accumulators for a
+    progressive frame, sized to the interleaved MCU grid (DC scans may
+    be interleaved and touch the padding blocks; AC scans only write
+    the true block grid)."""
+    factors, _hmax, _vmax, mcux, mcuy, _dims = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * fv, mcux * fh, 64), np.int32)
+        for fh, fv in factors
+    ]
+
+
+def _decode_scan_progressive(
+    payload, start, frame, scan_cids, tabs, huff, coef, ss, se, ah, al,
+    restart_interval,
+) -> int:
+    """Decode ONE progressive scan (T.81 G.2) into the coefficient
+    accumulators and return the stream position of the terminating
+    marker. Supports the full progressive feature set: spectral
+    selection (any band), successive approximation (DC and AC first +
+    refinement passes, EOB runs, correction bits), interleaved and
+    single-component DC scans, and restart markers."""
+    segments, end = _entropy_segments(payload, start)
+    comps = frame["comps"]
+    cid_to_idx = {c["id"]: i for i, c in enumerate(comps)}
+    for cid in scan_cids:
+        if cid not in cid_to_idx:
+            raise ValueError("SOS names a component id absent from SOF")
+    idxs = [cid_to_idx[cid] for cid in scan_cids]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        if len(idxs) != 1:
+            raise ValueError("progressive AC scans are single-component")
+        if not ss <= se <= 63:
+            raise ValueError("bad spectral band")
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError("bad successive-approximation parameters")
+    factors, _hmax, _vmax, mcux, mcuy, dims = _frame_geometry(frame)
+
+    dc_tabs: dict[int, dict] = {}
+    ac_tab = None
+    if ss == 0 and ah == 0:  # DC first scans Huffman-code the diffs
+        for i in idxs:
+            td, _ta = tabs[comps[i]["id"]]
+            t = huff.get((0, td))
+            if t is None:
+                raise ValueError("scan references undefined table")
+            dc_tabs[i] = t
+    if ss > 0:  # AC scans (first AND refinement) use the AC table
+        _td, ta = tabs[comps[idxs[0]]["id"]]
+        ac_tab = huff.get((1, ta))
+        if ac_tab is None:
+            raise ValueError("scan references undefined table")
+
+    interleaved = len(idxs) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        bhc, bwc = dims[idxs[0]]
+        units = bhc * bwc
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_unit(i, blk):
+        if ah == 0:
+            size = _huff_decode(reader, dc_tabs[i])
+            preds[i] += _extend(reader.bits(size), size)
+            blk[0] = preds[i] << al
+        elif reader.bit():
+            blk[0] |= p1
+
+    def ac_first(blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            blk[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def correct(blk, k):
+        # Refinement correction bit for an already-nonzero coefficient.
+        if reader.bit() and (int(blk[k]) & p1) == 0:
+            blk[k] = int(blk[k]) + (p1 if blk[k] >= 0 else m1)
+
+    def ac_refine(blk):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(reader, ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    val = 0  # ZRL: 16 zero-history positions, no new coef
+                elif s == 1:
+                    val = p1 if reader.bit() else m1
+                else:
+                    raise ValueError("invalid AC refinement code")
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0:
+                    if k > se:
+                        raise ValueError("AC refinement past end of band")
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # end-of-band: corrections only
+                if blk[k] != 0:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for i in idxs:
+                fh, fv = factors[i]
+                for byi in range(fv):
+                    for bxi in range(fh):
+                        dc_unit(i, coef[i][my * fv + byi, mx * fh + bxi])
+        else:
+            i = idxs[0]
+            _bhc, bwc = dims[i]
+            by, bx = divmod(u, bwc)
+            blk = coef[i][by, bx]
+            if ss == 0:
+                dc_unit(i, blk)
+            elif ah == 0:
+                ac_first(blk)
+            else:
+                ac_refine(blk)
+    return end
+
+
+def _reconstruct_frame(frame, coef, quant) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the final raster (shared upsample/color tail with the
+    sequential path)."""
+    comps = frame["comps"]
+    factors, hmax, vmax, _mcux, _mcuy, _dims = _frame_geometry(frame)
+    planes = []
+    for i, c in enumerate(comps):
+        qt = quant.get(c["tq"])
+        if qt is None:
+            raise ValueError("frame references undefined quant table")
+        arr = coef[i]  # (nby, nbx, 64) zigzag order
+        nby, nbx, _ = arr.shape
+        nat = np.zeros((nby, nbx, 64), np.float64)
+        nat[:, :, _ZIGZAG_FLAT] = (
+            arr.astype(np.float64) * qt.reshape(-1)[_ZIGZAG_FLAT]
+        )
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        out = (
+            np.einsum("ab,yxbc,cd->yxad", _DCT_C.T, blocks, _DCT_C) + 128.0
+        )
+        planes.append(out.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+    return _assemble_planes(
+        planes, factors, hmax, vmax, frame["h"], frame["w"]
+    )
 
 
 JPEG_FEATURES_SCHEMA = T.StructType(
