@@ -126,11 +126,42 @@ def main() -> None:
 
     queries = sorted(bench_queries().items())
     samples: dict[str, list[float]] = {name: [] for name, _ in queries}
+
+    # Contention sentinel (round-6 verdict task 4): the same fixed
+    # trivial query timed at suite START / MIDDLE / END of every pass.
+    # Three rounds in a row produced false-regression scares whose
+    # cause was shared-box contention; a sentinel that drifts 1.5×
+    # within a pass explains a suite-wide drift without per-query
+    # archaeology. The sentinel runs are EXTRA timings — they do not
+    # replace the sentinel query's own interleaved suite samples.
+    sentinel_name = "scan_filter_agg_kit"
+    sentinel_spec = bench_queries().get(sentinel_name)
+    sentinel_samples: list[list[float]] = []
+
+    def time_sentinel() -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        sentinel_spec.fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    # One untimed sentinel execution: the first run of any plan pays
+    # codegen (+ any cold parquet footers), which would show up as
+    # deterministic "drift" in every round's first sample and mask the
+    # contention signal the sentinel exists to expose.
+    if sentinel_spec:
+        time_sentinel()
+
+    mid = len(queries) // 2
     passes = 0
     for r in range(runs):
         if r > 0 and time.perf_counter() - started > budget:
             break
-        for name, spec in queries:
+        pass_sentinel = [time_sentinel()] if sentinel_spec else []
+        for i, (name, spec) in enumerate(queries):
+            if sentinel_spec and i == mid:
+                pass_sentinel.append(time_sentinel())
             # Each query measured from a clean cache state — intermediate
             # caches are per-query implementation details, not shared state.
             spark.catalog.clearCache()
@@ -138,6 +169,9 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
+        if sentinel_spec:
+            pass_sentinel.append(time_sentinel())
+            sentinel_samples.append(pass_sentinel)
         # localCheckpoint blocks inside query implementations are freed
         # by the ContextCleaner only after the driver GCs the dropped
         # references; nudge it between passes so later passes don't run
@@ -165,6 +199,16 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": passes,
     }
+    if sentinel_samples:
+        flat = [s for p in sentinel_samples for s in p]
+        full["sentinel"] = {
+            "query": sentinel_name,
+            # One [start, middle, end] triple per pass.
+            "samples": sentinel_samples,
+            # max/min across every sentinel sample: ~1.0 means a quiet
+            # box; >1.5 means suite numbers drifted under contention.
+            "drift": round(max(flat) / max(min(flat), 1e-9), 2),
+        }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
     )

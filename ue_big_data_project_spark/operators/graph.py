@@ -385,6 +385,16 @@ def triangle_counts(
     8.9 s median, because eager materialization serializes stages the
     scheduler otherwise overlaps) lets the first job populate the
     cache in-line.
+
+    Cache lifecycle contract (round-6 advice): the persisted
+    intermediates stay registered in Spark's CacheManager until the
+    session ends or the caller clears them — repeated calls in a
+    long-lived session (notebooks, test loops) accumulate entries.
+    They are LRU-evicted under memory pressure (never a correctness
+    issue), but callers that loop should either run
+    ``spark.catalog.clearCache()`` between calls (what bench.py does
+    per query) or ``.unpersist()`` the returned frame's lineage via
+    ``spark.catalog.clearCache()`` after materializing the result.
     """
     e = (
         edges.select(

@@ -13,12 +13,14 @@ CRC-verified chunk walk, stdlib-zlib DEFLATE inflate, all five scanline
 filters unfiltered), :func:`decode_jpeg` (transform-coded image: a
 generic baseline JPEG decoder — stream-carried DQT/DHT/DRI, Huffman
 entropy decode, dequant, float IDCT, restart markers, grayscale or
-YCbCr at any T.81 sampling layout incl. 4:2:0/4:2:2), and
+YCbCr at any T.81 sampling layout incl. 4:2:0/4:2:2, baseline SOF0
+AND progressive SOF2 — spectral selection, successive approximation,
+EOB runs), and
 :func:`decode_bmpv` (video: an indexed BMP frame stream whose sampling
 is a seek, not a scan). MP4-class compressed
-video (and progressive JPEG) stays stubbed (this box has no
+video is the one remaining stub (this box has no
 ffmpeg): ``backend="real"`` raises ``NotImplementedError`` at the exact
-call site those decoders plug into, ``backend="fake"`` computes
+call site that decoder plugs into, ``backend="fake"`` computes
 deterministic bytes-level features so the whole pipeline is end-to-end
 verifiable against a SQL oracle.
 
@@ -784,9 +786,12 @@ def bmpv_frame_features(df: DataFrame, every: int = 1) -> DataFrame:
 # dequantizes, runs a float IDCT over all 64 coefficients, and handles
 # restart markers and 1- or 3-component scans at any T.81 H/V sampling
 # layout (4:4:4, 4:2:2, real-world 4:2:0; the encoder writes all three,
-# average-pooling chroma). Progressive (SOF2) streams raise
-# NotImplementedError — the seam, narrowed in round 6 from
-# "progressive + subsampled" to progressive alone.
+# average-pooling chroma). Progressive (SOF2) streams DECODE too (round
+# 6/7): spectral selection over any band, successive approximation
+# (DC+AC first and refinement passes, EOB runs, correction bits), and
+# restart markers, accumulated per-coefficient and reconstructed by the
+# same vectorized dequant+IDCT pass the sequential path uses. The only
+# codec seam left is MP4-class compressed video.
 #
 # PIL interop (when installed) is pinned by an import-gated test:
 # PIL decodes our bytes, we decode PIL's (tests/test_multimodal.py).
@@ -1132,7 +1137,12 @@ def _quantize_plane(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
     exactly the coefficients its baseline encoding would."""
     nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
     blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
-    s = np.einsum("ab,yxbc,dc->yxad", _DCT_C, blocks, _DCT_C)
+    # Broadcast matmul, NOT einsum: einsum's different float summation
+    # order can flip np.round at .5 boundaries vs _encode_block's
+    # per-block `C @ x @ C.T`, yielding coefficients that differ from
+    # the baseline encoding of the same raster (content-dependent,
+    # caught by the progressive-vs-baseline round-trip tests).
+    s = _DCT_C @ blocks @ _DCT_C.T
     q = np.round(s / quant).astype(np.int64)
     return q.reshape(nby, nbx, 64)[:, :, _ZIGZAG_FLAT]
 
@@ -1373,10 +1383,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     1-component grayscale or 3-component color (YCbCr→RGB) at any
     T.81 sampling-factor layout from 1 to 4 per axis — 4:4:4, 4:2:2,
     and the dominant real-world 4:2:0 included; subsampled chroma is
-    upsampled by nearest-neighbor index mapping. Returns (h, w) or
-    (h, w, 3) uint8. Raises ``ValueError`` on a malformed stream and
-    ``NotImplementedError`` for progressive streams (the remaining
-    plug-in seam).
+    upsampled by nearest-neighbor index mapping. Progressive (SOF2)
+    streams decode too — spectral selection, successive approximation,
+    EOB runs, restart markers — via per-coefficient accumulation and
+    the same vectorized reconstruction the sequential path uses.
+    Returns (h, w) or (h, w, 3) uint8. Raises ``ValueError`` on a
+    malformed stream.
 
     The error contract is enforced at this boundary: a corrupt stream
     can trip indexing/struct/lookup errors deep in the segment parsers
@@ -1840,9 +1852,10 @@ def _reconstruct_frame(frame, coef, quant) -> np.ndarray:
             arr.astype(np.float64) * qt.reshape(-1)[_ZIGZAG_FLAT]
         )
         blocks = nat.reshape(nby, nbx, 8, 8)
-        out = (
-            np.einsum("ab,yxbc,cd->yxad", _DCT_C.T, blocks, _DCT_C) + 128.0
-        )
+        # Broadcast matmul (BLAS gemm per block) — shared by the
+        # sequential AND progressive paths, so both decode identical
+        # coefficients to identical pixels.
+        out = _DCT_C.T @ blocks @ _DCT_C + 128.0
         planes.append(out.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
     return _assemble_planes(
         planes, factors, hmax, vmax, frame["h"], frame["w"]

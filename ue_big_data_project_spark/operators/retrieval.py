@@ -396,6 +396,7 @@ def source_unigram_kl(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_counts: bool = True,
 ) -> DataFrame:
     """Per-``group_col`` KL divergence (nats) between the group's
     unigram distribution and the whole-corpus distribution — the
@@ -414,22 +415,34 @@ def source_unigram_kl(
     never re-tokenizes); one term join; one per-group sum. Decimal sums
     + 6 dp partials, same determinism discipline as BM25.
 
-    The (grp, term) count table is PERSISTED (lazy, memory-and-disk):
-    it feeds four consumers — the corpus LM, the per-group totals, the
-    single-row corpus totals, and the scoring join — and without the
-    persist each consumer re-runs the tokenize + explode + count
-    subplan, re-reading (and re-regexing) the whole corpus once per
-    branch. Lazy persist (not eager localCheckpoint) so the scheduler
-    still overlaps the first computation with its first consumer.
+    The (grp, term) count table is PERSISTED when ``persist_counts``
+    is true (lazy, memory-and-disk): it feeds four consumers — the
+    corpus LM, the per-group totals, the single-row corpus totals, and
+    the scoring join — and without the persist each consumer re-runs
+    the tokenize + explode + count subplan, re-reading (and
+    re-regexing) the whole corpus once per branch. Lazy persist (not
+    eager localCheckpoint) so the scheduler still overlaps the first
+    computation with its first consumer. ``persist_counts=False``
+    skips it — at small inputs the materialization can cost more than
+    the re-tokenize it avoids (A/B'd both ways at sf0.1 and at a 10x
+    corpus in round 7: scripts/kl_persist_ab.py; numbers in
+    COVERAGE.md).
+
+    Cache lifecycle contract (round-6 advice): the persisted count
+    table stays in Spark's CacheManager until the session ends or the
+    caller clears it; looping callers should
+    ``spark.catalog.clearCache()`` between calls (what bench.py does
+    per query) — eviction is LRU under pressure and never affects
+    correctness.
     """
     gtoks = docs.select(
         F.col(group_col).alias("grp"), _token_array(text_col).alias("toks")
     ).select("grp", F.explode("toks").alias("term"))
-    gcounts = (
-        gtoks.groupBy("grp", "term")
-        .agg(F.count(F.lit(1)).alias("c_gt"))
-        .persist()
+    gcounts = gtoks.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("c_gt")
     )
+    if persist_counts:
+        gcounts = gcounts.persist()
     corpus = gcounts.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
     gtot = gcounts.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))
     totals = corpus.agg(
