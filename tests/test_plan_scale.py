@@ -245,11 +245,15 @@ SHUFFLE_BUDGETS = {
     "text_surprisal": 7,            # postings agg + LM agg + totals +
                                     # postings join + doc agg (tf-aggregated
                                     # rows through the join, not raw tokens)
-    "text_source_kl": 6,            # (grp,term) agg persisted (round-5
-                                    # verdict task 4: was 9 when the
-                                    # corpus/gtot/join branches each
-                                    # re-tokenized) + corpus/gtot/totals
-                                    # derivations + score join + final sum
+    "text_source_kl": 9,            # (grp,term) agg re-derived per branch:
+                                    # the round-6 persist (9 -> 6 executed
+                                    # exchanges) was A/B'd SLOWER at sf0.1
+                                    # AND at a 10x corpus (round-7 verdict
+                                    # task 3, scripts/kl_persist_ab.py),
+                                    # so the default is persist_counts=
+                                    # False; True restores the 6-exchange
+                                    # plan for corpora where the tokenize
+                                    # dominates
 }
 
 

@@ -396,7 +396,7 @@ def source_unigram_kl(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
-    persist_counts: bool = True,
+    persist_counts: bool = False,
 ) -> DataFrame:
     """Per-``group_col`` KL divergence (nats) between the group's
     unigram distribution and the whole-corpus distribution — the
@@ -415,18 +415,21 @@ def source_unigram_kl(
     never re-tokenizes); one term join; one per-group sum. Decimal sums
     + 6 dp partials, same determinism discipline as BM25.
 
-    The (grp, term) count table is PERSISTED when ``persist_counts``
-    is true (lazy, memory-and-disk): it feeds four consumers — the
-    corpus LM, the per-group totals, the single-row corpus totals, and
-    the scoring join — and without the persist each consumer re-runs
-    the tokenize + explode + count subplan, re-reading (and
-    re-regexing) the whole corpus once per branch. Lazy persist (not
-    eager localCheckpoint) so the scheduler still overlaps the first
-    computation with its first consumer. ``persist_counts=False``
-    skips it — at small inputs the materialization can cost more than
-    the re-tokenize it avoids (A/B'd both ways at sf0.1 and at a 10x
-    corpus in round 7: scripts/kl_persist_ab.py; numbers in
-    COVERAGE.md).
+    The (grp, term) count table feeds four consumers — the corpus LM,
+    the per-group totals, the single-row corpus totals, and the
+    scoring join — and without a persist each consumer re-runs the
+    tokenize + explode + count subplan, re-reading (and re-regexing)
+    the whole corpus once per branch. ``persist_counts=True`` caches
+    it (lazy, memory-and-disk). The default is FALSE because the A/B
+    (round 7, scripts/kl_persist_ab.py, 5-run medians) measured the
+    persist SLOWER at every reachable scale: 0.59 vs 1.00 s at sf0.1
+    (5k docs, 1.71x) and 0.70 vs 0.89 s at a 10x-replicated corpus
+    (50k docs, 1.27x) — the fixed materialization cost exceeds three
+    re-tokenizes of a small corpus. The ratio trending toward 1 with
+    corpus size is the scale story: once the corpus tokenize dominates
+    (extrapolated crossover beyond ~10^6 docs; certainly at 100 TB,
+    where 4x full-corpus scan+regex+explode is the whole query), pass
+    ``persist_counts=True`` so the subplan runs once.
 
     Cache lifecycle contract (round-6 advice): the persisted count
     table stays in Spark's CacheManager until the session ends or the
