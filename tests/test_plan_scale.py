@@ -226,9 +226,12 @@ SHUFFLE_BUDGETS = {
     # Degree-oriented triangle chain at fixture stats, with the
     # multi-consumer intermediates (distinct edges, degrees, oriented
     # edges, adjacency) lazily persisted so no consumer re-derives the
-    # lineitem self-join (round-5 verdict task 1: was 32 when every
-    # branch re-planned the edge build from scratch).
-    "graph_triangle_parts": 12,
+    # edge build (round-5 verdict task 1: was 32 when every branch
+    # re-planned it from scratch; 12 with the persisted self-join).
+    # Round 7 replaced the per-order self-join edge build with a
+    # grouped collect_set + map-side array pair expansion — one agg
+    # shuffle instead of join machinery (4.81 -> 3.88 s median).
+    "graph_triangle_parts": 9,
     "graph_pagerank_nations": 1,    # per-round checkpoints truncate; final
                                     # rank join + window pass
     "knn_cosine_lsh": 1,            # band explode + per-query rank share key
