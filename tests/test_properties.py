@@ -745,3 +745,147 @@ def test_unigram_surprisal_matches_python_on_random_corpora(spark, docs):
         assert got[i][0] == len(d)
         # 6-dp per-term rounding bounds drift by n_tokens * 5e-7 / n.
         assert abs(got[i][1] - want) < 1e-3, i
+
+
+# ---------------------------------------------------------------------------
+# Graph operators vs Python ground truth (round 7): connected components
+# (both algorithms), triangle counts, and pagerank are iterative
+# distributed ops whose unit tests pin known fixtures; these pin them to
+# brute-force references on random graphs.
+
+graph_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _py_components(n_nodes, edges):
+    """Union-find ground truth: node -> min reachable node id."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n_nodes)}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=graph_edges)
+def test_connected_components_both_algorithms_match_union_find(spark, edges):
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 15
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    if edges:
+        edf = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    want = _py_components(n, edges)
+    for algo in ("label", "star"):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                nodes, edf, algorithm=algo, max_iters=30
+            ).collect()
+        }
+        assert got == want, algo
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=graph_edges)
+def test_triangle_counts_match_brute_force(spark, edges):
+    from itertools import combinations
+
+    from ue_big_data_project_spark.operators.graph import triangle_counts
+
+    # Ground truth: per-node triangle membership over the simple
+    # undirected graph (dedup + drop self-loops, either direction).
+    adj = set()
+    for a, b in edges:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+    nodes_in_edges = sorted({v for e in adj for v in e})
+    want = {}
+    for u, v, w in combinations(nodes_in_edges, 3):
+        if (
+            (u, v) in adj
+            and (v, w) in adj
+            and (u, w) in adj
+        ):
+            for x in (u, v, w):
+                want[x] = want.get(x, 0) + 1
+    if edges:
+        edf = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: r["triangles"]
+        for r in triangle_counts(edf).collect()
+        if r["triangles"] > 0
+    }
+    spark.catalog.clearCache()  # triangle_counts persists intermediates
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=graph_edges)
+def test_pagerank_matches_python_reference(spark, edges):
+    from ue_big_data_project_spark.operators.graph import pagerank
+
+    # Mirror the operator's contract exactly: duplicate edges carry
+    # duplicate weight (weight defaults to 1 per listed edge), rank
+    # flows src -> dst, no dangling redistribution, 12-dp rounding of
+    # per-edge contributions and post-teleport ranks per iteration.
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    outw = {}
+    for a, b in edges:
+        outw[a] = outw.get(a, 0) + 1.0
+    vertices = sorted({v for e in edges for v in e})
+    n = len(vertices)
+    d, iters = 0.85, 3
+    pr = {v: 1.0 / n for v in vertices}
+    for _ in range(iters):
+        contrib = {}
+        for a, b in edges:
+            c = round(pr[a] * 1.0 / outw[a], 12)
+            contrib[b] = contrib.get(b, 0.0) + c
+        pr = {
+            v: round((1 - d) / n + d * contrib.get(v, 0.0), 12)
+            for v in vertices
+        }
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["pr"] for r in pagerank(edf, iters=iters).collect()}
+    assert set(got) == set(pr)
+    for v in pr:
+        assert abs(got[v] - pr[v]) < 1e-9, v
