@@ -57,15 +57,21 @@ _COPY_LETTERS = "qxzjkvwyfu"  # rare letters, one per copy
 
 def triangles_df(l: DataFrame) -> DataFrame:
     """The graph_triangle_parts plan over an explicit lineitem frame
-    (queries/tpch.py:graph_triangle_parts, parameterized by input)."""
-    a, b = l.alias("a"), l.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    (queries/tpch.py:graph_triangle_parts, parameterized by input).
+    Mirrors the round-7 grouped-array edge build — one shuffle per
+    order, pair expansion map-side — not the retired self-join."""
+    g = l.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
     )
+    edges = g.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     tc = triangle_counts(edges)
     w = Window.orderBy(F.col("triangles").desc(), F.col("id").asc())
     return (
