@@ -27,6 +27,10 @@ PROXIED = {
     "cheapest_supplier_per_part": "window_top1_per_order",
     "q12_priority_by_status": "scan_filter_agg_kit",
     "asof_bucketed_prev_click": "asof_first_ship",
+    # Round-7-new, post-freeze (the gate cannot grow): demux + sampled
+    # frame decode; the in-gate entry covers the frame-sampling shape
+    # and the JPEG sample decode is in-gate via multimodal_jpeg.
+    "multimodal_mp4_frames": "multimodal_video_frames",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

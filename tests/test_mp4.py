@@ -1,0 +1,207 @@
+"""ISO BMFF (MP4) demuxer + MJPEG muxer tests.
+
+The muxer (``encode_mp4_mjpeg``) is the fixture source for the
+demuxer, the same role ``encode_jpeg_baseline`` plays for the JPEG
+decoder: every assertion runs the REAL box walk and sample-table
+resolution over spec-shaped bytes the parser did not assume."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ue_big_data_project_spark.operators import multimodal as M
+
+
+def _frames(doc_id: int, n: int) -> list[bytes]:
+    return [
+        M.encode_jpeg_baseline(M.synth_mp4_frame_pixels(doc_id, fi))
+        for fi in range(n)
+    ]
+
+
+def test_mux_demux_roundtrip_metadata():
+    for doc_id in (0, 1, 5, 13, 42):
+        p = M.synth_mp4(doc_id)
+        info = M.parse_mp4(p)
+        n = 1 + doc_id % 8
+        h, w = M.synth_mp4_frame_pixels(doc_id, 0).shape
+        assert info["codec"] == "jpeg"
+        assert (info["width"], info["height"]) == (w, h)
+        assert info["n_samples"] == n
+        assert info["timescale"] == 1000
+        assert info["duration_ms"] == 40 * n
+        # dts strictly advances by the sample delta
+        assert [s[2] for s in info["samples"]] == [40 * i for i in range(n)]
+
+
+def test_sample_bytes_extracted_bit_exact_across_chunk_plans():
+    frames = _frames(7, 8)
+    h, w = M.synth_mp4_frame_pixels(7, 0).shape
+    for plan in (None, [8], [2, 3, 2, 1], [1] * 8, [4, 4], [2, 3, 3]):
+        p = M.encode_mp4_mjpeg(frames, width=w, height=h, chunk_plan=plan)
+        got = M.mp4_frames(p, every=1)
+        assert [b for _, _, b in got] == frames
+        assert [fi for fi, _, _ in got] == list(range(8))
+        assert [pts for _, pts, _ in got] == [40 * i for i in range(8)]
+
+
+def test_every_kth_sampling_seeks_correct_samples():
+    frames = _frames(3, 7)
+    h, w = M.synth_mp4_frame_pixels(3, 0).shape
+    p = M.encode_mp4_mjpeg(frames, width=w, height=h, chunk_plan=[2, 3, 2])
+    for every in (1, 2, 3, 7):
+        got = M.mp4_frames(p, every=every)
+        assert [fi for fi, _, _ in got] == list(range(0, 7, every))
+        for fi, _, b in got:
+            assert b == frames[fi]
+
+
+def test_decode_mp4_pixels_match_direct_jpeg_decode():
+    for doc_id in (2, 9, 31):
+        p = M.synth_mp4(doc_id)
+        for fi, pts_ms, feat in M.decode_mp4(p, every=2):
+            px = M.synth_mp4_frame_pixels(doc_id, fi)
+            assert pts_ms == 40 * fi
+            assert feat["width"] == px.shape[1]
+            assert feat["height"] == px.shape[0]
+            assert feat["sum_luma"] == int(px.astype(np.int64).sum())
+
+
+def test_co64_offsets_roundtrip():
+    frames = _frames(11, 5)
+    h, w = M.synth_mp4_frame_pixels(11, 0).shape
+    p = M.encode_mp4_mjpeg(
+        frames, width=w, height=h, chunk_plan=[2, 3], co64=True
+    )
+    assert [b for _, _, b in M.mp4_frames(p)] == frames
+
+
+def test_largesize_mdat_box_parses():
+    # Rewrite the mdat header as a 64-bit largesize box: size=1 marker +
+    # fourcc + u64 size. Chunk offsets must be rebuilt (+8 shift), which
+    # the muxer can't do post-hoc — so re-mux with a padded ftyp brand
+    # list is overkill; instead patch stco entries directly.
+    frames = _frames(4, 3)
+    h, w = M.synth_mp4_frame_pixels(4, 0).shape
+    p = M.encode_mp4_mjpeg(frames, width=w, height=h)
+    ftyp_len = struct.unpack_from(">I", p, 0)[0]
+    mdat_len = struct.unpack_from(">I", p, ftyp_len)[0]
+    body = p[ftyp_len + 8 : ftyp_len + mdat_len]
+    big = (
+        struct.pack(">I", 1)
+        + b"mdat"
+        + struct.pack(">Q", 16 + len(body))
+        + body
+    )
+    patched = bytearray(p[:ftyp_len] + big + p[ftyp_len + mdat_len :])
+    # stco now points 8 bytes short (largesize header is 16, not 8).
+    pos = bytes(patched).find(b"stco")
+    (n_off,) = struct.unpack_from(">I", patched, pos + 8)
+    for i in range(n_off):
+        (o,) = struct.unpack_from(">I", patched, pos + 12 + 4 * i)
+        struct.pack_into(">I", patched, pos + 12 + 4 * i, o + 8)
+    assert [b for _, _, b in M.mp4_frames(bytes(patched))] == frames
+
+
+def test_unsupported_codec_names_the_ffmpeg_seam():
+    frames = _frames(6, 2)
+    h, w = M.synth_mp4_frame_pixels(6, 0).shape
+    p = M.encode_mp4_mjpeg(frames, width=w, height=h, codec=b"avc1")
+    info = M.parse_mp4(p)  # the CONTAINER layer still demuxes fine
+    assert info["codec"] == "avc1" and info["n_samples"] == 2
+    assert [b for _, _, b in M.mp4_frames(p)] == frames  # raw NAL-style extraction
+    with pytest.raises(NotImplementedError, match="ffmpeg.*avc1"):
+        M.decode_mp4(p)
+
+
+def test_malformed_containers_raise_value_error():
+    frames = _frames(8, 4)
+    h, w = M.synth_mp4_frame_pixels(8, 0).shape
+    p = M.encode_mp4_mjpeg(frames, width=w, height=h)
+    cases = {
+        "not bmff": b"\x00" * 32,
+        "empty": b"",
+        "ftyp only": p[: struct.unpack_from(">I", p, 0)[0]],
+        "truncated moov": p[:-20],
+        "sample past eof": p[: len(p) // 2] + p[len(p) // 2 + 40 :],
+    }
+    for name, bad in cases.items():
+        with pytest.raises(ValueError):
+            M.parse_mp4(bad)
+
+
+def test_stsc_overflow_is_rejected():
+    # stsc claiming more samples than stsz holds must raise, not read
+    # garbage: patch the single stsc run's samples-per-chunk upward.
+    frames = _frames(2, 3)
+    h, w = M.synth_mp4_frame_pixels(2, 0).shape
+    p = bytearray(M.encode_mp4_mjpeg(frames, width=w, height=h))
+    pos = bytes(p).find(b"stsc")
+    # entry 0: first_chunk at +12, samples_per_chunk at +16
+    struct.pack_into(">I", p, pos + 16, 5)
+    with pytest.raises(ValueError, match="stsc"):
+        M.parse_mp4(bytes(p))
+
+
+def test_media_features_real_backend_covers_mp4(spark):
+    # The per-payload seam dispatch recognizes ftyp and demux+decodes.
+    feat = M._decode_stub(M.synth_mp4(12), "video", backend="real")
+    assert feat["n_bytes"] == len(M.synth_mp4(12))
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        frames = _frames(6, 2)
+        h, w = M.synth_mp4_frame_pixels(6, 0).shape
+        M._decode_stub(
+            M.encode_mp4_mjpeg(frames, width=w, height=h, codec=b"avc1"),
+            "video",
+            backend="real",
+        )
+
+
+def test_mp4_frame_features_end_to_end(spark):
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    out = M.mp4_frame_features(M.attach_mp4(ids), every=2).toPandas()
+    # one row per kept frame: sum over docs of ceil(n_frames / 2)
+    import math
+
+    want_rows = sum(math.ceil((1 + i % 8) / 2) for i in range(40))
+    assert len(out) == want_rows
+    row = out[(out.doc_id == 13) & (out.frame_idx == 2)].iloc[0]
+    px = M.synth_mp4_frame_pixels(13, 2)
+    assert row.pts_ms == 80
+    assert row.sum_luma == int(px.astype(np.int64).sum())
+    assert row.n_pixels == px.size
+
+
+def test_sample_frames_real_backend_demuxes_mp4(spark):
+    """sample_frames(backend="real") demuxes MP4 containers: counts
+    follow the sample table, hashes are of the real sample bytes, and
+    the declared n_frames metadata is ignored (the container wins)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = M.attach_mp4(df).withColumn(
+        "media",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(0).alias("sample_rate"),
+            F.lit(999).alias("n_frames"),  # ignored: sample table wins
+        ),
+    )
+    rows = M.sample_frames(media, every=2, backend="real").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(12):
+        n = 1 + i % 8
+        assert len(by_doc[i]) == (n + 1) // 2
+    f0 = M.encode_jpeg_baseline(M.synth_mp4_frame_pixels(3, 0))
+    assert any(
+        r["frame_md5"] == hashlib.md5(f0).hexdigest() for r in by_doc[3]
+    )

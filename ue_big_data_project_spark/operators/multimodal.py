@@ -17,10 +17,13 @@ YCbCr at any T.81 sampling layout incl. 4:2:0/4:2:2, baseline SOF0
 AND progressive SOF2 — spectral selection, successive approximation,
 EOB runs), and
 :func:`decode_bmpv` (video: an indexed BMP frame stream whose sampling
-is a seek, not a scan). MP4-class compressed
-video is the one remaining stub (this box has no
-ffmpeg): ``backend="real"`` raises ``NotImplementedError`` at the exact
-call site that decoder plugs into, ``backend="fake"`` computes
+is a seek, not a scan), and :func:`decode_mp4` (compressed video: a
+generic ISO BMFF demuxer — box walk, stts/stsc/stsz/stco(co64) sample
+tables resolved to absolute seek offsets — with native pixel decode of
+MJPEG ('jpeg') sample entries through the JPEG decoder). The remaining
+seam is per-CODEC, not per-container: entropy-coded inter-frame codecs
+(avc1/hev1/vp09/av01) raise ``NotImplementedError`` at the exact call
+site ffmpeg plugs into (this box has none); ``backend="fake"`` computes
 deterministic bytes-level features so the whole pipeline is end-to-end
 verifiable against a SQL oracle.
 
@@ -108,9 +111,10 @@ def attach_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 def _decode_stub(payload: bytes, media_type: str, backend: str) -> dict:
     """The codec seam. ``real`` decodes WAV (:func:`decode_wav`), BMP
     (:func:`decode_bmp`), PNG (:func:`decode_png`), baseline JPEG
-    (:func:`decode_jpeg`) and BMPV frame streams (:func:`decode_bmpv`)
-    natively — pure stdlib+numpy; MP4-class compressed video is where
-    ffmpeg plugs in."""
+    (:func:`decode_jpeg`), BMPV frame streams (:func:`decode_bmpv`) and
+    MJPEG-in-MP4 (:func:`decode_mp4`) natively — pure stdlib+numpy;
+    entropy-coded video codecs (avc1/hev1/…) are where ffmpeg plugs in,
+    inside ``decode_mp4``'s per-codec dispatch."""
     if backend == "real":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             decode_wav(payload)  # real container validation + PCM decode
@@ -122,10 +126,16 @@ def _decode_stub(payload: bytes, media_type: str, backend: str) -> dict:
             decode_jpeg(payload)  # real Huffman + dequant + IDCT
         elif payload[:4] == BMPV_MAGIC:
             decode_bmpv(payload)
+        elif len(payload) >= 12 and payload[4:8] == b"ftyp":
+            # Real ISO BMFF demux + per-sample decode; MJPEG tracks
+            # decode natively, entropy-coded codecs raise at the
+            # per-codec seam inside decode_mp4.
+            decode_mp4(payload)
         else:
             raise NotImplementedError(
-                "built-in codecs cover WAV/BMP/PNG/JPEG/BMPV — plug "
-                "ffmpeg in here for MP4-class compressed video"
+                "built-in codecs cover WAV/BMP/PNG/JPEG/BMPV and "
+                "MJPEG-in-MP4 — plug ffmpeg in here for other "
+                "compressed-video bytestreams"
             )
     return {
         "n_bytes": len(payload),
@@ -2009,18 +2019,36 @@ def sample_frames(df: DataFrame, every: int = 1, backend: str = "fake") -> DataF
             ):
                 if backend == "real":
                     raw = bytes(payload)
-                    if raw[:4] != BMPV_MAGIC:
+                    if raw[:4] == BMPV_MAGIC:
+                        # Real path: the container's own index decides
+                        # the frame count; each kept frame is genuinely
+                        # decoded.
+                        for fi, frame in bmpv_frames(raw, every):
+                            decode_bmp(frame)  # validation + full decode
+                            ids.append(doc_id)
+                            idxs.append(fi)
+                            hashes.append(hashlib.md5(frame).hexdigest())
+                    elif len(raw) >= 12 and raw[4:8] == b"ftyp":
+                        # MP4: demux, then decode every kept sample for
+                        # validation; non-MJPEG tracks hit the
+                        # per-codec ffmpeg seam.
+                        codec = parse_mp4(raw)["codec"]
+                        if codec not in MP4_NATIVE_CODECS:
+                            raise NotImplementedError(
+                                f"MP4 sample decode covers MJPEG; plug "
+                                f"ffmpeg in here for {codec!r} streams"
+                            )
+                        for fi, _pts, frame in mp4_frames(raw, every):
+                            decode_jpeg(frame)
+                            ids.append(doc_id)
+                            idxs.append(fi)
+                            hashes.append(hashlib.md5(frame).hexdigest())
+                    else:
                         raise NotImplementedError(
-                            "real frame sampling covers BMPV streams — "
-                            "plug ffmpeg in here for compressed video"
+                            "real frame sampling covers BMPV and "
+                            "MJPEG-in-MP4 — plug ffmpeg in here for "
+                            "other compressed video"
                         )
-                    # Real path: the container's own index decides the
-                    # frame count; each kept frame is genuinely decoded.
-                    for fi, frame in bmpv_frames(raw, every):
-                        decode_bmp(frame)  # validation + full pixel decode
-                        ids.append(doc_id)
-                        idxs.append(fi)
-                        hashes.append(hashlib.md5(frame).hexdigest())
                     continue
                 for fi in range(0, int(n_frames), every):
                     ids.append(doc_id)
@@ -2042,3 +2070,478 @@ def sample_frames(df: DataFrame, every: int = 1, backend: str = "fake") -> DataF
         "doc_id", "payload", F.col("media.n_frames").alias("n_frames")
     )
     return flat.mapInPandas(explode_frames, FRAMES_SCHEMA)
+
+
+# --- ISO BMFF (MP4) demuxer + MJPEG-in-MP4 muxer ------------------------
+#
+# The container layer of "MP4-class compressed video", implemented for
+# real: a generic ISO/IEC 14496-12 box walk (ftyp/moov/trak/mdia/minf/
+# stbl, 32- and 64-bit box sizes, co64 chunk offsets) that resolves the
+# stts/stsc/stsz/stco sample tables into absolute (offset, size, dts)
+# triples — so frame sampling is a SEEK into mdat, never a scan, the
+# property real demuxers provide. Sample PAYLOAD decode dispatches on
+# the stsd codec fourcc: 'jpeg' (Motion-JPEG, the oldest and simplest
+# MP4 video codec) decodes natively through :func:`decode_jpeg_pixels`;
+# entropy-coded inter-frame codecs (avc1/hev1/vp09/av01) are where
+# ffmpeg plugs in — the seam is now per-CODEC, not per-container.
+# The muxer exists as the fixture source (the encode_jpeg_baseline
+# pattern): it writes spec-shaped [ftyp][mdat][moov] files with full
+# sample tables, so the demuxer is testable against containers it did
+# not itself assume.
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _full_box(fourcc: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B", version) + flags.to_bytes(3, "big") + body)
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def _mp4_chunk_layout(
+    sizes: list[int], chunk_plan: list[int] | None
+) -> list[list[int]]:
+    """Group per-sample sizes into chunks: ``chunk_plan[i]`` samples in
+    chunk i (default: one chunk holding everything). Validates the plan
+    covers the samples exactly."""
+    if chunk_plan is None:
+        chunk_plan = [len(sizes)] if sizes else []
+    if sum(chunk_plan) != len(sizes) or any(c <= 0 for c in chunk_plan):
+        raise ValueError("chunk_plan must partition the sample list")
+    out, it = [], iter(sizes)
+    for spc in chunk_plan:
+        out.append([next(it) for _ in range(spc)])
+    return out
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    chunk_plan: list[int] | None = None,
+    codec: bytes = b"jpeg",
+    co64: bool = False,
+) -> bytes:
+    """Minimal-but-spec-shaped ISO BMFF writer for one video track of
+    pre-encoded JPEG samples: ``[ftyp][mdat][moov]`` with real
+    stts/stsc/stsz/stco (or co64) tables. ``chunk_plan`` controls how
+    samples group into mdat chunks (exercises stsc run resolution);
+    ``codec`` stamps the stsd sample-entry fourcc (tests use ``avc1``
+    to pin the unsupported-codec contract); ``co64`` forces 64-bit
+    chunk offsets. The fixture source for the demuxer tests — the same
+    role :func:`encode_jpeg_baseline` plays for the JPEG decoder."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    n = len(frames)
+    duration = n * sample_delta
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"iso2" + b"mp41")
+    mdat = _box(b"mdat", b"".join(frames))
+    chunks = _mp4_chunk_layout([len(f) for f in frames], chunk_plan)
+    # Absolute chunk offsets into the final file: ftyp, then mdat header.
+    chunk_offsets, off = [], len(ftyp) + 8
+    for chunk in chunks:
+        chunk_offsets.append(off)
+        off += sum(chunk)
+
+    # stsd: one VisualSampleEntry (78-byte body after the entry header).
+    vse = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + struct.pack(">HH", 0, 0)
+        + struct.pack(">3I", 0, 0, 0)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + _box(codec, vse))
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
+    stsc_entries = []
+    for ci, chunk in enumerate(chunks, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != len(chunk):
+            stsc_entries.append((ci, len(chunk)))
+    stsc = _full_box(
+        b"stsc",
+        0,
+        0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(
+            struct.pack(">III", first, spc, 1) for first, spc in stsc_entries
+        ),
+    )
+    stsz = _full_box(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    if co64:
+        stco = _full_box(
+            b"co64",
+            0,
+            0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        stco = _full_box(
+            b"stco",
+            0,
+            0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")))
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">4H", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full_box(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+    )
+    mdhd = _full_box(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(
+        b"tkhd",
+        0,
+        3,  # enabled | in_movie
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, alt_group, volume, reserved
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + struct.pack(">II", 0, 0)
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield ``(fourcc, body_start, box_end)`` for each box in
+    ``buf[start:end]`` — 32-bit sizes, 64-bit ``largesize``, and
+    size-0 (extends to parent end) per ISO/IEC 14496-12 §4.2. Raises
+    ``ValueError`` when a box overruns its parent."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("truncated box header")
+        (size,) = struct.unpack_from(">I", buf, off)
+        fourcc, body = buf[off + 4 : off + 8], off + 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated largesize box header")
+            (size,) = struct.unpack_from(">Q", buf, off + 8)
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off or off + size > end:
+            raise ValueError(f"box {fourcc!r} overruns its parent")
+        yield fourcc, body, off + size
+        off += size
+
+
+def _find_box(buf: bytes, start: int, end: int, fourcc: bytes):
+    for fc, body, box_end in _iter_boxes(buf, start, end):
+        if fc == fourcc:
+            return body, box_end
+    return None
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Demux an ISO BMFF container's first video track: box walk →
+    stts/stsc/stsz/stco(co64) resolution → absolute sample table.
+
+    Returns ``{codec, width, height, timescale, duration_ms, n_samples,
+    samples: [(offset, size, dts), ...]}`` where offsets index straight
+    into ``payload`` (mdat is never copied). Raises ``ValueError`` on
+    anything malformed — non-BMFF bytes, truncated boxes, missing
+    required boxes, sample extents past EOF, table inconsistencies."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) container")
+    moov = _find_box(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    moov_s, moov_e = moov
+
+    for fc, trak_s, trak_e in _iter_boxes(payload, moov_s, moov_e):
+        if fc != b"trak":
+            continue
+        mdia = _find_box(payload, trak_s, trak_e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        return _parse_video_trak(payload, trak_s, trak_e, mdia)
+    raise ValueError("no video track")
+
+
+def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
+    mdhd = _find_box(payload, mdia[0], mdia[1], b"mdhd")
+    if mdhd is None:
+        raise ValueError("video track has no mdhd")
+    version = payload[mdhd[0]]
+    if version == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, mdhd[0] + 20)
+    else:
+        timescale, duration = struct.unpack_from(">II", payload, mdhd[0] + 12)
+    if timescale == 0:
+        raise ValueError("mdhd timescale is zero")
+    minf = _find_box(payload, mdia[0], mdia[1], b"minf")
+    stbl = minf and _find_box(payload, minf[0], minf[1], b"stbl")
+    if not stbl:
+        raise ValueError("video track has no stbl")
+    stbl_s, stbl_e = stbl
+
+    def table(fourcc: bytes):
+        return _find_box(payload, stbl_s, stbl_e, fourcc)
+
+    stsd = table(b"stsd")
+    if stsd is None or struct.unpack_from(">I", payload, stsd[0] + 4)[0] < 1:
+        raise ValueError("stsd missing or empty")
+    entry = stsd[0] + 8
+    codec = payload[entry + 4 : entry + 8].decode("latin-1")
+    width, height = struct.unpack_from(">HH", payload, entry + 8 + 24)
+
+    stts = table(b"stts")
+    if stts is None:
+        raise ValueError("no stts")
+    (n_stts,) = struct.unpack_from(">I", payload, stts[0] + 4)
+    deltas: list[int] = []
+    for i in range(n_stts):
+        cnt, delta = struct.unpack_from(">II", payload, stts[0] + 8 + 8 * i)
+        deltas.extend([delta] * cnt)
+    dts = np.concatenate(([0], np.cumsum(deltas[:-1]))) if deltas else np.array([], dtype=np.int64)
+
+    stsz = table(b"stsz")
+    if stsz is None:
+        raise ValueError("no stsz")
+    uniform, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
+    if uniform:
+        sizes = np.full(n_samples, uniform, dtype=np.int64)
+    else:
+        sizes = np.frombuffer(
+            payload, dtype=">u4", count=n_samples, offset=stsz[0] + 12
+        ).astype(np.int64)
+    if n_samples != len(deltas):
+        raise ValueError("stsz/stts sample counts disagree")
+
+    co = table(b"stco")
+    if co is not None:
+        (n_chunks,) = struct.unpack_from(">I", payload, co[0] + 4)
+        chunk_off = np.frombuffer(
+            payload, dtype=">u4", count=n_chunks, offset=co[0] + 8
+        ).astype(np.int64)
+    else:
+        co = table(b"co64")
+        if co is None:
+            raise ValueError("no stco/co64")
+        (n_chunks,) = struct.unpack_from(">I", payload, co[0] + 4)
+        chunk_off = np.frombuffer(
+            payload, dtype=">u8", count=n_chunks, offset=co[0] + 8
+        ).astype(np.int64)
+
+    stsc = table(b"stsc")
+    if stsc is None:
+        raise ValueError("no stsc")
+    (n_stsc,) = struct.unpack_from(">I", payload, stsc[0] + 4)
+    runs = [
+        struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
+        for i in range(n_stsc)
+    ]
+    if not runs or runs[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+
+    # Expand stsc runs across the chunk list, then lay samples out
+    # within each chunk back-to-back (ISO 14496-12 §8.7.4/8.7.5).
+    samples: list[tuple[int, int, int]] = []
+    si = 0
+    for ri, (first, spc) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        for ci in range(first, last + 1):
+            off = int(chunk_off[ci - 1])
+            for _ in range(spc):
+                if si >= n_samples:
+                    raise ValueError("stsc assigns more samples than stsz holds")
+                size = int(sizes[si])
+                if off + size > len(payload):
+                    raise ValueError("sample extent past end of file")
+                samples.append((off, size, int(dts[si])))
+                off += size
+                si += 1
+    if si != n_samples:
+        raise ValueError("stsc assigns fewer samples than stsz holds")
+
+    return {
+        "codec": codec,
+        "width": int(width),
+        "height": int(height),
+        "timescale": int(timescale),
+        "duration_ms": int(duration) * 1000 // int(timescale),
+        "n_samples": int(n_samples),
+        "samples": samples,
+    }
+
+
+# Codecs whose sample payloads the built-in decoders handle. Everything
+# else (avc1/hev1/vp09/av01 — entropy-coded inter-frame streams) is the
+# honest ffmpeg seam, now scoped to the CODEC, not the container.
+MP4_NATIVE_CODECS = {"jpeg": "decode_jpeg_pixels"}
+
+
+def mp4_frames(
+    payload: bytes, every: int = 1
+) -> list[tuple[int, int, bytes]]:
+    """Demux and SEEK: ``[(frame_idx, pts_ms, sample_bytes), ...]`` for
+    every ``every``-th sample of the first video track. Skipped frames
+    are never touched — the sample table makes sampling O(kept), the
+    property the BMPV index demonstrates and real MP4s share."""
+    info = parse_mp4(payload)
+    ts = info["timescale"]
+    return [
+        (fi, info["samples"][fi][2] * 1000 // ts,
+         payload[info["samples"][fi][0] : info["samples"][fi][0] + info["samples"][fi][1]])
+        for fi in range(0, info["n_samples"], every)
+    ]
+
+
+def decode_mp4(payload: bytes, every: int = 1) -> list[tuple[int, int, dict]]:
+    """Demux + full pixel decode of every ``every``-th frame:
+    ``[(frame_idx, pts_ms, features), ...]`` with the same feature dict
+    as :func:`decode_jpeg`. Native for MJPEG ('jpeg') sample entries;
+    entropy-coded codecs raise ``NotImplementedError`` naming the
+    ffmpeg seam (the container/table layer above them is fully real)."""
+    info = parse_mp4(payload)
+    if info["codec"] not in MP4_NATIVE_CODECS:
+        raise NotImplementedError(
+            f"MP4 sample decode covers MJPEG ('jpeg' entries); plug "
+            f"ffmpeg in here for {info['codec']!r} streams"
+        )
+    return [
+        (fi, pts_ms, decode_jpeg(sample))
+        for fi, pts_ms, sample in mp4_frames(payload, every)
+    ]
+
+
+MP4_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("pts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_luma", T.LongType()),
+    ]
+)
+
+
+def synth_mp4_frame_pixels(doc_id: int, frame_idx: int) -> np.ndarray:
+    """Per-frame block-constant raster: the :func:`synth_jpeg_pixels`
+    scheme with the frame index folded in (v advances by 22 per frame
+    pre-modulo), keeping every block DC-only and exactly quantizable —
+    so each frame's decoded ``sum_luma`` stays closed-form SQL over
+    (doc_id, frame_idx)."""
+    bw = 1 + (doc_id % 5)
+    bh = 1 + (doc_id % 3)
+    bx = np.arange(bw)[None, :]
+    by = np.arange(bh)[:, None]
+    v = 128 + 2 * (((doc_id + 11 * frame_idx + 3 * bx + 5 * by) % 50) - 25)
+    return np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+def synth_mp4(doc_id: int) -> bytes:
+    """Deterministic MJPEG-in-MP4 container for ``doc_id``: 1 + doc_id %
+    8 frames at 25 fps (timescale 1000, delta 40 → pts_ms = 40·idx),
+    chunked in an alternating 2/3 pattern so the stsc table carries
+    real runs, not the single-chunk degenerate case."""
+    n_frames = 1 + doc_id % 8
+    frames = [
+        encode_jpeg_baseline(synth_mp4_frame_pixels(doc_id, fi))
+        for fi in range(n_frames)
+    ]
+    h, w = synth_mp4_frame_pixels(doc_id, 0).shape
+    plan, left, nxt = [], n_frames, 2
+    while left > 0:
+        take = min(nxt, left)
+        plan.append(take)
+        left -= take
+        nxt = 5 - nxt  # alternate 2, 3
+    return encode_mp4_mjpeg(frames, width=w, height=h, chunk_plan=plan)
+
+
+def attach_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Ingestion edge for the compressed-video path: (id) → (doc_id,
+    payload) with a genuine MJPEG-in-MP4 container built per row in the
+    Arrow workers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synth_mp4(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def mp4_frame_features(df: DataFrame, every: int = 1) -> DataFrame:
+    """REAL compressed-video frame sampling: demux each MP4's sample
+    table, seek to every ``every``-th sample, decode it with the
+    baseline JPEG decoder, emit one feature row per kept frame. Bytes
+    never leave the partition that read them; skipped frames are never
+    decoded (or even sliced)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in MP4_FRAMES_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, pts_ms, feat in decode_mp4(bytes(payload), every=every):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(fi)
+                    rows["pts_ms"].append(pts_ms)
+                    rows["width"].append(feat["width"])
+                    rows["height"].append(feat["height"])
+                    rows["n_pixels"].append(feat["n_pixels"])
+                    rows["sum_luma"].append(feat["sum_luma"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "pts_ms": pd.Series(rows["pts_ms"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_pixels": pd.Series(rows["n_pixels"], dtype="int64"),
+                    "sum_luma": pd.Series(rows["sum_luma"], dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(gen, MP4_FRAMES_SCHEMA)

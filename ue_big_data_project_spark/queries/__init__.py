@@ -198,6 +198,9 @@ BENCH_EXTRA = (
     "text_fingerprint",
     "events_pivot",
     "q4_order_priority",
+    # Round-7-new (gate frozen, so driver-hashing happens only via the
+    # local pytest oracle): the MP4 demuxer query.
+    "multimodal_mp4_frames",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

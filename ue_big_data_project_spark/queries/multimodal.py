@@ -225,6 +225,62 @@ FROM vals GROUP BY doc_id
 """
 
 
+def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling through the COMPRESSED-video codec
+    path: each document gets a genuine MJPEG-in-MP4 container — ISO
+    BMFF boxes, real stts/stsc/stsz/stco sample tables, baseline-JFIF
+    sample payloads (operators/multimodal.attach_mp4) — and the
+    sampling DEMUXES it: the box walk resolves the sample table to
+    absolute offsets, every 2nd sample is seeked (skipped frames are
+    never touched) and fully JPEG-decoded
+    (operators/multimodal.decode_mp4). Frame rasters reuse the
+    block-constant exactly-quantizable scheme of multimodal_jpeg with
+    the frame index folded in, so the decoded per-frame luma sums stay
+    closed-form SQL while the demux handles any single-video-track
+    BMFF file. Ids-only repartition for the same reason as
+    multimodal_png: payloads are built after it."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return MM.mp4_frame_features(MM.attach_mp4(ids), every=2)
+
+
+# n_frames = 1 + doc_id % 8 at 25 fps (pts_ms = 40*idx); 8x8 blocks:
+# bw = 1 + doc_id % 5, bh = 1 + doc_id % 3; block (bx, by) of frame fi
+# holds v = 128 + 2*(((doc_id + 11*fi + 3*bx + 5*by) % 50) - 25).
+MULTIMODAL_MP4_FRAMES_SQL = """
+WITH sampled AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, 1 + doc_id % 8, 2)) AS INTEGER) AS frame_idx
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, frame_idx, 1 + doc_id % 5 AS bw, 1 + doc_id % 3 AS bh
+  FROM sampled
+),
+bxs AS (
+  SELECT doc_id, frame_idx, bw, bh, unnest(range(0, bw)) AS bx FROM dims
+),
+blocks AS (
+  SELECT doc_id, frame_idx, bw, bh, bx, unnest(range(0, bh)) AS by
+  FROM bxs
+),
+vals AS (
+  SELECT doc_id, frame_idx, bw, bh,
+         128 + 2 * (((doc_id + 11 * frame_idx + 3 * bx + 5 * by) % 50) - 25)
+           AS v
+  FROM blocks
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(40 * frame_idx AS BIGINT) AS pts_ms,
+       CAST(8 * any_value(bw) AS INTEGER) AS width,
+       CAST(8 * any_value(bh) AS INTEGER) AS height,
+       CAST(64 * any_value(bw) * any_value(bh) AS BIGINT) AS n_pixels,
+       CAST(sum(64 * v) AS BIGINT) AS sum_luma
+FROM vals GROUP BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
@@ -234,5 +290,8 @@ QUERIES = {
     "multimodal_bmp": QuerySpec(multimodal_bmp, MULTIMODAL_BMP_SQL),
     "multimodal_video_frames": QuerySpec(
         multimodal_video_frames, MULTIMODAL_VIDEO_FRAMES_SQL
+    ),
+    "multimodal_mp4_frames": QuerySpec(
+        multimodal_mp4_frames, MULTIMODAL_MP4_FRAMES_SQL
     ),
 }
