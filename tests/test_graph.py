@@ -296,3 +296,19 @@ def test_pagerank_overflowing_weight_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="(?i)overflow|cannot be represented"):
         pagerank(df, iters=1, weight_col="w").collect()
+
+
+def test_pagerank_releases_its_edge_cache(spark, pr_edges):
+    """The round-7 persist of the cleaned edge set must not outlive the
+    call: pagerank unpersists it as soon as the eager checkpoints have
+    materialized, so looping callers (notebooks, test suites) do not
+    accumulate CacheManager entries (round-6 advice — the documented
+    contract for triangle_counts, enforced-by-construction here)."""
+    from ue_big_data_project_spark.operators.graph import pagerank
+
+    _, df = pr_edges
+    spark.catalog.clearCache()
+    pagerank(df, iters=2, weight_col="w").collect()
+    # The DataFrame cache is empty again; only localCheckpoint RDDs
+    # (not CacheManager entries) back the checkpointed plans.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
