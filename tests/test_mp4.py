@@ -205,3 +205,56 @@ def test_sample_frames_real_backend_demuxes_mp4(spark):
     assert any(
         r["frame_md5"] == hashlib.md5(f0).hexdigest() for r in by_doc[3]
     )
+
+
+# -- property-based: the demuxer over randomized mux inputs ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _mux_case(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    # random chunk plan partitioning n samples
+    plan, left = [], n
+    while left > 0:
+        take = draw(st.integers(min_value=1, max_value=left))
+        plan.append(take)
+        left -= take
+    payloads = [
+        bytes(
+            draw(
+                st.binary(min_size=1, max_size=64)
+            )
+        )
+        for _ in range(n)
+    ]
+    co64 = draw(st.booleans())
+    delta = draw(st.integers(min_value=1, max_value=3000))
+    return payloads, plan, co64, delta
+
+
+@settings(max_examples=60, deadline=None)
+@given(case=_mux_case())
+def test_demux_recovers_arbitrary_samples(case):
+    """Sample payloads are OPAQUE to the container layer: whatever
+    bytes go in per sample must come back bit-exact from the
+    stts/stsc/stsz/stco resolution, for any chunk partition, either
+    offset width, and any sample delta."""
+    payloads, plan, co64, delta = case
+    p = M.encode_mp4_mjpeg(
+        payloads, width=16, height=8, chunk_plan=plan, co64=co64,
+        sample_delta=delta,
+    )
+    info = M.parse_mp4(p)
+    assert info["n_samples"] == len(payloads)
+    assert [s[2] for s in info["samples"]] == [
+        delta * i for i in range(len(payloads))
+    ]
+    got = M.mp4_frames(p, every=1)
+    assert [b for _, _, b in got] == payloads
+    # pts from the real timescale math
+    assert [pts for _, pts, _ in got] == [
+        delta * i * 1000 // 1000 for i in range(len(payloads))
+    ]
