@@ -209,6 +209,8 @@ SHUFFLE_BUDGETS = {
     "sql_text_nation_revenue": 1,   # SQL text plans like the DataFrame twin
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
+    "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +
+                                    # sample decode stay in-partition
     "events_cube": 1,               # Expand feeds one aggregation exchange
     "events_props_variant": 1,      # variant path walk + one agg exchange
     # Corpus-size-dependent: (doc,term) postings + term df + stats
