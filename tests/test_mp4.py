@@ -258,3 +258,60 @@ def test_demux_recovers_arbitrary_samples(case):
     assert [pts for _, pts, _ in got] == [
         delta * i * 1000 // 1000 for i in range(len(payloads))
     ]
+
+
+def test_ctts_composition_offsets_shift_pts():
+    """With a ctts table (the B-frame reordering surface), frame pts
+    must come out in composition time: pts = dts + signed offset."""
+    frames = _frames(10, 4)
+    h, w = M.synth_mp4_frame_pixels(10, 0).shape
+    offs = [80, -40, 0, 40]  # decode order != presentation order
+    p = M.encode_mp4_mjpeg(
+        frames, width=w, height=h, ctts_offsets=offs
+    )
+    info = M.parse_mp4(p)
+    assert [s[2] for s in info["samples"]] == [0, 40, 80, 120]  # dts
+    assert [s[3] for s in info["samples"]] == [80, 0, 80, 160]  # pts
+    got = M.mp4_frames(p, every=1)
+    assert [pts for _, pts, _ in got] == [80, 0, 80, 160]
+    assert [b for _, _, b in got] == frames  # bytes still in decode order
+    # inconsistent table is rejected
+    pb = bytearray(p)
+    pos = bytes(pb).find(b"ctts")
+    struct.pack_into(">I", pb, pos + 8, 7)  # claim 7 runs for 4 samples
+    with pytest.raises(ValueError):
+        M.parse_mp4(bytes(pb))
+
+
+def test_first_video_track_selected_among_multiple_tracks():
+    """Real MP4s interleave audio and video tracks; the demuxer must
+    skip non-'vide' handlers and bind to the first video track."""
+    p = M.synth_mp4(5)
+    moov_s_e = M._find_box(p, 0, len(p), b"moov")
+    moov_s, moov_e = moov_s_e
+    children = list(M._iter_boxes(p, moov_s, moov_e))
+    mvhd = next(c for c in children if c[0] == b"mvhd")
+    trak = next(c for c in children if c[0] == b"trak")
+    mvhd_bytes = p[mvhd[1] - 8 : mvhd[2]]
+    video_trak = p[trak[1] - 8 : trak[2]]
+    audio_trak = M._box(
+        b"trak",
+        M._box(
+            b"mdia",
+            M._full_box(
+                b"hdlr",
+                0,
+                0,
+                struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"Sound\x00",
+            ),
+        ),
+    )
+    # moov is the last top-level box, so chunk offsets are untouched.
+    new_moov = M._box(b"moov", mvhd_bytes + audio_trak + video_trak)
+    patched = p[: moov_s - 8] + new_moov
+    info = M.parse_mp4(patched)
+    assert info["codec"] == "jpeg"
+    n = 1 + 5 % 8
+    assert info["n_samples"] == n
+    want = _frames(5, n)
+    assert [b for _, _, b in M.mp4_frames(patched)] == want

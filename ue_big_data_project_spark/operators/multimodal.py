@@ -2128,6 +2128,7 @@ def encode_mp4_mjpeg(
     chunk_plan: list[int] | None = None,
     codec: bytes = b"jpeg",
     co64: bool = False,
+    ctts_offsets: list[int] | None = None,
 ) -> bytes:
     """Minimal-but-spec-shaped ISO BMFF writer for one video track of
     pre-encoded JPEG samples: ``[ftyp][mdat][moov]`` with real
@@ -2201,7 +2202,20 @@ def encode_mp4_mjpeg(
             struct.pack(">I", len(chunk_offsets))
             + b"".join(struct.pack(">I", o) for o in chunk_offsets),
         )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    ctts = b""
+    if ctts_offsets is not None:
+        if len(ctts_offsets) != n:
+            raise ValueError("ctts_offsets must cover every sample")
+        # Version 1 (signed offsets), one run per sample — simple and
+        # spec-valid; real muxers run-length-compress equal offsets.
+        ctts = _full_box(
+            b"ctts",
+            1,
+            0,
+            struct.pack(">I", n)
+            + b"".join(struct.pack(">Ii", 1, o) for o in ctts_offsets),
+        )
+    stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco)
     dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")))
     vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">4H", 0, 0, 0, 0))
     minf = _box(b"minf", vmhd + dinf + stbl)
@@ -2277,7 +2291,8 @@ def parse_mp4(payload: bytes) -> dict:
     stts/stsc/stsz/stco(co64) resolution → absolute sample table.
 
     Returns ``{codec, width, height, timescale, duration_ms, n_samples,
-    samples: [(offset, size, dts), ...]}`` where offsets index straight
+    samples: [(offset, size, dts, pts), ...]}`` (pts = dts + ctts
+    composition offset where present) — offsets index straight
     into ``payload`` (mdat is never copied). Raises ``ValueError`` on
     anything malformed — non-BMFF bytes, truncated boxes, missing
     required boxes, sample extents past EOF, table inconsistencies."""
@@ -2338,6 +2353,23 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
         deltas.extend([delta] * cnt)
     dts = np.concatenate(([0], np.cumsum(deltas[:-1]))) if deltas else np.array([], dtype=np.int64)
 
+    # ctts (optional): composition-time offsets — pts = dts + offset,
+    # the reordering table B-frame codecs need. Version 0 carries
+    # unsigned offsets, version 1 signed (ISO 14496-12 §8.6.1.3).
+    ctts = table(b"ctts")
+    pts_off = np.zeros(len(deltas), dtype=np.int64)
+    if ctts is not None:
+        version = payload[ctts[0]]
+        (n_ctts,) = struct.unpack_from(">I", payload, ctts[0] + 4)
+        fmt = ">Ii" if version == 1 else ">II"
+        off_list: list[int] = []
+        for i in range(n_ctts):
+            cnt, offset = struct.unpack_from(fmt, payload, ctts[0] + 8 + 8 * i)
+            off_list.extend([offset] * cnt)
+        if len(off_list) != len(deltas):
+            raise ValueError("ctts/stts sample counts disagree")
+        pts_off = np.asarray(off_list, dtype=np.int64)
+
     stsz = table(b"stsz")
     if stsz is None:
         raise ValueError("no stsz")
@@ -2391,7 +2423,9 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
                 size = int(sizes[si])
                 if off + size > len(payload):
                     raise ValueError("sample extent past end of file")
-                samples.append((off, size, int(dts[si])))
+                samples.append(
+                    (off, size, int(dts[si]), int(dts[si] + pts_off[si]))
+                )
                 off += size
                 si += 1
     if si != n_samples:
@@ -2418,13 +2452,15 @@ def mp4_frames(
     payload: bytes, every: int = 1
 ) -> list[tuple[int, int, bytes]]:
     """Demux and SEEK: ``[(frame_idx, pts_ms, sample_bytes), ...]`` for
-    every ``every``-th sample of the first video track. Skipped frames
-    are never touched — the sample table makes sampling O(kept), the
-    property the BMPV index demonstrates and real MP4s share."""
+    every ``every``-th sample of the first video track, in composition
+    (presentation) time — pts = dts + the ctts offset when the
+    container carries one. Skipped frames are never touched — the
+    sample table makes sampling O(kept), the property the BMPV index
+    demonstrates and real MP4s share."""
     info = parse_mp4(payload)
     ts = info["timescale"]
     return [
-        (fi, info["samples"][fi][2] * 1000 // ts,
+        (fi, info["samples"][fi][3] * 1000 // ts,
          payload[info["samples"][fi][0] : info["samples"][fi][0] + info["samples"][fi][1]])
         for fi in range(0, info["n_samples"], every)
     ]
