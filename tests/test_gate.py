@@ -31,6 +31,10 @@ PROXIED = {
     # frame decode; the in-gate entry covers the frame-sampling shape
     # and the JPEG sample decode is in-gate via multimodal_jpeg.
     "multimodal_mp4_frames": "multimodal_video_frames",
+    # Round-7-new: incremental index maintenance; probes through the
+    # same bm25_topk_indexed path the in-gate entry exercises, and its
+    # oracle is the identical full-corpus TEXT_BM25_SQL.
+    "text_bm25_appended": "text_bm25_indexed",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

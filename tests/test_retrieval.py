@@ -354,3 +354,67 @@ def test_indexed_bm25_large_batch_semi_join_fallback(spark, tmp_path):
     finally:
         R._MAX_INLINE_TERMS = old
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_append_text_index_equals_fresh_full_build(spark, tmp_path):
+    """append_text_index must be EXACTLY a fresh build over the union
+    corpus: identical postings rows, merged df_t/n_docs/total_len — so
+    identical BM25 answers, bit for bit."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        append_text_index,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    q = spark.createDataFrame(
+        [(0, "spark join window"), (1, "customer order data"),
+         (2, "gardening soil")],
+        "query_id int, query_text string",
+    )
+    fresh_idx = str(tmp_path / "fresh")
+    app_idx = str(tmp_path / "appended")
+    build_text_index(docs, fresh_idx, n_buckets=8)
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), app_idx, n_buckets=8)
+    append_text_index(spark, docs.filter(F.col("doc_id") % 2 == 1), app_idx)
+
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    got = sorted(bm25_topk_indexed(spark, app_idx, q, k=5).collect(), key=key)
+    want = sorted(
+        bm25_topk_indexed(spark, fresh_idx, q, k=5).collect(), key=key
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    # Sidecars merged exactly: same stats row, same vocabulary.
+    s_f = spark.read.parquet(fresh_idx + "_stats").first().asDict()
+    s_a = spark.read.parquet(app_idx + "_stats").first().asDict()
+    assert s_f == s_a
+    tf_f = {
+        r.term: r.df_t
+        for r in spark.read.parquet(fresh_idx + "_termdf").collect()
+    }
+    tf_a = {
+        r.term: r.df_t
+        for r in spark.read.parquet(app_idx + "_termdf").collect()
+    }
+    assert tf_f == tf_a
+
+
+def test_append_text_index_empty_increment_is_noop(spark, tmp_path, toy):
+    from ue_big_data_project_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_text_index(toy, idx, n_buckets=4)
+    before = spark.read.parquet(idx + "_stats").first().asDict()
+    empty = toy.filter("doc_id < 0")
+    append_text_index(spark, empty, idx)
+    after = spark.read.parquet(idx + "_stats").first().asDict()
+    assert before == after

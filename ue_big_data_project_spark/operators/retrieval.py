@@ -263,6 +263,86 @@ def build_text_index(
     ).write.mode("overwrite").parquet(root + "_stats")
 
 
+def append_text_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally add documents to a :func:`build_text_index` layout
+    WITHOUT re-tokenizing the existing corpus — the BM25 twin of
+    :func:`similarity.ivf_index_append`.
+
+    The 100 TB maintenance path: per-increment cost is one tokenize of
+    the increment (materialized once, reused by all three writes) plus
+    a vocabulary-scale merge of the ``_termdf`` sidecar — never a scan
+    of the existing postings. New postings land as extra files inside
+    the term-bucket directories they hash to (the bucketing key is the
+    term alone, so placement matches what a full rebuild would choose
+    and every probe's partition pruning keeps working); ``_termdf``
+    document frequencies and the 1-row ``_stats`` are merged
+    additively. An appended index is therefore EXACTLY equivalent to a
+    fresh build over the union corpus (equivalence-tested in
+    tests/test_retrieval.py), because BM25 scores depend only on the
+    posting rows and the merged df_t/n_docs/total_len aggregates.
+
+    Increments must be NEW documents: appending a doc_id the index
+    already holds duplicates its postings (re-crawls are an upsert —
+    route them through ``cdc.upsert_latest`` and rebuild, or delta-
+    encode outside this layout). Compact bucket directories
+    (``sources.compact_small_files``) when frequent increments
+    fragment them.
+    """
+    root = path.rstrip("/")
+    stats_row = spark.read.parquet(root + "_stats").first()
+    n_buckets = int(stats_row["n_buckets"])
+    postings, _doclen = build_postings(docs, id_col, text_col)
+    # One eager materialization of the increment's postings feeds the
+    # bucket write AND both sidecar deltas — the increment is tokenized
+    # exactly once (the build-time lesson at retrieval.py:243 applied
+    # to the append path; localCheckpoint is increment-scale).
+    inc = postings.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    ).localCheckpoint(eager=True)
+    (
+        inc.repartition(n_buckets, "term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(root)
+    )
+    # Vocabulary merge: old df_t + increment df_t, summed per term. The
+    # eager checkpoint materializes the merged table BEFORE the
+    # overwrite touches the directory it was read from.
+    merged_termdf = (
+        spark.read.parquet(root + "_termdf")
+        .unionByName(
+            inc.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+        )
+        .groupBy("term")
+        .agg(F.sum("df_t").cast("long").alias("df_t"))
+        .localCheckpoint(eager=True)
+    )
+    merged_termdf.write.mode("overwrite").parquet(root + "_termdf")
+    # Corpus stats: a bounded 1-row read + 1-row increment agg.
+    delta = (
+        inc.groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+        .first()
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(stats_row["n_docs"]) + int(delta["n"] or 0),
+                int(stats_row["total_len"]) + int(delta["t"] or 0),
+                n_buckets,
+            )
+        ],
+        "n_docs long, total_len long, n_buckets int",
+    ).write.mode("overwrite").parquet(root + "_stats")
+
+
 # Query-term prune strategy switch for the indexed probe: below this
 # many distinct terms the list inlines as an isin (reaches parquet
 # row-group stats via PushedFilters); above it, a broadcast semi join

@@ -199,8 +199,10 @@ BENCH_EXTRA = (
     "events_pivot",
     "q4_order_priority",
     # Round-7-new (gate frozen, so driver-hashing happens only via the
-    # local pytest oracle): the MP4 demuxer query.
+    # local pytest oracle): the MP4 demuxer and the BM25 index-append
+    # twin.
     "multimodal_mp4_frames",
+    "text_bm25_appended",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -1842,6 +1842,41 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(root, ignore_errors=True)
 
 
+def text_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 against an index built on HALF the corpus and then
+    incrementally APPENDED with the other half
+    (operators/retrieval.append_text_index — postings land in their
+    term-bucket dirs, the _termdf vocabulary and 1-row _stats merge
+    additively; the existing corpus is never re-tokenized). Same
+    parameters and oracle as text_bm25_search over the FULL corpus:
+    hash-equality here proves the append path is exactly equivalent to
+    a fresh full build — the knn_cosine_ivf_appended pattern for the
+    text index."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        append_text_index,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, query_text string"
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_bm25_app_")
+    idx = root + "/text_index"
+    try:
+        build_text_index(d.filter(F.col("doc_id") % 2 == 0), idx, n_buckets=16)
+        append_text_index(spark, d.filter(F.col("doc_id") % 2 == 1), idx)
+        return bm25_topk_indexed(spark, idx, q, k=5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def pipeline_upsert_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus maintenance (operators/cdc.upsert_latest):
     apply an update batch (re-crawled text for every 7th document) and a
@@ -1951,6 +1986,7 @@ QUERIES = {
     "text_source_kl": QuerySpec(text_source_kl, TEXT_SOURCE_KL_SQL),
     "text_bm25_search": QuerySpec(text_bm25_search, TEXT_BM25_SQL),
     "text_bm25_indexed": QuerySpec(text_bm25_indexed, TEXT_BM25_SQL),
+    "text_bm25_appended": QuerySpec(text_bm25_appended, TEXT_BM25_SQL),
     "text_hybrid_search": QuerySpec(text_hybrid_search, TEXT_HYBRID_SQL),
     "knn_cosine_brute": QuerySpec(knn_cosine_brute, KNN_BRUTE_SQL),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
