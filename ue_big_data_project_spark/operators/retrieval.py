@@ -23,6 +23,13 @@ Scale contract (100 TB):
 - Corpus-level statistics (N, total length) are a single-partition
   global aggregate of the narrow per-doc lengths — never a driver
   ``collect``, and no wide exchange.
+- Index maintenance is incremental: ``append_text_index`` tokenizes
+  ONLY the increment and merges the vocabulary/stats sidecars — the
+  existing postings are never re-scanned, so appends cost
+  O(increment + vocabulary) at any corpus size (measured: the same
+  500-doc increment appends in 1.53 s into the sf0.1 index and 1.66 s
+  into a 10×-replicated one — ratio 1.08, flat —
+  ``scripts/append_scale_check.py``).
 
 Determinism (oracle hash-matching): the per-term partial score is
 rounded to 6 dp (``pround`` — bit-identical IEEE ops in any engine),
