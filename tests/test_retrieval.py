@@ -418,3 +418,57 @@ def test_append_text_index_empty_increment_is_noop(spark, tmp_path, toy):
     append_text_index(spark, empty, idx)
     after = spark.read.parquet(idx + "_stats").first().asDict()
     assert before == after
+
+
+def test_compaction_preserves_appended_index_layout_and_answers(
+    spark, tmp_path, toy
+):
+    """Frequent appends fragment the bucket dirs; compact_small_files
+    with partition_by must keep the term_bucket directories (probe
+    pruning intact) and change no answer."""
+    import os
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        append_text_index,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from ue_big_data_project_spark.sources import compact_small_files
+
+    idx = str(tmp_path / "idx")
+    compacted = str(tmp_path / "compacted")
+    build_text_index(toy.filter("doc_id <= 2"), idx, n_buckets=4)
+    append_text_index(spark, toy.filter("doc_id = 3"), idx)
+    append_text_index(spark, toy.filter("doc_id >= 4"), idx)
+
+    q = _q(spark, "spark join", "gardening compost")
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    before = sorted(bm25_topk_indexed(spark, idx, q, k=3).collect(), key=key)
+
+    compact_small_files(
+        spark, idx, compacted, partition_by=["term_bucket"]
+    )
+    # The sidecars are layout-independent: point the compacted root at
+    # the same ones.
+    for side in ("_termdf", "_stats"):
+        spark.read.parquet(idx + side).write.parquet(compacted + side)
+    dirs = sorted(
+        d for d in os.listdir(compacted) if d.startswith("term_bucket=")
+    )
+    assert dirs, "compaction flattened the partition directories"
+    n_files_before = sum(
+        f.endswith(".parquet")
+        for d in os.listdir(idx)
+        if d.startswith("term_bucket=")
+        for f in os.listdir(os.path.join(idx, d))
+    )
+    n_files_after = sum(
+        f.endswith(".parquet")
+        for d in dirs
+        for f in os.listdir(os.path.join(compacted, d))
+    )
+    assert n_files_after < n_files_before  # three writes -> one compact
+    after = sorted(
+        bm25_topk_indexed(spark, compacted, q, k=3).collect(), key=key
+    )
+    assert [r.asDict() for r in after] == [r.asDict() for r in before]

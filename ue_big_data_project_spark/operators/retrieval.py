@@ -298,8 +298,9 @@ def append_text_index(
     already holds duplicates its postings (re-crawls are an upsert —
     route them through ``cdc.upsert_latest`` and rebuild, or delta-
     encode outside this layout). Compact bucket directories
-    (``sources.compact_small_files``) when frequent increments
-    fragment them.
+    (``sources.compact_small_files`` with
+    ``partition_by=["term_bucket"]``, which preserves the directory
+    layout probes prune on) when frequent increments fragment them.
     """
     root = path.rstrip("/")
     stats_row = spark.read.parquet(root + "_stats").first()

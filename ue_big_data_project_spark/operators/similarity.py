@@ -870,7 +870,9 @@ def ivf_index_append(
     :func:`build_ivf_index` tag-and-write of the full corpus against
     the same centroids would (equivalence-tested). Each append adds one
     file per touched cell; compact cell directories
-    (``sources.compact_small_files``) when increments fragment them.
+    (``sources.compact_small_files`` with ``partition_by=["cell"]``,
+    which keeps the cell dirs and their pruning) when increments
+    fragment them.
     Quantizer drift (the corpus distribution moving away from the
     frozen centroids) is a rebuild decision, not an append concern —
     monitor via :func:`ivf_cell_stats`.

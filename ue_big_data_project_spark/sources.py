@@ -279,6 +279,7 @@ def compact_small_files(
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Rewrite a many-small-files parquet dataset into ~target-sized
     files; returns the output file count.
@@ -291,6 +292,18 @@ def compact_small_files(
     ``sort_cols`` is given, preserving a skipping-friendly layout).
     At warehouse scale, run per partition directory so compaction
     parallelizes and commits independently.
+
+    ``partition_by`` preserves a Hive-partitioned layout (e.g. the
+    ``term_bucket=N`` dirs of a ``build_text_index`` index or the
+    ``cell=N`` dirs of an IVF index, both of which incremental appends
+    fragment): rows are hash-clustered on the partition key and
+    written back ``partitionBy`` those columns, so every directory —
+    and the partition PRUNING probes rely on — survives, with one file
+    per directory per owning task instead of one per historical
+    append. Without it a root-level compaction would flatten the
+    directories into plain files: probes would still filter correctly
+    (the key survives as a data column) but directory-level pruning
+    would be gone.
     """
     import os
 
@@ -302,6 +315,14 @@ def compact_small_files(
     )
     n = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(in_path)
+    if partition_by:
+        (
+            df.repartition(n, *[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(out_path)
+        )
+        return n
     if sort_cols:
         (
             df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
