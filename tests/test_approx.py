@@ -251,3 +251,36 @@ def test_driver_trainer_budget_fallback(spark):
         assert auto.count() == 4
     finally:
         S._DRIVER_TRAIN_OP_BUDGET = old
+
+
+def test_assign_clusters_backends_bit_identical(spark):
+    """The arrow (vectorized numpy fold) and hof (pure-plan) assignment
+    backends must pick IDENTICAL cells for every row, both metrics,
+    nprobe 1 and 3 — the bit-identity contract that lets the fast
+    backend be the default without touching any oracle."""
+    from ue_big_data_project_spark.operators.similarity import (
+        _assign_clusters,
+    )
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    cents = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "cent_vec"
+        ),
+    )
+    for metric in ("cosine", "l2"):
+        for nprobe in (1, 3):
+            pairs = []
+            for backend in ("arrow", "hof"):
+                got = _assign_clusters(
+                    e, cents, "embedding", "vec_id", nprobe,
+                    metric=metric, backend=backend,
+                )
+                pairs.append(
+                    sorted(
+                        (r.vec_id, r.cent_id)
+                        for r in got.select("vec_id", "cent_id").collect()
+                    )
+                )
+            assert pairs[0] == pairs[1], (metric, nprobe)
