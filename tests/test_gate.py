@@ -35,6 +35,18 @@ PROXIED = {
     # same bm25_topk_indexed path the in-gate entry exercises, and its
     # oracle is the identical full-corpus TEXT_BM25_SQL.
     "text_bm25_appended": "text_bm25_indexed",
+    # Round-7-new cardinality sketches (post-freeze): grouped-agg
+    # shapes over generated native expressions — the in-gate kit pins
+    # the operator family; the estimator math itself is hash-checked
+    # by the pytest oracle on every run.
+    "sketch_hll_parts_per_flag": "scan_filter_agg_kit",
+    "sketch_kmv_custkeys": "scan_filter_agg_kit",
+    # Sidecar-merge family twin: incremental corpus maintenance is
+    # in-gate via dedup_incremental.
+    "sketch_hll_merged_modes": "dedup_incremental",
+    # Token explode + bounded grouped agg — the text_nlp_kit family
+    # shape; the counter math is hash-checked by the pytest oracle.
+    "sketch_cms_tokens": "text_nlp_kit",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

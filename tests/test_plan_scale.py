@@ -259,6 +259,19 @@ SHUFFLE_BUDGETS = {
                                     # False; True restores the 6-exchange
                                     # plan for corpora where the tokenize
                                     # dominates
+    # Round-7 cardinality sketches. The sketch side itself is 2
+    # exchanges (bounded register/k-min agg + estimate agg); the rest
+    # is the exact COUNT(DISTINCT) comparison column the query carries
+    # (2-phase distinct). The tiny estimate/exact join broadcasts.
+    "sketch_hll_parts_per_flag": 4,
+    "sketch_kmv_custkeys": 3,
+    # sketch_hll_merged_modes returns an eager localCheckpoint (scratch
+    # sidecar deleted before return), so its live plan is truncated;
+    # the register-build shape is pinned by tests/test_sketch.py::
+    # test_hll_register_shuffle_is_single_bounded_exchange instead.
+    # Counter agg + exact-count agg; the top-10 is TakeOrdered (no
+    # exchange) and the bounded counter table broadcasts to the lookup.
+    "sketch_cms_tokens": 2,
 }
 
 

@@ -41,11 +41,12 @@ def all_queries() -> dict[str, QuerySpec]:
     from ue_big_data_project_spark.queries import (
         reference_registered as _reference,
     )
+    from ue_big_data_project_spark.queries import sketches as _sketches
     from ue_big_data_project_spark.queries import textops as _textops
     from ue_big_data_project_spark.queries import tpch as _tpch
 
     out: dict[str, QuerySpec] = {}
-    for mod in (_tpch, _events, _textops, _multimodal, _reference):
+    for mod in (_tpch, _events, _textops, _multimodal, _sketches, _reference):
         out.update(mod.QUERIES)
     return out
 
@@ -203,6 +204,13 @@ BENCH_EXTRA = (
     # twin.
     "multimodal_mp4_frames",
     "text_bm25_appended",
+    # Round-7-new: mergeable cardinality sketches (HLL registers + KMV
+    # k-minimum-values) — bounded-state distinct counting with a
+    # parquet register sidecar merged incrementally.
+    "sketch_hll_parts_per_flag",
+    "sketch_kmv_custkeys",
+    "sketch_hll_merged_modes",
+    "sketch_cms_tokens",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or
