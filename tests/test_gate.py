@@ -47,6 +47,17 @@ PROXIED = {
     # Token explode + bounded grouped agg — the text_nlp_kit family
     # shape; the counter math is hash-checked by the pytest oracle.
     "sketch_cms_tokens": "text_nlp_kit",
+    # Sketch-join + 1-row scalar assembly — the haversine/scalar-attach
+    # family; estimator integers hash-checked by the pytest oracle.
+    "sketch_kmv_overlap": "scan_filter_agg_kit",
+    # Grouped agg + rank-window shape, in-gate via the window kit.
+    "sketch_qhist_prices": "window_rank_kit",
+    # foreachBatch sidecar-ingest family — in-gate via the streaming
+    # incremental rollup; the register math is pytest-oracle-checked.
+    "streaming_hll_distinct": "streaming_incremental_rollup",
+    # Scan + global agg + 1-row scalar attach — the scan/agg kit
+    # family; the trim accounting is pytest-oracle-checked.
+    "pipeline_quantile_trim": "scan_filter_agg_kit",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

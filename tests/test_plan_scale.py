@@ -272,6 +272,21 @@ SHUFFLE_BUDGETS = {
     # Counter agg + exact-count agg; the top-10 is TakeOrdered (no
     # exchange) and the bounded counter table broadcasts to the lookup.
     "sketch_cms_tokens": 2,
+    # The sketch side is 2 single-row global aggs (one per source);
+    # the other 6 exchanges are the exact-comparison columns the query
+    # carries (two 2-phase distincts, their join, the union distinct).
+    "sketch_kmv_overlap": 8,
+    # Live plan: hit-bin probe window (1) + final agg (1) — the
+    # counter build behind the eager localCheckpoint (1 bounded
+    # exchange, pinned by tests/test_sketch.py::
+    # test_qhist_counter_shuffle_is_single_bounded_exchange) and the
+    # driver-side hit collect are charged at operator-call time.
+    "sketch_qhist_prices": 2,
+    # Hit-bin probe window (single partition BY DESIGN — pass 2 holds
+    # only hit-bin rows, ~2^-s of the corpus) + scalar attach + global
+    # trim agg; the counter build hides behind the operator's eager
+    # localCheckpoint as above.
+    "pipeline_quantile_trim": 3,
 }
 
 

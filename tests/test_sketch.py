@@ -184,3 +184,222 @@ def test_hll_register_shuffle_is_single_bounded_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     # partial_min before the exchange == map-side combine ran.
     assert "partial_min" in plan or "partial" in plan.lower(), plan
+
+
+def test_kmv_set_estimates_exact_when_partial(spark):
+    """Below k the 'estimates' are exact: both sketches hold every
+    distinct hash, so union/overlap degrade to true counts."""
+    a = _ids(spark, 20, "s", groups=1)       # s0..s19
+    b = spark.range(10, 40).select(
+        F.lit(0).alias("grp"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("v"),
+    )                                         # s10..s39, overlap 10
+    sa = SK.kmv_sketch(a, ["grp"], F.col("v"), k=64)
+    sb = SK.kmv_sketch(b, ["grp"], F.col("v"), k=64)
+    row = SK.kmv_set_estimates(sa, sb, ["grp"], k=64).collect()[0]
+    assert row["est_union"] == 40
+    assert row["est_overlap"] == 10
+
+
+def test_kmv_set_estimates_envelope(spark):
+    """Above k, union/overlap estimates stay inside a generous
+    multi-sigma envelope across several disjoint datasets and the mean
+    error is small — catches formula bugs without flaking."""
+    u_errs, i_errs = [], []
+    for tag in ("m", "n", "o"):
+        a = spark.range(0, 3000).select(
+            F.concat(F.lit(tag), F.col("id").cast("string")).alias("v")
+        )
+        b = spark.range(1500, 6000).select(
+            F.concat(F.lit(tag), F.col("id").cast("string")).alias("v")
+        )
+        sa = SK.kmv_sketch(a, [], F.col("v"), k=128)
+        sb = SK.kmv_sketch(b, [], F.col("v"), k=128)
+        row = SK.kmv_set_estimates(sa, sb, [], k=128).collect()[0]
+        u_errs.append(row["est_union"] / 6000.0 - 1.0)
+        i_errs.append(row["est_overlap"] / 1500.0 - 1.0)
+        assert abs(u_errs[-1]) < 0.40, (tag, row)
+        assert abs(i_errs[-1]) < 0.80, (tag, row)  # ratio-of-estimates
+    assert abs(sum(u_errs) / 3) < 0.20, u_errs
+    assert abs(sum(i_errs) / 3) < 0.40, i_errs
+
+
+def test_kmv_set_estimates_disjoint_reads_zero_overlap(spark):
+    a = _ids(spark, 2000, "left", groups=1)
+    b = _ids(spark, 2000, "right", groups=1)
+    sa = SK.kmv_sketch(a, ["grp"], F.col("v"), k=64)
+    sb = SK.kmv_sketch(b, ["grp"], F.col("v"), k=64)
+    row = SK.kmv_set_estimates(sa, sb, ["grp"], k=64).collect()[0]
+    # Disjoint hash sets can never put a common member into K.
+    assert row["est_overlap"] == 0
+
+
+def _qvals(spark, n, mult, tag_groups=1):
+    return spark.range(1, n + 1).select(
+        (F.col("id") % tag_groups).alias("grp"),
+        ((F.col("id") * mult) % 999983).alias("v"),
+    )
+
+
+def test_qhist_merge_equals_rebuild(spark):
+    df = _qvals(spark, 8000, 37, tag_groups=2)
+    lo = df.filter(F.col("v") < 500000)
+    hi = df.filter(F.col("v") >= 500000)
+    merged = SK.qhist_merge(
+        SK.qhist_counters(lo, ["grp"], F.col("v")),
+        SK.qhist_counters(hi, ["grp"], F.col("v")),
+        ["grp"],
+    )
+    whole = SK.qhist_counters(df, ["grp"], F.col("v"))
+    assert _rows(merged) == _rows(whole)
+
+
+def test_qhist_partitioning_determinism(spark):
+    df = _qvals(spark, 5000, 101)
+    a = SK.qhist_counters(df.repartition(1), ["grp"], F.col("v"))
+    b = SK.qhist_counters(df.repartition(17), ["grp"], F.col("v"))
+    assert _rows(a) == _rows(b)
+
+
+def test_qhist_quantile_bound_holds(spark):
+    """The one-sided HDR guarantee: est <= exact <= est·(1+2^-s)+1 for
+    every quantile, on several value distributions."""
+    for mult, n in ((37, 20000), (7919, 5000), (1, 3000)):
+        df = _qvals(spark, n, mult)
+        cnt = SK.qhist_counters(df, ["grp"], F.col("v"))
+        est = SK.qhist_quantiles(
+            cnt, ["grp"], [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)]
+        ).collect()[0]
+        vals = sorted(r.v for r in df.select("v").collect())
+        for name, num, den in (("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)):
+            exact = vals[(num * len(vals) + den - 1) // den - 1]
+            lo = est[name]
+            assert lo <= exact <= lo * 1.125 + 1, (mult, name, lo, exact)
+
+
+def test_qhist_bin_map_is_monotone_and_invertible(spark):
+    """bin(v) must be monotone in v and lower(bin(v)) <= v < next
+    bin's lower — checked densely over the small domain and across
+    every octave boundary."""
+    probes = (
+        list(range(0, 300))
+        + [2**b + d for b in range(8, 41) for d in (-1, 0, 1, 2**b - 1)]
+    )
+    df = spark.createDataFrame(
+        [(v,) for v in sorted(set(probes)) if 0 <= v < 2**42], "v long"
+    )
+    got = (
+        df.select(
+            "v",
+            F.expr(SK.qhist_bin_sql("v")).alias("b"),
+            F.expr(SK.qhist_lower_sql(SK.qhist_bin_sql("v"))).alias("lo"),
+        )
+        .orderBy("v")
+        .collect()
+    )
+    prev_b = -1
+    for r in got:
+        assert r.b >= prev_b, r
+        prev_b = r.b
+        assert r.lo <= r.v, r
+        assert r.v < (r.lo + max(r.lo // 8, 1)) * 1.01 + 8, r
+
+
+def test_qhist_out_of_domain_raises(spark):
+    df = spark.createDataFrame([(1,), (-5,)], "v long")
+    with pytest.raises(Exception, match="qhist"):
+        SK.qhist_counters(df, [], F.col("v")).collect()
+    big = spark.createDataFrame([(1 << 50,)], "v long")
+    with pytest.raises(Exception, match="qhist"):
+        SK.qhist_counters(big, [], F.col("v")).collect()
+
+
+def test_qhist_nulls_do_not_count(spark):
+    df = spark.createDataFrame([(1,), (None,), (9,)], "v long")
+    cnt = SK.qhist_counters(df, [], F.col("v"))
+    assert sum(r.cnt for r in cnt.collect()) == 2
+
+
+def test_qhist_counter_shuffle_is_single_bounded_exchange(spark):
+    df = _qvals(spark, 4000, 37)
+    cnt = SK.qhist_counters(df, ["grp"], F.col("v"))
+    plan = cnt._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_streaming_hll_rollup_multibatch_and_replay(spark, tmp_path):
+    """The streaming register sidecar: 3 genuine micro-batches must fold
+    into EXACTLY the single-pass estimate, and replaying a batch id (the
+    at-least-once case) must leave the sidecar byte-equivalent — merge
+    idempotence is the exactly-once mechanism, no ledger needed."""
+    from ue_big_data_project_spark import streaming as ST
+
+    df = _ids(spark, 3000, "ev")
+    stage = str(tmp_path / "stage")
+    df.repartition(3).write.parquet(stage)
+    sdf = (
+        spark.readStream.schema("grp bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    reg_dir = str(tmp_path / "registers")
+    q = ST.hll_ingest_stream(sdf, reg_dir, ["grp"], "v", p=6)
+    ST.run_until_drained(q)
+    import os
+
+    parts = [p for p in os.listdir(reg_dir) if p.startswith("batch_id=")]
+    assert len(parts) == 3, parts  # real multi-batch ingest
+    est = ST.read_hll_rollup(spark, reg_dir, ["grp"], p=6)
+    whole = SK.hll_estimate(
+        SK.hll_registers(df, ["grp"], F.col("v"), p=6), ["grp"], p=6
+    )
+    assert _rows(est) == _rows(whole)
+    # Replay: recompute batch 0's registers from ALL data (a superset —
+    # the worst at-least-once case) into its partition; the folded
+    # estimate may only move toward the truth it already equals.
+    SK.hll_registers(df, ["grp"], F.col("v"), p=6).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(reg_dir, "batch_id=0"))
+    est2 = ST.read_hll_rollup(spark, reg_dir, ["grp"], p=6)
+    assert _rows(est2) == _rows(whole)
+
+
+def test_qhist_exact_quantiles_matches_naive(spark):
+    """The histogram-pruned exact order statistic must equal the naive
+    full-sort order statistic — grouped AND ungrouped, across value
+    distributions (the pruning is a pure optimization)."""
+    for mult, n, groups in ((37, 20000, 1), (7919, 5000, 3), (1, 3000, 2)):
+        df = _qvals(spark, n, mult, tag_groups=groups)
+        grp = ["grp"] if groups > 1 else []
+        qs = [("p50", 1, 2), ("p95", 19, 20)]
+        got = SK.qhist_exact_quantiles(df, grp, F.col("v"), qs)
+        rows = {
+            (tuple(r[g] for g in grp)): r for r in got.collect()
+        }
+        data = {}
+        for r in df.collect():
+            data.setdefault(tuple(r[g] for g in grp), []).append(r.v)
+        for key, vals in data.items():
+            vals.sort()
+            nn = len(vals)
+            for name, num, den in qs:
+                exact = vals[(num * nn + den - 1) // den - 1]
+                assert rows[key][f"exact_{name}"] == exact, (key, name)
+                est = rows[key][f"est_{name}"]
+                assert est <= exact <= est * 1.125 + 1, (key, name)
+
+
+def test_qhist_lower_py_matches_sql(spark):
+    """The driver-side decode used for pass-2 literal bounds must agree
+    with the SQL decode on every bin id up to the domain ceiling."""
+    ids = list(range(0, 320))
+    df = spark.createDataFrame([(i,) for i in ids], "b long")
+    got = {
+        r.b: r.lo
+        for r in df.select(
+            "b", F.expr(SK.qhist_lower_sql("b")).alias("lo")
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == SK.qhist_lower_py(i), i

@@ -408,3 +408,444 @@ SELECT {grps},
                  ELSE COUNT(*) END AS BIGINT) AS {out_col}
 FROM ranked GROUP BY {grps}
 """
+
+
+# --------------------------------------------------------------------------
+# KMV set operations — union / intersection estimates from two sketches.
+# --------------------------------------------------------------------------
+
+
+def kmv_set_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """Union and intersection distinct estimates from two KMV sketches
+    (Beyer et al. 2007): ``(group_cols…, est_union, est_overlap)``.
+
+    K = the k smallest hashes of the combined sketches is itself the
+    KMV sketch of A ∪ B, so ``est_union`` is the plain KMV estimate on
+    K; the members of K present in BOTH input sketches are a uniform
+    sample of the union weighted by membership in A ∩ B, so
+    ``est_overlap = (matches · est_union) DIV k``. Pure integer — bit-
+    identical across engines — and when the union carries fewer than k
+    distinct hashes both inputs are complete hash sets, so the
+    "estimates" degrade to EXACT counts. Sketch-only input: two sources
+    never co-scan, the at-scale overlap-audit shape (which corpora
+    share how many documents/users?) from bounded sidecars.
+    """
+    aj = a.withColumnRenamed("kmin", "kmin_a")
+    bj = b.withColumnRenamed("kmin", "kmin_b")
+    j = aj.join(bj, group_cols) if group_cols else aj.crossJoin(bj)
+    j = j.select(
+        *group_cols,
+        F.slice(
+            F.array_sort(F.array_union("kmin_a", "kmin_b")), 1, k
+        ).alias("ku"),
+        F.size(F.array_distinct(F.array_union("kmin_a", "kmin_b"))).alias(
+            "usz"
+        ),
+        F.size(
+            F.array_intersect(
+                F.slice(F.array_sort(F.array_union("kmin_a", "kmin_b")), 1, k),
+                F.array_intersect("kmin_a", "kmin_b"),
+            )
+        ).alias("matches"),
+    )
+    full = F.col("usz") >= k
+    est_u = F.expr(
+        f"CAST({(k - 1) * H_SPACE} DIV try_element_at(ku, {k}) AS BIGINT)"
+    )
+    j = j.select(
+        *group_cols,
+        F.when(full, est_u).otherwise(F.col("usz").cast("long")).alias(
+            "est_union"
+        ),
+        "usz",
+        "matches",
+    )
+    est_i = F.expr(f"CAST((matches * est_union) DIV {k} AS BIGINT)")
+    return j.select(
+        *group_cols,
+        "est_union",
+        F.when(full, est_i)
+        .otherwise(F.col("matches").cast("long"))
+        .alias("est_overlap"),
+    )
+
+
+def kmv_set_estimates_sql(
+    a_table_sql: str,
+    b_table_sql: str,
+    a_value_sql: str,
+    b_value_sql: str,
+    k: int = 32,
+) -> str:
+    """DuckDB twin of :func:`kmv_set_estimates` for UNGROUPED (global)
+    sketches over two FROM-able relations: one row
+    ``(est_union, est_overlap)``, the same integer formulas."""
+    return f"""
+WITH sa AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT {hash48_sql(a_value_sql)} AS h FROM {a_table_sql}
+    )
+  ) WHERE rn <= {k}
+), sb AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT {hash48_sql(b_value_sql)} AS h FROM {b_table_sql}
+    )
+  ) WHERE rn <= {k}
+), un AS (
+  SELECT h FROM sa UNION SELECT h FROM sb
+), ku AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM un
+  ) WHERE rn <= {k}
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM un) AS usz,
+         (SELECT MAX(h) FROM ku) AS kth,
+         (SELECT COUNT(*) FROM ku
+          WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+           AS matches
+), eu AS (
+  SELECT usz, matches,
+         CASE WHEN usz >= {k}
+              THEN CAST({(k - 1) * H_SPACE} // kth AS BIGINT)
+              ELSE CAST(usz AS BIGINT) END AS est_union
+  FROM stats
+)
+SELECT est_union,
+       CASE WHEN usz >= {k}
+            THEN CAST((matches * est_union) // {k} AS BIGINT)
+            ELSE CAST(matches AS BIGINT) END AS est_overlap
+FROM eu
+"""
+
+
+# --------------------------------------------------------------------------
+# Quantile histogram — HDR-style log bins with linear sub-buckets.
+# Integer bin ids, merge = counter addition, quantiles from the CDF.
+# --------------------------------------------------------------------------
+
+QH_SUB_BITS = 3  # 8 sub-buckets per octave → bin width ≤ 12.5% of its
+#                  lower bound, the estimator's one-sided error bound
+QH_MAX_BITS = 42  # bin/decode CASEs cover values < 2^42 (raise_error
+#                  beyond) — covers cents-scaled prices at any TPC-H SF
+
+
+def _fdiv2(expr: str, pow2: int) -> str:
+    """Floor-divide non-negative ``expr`` by ``2^pow2`` as text BOTH
+    engines run verbatim (Spark has ``DIV``, DuckDB ``//`` — neither
+    parses the other's): dividing a double by a power of two only
+    shifts the exponent, so for v < 2^52 the quotient and its floor are
+    IEEE-exact in any engine."""
+    if pow2 == 0:
+        return f"({expr})"
+    return f"CAST(floor(({expr}) / {float(1 << pow2)!r}e0) AS BIGINT)"
+
+
+def qhist_bin_sql(v_expr: str, s: int = QH_SUB_BITS) -> str:
+    """HDR bin id of non-negative BIGINT ``v_expr`` as engine-portable
+    SQL.
+
+    v < 2^s → bin = v (exact); else with b = bitlength(v) and
+    shift = b − 1 − s, bin = shift·2^s + (v >> shift) — the top s+1
+    bits, linear within each octave. Monotone in v, ≤ 2^s·(bits+1)
+    bins total. The bit length is resolved by RANGE comparisons
+    (``v < 2^b`` walking up), so the whole map is ~40 integer compares
+    plus one power-of-two floor-division (IEEE-exact, :func:`_fdiv2`)
+    — deliberately NO string/log ops: Catalyst substitutes this
+    expression into pushed-down join/filter predicates verbatim, and a
+    ``length(bin(v))`` formulation re-evaluated there cost 10× the
+    scan (measured; see ``_qhist_binned``). Out-of-domain values map
+    to NULL; :func:`qhist_counters` turns that into an error instead
+    of a silently-wrong CDF."""
+    m = 1 << s
+    whens = " ".join(
+        f"WHEN ({v_expr}) < {1 << b} THEN "
+        f"{(b - 1 - s) * m} + {_fdiv2(v_expr, b - 1 - s)}"
+        for b in range(s + 1, QH_MAX_BITS + 1)
+    )
+    guard = (
+        f"WHEN ({v_expr}) < 0 OR ({v_expr}) >= {1 << QH_MAX_BITS} "
+        f"THEN CAST(NULL AS BIGINT)"
+    )
+    # Domain guard FIRST: negatives would otherwise satisfy v < 2^s
+    # and silently land in the small-value bins.
+    return (
+        f"(CASE {guard} WHEN ({v_expr}) < {m} THEN ({v_expr}) {whens} END)"
+    )
+
+
+def qhist_lower_sql(id_expr: str, s: int = QH_SUB_BITS) -> str:
+    """Lower bound of bin ``id_expr`` — the quantile estimate read off
+    the CDF. Exact inverse of the bin map's lower edge: id < 2^s →
+    id; else lower = (2^s + id mod 2^s) · 2^(id div 2^s − 1)."""
+    m = 1 << s
+    div = _fdiv2(id_expr, s)
+    whens = " ".join(
+        f"WHEN {div} = {t} THEN "
+        f"({m} + (({id_expr}) % {m})) * {1 << (t - 1)}"
+        for t in range(1, QH_MAX_BITS - s + 1)
+    )
+    return f"(CASE WHEN ({id_expr}) < {m} THEN ({id_expr}) {whens} END)"
+
+
+def _qhist_binned(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    s: int = QH_SUB_BITS,
+) -> DataFrame:
+    """``(group_cols…, v, bin)`` with the domain guard applied: NULL
+    values dropped (SQL agg semantics), out-of-domain values RAISE
+    pre-materialization — a NULL bin sorted into the CDF would silently
+    shift every quantile (the pagerank decimal-guard precedent: fail
+    loudly inside the job, not in the answer).
+
+    The bin map is the RANGE-comparison formulation of
+    :func:`qhist_bin_sql` — all integer compares, no string ops — so it
+    stays cheap even where Catalyst substitutes it into pushed-down
+    join/filter predicates (an inner join on ``bin`` pushes
+    ``isnotnull(bin)`` below this projection with the full expression
+    inlined; a ``length(bin(v))``-based map re-evaluated there made the
+    probe join 10× the scan cost at sf0.1)."""
+    vdf = df.select(*group_cols, value.cast("long").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    b = F.expr(qhist_bin_sql("v", s))
+    # Guard on v directly (NOT on b.isNull()): testing the bin for NULL
+    # would embed a second full copy of the CASE in the expression
+    # tree, and pushdown multiplies copies further.
+    guarded = F.when(
+        (F.col("v") < 0) | (F.col("v") >= F.lit(1 << QH_MAX_BITS)),
+        F.raise_error(
+            F.lit(f"qhist: value outside [0, 2^{QH_MAX_BITS}) domain")
+        ).cast("long"),
+    ).otherwise(b)
+    return vdf.select(*group_cols, "v", guarded.alias("bin"))
+
+
+def qhist_counters(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    s: int = QH_SUB_BITS,
+) -> DataFrame:
+    """Per-group quantile-histogram counters ``(group_cols…, bin, cnt)``
+    over a non-negative integer column.
+
+    The ONE shuffle carries ≤ 2^s·(QH_MAX_BITS+1) integer counters per
+    group per map task (count partial-aggregates) — bounded state like
+    the HLL registers — and two counter tables merge by ADDING counts
+    (:func:`qhist_merge`), so per-source/per-day histogram sidecars
+    compose into corpus-wide quantiles without rescans."""
+    return (
+        _qhist_binned(df, group_cols, value, s)
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qhist_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Counter addition — associative/commutative, sidecars compose in
+    any order."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def qhist_quantiles(
+    counters: DataFrame,
+    group_cols: list[str],
+    qs: list[tuple[str, int, int]],
+    s: int = QH_SUB_BITS,
+) -> DataFrame:
+    """Quantile estimates per group from a counter table.
+
+    ``qs`` = (out_col, numerator, denominator) fractions; for each, the
+    estimate is the LOWER BOUND of the first bin whose cumulative count
+    reaches rank ``ceil(num·N/den)`` — so est ≤ true q-th order
+    statistic < est·(1 + 2^−s) + 1, the one-sided HDR guarantee
+    (tests pin it). The CDF walk is a window over the ≤ 2^s·bits
+    counter rows per group — bounded, nothing rescans the data."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("bin")
+    )
+    cum = counters.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    outs = []
+    for out_col, num, den in qs:
+        # ceil(num·N/den) in pure integer: (num·N + den − 1) DIV den.
+        r = F.expr(f"CAST(({num} * n + {den - 1}) DIV {den} AS BIGINT)")
+        hit = cum.filter(F.col("cum") >= r).groupBy(*group_cols).agg(
+            F.min("bin").alias("bin")
+        )
+        est = F.expr(qhist_lower_sql("bin", s)).cast("long")
+        outs.append(hit.select(*group_cols, est.alias(out_col)))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = (
+            out.join(nxt, group_cols) if group_cols else out.crossJoin(nxt)
+        )
+    return out
+
+
+def qhist_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    qs: list[tuple[str, int, int]],
+    s: int = QH_SUB_BITS,
+) -> DataFrame:
+    """EXACT order statistics in two bounded passes, with the histogram
+    as the pruner — per group, one row with ``est_<q>`` (bin lower
+    bound) and ``exact_<q>`` (true q-th smallest) per requested
+    quantile.
+
+    The naive exact quantile sorts every row of a group on one reducer
+    — the thing that cannot work at 100 TB. Here pass 1 is the bounded
+    counter build; the CDF walk then locates, for each quantile, its
+    BIN and its residual rank within that bin; pass 2 sorts ONLY the
+    rows that fall in hit bins (≤ #quantiles bins per group, each
+    holding a ~2^−s fraction of the group by construction of the log
+    bins — and the window partitions by (group, quantile), so even
+    those sorts parallelize across quantiles). The exact value is a
+    true order statistic — formulation-independent, so a plain
+    rank-window oracle must hash-match it."""
+    from pyspark.sql import Window
+
+    binned = _qhist_binned(df, group_cols, value, s)
+    # The counter table is ≤ 2^s·bits rows per group; checkpoint it
+    # eagerly so the CDF walk and every per-quantile hit branch read
+    # the materialized counters instead of re-running the corpus scan
+    # (unchecked, the scan re-executed ~5× — measured 26.7 s vs ~3 s
+    # at sf0.1).
+    counters = (
+        binned.groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("bin")
+    )
+    cum = counters.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    hits = None
+    for out_col, num, den in qs:
+        r = F.expr(f"CAST(({num} * n + {den - 1}) DIV {den} AS BIGINT)")
+        # First bin whose cum reaches rank r; within it the target is
+        # the (r − cum_before)-th smallest = (cnt − (cum − r))-th.
+        h = (
+            cum.withColumn("r", r)
+            .filter(F.col("cum") >= F.col("r"))
+            .withColumn(
+                "rn_hit",
+                F.row_number().over(
+                    w.orderBy("bin")
+                    if group_cols
+                    else Window.partitionBy(F.lit(1)).orderBy("bin")
+                ),
+            )
+            .filter(F.col("rn_hit") == 1)
+            .select(
+                *group_cols,
+                "bin",
+                F.lit(out_col).alias("q_name"),
+                (F.col("cnt") - (F.col("cum") - F.col("r"))).alias(
+                    "r_within"
+                ),
+            )
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    # The hit table is ≤ groups×|qs| rows — a bounded scalar table, so
+    # it comes to the driver (the ≤257-row BM25 term-cap precedent) and
+    # pass 2 probes on LITERAL value ranges [bin lower, next lower):
+    # the corpus-side scan never re-evaluates the bin map. (Joining on
+    # the computed ``bin`` column instead pushes isnotnull(bin) below
+    # the projection with the whole CASE tree substituted in — the
+    # probe ran 8× slower that way at sf0.1.)
+    hit_rows = [
+        (
+            tuple(row[c] for c in group_cols),
+            row["q_name"],
+            int(row["bin"]),
+            int(row["r_within"]),
+        )
+        for row in hits.collect()
+    ]
+    spark = df.sparkSession
+    bounds = spark.createDataFrame(
+        [
+            (*g, q, b, rw, qhist_lower_py(b, s), qhist_lower_py(b + 1, s) - 1)
+            for (g, q, b, rw) in hit_rows
+        ],
+        [*group_cols, "q_name", "bin", "r_within", "lo", "hi"],
+    )
+    vdf = df.select(
+        *group_cols, value.cast("long").alias("v")
+    ).filter(F.col("v").isNotNull())
+    probe = vdf.join(
+        F.broadcast(bounds),
+        [
+            *[vdf[c] == bounds[c] for c in group_cols],
+            vdf["v"] >= bounds["lo"],
+            vdf["v"] <= bounds["hi"],
+        ],
+    ).select(vdf["v"], bounds["q_name"], bounds["r_within"], bounds["lo"],
+             *[bounds[c] for c in group_cols])
+    w2 = Window.partitionBy(*group_cols, "q_name").orderBy("v")
+    picked = (
+        probe.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == F.col("r_within"))
+        .select(*group_cols, "q_name", "lo", "v")
+    )
+    aggs = []
+    for out_col, _, _ in qs:
+        aggs.append(
+            F.min(F.when(F.col("q_name") == out_col, F.col("lo"))).alias(
+                f"est_{out_col}"
+            )
+        )
+        aggs.append(
+            F.min(F.when(F.col("q_name") == out_col, F.col("v"))).alias(
+                f"exact_{out_col}"
+            )
+        )
+    return picked.groupBy(*group_cols).agg(*aggs)
+
+
+def qhist_lower_py(bin_id: int, s: int = QH_SUB_BITS) -> int:
+    """Driver-side twin of :func:`qhist_lower_sql` (same integer map;
+    the pass-2 literal bounds above come from here)."""
+    m = 1 << s
+    if bin_id < m:
+        return bin_id
+    shift = bin_id // m - 1
+    return (m + bin_id % m) << shift

@@ -211,6 +211,16 @@ BENCH_EXTRA = (
     "sketch_kmv_custkeys",
     "sketch_hll_merged_modes",
     "sketch_cms_tokens",
+    # KMV set operations (cross-source overlap from sketches that
+    # never co-scan) + HDR-style mergeable quantile histogram.
+    "sketch_kmv_overlap",
+    "sketch_qhist_prices",
+    # Streaming twin: per-micro-batch register partitions folded into
+    # the live estimate; oracle = the single-pass batch estimate.
+    "streaming_hll_distinct",
+    # Pipeline integration: quantile-floor corpus trim where the exact
+    # p25 threshold comes from the histogram-pruned order statistic.
+    "pipeline_quantile_trim",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -251,3 +251,282 @@ QUERIES = {
     ),
     "sketch_cms_tokens": QuerySpec(sketch_cms_tokens, SKETCH_CMS_TOKENS_SQL),
 }
+
+
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap audit from sketches alone: how many
+    customers place both '1-URGENT' and '5-LOW' orders, estimated from
+    two k=64 KMV sidecars that never co-scan (``kmv_set_estimates``) —
+    next to the exact intersection/union for the accuracy columns."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    ck = F.col("o_custkey").cast("string")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW")
+    est = SK.kmv_set_estimates(
+        SK.kmv_sketch(a, [], ck, k=64), SK.kmv_sketch(b, [], ck, k=64),
+        [], k=64,
+    )
+    ka = a.select("o_custkey").distinct()
+    kb = b.select("o_custkey").distinct()
+    ex_over = ka.join(kb, "o_custkey").agg(
+        F.count(F.lit(1)).alias("exact_overlap")
+    )
+    ex_uni = ka.unionByName(kb).distinct().agg(
+        F.count(F.lit(1)).alias("exact_union")
+    )
+    out = est.crossJoin(ex_over).crossJoin(ex_uni)  # three 1-row sides
+    rel_u = F.abs(
+        F.col("est_union") - F.col("exact_union").cast("double")
+    ) / F.col("exact_union").cast("double")
+    rel_o = F.abs(
+        F.col("est_overlap") - F.col("exact_overlap").cast("double")
+    ) / F.col("exact_overlap").cast("double")
+    return out.select(
+        "est_union",
+        "exact_union",
+        pround(rel_u, 4).alias("rel_err_union"),
+        "est_overlap",
+        "exact_overlap",
+        pround(rel_o, 4).alias("rel_err_overlap"),
+    )
+
+
+_URGENT = "(SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')"
+_LOW = "(SELECT * FROM orders WHERE o_orderpriority = '5-LOW')"
+
+SKETCH_KMV_OVERLAP_SQL = f"""
+WITH est AS ({SK.kmv_set_estimates_sql(
+    _URGENT, _LOW,
+    "CAST(o_custkey AS VARCHAR)", "CAST(o_custkey AS VARCHAR)", k=64)}),
+xo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+    SELECT DISTINCT o_custkey FROM {_URGENT}
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM {_LOW}
+  )
+), xu AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+)
+SELECT est_union, exact_union,
+       {sql_round(
+           "abs(est_union - CAST(exact_union AS DOUBLE))"
+           " / CAST(exact_union AS DOUBLE)", 4)} AS rel_err_union,
+       est_overlap, exact_overlap,
+       {sql_round(
+           "abs(est_overlap - CAST(exact_overlap AS DOUBLE))"
+           " / CAST(exact_overlap AS DOUBLE)", 4)} AS rel_err_overlap
+FROM est, xo, xu
+"""
+
+
+_CENTS = "CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT)"
+_R50 = "CAST((n + 1) DIV 2 AS BIGINT)"
+_R95 = "CAST((19 * n + 19) DIV 20 AS BIGINT)"
+
+
+def sketch_qhist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile histogram (HDR-style log bins, 8 sub-buckets
+    per octave): per-returnflag p50/p95 of the price in cents read off
+    a bounded counter CDF, PLUS the exact order statistics computed the
+    only way that survives 100 TB — histogram-pruned
+    (``qhist_exact_quantiles``: the CDF locates each quantile's bin and
+    in-bin rank, then only hit-bin rows sort, ~2^−s of each group,
+    instead of the naive one-reducer-per-group full sort). est ≤ exact
+    ≤ est·1.125 by construction — the rel_err columns show the realized
+    gap. The oracle computes the exact side with the naive full rank
+    window: order statistics are formulation-independent, so the hash
+    match proves the pruned path drops nothing."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    grp = ["l_returnflag"]
+    cents = F.expr(_CENTS)
+    out = SK.qhist_exact_quantiles(
+        li, grp, cents, [("p50", 1, 2), ("p95", 19, 20)]
+    )
+    rel50 = (
+        F.col("exact_p50") - F.col("est_p50")
+    ).cast("double") / F.col("exact_p50").cast("double")
+    rel95 = (
+        F.col("exact_p95") - F.col("est_p95")
+    ).cast("double") / F.col("exact_p95").cast("double")
+    return out.select(
+        *grp,
+        "est_p50",
+        "exact_p50",
+        pround(rel50, 4).alias("rel_err_p50"),
+        "est_p95",
+        "exact_p95",
+        pround(rel95, 4).alias("rel_err_p95"),
+    )
+
+
+_QH_BIN = SK.qhist_bin_sql("v")
+_QH_R50 = "CAST((n + 1) // 2 AS BIGINT)"
+_QH_R95 = "CAST((19 * n + 19) // 20 AS BIGINT)"
+
+SKETCH_QHIST_PRICES_SQL = f"""
+WITH v AS (
+  SELECT l_returnflag, {_CENTS} AS v FROM lineitem
+), c AS (
+  SELECT l_returnflag, {_QH_BIN} AS bin, COUNT(*) AS cnt
+  FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, bin,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM c
+), hit AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN cum >= {_QH_R50} THEN bin END) AS b50,
+         MIN(CASE WHEN cum >= {_QH_R95} THEN bin END) AS b95
+  FROM cum GROUP BY l_returnflag
+), est AS (
+  SELECT l_returnflag,
+         CAST({SK.qhist_lower_sql("b50")} AS BIGINT) AS est_p50,
+         CAST({SK.qhist_lower_sql("b95")} AS BIGINT) AS est_p95
+  FROM hit
+), r AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM v
+), ex AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN rn = {_QH_R50} THEN v END) AS exact_p50,
+         MIN(CASE WHEN rn = {_QH_R95} THEN v END) AS exact_p95
+  FROM r GROUP BY l_returnflag
+)
+SELECT e.l_returnflag, e.est_p50, x.exact_p50,
+       {sql_round(
+           "(x.exact_p50 - e.est_p50) / CAST(x.exact_p50 AS DOUBLE)", 4)}
+         AS rel_err_p50,
+       e.est_p95, x.exact_p95,
+       {sql_round(
+           "(x.exact_p95 - e.est_p95) / CAST(x.exact_p95 AS DOUBLE)", 4)}
+         AS rel_err_p95
+FROM est e JOIN ex x ON e.l_returnflag = x.l_returnflag
+"""
+
+
+QUERIES["sketch_kmv_overlap"] = QuerySpec(
+    sketch_kmv_overlap, SKETCH_KMV_OVERLAP_SQL
+)
+QUERIES["sketch_qhist_prices"] = QuerySpec(
+    sketch_qhist_prices, SKETCH_QHIST_PRICES_SQL
+)
+
+
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live distinct counts over a real stream: events replayed as 4
+    micro-batches through ``hll_ingest_stream`` (per-batch register
+    partitions, no ledger — merge idempotence makes at-least-once
+    exactly-once), then the register sidecar alone is folded into the
+    estimate. The oracle computes the single-pass whole-table estimate,
+    so the hash match proves stream == batch for the sketch."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    grp = ["event_type"]
+    root = _tf.mkdtemp(prefix="spark_graft_hllstream_")
+    try:
+        stage = _os.path.join(root, "stage")
+        # 4 files → 4 genuine micro-batches under maxFilesPerTrigger=1.
+        ev.select("event_type", "event_id").repartition(4).write.parquet(
+            stage
+        )
+        sdf = (
+            spark.readStream.schema("event_type string, event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = ST.hll_ingest_stream(
+            sdf, _os.path.join(root, "registers"), grp, "event_id", p=_P
+        )
+        ST.run_until_drained(q)
+        est = ST.read_hll_rollup(
+            spark, _os.path.join(root, "registers"), grp, p=_P
+        )
+        exact = ev.groupBy(*grp).agg(
+            F.countDistinct("event_id").alias("exact_distinct")
+        )
+        return _with_exact(est, exact, grp).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+STREAMING_HLL_DISTINCT_SQL = _exact_join_sql(
+    SK.hll_estimate_sql(
+        "events", ["event_type"], "CAST(event_id AS VARCHAR)", p=_P
+    ),
+    "event_type",
+    "SELECT event_type, COUNT(DISTINCT event_id) AS exact_distinct"
+    " FROM events GROUP BY event_type",
+)
+
+QUERIES["streaming_hll_distinct"] = QuerySpec(
+    streaming_hll_distinct, STREAMING_HLL_DISTINCT_SQL
+)
+
+
+_WORDS_SQL = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def pipeline_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trimming by a quantile floor WITHOUT a global sort: drop
+    the shortest quarter of documents by token count. The p25 threshold
+    is an EXACT order statistic found histogram-pruned
+    (``qhist_exact_quantiles``: bounded counters → CDF → sort only the
+    hit bin), then one broadcast of the 1-row threshold filters the
+    corpus — the at-scale shape for "trim the bottom X% by Y" pipeline
+    gates, where the naive exact percentile sorts the world on one
+    reducer. Result: threshold + kept/total accounting, all integers."""
+    from ue_big_data_project_spark.functions import text as TX
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(TX.token_count("text").alias("n_tokens"))
+    th = SK.qhist_exact_quantiles(
+        toks, [], F.col("n_tokens"), [("p25", 1, 4)]
+    )
+    joined = toks.crossJoin(F.broadcast(th))  # 1-row scalar attach
+    keep = F.col("n_tokens") >= F.col("exact_p25")
+    return joined.agg(
+        F.min("exact_p25").cast("long").alias("p25_tokens"),
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.sum(keep.cast("long")).cast("long").alias("kept_docs"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+PIPELINE_QUANTILE_TRIM_SQL = f"""
+WITH t AS (
+  SELECT CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens FROM documents
+), r AS (
+  SELECT n_tokens,
+         row_number() OVER (ORDER BY n_tokens) AS rn,
+         COUNT(*) OVER () AS n
+  FROM t
+), th AS (
+  SELECT MIN(CASE WHEN rn = CAST((n + 3) // 4 AS BIGINT)
+             THEN n_tokens END) AS p25
+  FROM r
+)
+SELECT CAST(th.p25 AS BIGINT) AS p25_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS total_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+        WHERE n_tokens >= th.p25) AS kept_docs,
+       (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM t
+        WHERE n_tokens >= th.p25) AS kept_tokens
+FROM th
+"""
+
+QUERIES["pipeline_quantile_trim"] = QuerySpec(
+    pipeline_quantile_trim, PIPELINE_QUANTILE_TRIM_SQL
+)

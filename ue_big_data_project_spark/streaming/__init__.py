@@ -853,3 +853,62 @@ def ivf_ingest_stream(
         )
 
     return idempotent_foreach_batch(sdf, ingest, ledger_dir)
+
+
+def hll_ingest_stream(
+    sdf: DataFrame,
+    registers_path: str,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+) -> StreamingQuery:
+    """Continuous distinct-count rollup: each micro-batch's HLL
+    registers land in the batch's own ``batch_id=N`` partition of a
+    parquet sidecar; :func:`read_hll_rollup` folds every partition into
+    the corpus-wide estimate.
+
+    Crash-safety falls out of the algebra, with NO ledger: register
+    merge is idempotent AND the per-batch write is a deterministic
+    overwrite of the batch's own partition, so at-least-once replay
+    rewrites the same bytes — and even a reader racing a half-written
+    replay can only see register values the true sketch dominates
+    (min-merge absorbs duplicates). This is the streaming twin of the
+    batch sidecar-merge query (``sketch_hll_merged_modes``); per-batch
+    cost is O(batch) with a shuffle of ≤ 2^p integers per group — the
+    only at-scale way to keep live distinct counts over an unbounded
+    stream without unbounded state.
+    """
+    from ue_big_data_project_spark.operators.sketch import hll_registers
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        reg = hll_registers(
+            batch_df,
+            group_cols,
+            F.col(value_col).cast("string"),
+            p=p,
+        )
+        reg.write.mode("overwrite").parquet(
+            os.path.join(registers_path, f"batch_id={batch_id}")
+        )
+
+    return sdf.writeStream.outputMode("append").foreachBatch(ingest).start()
+
+
+def read_hll_rollup(
+    spark: SparkSession,
+    registers_path: str,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """Current distinct estimates from a register sidecar maintained by
+    :func:`hll_ingest_stream` — one bounded scan of ≤ batches·groups·2^p
+    integer rows, never of the ingested data."""
+    from ue_big_data_project_spark.operators.sketch import hll_estimate
+
+    reg = spark.read.parquet(registers_path)
+    if "batch_id" in reg.columns:
+        reg = reg.drop("batch_id")
+    merged = reg.groupBy(*group_cols, "bucket").agg(
+        F.min("min_term").alias("min_term")
+    )
+    return hll_estimate(merged, group_cols, p=p)
