@@ -103,6 +103,39 @@ def main() -> None:
             ).collect()
         return run
 
+    def qhist_exact(df):
+        # The histogram-pruned exact order statistic (the same plan
+        # sketch_qhist_prices runs on cents; here on the partkey id so
+        # the 10x copy genuinely widens the value domain too).
+        def run():
+            spark.catalog.clearCache()
+            SK.qhist_exact_quantiles(
+                df, ["l_returnflag"], F.col("l_partkey"),
+                [("p50", 1, 2), ("p95", 19, 20)],
+            ).collect()
+        return run
+
+    def naive_exact(df):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("l_returnflag").orderBy("v")
+
+        def run():
+            spark.catalog.clearCache()
+            vdf = df.select("l_returnflag", F.col("l_partkey").alias("v"))
+            ranked = vdf.select(
+                "l_returnflag", "v",
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("l_returnflag")
+                ).alias("n"),
+            )
+            ranked.filter(
+                (F.col("rn") == F.expr("CAST((n + 1) DIV 2 AS BIGINT)"))
+                | (F.col("rn") == F.expr("CAST((19 * n + 19) DIV 20 AS BIGINT)"))
+            ).collect()
+        return run
+
     def med(samples):
         return round(statistics.median(samples[1:]), 3)  # drop warmup
 
@@ -114,6 +147,10 @@ def main() -> None:
         "hll_10x": med(timed(hll_build(big), args.runs + 1)),
         "exact_1x": med(timed(exact_distinct(li), args.runs + 1)),
         "exact_10x": med(timed(exact_distinct(big), args.runs + 1)),
+        "qhist_1x": med(timed(qhist_exact(li), args.runs + 1)),
+        "qhist_10x": med(timed(qhist_exact(big), args.runs + 1)),
+        "naive_q_1x": med(timed(naive_exact(li), args.runs + 1)),
+        "naive_q_10x": med(timed(naive_exact(big), args.runs + 1)),
         "registers_1x": SK.hll_registers(
             li, ["l_returnflag"], F.col("l_partkey").cast("string"), p=6
         ).count(),
@@ -123,6 +160,10 @@ def main() -> None:
     }
     r["hll_ratio"] = round(r["hll_10x"] / max(r["hll_1x"], 1e-9), 2)
     r["exact_ratio"] = round(r["exact_10x"] / max(r["exact_1x"], 1e-9), 2)
+    r["qhist_ratio"] = round(r["qhist_10x"] / max(r["qhist_1x"], 1e-9), 2)
+    r["naive_q_ratio"] = round(
+        r["naive_q_10x"] / max(r["naive_q_1x"], 1e-9), 2
+    )
     print(json.dumps(r))
 
 
