@@ -58,6 +58,10 @@ PROXIED = {
     # Scan + global agg + 1-row scalar attach — the scan/agg kit
     # family; the trim accounting is pytest-oracle-checked.
     "pipeline_quantile_trim": "scan_filter_agg_kit",
+    # Equi-join + grouped agg — the q10/q13 family shape; the planner's
+    # three strategies are semantics-identical (tests/test_skew.py) and
+    # the result is pytest-oracle-checked.
+    "join_auto_strategy": "q13_order_count_distribution",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

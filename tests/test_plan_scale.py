@@ -287,6 +287,10 @@ SHUFFLE_BUDGETS = {
     # trim agg; the counter build hides behind the operator's eager
     # localCheckpoint as above.
     "pipeline_quantile_trim": 3,
+    # Broadcast join (planner picks it at fixture scale: customer is
+    # under the broadcast threshold) + grouped agg; the CMS planning
+    # pass only runs on the shuffle branch.
+    "join_auto_strategy": 2,
 }
 
 

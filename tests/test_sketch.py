@@ -403,3 +403,43 @@ def test_qhist_lower_py_matches_sql(spark):
     }
     for i in ids:
         assert got[i] == SK.qhist_lower_py(i), i
+
+
+def test_streaming_qhist_rollup_and_ledger(spark, tmp_path):
+    """Streaming quantile counters: multi-batch fold == single pass,
+    and — counter ADDITION not being idempotent — the ledger must make
+    a replayed foreachBatch invocation a no-op (contrast with the
+    ledger-free HLL stream above)."""
+    from ue_big_data_project_spark import streaming as ST
+
+    df = _qvals(spark, 6000, 37, tag_groups=2)
+    stage = str(tmp_path / "stage")
+    df.repartition(3).write.parquet(stage)
+    sdf = (
+        spark.readStream.schema("grp bigint, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    cnt_dir = str(tmp_path / "counters")
+    led_dir = str(tmp_path / "ledger")
+    q = ST.qhist_ingest_stream(sdf, cnt_dir, led_dir, ["grp"], "v")
+    ST.run_until_drained(q)
+    rolled = ST.read_qhist_rollup(spark, cnt_dir, ["grp"])
+    whole = SK.qhist_counters(df, ["grp"], F.col("v"))
+    assert _rows(rolled) == _rows(whole)
+    # Quantiles off the rolled counters == quantiles off a fresh build.
+    est_r = SK.qhist_quantiles(rolled, ["grp"], [("p50", 1, 2)])
+    est_w = SK.qhist_quantiles(whole, ["grp"], [("p50", 1, 2)])
+    assert _rows(est_r) == _rows(est_w)
+    # Replay a committed batch id through a second stream over the same
+    # ledger: every batch is already committed, so nothing changes.
+    sdf2 = (
+        spark.readStream.schema("grp bigint, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q2 = ST.qhist_ingest_stream(sdf2, cnt_dir, led_dir, ["grp"], "v")
+    ST.run_until_drained(q2)
+    assert _rows(ST.read_qhist_rollup(spark, cnt_dir, ["grp"])) == _rows(
+        whole
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from ue_big_data_project_spark.operators import skew as SKW
 from ue_big_data_project_spark.operators.skew import (
     salted_agg,
     salted_shuffle_join,
@@ -83,3 +84,56 @@ def test_salted_agg_matches_plain(spark, skewed_sides):
         .collect()
     }
     assert got == want
+
+
+def test_sketch_join_plan_broadcasts_small_side(spark):
+    big = spark.range(5000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    )
+    joined, decision = SKW.sketch_join_plan(big, dim, ["k"])
+    assert decision["strategy"] == "broadcast"
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert joined.count() == 5000
+
+
+def test_sketch_join_plan_salts_hot_key(spark):
+    # 90% of the big side shares one key; the other side is forced past
+    # the broadcast threshold so the skew path must engage.
+    big = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    other = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+    )
+    joined, decision = SKW.sketch_join_plan(
+        big, other, ["k"], broadcast_rows=10, skew_ratio=4
+    )
+    assert decision["strategy"] == "salted", decision
+    # CMS over-estimates only: the hot-key bound covers the true count.
+    assert decision["max_key_freq_est"] >= 18000
+    # Semantics identical to the plain join.
+    plain = big.join(other, ["k"])
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_sketch_join_plan_uniform_stays_plain(spark):
+    big = spark.range(20000).select(
+        (F.col("id") % 2000).alias("k"), F.col("id").alias("payload")
+    )
+    other = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+    )
+    joined, decision = SKW.sketch_join_plan(
+        big, other, ["k"], broadcast_rows=10, skew_ratio=8
+    )
+    assert decision["strategy"] == "shuffle", decision
+    assert joined.count() == 20000

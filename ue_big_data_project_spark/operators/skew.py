@@ -110,3 +110,72 @@ def salted_broadcast_join(
     ``broadcast()`` does the work.
     """
     return big.join(F.broadcast(small), on, how)
+
+
+def sketch_join_plan(
+    big: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    broadcast_rows: int = 1_000_000,
+    skew_ratio: int = 8,
+    shuffle_partitions: int | None = None,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> tuple[DataFrame, dict]:
+    """Pick the physical join strategy from SKETCH evidence and apply
+    it: returns ``(joined, decision)`` where ``decision`` records what
+    was measured and why.
+
+    The planning pass is bounded regardless of input size — exactly the
+    measurements the sketches exist to make cheap at 100 TB:
+
+    - ``other.count()`` (one scan, no shuffle) → broadcast eligibility;
+    - a count-min counter table over ``big``'s join key (≤ depth×width
+      integers shuffled) → ``max_key_freq_est``, an over-estimate-only
+      bound on the hottest key's row count. If even the OVER-estimate
+      is under ``skew_ratio``× the average reducer load, the key is
+      provably not skewed — the one-sided CMS error aims the test in
+      the safe direction (false "skewed" possible, false "uniform"
+      not).
+
+    Strategies: ``broadcast`` (small side under ``broadcast_rows``),
+    ``salted`` (hot key spread over ``salt_buckets`` reducers via
+    :func:`salted_shuffle_join`), else ``shuffle`` (plain — AQE's
+    runtime skew splitting remains as the backstop). All three are
+    semantics-identical for inner/left equi joins.
+    """
+    from ue_big_data_project_spark.operators.sketch import cms_counters
+
+    n_other = other.count()
+    decision: dict = {"n_other": n_other}
+    if n_other <= broadcast_rows:
+        decision["strategy"] = "broadcast"
+        return salted_broadcast_join(big, other, on, how=how), decision
+
+    n_big = big.count()
+    parts = shuffle_partitions or int(
+        big.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+    max_freq = (
+        cms_counters(big.select(key.alias("_k")), F.col("_k"))
+        .agg(F.max("cnt").alias("m"))
+        .collect()[0]["m"]
+    )
+    avg_load = max(n_big // max(parts, 1), 1)
+    decision.update(
+        n_big=n_big,
+        max_key_freq_est=int(max_freq),
+        avg_reducer_load=avg_load,
+        skew_ratio_est=round(max_freq / avg_load, 2),
+    )
+    if max_freq >= skew_ratio * avg_load:
+        decision["strategy"] = "salted"
+        return (
+            salted_shuffle_join(
+                big, other, on, salt_buckets=salt_buckets, how=how
+            ),
+            decision,
+        )
+    decision["strategy"] = "shuffle"
+    return big.join(other, on, how), decision

@@ -221,6 +221,9 @@ BENCH_EXTRA = (
     # Pipeline integration: quantile-floor corpus trim where the exact
     # p25 threshold comes from the histogram-pruned order statistic.
     "pipeline_quantile_trim",
+    # Sketch-driven physical planning: join strategy chosen from
+    # bounded evidence (small-side count + CMS hot-key bound).
+    "join_auto_strategy",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -530,3 +530,45 @@ FROM th
 QUERIES["pipeline_quantile_trim"] = QuerySpec(
     pipeline_quantile_trim, PIPELINE_QUANTILE_TRIM_SQL
 )
+
+
+def join_auto_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven physical join planning end-to-end
+    (``skew.sketch_join_plan``): revenue by market segment through a
+    join whose strategy — broadcast / salted / plain shuffle — is
+    CHOSEN from bounded sketch evidence (small-side count + a count-min
+    bound on the hottest key; CMS over-estimates only, so a "not
+    skewed" verdict is provably safe). All three strategies are
+    semantics-identical, so the oracle is the plain SQL join — the hash
+    match holds whichever branch the evidence picks (broadcast at
+    fixture scale)."""
+    from ue_big_data_project_spark.operators.skew import sketch_join_plan
+    from ue_big_data_project_spark.queries.tpch import d2, dsum
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined, _decision = sketch_join_plan(t["orders"], cust, ["o_custkey"])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(d2(F.col("o_totalprice"))).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_AUTO_STRATEGY_SQL = f"""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_round("CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)", 2)} AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+QUERIES["join_auto_strategy"] = QuerySpec(
+    join_auto_strategy, JOIN_AUTO_STRATEGY_SQL
+)

@@ -912,3 +912,51 @@ def read_hll_rollup(
         F.min("min_term").alias("min_term")
     )
     return hll_estimate(merged, group_cols, p=p)
+
+
+def qhist_ingest_stream(
+    sdf: DataFrame,
+    counters_path: str,
+    ledger_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    s: int = 3,
+) -> StreamingQuery:
+    """Continuous quantile rollup: each micro-batch's histogram counters
+    land in the batch's own ``batch_id=N`` partition;
+    :func:`read_qhist_rollup` folds the sidecar by ADDING counts.
+
+    Unlike :func:`hll_ingest_stream`, this one NEEDS the idempotence
+    ledger: register min-merge absorbs duplicate batches, counter
+    ADDITION does not — a replayed batch folded twice would double its
+    counts. The per-batch partition overwrite keeps replays
+    byte-deterministic and the ledger (commits last) keeps them
+    single-counted — the ``dedup_ingest_stream`` contract."""
+    from ue_big_data_project_spark.operators.sketch import qhist_counters
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        cnt = qhist_counters(
+            batch_df, group_cols, F.col(value_col), s=s
+        )
+        cnt.write.mode("overwrite").parquet(
+            os.path.join(counters_path, f"batch_id={batch_id}")
+        )
+
+    return idempotent_foreach_batch(sdf, ingest, ledger_dir)
+
+
+def read_qhist_rollup(
+    spark: SparkSession,
+    counters_path: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Current merged counter table from a sidecar maintained by
+    :func:`qhist_ingest_stream` — feed it to ``sketch.qhist_quantiles``
+    for live percentiles. One bounded scan of counter rows, never of
+    the ingested data."""
+    cnt = spark.read.parquet(counters_path)
+    if "batch_id" in cnt.columns:
+        cnt = cnt.drop("batch_id")
+    return cnt.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
