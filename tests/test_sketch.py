@@ -443,3 +443,39 @@ def test_streaming_qhist_rollup_and_ledger(spark, tmp_path):
     assert _rows(ST.read_qhist_rollup(spark, cnt_dir, ["grp"])) == _rows(
         whole
     )
+
+
+def test_kmv_set_difference_estimates(spark):
+    """The K-partition estimates: overlap + only-a + only-b classes are
+    disjoint samples of the union; exact when sketches are complete."""
+    a = _ids(spark, 30, "d", groups=1)  # d0..d29
+    b = spark.range(20, 50).select(
+        F.lit(0).alias("grp"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("v"),
+    )  # d20..d49: overlap 10, a-only 20, b-only 20
+    sa = SK.kmv_sketch(a, ["grp"], F.col("v"), k=64)
+    sb = SK.kmv_sketch(b, ["grp"], F.col("v"), k=64)
+    row = SK.kmv_set_estimates(sa, sb, ["grp"], k=64).collect()[0]
+    assert row["est_union"] == 50
+    assert row["est_overlap"] == 10
+    assert row["est_only_a"] == 20
+    assert row["est_only_b"] == 20
+
+
+def test_qhist_weighted_quantiles(spark):
+    """Weighted counters: the p-quantile cuts token MASS, not document
+    count — pinned against a Python weighted-CDF reference."""
+    rows = [(v, w) for v, w in ((10, 1), (100, 1), (1000, 98))]
+    df = spark.createDataFrame(rows, "v long, w long")
+    from tests.test_sketch_properties import _bin_py
+
+    cnt = SK.qhist_counters(df, [], F.col("v"), weight=F.col("w"))
+    # total mass 100; p50 rank = 50 -> falls in the v=1000 bin.
+    est = SK.qhist_quantiles(cnt, [], [("p50", 1, 2)]).collect()[0]["p50"]
+    assert est == SK.qhist_lower_py(_bin_py(1000, SK.QH_SUB_BITS))
+    # Unweighted form unchanged: p50 of 3 docs is the middle value.
+    cnt_u = SK.qhist_counters(df, [], F.col("v"))
+    est_u = SK.qhist_quantiles(cnt_u, [], [("p50", 1, 2)]).collect()[0][
+        "p50"
+    ]
+    assert est_u == SK.qhist_lower_py(_bin_py(100, SK.QH_SUB_BITS))

@@ -421,19 +421,21 @@ def kmv_set_estimates(
     group_cols: list[str],
     k: int = 32,
 ) -> DataFrame:
-    """Union and intersection distinct estimates from two KMV sketches
-    (Beyer et al. 2007): ``(group_cols…, est_union, est_overlap)``.
+    """Set-algebra distinct estimates from two KMV sketches (Beyer et
+    al. 2007): ``(group_cols…, est_union, est_overlap, est_only_a,
+    est_only_b)``.
 
     K = the k smallest hashes of the combined sketches is itself the
     KMV sketch of A ∪ B, so ``est_union`` is the plain KMV estimate on
-    K; the members of K present in BOTH input sketches are a uniform
-    sample of the union weighted by membership in A ∩ B, so
-    ``est_overlap = (matches · est_union) DIV k``. Pure integer — bit-
-    identical across engines — and when the union carries fewer than k
-    distinct hashes both inputs are complete hash sets, so the
-    "estimates" degrade to EXACT counts. Sketch-only input: two sources
-    never co-scan, the at-scale overlap-audit shape (which corpora
-    share how many documents/users?) from bounded sidecars.
+    K; K's members partition into {in both, only in A, only in B}, and
+    each class is a uniform sample of the union, so each estimate is
+    ``(class_size · est_union) DIV k``. Pure integer — bit-identical
+    across engines — and when the union carries fewer than k distinct
+    hashes both inputs are complete hash sets, so the "estimates"
+    degrade to EXACT counts. Sketch-only input: two sources never
+    co-scan, the at-scale overlap-audit shape (which corpora share how
+    many documents/users, how much is unique to each?) from bounded
+    sidecars.
     """
     aj = a.withColumnRenamed("kmin", "kmin_a")
     bj = b.withColumnRenamed("kmin", "kmin_b")
@@ -452,6 +454,18 @@ def kmv_set_estimates(
                 F.array_intersect("kmin_a", "kmin_b"),
             )
         ).alias("matches"),
+        F.size(
+            F.array_except(
+                F.slice(F.array_sort(F.array_union("kmin_a", "kmin_b")), 1, k),
+                F.col("kmin_b"),
+            )
+        ).alias("m_a_only"),
+        F.size(
+            F.array_except(
+                F.slice(F.array_sort(F.array_union("kmin_a", "kmin_b")), 1, k),
+                F.col("kmin_a"),
+            )
+        ).alias("m_b_only"),
     )
     full = F.col("usz") >= k
     est_u = F.expr(
@@ -464,14 +478,24 @@ def kmv_set_estimates(
         ),
         "usz",
         "matches",
+        "m_a_only",
+        "m_b_only",
     )
-    est_i = F.expr(f"CAST((matches * est_union) DIV {k} AS BIGINT)")
+
+    def _part(m_col: str) -> Column:
+        # ρ·est_union with ρ = members-of-K share; every K member is in
+        # exactly one of {both, a-only, b-only}, so the three partition
+        # estimates sum to (k·est_union) DIV k-rounded pieces of the
+        # union estimate.
+        est = F.expr(f"CAST(({m_col} * est_union) DIV {k} AS BIGINT)")
+        return F.when(full, est).otherwise(F.col(m_col).cast("long"))
+
     return j.select(
         *group_cols,
         "est_union",
-        F.when(full, est_i)
-        .otherwise(F.col("matches").cast("long"))
-        .alias("est_overlap"),
+        _part("matches").alias("est_overlap"),
+        _part("m_a_only").alias("est_only_a"),
+        _part("m_b_only").alias("est_only_b"),
     )
 
 
@@ -483,8 +507,9 @@ def kmv_set_estimates_sql(
     k: int = 32,
 ) -> str:
     """DuckDB twin of :func:`kmv_set_estimates` for UNGROUPED (global)
-    sketches over two FROM-able relations: one row
-    ``(est_union, est_overlap)``, the same integer formulas."""
+    sketches over two FROM-able relations: one row ``(est_union,
+    est_overlap, est_only_a, est_only_b)``, the same integer
+    formulas."""
     return f"""
 WITH sa AS (
   SELECT h FROM (
@@ -509,9 +534,13 @@ WITH sa AS (
          (SELECT MAX(h) FROM ku) AS kth,
          (SELECT COUNT(*) FROM ku
           WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
-           AS matches
+           AS matches,
+         (SELECT COUNT(*) FROM ku
+          WHERE h NOT IN (SELECT h FROM sb)) AS m_a_only,
+         (SELECT COUNT(*) FROM ku
+          WHERE h NOT IN (SELECT h FROM sa)) AS m_b_only
 ), eu AS (
-  SELECT usz, matches,
+  SELECT usz, matches, m_a_only, m_b_only,
          CASE WHEN usz >= {k}
               THEN CAST({(k - 1) * H_SPACE} // kth AS BIGINT)
               ELSE CAST(usz AS BIGINT) END AS est_union
@@ -520,7 +549,13 @@ WITH sa AS (
 SELECT est_union,
        CASE WHEN usz >= {k}
             THEN CAST((matches * est_union) // {k} AS BIGINT)
-            ELSE CAST(matches AS BIGINT) END AS est_overlap
+            ELSE CAST(matches AS BIGINT) END AS est_overlap,
+       CASE WHEN usz >= {k}
+            THEN CAST((m_a_only * est_union) // {k} AS BIGINT)
+            ELSE CAST(m_a_only AS BIGINT) END AS est_only_a,
+       CASE WHEN usz >= {k}
+            THEN CAST((m_b_only * est_union) // {k} AS BIGINT)
+            ELSE CAST(m_b_only AS BIGINT) END AS est_only_b
 FROM eu
 """
 
@@ -634,6 +669,7 @@ def qhist_counters(
     group_cols: list[str],
     value: Column,
     s: int = QH_SUB_BITS,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Per-group quantile-histogram counters ``(group_cols…, bin, cnt)``
     over a non-negative integer column.
@@ -642,11 +678,25 @@ def qhist_counters(
     group per map task (count partial-aggregates) — bounded state like
     the HLL registers — and two counter tables merge by ADDING counts
     (:func:`qhist_merge`), so per-source/per-day histogram sidecars
-    compose into corpus-wide quantiles without rescans."""
+    compose into corpus-wide quantiles without rescans.
+
+    ``weight`` (optional, a non-negative INTEGER column — integers keep
+    the counters exact and order-independent) makes the downstream
+    quantiles WEIGHTED: with weight = token count over a documents
+    table, ``qhist_quantiles(..., [("p90", 9, 10)])`` answers "what
+    document length covers 90% of the tokens" — the mass-based cut a
+    packing/budgeting pipeline actually wants — in the same bounded
+    two-exchange plan as the unweighted form."""
+    w = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    binned = _qhist_binned(
+        df.select(*group_cols, value.alias("_qv"), w.alias("_qw")),
+        [*group_cols, "_qw"],
+        F.col("_qv"),
+        s,
+    )
     return (
-        _qhist_binned(df, group_cols, value, s)
-        .groupBy(*group_cols, "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        binned.groupBy(*group_cols, "bin")
+        .agg(F.sum("_qw").cast("long").alias("cnt"))
     )
 
 
