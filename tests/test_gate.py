@@ -62,6 +62,9 @@ PROXIED = {
     # three strategies are semantics-identical (tests/test_skew.py) and
     # the result is pytest-oracle-checked.
     "join_auto_strategy": "q13_order_count_distribution",
+    # Token explode + grouped count — the text_nlp_kit family shape;
+    # pre-filter == naive equality pinned by tests/test_sketch.py.
+    "text_heavy_hitters": "text_nlp_kit",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -291,6 +291,11 @@ SHUFFLE_BUDGETS = {
     # under the broadcast threshold) + grouped agg; the CMS planning
     # pass only runs on the shuffle branch.
     "join_auto_strategy": 2,
+    # One exchange: the exact count of CMS-prefiltered candidates. The
+    # probe joins are broadcasts of the checkpointed counter table and
+    # the counter build is charged at operator-call time — the whole
+    # point: the vocabulary-wide shuffle never happens.
+    "text_heavy_hitters": 1,
 }
 
 

@@ -479,3 +479,38 @@ def test_qhist_weighted_quantiles(spark):
         "p50"
     ]
     assert est_u == SK.qhist_lower_py(_bin_py(100, SK.QH_SUB_BITS))
+
+
+def test_cms_heavy_hitters_equals_naive(spark):
+    """The CMS pre-filter must be invisible in the result: exact
+    equality with the naive group-by-having, across thresholds and a
+    deliberately collision-heavy narrow sketch (false positives get
+    counted and dropped; one-sided error forbids false negatives)."""
+    df = _ids(spark, 4000, "h", groups=40).select(
+        F.concat(F.lit("w"), (F.col("grp") % 7).cast("string")).alias("v")
+    )
+    for num, den, width in ((1, 10, 8), (1, 4, 1024), (1, 2, 16)):
+        got = sorted(
+            map(
+                tuple,
+                SK.cms_heavy_hitters(
+                    df, F.col("v"), num, den, depth=3, width=width
+                ).collect(),
+            )
+        )
+        total = df.count()
+        thr = (num * total + den - 1) // den
+        want = sorted(
+            (r["v"], r["c"])
+            for r in df.groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .collect()
+            if r["c"] >= thr
+        )
+        assert got == want, (num, den, width)
+
+
+def test_cms_heavy_hitters_rejects_bad_share(spark):
+    df = _ids(spark, 10, "x", groups=1)
+    with pytest.raises(ValueError, match="fraction"):
+        SK.cms_heavy_hitters(df, F.col("v"), 3, 2)

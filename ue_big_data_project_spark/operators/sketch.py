@@ -899,3 +899,67 @@ def qhist_lower_py(bin_id: int, s: int = QH_SUB_BITS) -> int:
         return bin_id
     shift = bin_id // m - 1
     return (m + bin_id % m) << shift
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value: Column,
+    share_num: int = 1,
+    share_den: int = 64,
+    depth: int = 3,
+    width: int = 1024,
+    out_value: str = "value",
+    out_count: str = "n",
+) -> DataFrame:
+    """EXACT heavy hitters — every value with ≥ ``share_num/share_den``
+    of all occurrences, with its true count — WITHOUT shuffling the
+    full (value, count) space.
+
+    The naive plan groupBys every distinct value (at 100 TB: a shuffle
+    the size of the vocabulary) just to discard all but a handful. Here
+    a count-min sketch pre-filters MAP-SIDE: counters build in one
+    bounded shuffle, broadcast back (one ≤ width-row join per hash
+    row), and a row only enters the exact-count shuffle if its CMS
+    estimate clears the threshold. CMS over-estimates ONLY, so the
+    candidate set is a SUPERSET of the true heavy hitters — no false
+    negatives, and the exact count then drops the false positives. The
+    result is therefore EXACTLY the naive answer (the oracle pairing),
+    with the shuffle bounded by (candidates + depth×width) instead of
+    the vocabulary.
+    """
+    if share_num <= 0 or share_den <= 0 or share_num > share_den:
+        raise ValueError(
+            f"share must be a fraction in (0, 1]: {share_num}/{share_den}"
+        )
+    vals = df.select(value.alias("_hv"))
+    counters = cms_counters(
+        vals, F.col("_hv"), depth=depth, width=width
+    ).localCheckpoint(eager=True)  # consumed by total + every probe join
+    total = counters.filter(F.col("row_idx") == 0).agg(
+        F.sum("cnt").cast("long")
+    ).collect()[0][0] or 0
+    thr = (share_num * total + share_den - 1) // share_den
+    a, b = _km_halves(F.col("_hv"))
+    probed = vals
+    est_cols = []
+    for i in range(depth):
+        side = (
+            counters.filter(F.col("row_idx") == i)
+            .select("bucket", F.col("cnt").alias(f"_c{i}"))
+        )
+        probed = probed.withColumn(
+            f"_b{i}", ((a + F.lit(i) * b) % F.lit(CMS_PRIME)) % F.lit(width)
+        ).join(
+            F.broadcast(side),
+            F.col(f"_b{i}") == F.col("bucket"),
+            "left",
+        ).drop("bucket")
+        est_cols.append(F.coalesce(F.col(f"_c{i}"), F.lit(0)))
+    est = F.least(*est_cols) if depth > 1 else est_cols[0]
+    candidates = probed.filter(est >= F.lit(thr)).select("_hv")
+    return (
+        candidates.groupBy("_hv")
+        .agg(F.count(F.lit(1)).cast("long").alias(out_count))
+        .filter(F.col(out_count) >= F.lit(thr))
+        .withColumnRenamed("_hv", out_value)
+    )

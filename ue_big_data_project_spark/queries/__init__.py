@@ -224,6 +224,9 @@ BENCH_EXTRA = (
     # Sketch-driven physical planning: join strategy chosen from
     # bounded evidence (small-side count + CMS hot-key bound).
     "join_auto_strategy",
+    # Exact heavy hitters behind a CMS map-side pre-filter whose
+    # one-sided error guarantees a candidate superset.
+    "text_heavy_hitters",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -572,3 +572,52 @@ ORDER BY c.c_mktsegment
 QUERIES["join_auto_strategy"] = QuerySpec(
     join_auto_strategy, JOIN_AUTO_STRATEGY_SQL
 )
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with ≥ 2% of all occurrences) found
+    through the CMS map-side pre-filter (``cms_heavy_hitters``): the
+    sketch's over-estimate-only error makes the candidate set a
+    superset of the truth, the exact count then removes the false
+    positives — so the oracle is the NAIVE group-by-having, and the
+    hash match proves the pruned plan drops nothing."""
+    from ue_big_data_project_spark.functions.text import normalize_text
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    )
+    return SK.cms_heavy_hitters(
+        toks,
+        F.col("token"),
+        share_num=1,
+        share_den=50,
+        depth=3,
+        width=1024,
+        out_value="token",
+        out_count="n",
+    )
+
+
+TEXT_HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split({_NORM}, ' '), w -> w <> ''))
+    AS token
+  FROM documents
+), tot AS (
+  SELECT COUNT(*) AS total FROM tok
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok, tot
+GROUP BY token, tot.total
+HAVING COUNT(*) >= (1 * tot.total + 49) // 50
+"""
+
+QUERIES["text_heavy_hitters"] = QuerySpec(
+    text_heavy_hitters, TEXT_HEAVY_HITTERS_SQL
+)
