@@ -926,6 +926,15 @@ def cms_heavy_hitters(
     result is therefore EXACTLY the naive answer (the oracle pairing),
     with the shuffle bounded by (candidates + depth×width) instead of
     the vocabulary.
+
+    This is a SHUFFLE-VOLUME lever, not a local speedup: measured
+    under a 200k-token vocabulary the exchange rows stay constant
+    (12.4k) while the naive plan's grow linearly (3.2M at 8× corpus,
+    258× more), but on a single box the naive partial aggregate wins
+    wall-time because the md5 probe math costs more than the shuffle
+    it avoids (`scripts/heavy_hitters_scale_check.py` records both).
+    Reach for it when vocabulary × map-tasks shuffle rows are the
+    bottleneck — wide vocabularies on real clusters.
     """
     if share_num <= 0 or share_den <= 0 or share_num > share_den:
         raise ValueError(
