@@ -152,9 +152,15 @@ def main() -> None:
     l10 = spark.read.parquet(l10_path)
     d10 = spark.read.parquet(d10_path)
 
-    # Warmup: codegen + parquet footers (1x plans are warm from bench
-    # history; still run both scales once untimed).
-    for frame, fn in ((l, triangles_df), (d, clusters_df)):
+    # Warmup: codegen + parquet footers — run BOTH scales once untimed,
+    # or the first timed 10x sample pays cold footer/codegen cost and
+    # can inflate the very ratio this script measures.
+    for frame, fn in (
+        (l, triangles_df),
+        (d, clusters_df),
+        (l10, triangles_df),
+        (d10, clusters_df),
+    ):
         fn(frame).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
 

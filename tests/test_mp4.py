@@ -315,3 +315,38 @@ def test_first_video_track_selected_among_multiple_tracks():
     assert info["n_samples"] == n
     want = _frames(5, n)
     assert [b for _, _, b in M.mp4_frames(patched)] == want
+
+
+def test_corrupted_entry_counts_raise_not_allocate():
+    """A forged 32-bit entry count must fail as ValueError at the box
+    bound check — not as an unbounded list allocation (the stts/ctts
+    expansion) or a struct.error mid-table (the documented contract is
+    ValueError on anything malformed)."""
+
+    def find(p: bytes, fourcc: bytes) -> int:
+        i = p.find(fourcc)
+        assert i > 0, fourcc
+        return i
+
+    base = M.synth_mp4(5)
+    for fourcc, off in ((b"stts", 8), (b"ctts", 8), (b"stsc", 8),
+                        (b"stco", 8), (b"stsz", 12)):
+        p = bytearray(base)
+        i = p.find(fourcc)
+        if i < 0:
+            continue  # this fixture may not carry a ctts
+        # count field: 4 (fourcc) + 4 (version+flags) in, except stsz
+        # whose sample count follows the 4-byte uniform-size field.
+        cnt_at = i + 4 + off
+        p[cnt_at : cnt_at + 4] = struct.pack(">I", 1_000_000)
+        with pytest.raises(ValueError):
+            M.parse_mp4(bytes(p))
+    # Truncated fixed-layout header: struct.error becomes ValueError.
+    with pytest.raises(ValueError):
+        M.parse_mp4(base[: len(base) // 3])
+
+
+def test_mp4_frames_reuses_preparsed_info():
+    p = M.synth_mp4(13)
+    info = M.parse_mp4(p)
+    assert M.mp4_frames(p, 2, info=info) == M.mp4_frames(p, 2)

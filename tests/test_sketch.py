@@ -514,3 +514,18 @@ def test_cms_heavy_hitters_rejects_bad_share(spark):
     df = _ids(spark, 10, "x", groups=1)
     with pytest.raises(ValueError, match="fraction"):
         SK.cms_heavy_hitters(df, F.col("v"), 3, 2)
+
+
+def test_qhist_exact_quantiles_empty_input(spark):
+    """Zero rows (or all-NULL values) must return an empty frame with
+    the contracted schema, not crash inferring a rows-free schema."""
+    empty = spark.createDataFrame([], "grp string, v long")
+    out = SK.qhist_exact_quantiles(
+        empty, ["grp"], F.col("v"), [("p50", 1, 2)]
+    )
+    assert out.columns == ["grp", "est_p50", "exact_p50"]
+    assert out.count() == 0
+    nulls = spark.createDataFrame([("a", None)], "grp string, v long")
+    assert SK.qhist_exact_quantiles(
+        nulls, ["grp"], F.col("v"), [("p50", 1, 2)]
+    ).count() == 0

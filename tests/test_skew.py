@@ -137,3 +137,17 @@ def test_sketch_join_plan_uniform_stays_plain(spark):
     )
     assert decision["strategy"] == "shuffle", decision
     assert joined.count() == 20000
+
+
+def test_sketch_join_plan_empty_big_side_stays_plain(spark):
+    big = spark.range(0).select(
+        F.col("id").alias("k"), F.col("id").alias("payload")
+    )
+    other = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+    )
+    joined, decision = SKW.sketch_join_plan(
+        big, other, ["k"], broadcast_rows=10
+    )
+    assert decision["strategy"] == "shuffle"
+    assert joined.count() == 0

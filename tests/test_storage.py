@@ -359,3 +359,36 @@ def test_pq_empty_inputs_raise_clear_errors(spark):
     )
     with _pt.raises(ValueError, match="empty codebooks"):
         pq_encode(some, empty_cb)
+
+
+def test_compact_small_files_partitioned_count_and_sort(spark):
+    """The partition_by path must return the REAL output file count
+    (one per key directory, not the byte-derived task count) and honor
+    sort_cols within each directory."""
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    with tempfile.TemporaryDirectory() as d:
+        small, out = os.path.join(d, "small"), os.path.join(d, "compacted")
+        li.select("l_returnflag", "l_orderkey", "l_quantity").repartition(
+            16
+        ).write.partitionBy("l_returnflag").parquet(small)
+        n = S.compact_small_files(
+            spark,
+            small,
+            out,
+            target_file_bytes=1024 * 1024,
+            sort_cols=["l_orderkey"],
+            partition_by=["l_returnflag"],
+        )
+        files = _parquet_files(out)
+        assert n == len(files)  # the documented return contract
+        dirs = {f.split("/")[-2] for f in files}
+        assert all(x.startswith("l_returnflag=") for x in dirs)
+        # sort_cols honored: each file is internally ordered.
+        import pyarrow.parquet as pq
+
+        for f in files[:2]:
+            keys = pq.read_table(f, columns=["l_orderkey"])["l_orderkey"]
+            vals = keys.to_pylist()
+            assert vals == sorted(vals), f
+        got = spark.read.parquet(out)
+        assert got.count() == li.count()

@@ -2032,13 +2032,16 @@ def sample_frames(df: DataFrame, every: int = 1, backend: str = "fake") -> DataF
                         # MP4: demux, then decode every kept sample for
                         # validation; non-MJPEG tracks hit the
                         # per-codec ffmpeg seam.
-                        codec = parse_mp4(raw)["codec"]
+                        mp4_info = parse_mp4(raw)
+                        codec = mp4_info["codec"]
                         if codec not in MP4_NATIVE_CODECS:
                             raise NotImplementedError(
                                 f"MP4 sample decode covers MJPEG; plug "
                                 f"ffmpeg in here for {codec!r} streams"
                             )
-                        for fi, _pts, frame in mp4_frames(raw, every):
+                        for fi, _pts, frame in mp4_frames(
+                            raw, every, info=mp4_info
+                        ):
                             decode_jpeg(frame)
                             ids.append(doc_id)
                             idxs.append(fi)
@@ -2312,7 +2315,13 @@ def parse_mp4(payload: bytes) -> dict:
         hdlr = _find_box(payload, mdia[0], mdia[1], b"hdlr")
         if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
-        return _parse_video_trak(payload, trak_s, trak_e, mdia)
+        try:
+            return _parse_video_trak(payload, trak_s, trak_e, mdia)
+        except (struct.error, IndexError) as e:
+            # Truncated fixed-layout fields (mdhd/stsd headers) surface
+            # as struct/index errors; the documented contract is
+            # ValueError on anything malformed.
+            raise ValueError(f"malformed sample tables: {e}") from e
     raise ValueError("no video track")
 
 
@@ -2343,13 +2352,39 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
     codec = payload[entry + 4 : entry + 8].decode("latin-1")
     width, height = struct.unpack_from(">HH", payload, entry + 8 + 24)
 
+    def entries_fit(box, header: int, entry: int, n: int, name: str) -> None:
+        # A corrupted entry count must fail HERE, not as an unbounded
+        # list/array allocation (a forged 32-bit count can demand
+        # billions of elements) or a struct.error mid-table.
+        if n < 0 or box[1] - box[0] < header + entry * n:
+            raise ValueError(f"{name} entry count exceeds its box size")
+
+    # stsz first: its sample count bounds every other table's
+    # expansion, so corrupted stts/ctts counts fail fast.
+    stsz = table(b"stsz")
+    if stsz is None:
+        raise ValueError("no stsz")
+    uniform, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
+    if n_samples > len(payload):  # every sample is >= 1 byte of mdat
+        raise ValueError("stsz sample count exceeds file size")
+    if uniform:
+        sizes = np.full(n_samples, uniform, dtype=np.int64)
+    else:
+        entries_fit(stsz, 12, 4, n_samples, "stsz")
+        sizes = np.frombuffer(
+            payload, dtype=">u4", count=n_samples, offset=stsz[0] + 12
+        ).astype(np.int64)
+
     stts = table(b"stts")
     if stts is None:
         raise ValueError("no stts")
     (n_stts,) = struct.unpack_from(">I", payload, stts[0] + 4)
+    entries_fit(stts, 8, 8, n_stts, "stts")
     deltas: list[int] = []
     for i in range(n_stts):
         cnt, delta = struct.unpack_from(">II", payload, stts[0] + 8 + 8 * i)
+        if len(deltas) + cnt > n_samples:
+            raise ValueError("stts sample count exceeds stsz")
         deltas.extend([delta] * cnt)
     dts = np.concatenate(([0], np.cumsum(deltas[:-1]))) if deltas else np.array([], dtype=np.int64)
 
@@ -2361,31 +2396,25 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
     if ctts is not None:
         version = payload[ctts[0]]
         (n_ctts,) = struct.unpack_from(">I", payload, ctts[0] + 4)
+        entries_fit(ctts, 8, 8, n_ctts, "ctts")
         fmt = ">Ii" if version == 1 else ">II"
         off_list: list[int] = []
         for i in range(n_ctts):
             cnt, offset = struct.unpack_from(fmt, payload, ctts[0] + 8 + 8 * i)
+            if len(off_list) + cnt > n_samples:
+                raise ValueError("ctts sample count exceeds stsz")
             off_list.extend([offset] * cnt)
         if len(off_list) != len(deltas):
             raise ValueError("ctts/stts sample counts disagree")
         pts_off = np.asarray(off_list, dtype=np.int64)
 
-    stsz = table(b"stsz")
-    if stsz is None:
-        raise ValueError("no stsz")
-    uniform, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
-    if uniform:
-        sizes = np.full(n_samples, uniform, dtype=np.int64)
-    else:
-        sizes = np.frombuffer(
-            payload, dtype=">u4", count=n_samples, offset=stsz[0] + 12
-        ).astype(np.int64)
     if n_samples != len(deltas):
         raise ValueError("stsz/stts sample counts disagree")
 
     co = table(b"stco")
     if co is not None:
         (n_chunks,) = struct.unpack_from(">I", payload, co[0] + 4)
+        entries_fit(co, 8, 4, n_chunks, "stco")
         chunk_off = np.frombuffer(
             payload, dtype=">u4", count=n_chunks, offset=co[0] + 8
         ).astype(np.int64)
@@ -2394,6 +2423,7 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
         if co is None:
             raise ValueError("no stco/co64")
         (n_chunks,) = struct.unpack_from(">I", payload, co[0] + 4)
+        entries_fit(co, 8, 8, n_chunks, "co64")
         chunk_off = np.frombuffer(
             payload, dtype=">u8", count=n_chunks, offset=co[0] + 8
         ).astype(np.int64)
@@ -2402,6 +2432,7 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
     if stsc is None:
         raise ValueError("no stsc")
     (n_stsc,) = struct.unpack_from(">I", payload, stsc[0] + 4)
+    entries_fit(stsc, 8, 12, n_stsc, "stsc")
     runs = [
         struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
         for i in range(n_stsc)
@@ -2449,15 +2480,19 @@ MP4_NATIVE_CODECS = {"jpeg": "decode_jpeg_pixels"}
 
 
 def mp4_frames(
-    payload: bytes, every: int = 1
+    payload: bytes, every: int = 1, info: dict | None = None
 ) -> list[tuple[int, int, bytes]]:
     """Demux and SEEK: ``[(frame_idx, pts_ms, sample_bytes), ...]`` for
-    every ``every``-th sample of the first video track, in composition
-    (presentation) time — pts = dts + the ctts offset when the
-    container carries one. Skipped frames are never touched — the
-    sample table makes sampling O(kept), the property the BMPV index
-    demonstrates and real MP4s share."""
-    info = parse_mp4(payload)
+    every ``every``-th sample of the first video track, in DECODE
+    (sample-table) order with the composition timestamp attached —
+    pts = dts + the ctts offset when the container carries one (with
+    B-frame-style reordering, pts values are therefore not monotone;
+    sort by pts for presentation order). Skipped frames are never
+    touched — the sample table makes sampling O(kept), the property
+    the BMPV index demonstrates and real MP4s share. Pass a
+    :func:`parse_mp4` result as ``info`` to reuse an existing demux
+    (callers that already probed the codec avoid a second box walk)."""
+    info = info if info is not None else parse_mp4(payload)
     ts = info["timescale"]
     return [
         (fi, info["samples"][fi][3] * 1000 // ts,
@@ -2480,7 +2515,7 @@ def decode_mp4(payload: bytes, every: int = 1) -> list[tuple[int, int, dict]]:
         )
     return [
         (fi, pts_ms, decode_jpeg(sample))
-        for fi, pts_ms, sample in mp4_frames(payload, every)
+        for fi, pts_ms, sample in mp4_frames(payload, every, info=info)
     ]
 
 

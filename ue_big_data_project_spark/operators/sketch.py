@@ -178,6 +178,12 @@ def hll_estimate_sql(
     term CASE text the Spark side evaluates, so values hash-match."""
     from ue_big_data_project_spark.functions import sql_round
 
+    if not group_cols:
+        raise ValueError(
+            "hll_estimate_sql requires at least one group column: the generated SQL "
+            "joins group names into SELECT/GROUP BY text (for a global "
+            "sketch, add a constant group column on both engines)"
+        )
     m = 1 << p
     w = H_BITS - p
     two_r = 1 << (w + 1)
@@ -393,6 +399,12 @@ def kmv_estimate_sql(
     """DuckDB twin: distinct hashes → per-group rank → k-th minimum →
     the same integer estimate (``//`` floors BIGINT in DuckDB exactly
     as Spark's ``DIV``)."""
+    if not group_cols:
+        raise ValueError(
+            "kmv_estimate_sql requires at least one group column: the generated SQL "
+            "joins group names into SELECT/GROUP BY text (for a global "
+            "sketch, add a constant group column on both engines)"
+        )
     grps = ", ".join(group_cols)
     return f"""
 WITH hashed AS (
@@ -851,12 +863,32 @@ def qhist_exact_quantiles(
         for row in hits.collect()
     ]
     spark = df.sparkSession
+    out_fields = ", ".join(
+        f"`{c}` {t}"
+        for c, t in zip(
+            [*group_cols, *(f"{n}_{o}" for o, _, _ in qs for n in ("est", "exact"))],
+            [df.schema[c].dataType.simpleString() for c in group_cols]
+            + ["bigint"] * (2 * len(qs)),
+        )
+    )
+    if not hit_rows:
+        # Empty input (or all-NULL values): no quantiles exist. Return
+        # an empty frame with the contracted schema instead of letting
+        # createDataFrame choke on a rows-free names-only schema.
+        return spark.createDataFrame([], out_fields)
+    grp_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    bounds_schema = (
+        (grp_schema + ", " if grp_schema else "")
+        + "q_name string, bin bigint, r_within bigint, lo bigint, hi bigint"
+    )
     bounds = spark.createDataFrame(
         [
             (*g, q, b, rw, qhist_lower_py(b, s), qhist_lower_py(b + 1, s) - 1)
             for (g, q, b, rw) in hit_rows
         ],
-        [*group_cols, "q_name", "bin", "r_within", "lo", "hi"],
+        bounds_schema,
     )
     vdf = df.select(
         *group_cols, value.cast("long").alias("v")

@@ -161,7 +161,7 @@ def sketch_join_plan(
         cms_counters(big.select(key.alias("_k")), F.col("_k"))
         .agg(F.max("cnt").alias("m"))
         .collect()[0]["m"]
-    )
+    ) or 0  # empty big side: no counters → no skew, plain shuffle
     avg_load = max(n_big // max(parts, 1), 1)
     decision.update(
         n_big=n_big,

@@ -321,8 +321,6 @@ FROM est, xo, xu
 
 
 _CENTS = "CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT)"
-_R50 = "CAST((n + 1) DIV 2 AS BIGINT)"
-_R95 = "CAST((19 * n + 19) DIV 20 AS BIGINT)"
 
 
 def sketch_qhist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -316,13 +316,30 @@ def compact_small_files(
     n = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(in_path)
     if partition_by:
+        # Hash-clustering on the partition key puts each key in one
+        # task, so the write yields one file per key directory — n only
+        # bounds the task count. sort_cols composes: the within-task
+        # sort LEADS with the partition columns so the writer's
+        # required ordering is already satisfied (otherwise
+        # FileFormatWriter re-sorts by partition columns alone and
+        # destroys the secondary order), leaving each directory's file
+        # ordered by sort_cols for row-group skipping.
+        clustered = df.repartition(n, *[F.col(c) for c in partition_by])
+        if sort_cols:
+            clustered = clustered.sortWithinPartitions(
+                *partition_by, *sort_cols
+            )
         (
-            df.repartition(n, *[F.col(c) for c in partition_by])
-            .write.mode("overwrite")
+            clustered.write.mode("overwrite")
             .partitionBy(*partition_by)
             .parquet(out_path)
         )
-        return n
+        return sum(
+            1
+            for root, _, files in os.walk(out_path)
+            for f in files
+            if f.endswith(".parquet")
+        )
     if sort_cols:
         (
             df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
