@@ -80,3 +80,28 @@ def test_split_by_expectations_rejects_prior_violations_column(spark):
     df = spark.createDataFrame([(1, ["x"])], "id long, _violations array<string>")
     with pytest.raises(ValueError, match="_violations"):
         OB.split_by_expectations(df, {"ok": F.lit(True)})
+
+
+def test_profile_columns_approx_distinct_drops_the_expand(spark):
+    """approx_distinct=True must (a) estimate within the HLL++ rsd
+    envelope and (b) remove the Expand the multi-column exact distinct
+    forces — the scan stops re-emitting every row once per profiled
+    column."""
+    from ue_big_data_project_spark.observability import profile_columns
+
+    df = spark.range(20000).select(
+        (F.col("id") % 977).alias("a"),
+        (F.col("id") % 5000).alias("b"),
+        F.col("id").cast("string").alias("c"),
+    )
+    exact = profile_columns(df)
+    approx = profile_columns(df, approx_distinct=True)
+    e = {r["column"]: r["n_distinct"] for r in exact.collect()}
+    a = {r["column"]: r["n_distinct"] for r in approx.collect()}
+    assert e == {"a": 977, "b": 5000, "c": 20000}
+    for col, true_n in e.items():
+        assert abs(a[col] / true_n - 1.0) < 0.10, (col, a[col], true_n)
+    p_exact = exact._jdf.queryExecution().executedPlan().toString()
+    p_approx = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in p_exact
+    assert "Expand" not in p_approx, p_approx

@@ -202,10 +202,12 @@ def executed_scan_metrics(df: DataFrame) -> dict[str, int]:
 
 
 def profile_columns(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """One-pass table profile: per column, the row count, null count,
-    exact distinct count, and (numeric columns) min/max as doubles —
+    distinct count, and (numeric columns) min/max as doubles —
     the pre-ingest audit a 100 TB pipeline runs before trusting a new
     source drop.
 
@@ -216,6 +218,16 @@ def profile_columns(
     pass, no per-column jobs. Non-numeric columns report null min/max
     (rendering min/max of strings/timestamps portably is a formatting
     contract, not a profiling one).
+
+    ``approx_distinct=True`` swaps the exact ``count_distinct`` for the
+    JVM-side HLL++ ``approx_count_distinct`` (rsd 2%). This is the
+    at-scale switch: k exact distincts in one aggregate force an
+    Expand — the scan re-emits every row k times and each distinct
+    shuffles its full value set — while the HLL sketches partial-
+    aggregate flat (plan pinned by tests). The estimate is NOT
+    cross-engine deterministic, so the oracle-paired ``pipeline_profile``
+    query keeps the exact form; the approx profile is an audit tool,
+    like the portable-sketch operators but engine-internal.
     """
     from pyspark.sql import types as T
 
@@ -230,7 +242,11 @@ def profile_columns(
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count_if(F.col(c).isNull()).alias(f"__null_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+            (
+                F.approx_count_distinct(F.col(c), rsd=0.02)
+                if approx_distinct
+                else F.countDistinct(F.col(c))
+            ).alias(f"__dist_{c}"),
             (
                 F.min(F.col(c)).cast("double")
                 if c in numeric
