@@ -65,6 +65,9 @@ PROXIED = {
     # Token explode + grouped count — the text_nlp_kit family shape;
     # pre-filter == naive equality pinned by tests/test_sketch.py.
     "text_heavy_hitters": "text_nlp_kit",
+    # Grouped agg + CDF window + scalar attach — the window-kit family;
+    # the weighted-counter math is pytest-oracle-checked.
+    "sketch_qhist_token_mass": "window_rank_kit",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

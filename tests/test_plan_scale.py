@@ -296,6 +296,9 @@ SHUFFLE_BUDGETS = {
     # the counter build is charged at operator-call time — the whole
     # point: the vocabulary-wide shuffle never happens.
     "text_heavy_hitters": 1,
+    # Weighted counter agg + bounded CDF window, twice (histogram est
+    # + distinct-length exact walk); the 1-row crossJoin broadcasts.
+    "sketch_qhist_token_mass": 4,
 }
 
 

@@ -227,6 +227,9 @@ BENCH_EXTRA = (
     # Exact heavy hitters behind a CMS map-side pre-filter whose
     # one-sided error guarantees a candidate superset.
     "text_heavy_hitters",
+    # Token-MASS quantile: weighted histogram CDF next to the exact
+    # weighted order statistic.
+    "sketch_qhist_token_mass",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -619,3 +619,91 @@ HAVING COUNT(*) >= (1 * tot.total + 49) // 50
 QUERIES["text_heavy_hitters"] = QuerySpec(
     text_heavy_hitters, TEXT_HEAVY_HITTERS_SQL
 )
+
+
+def sketch_qhist_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-MASS quantile (the packing/budgeting cut): what document
+    length covers 90% of all tokens? The histogram counters are
+    token-weighted (``qhist_counters(weight=n_tokens)``), so the CDF
+    walks token mass, not document count — next to the exact weighted
+    order statistic (cheap here: the cum walk runs over DISTINCT
+    lengths, a bounded set, never over documents)."""
+    from pyspark.sql import Window
+
+    from ue_big_data_project_spark.functions import text as TX
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(TX.token_count("text").cast("long").alias("n_tokens"))
+    cnt = SK.qhist_counters(
+        toks, [], F.col("n_tokens"), weight=F.col("n_tokens")
+    )
+    est = SK.qhist_quantiles(cnt, [], [("est_p90", 9, 10)])
+    by_len = toks.groupBy("n_tokens").agg(
+        F.sum("n_tokens").cast("long").alias("mass")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("n_tokens")
+    cum = by_len.select(
+        "n_tokens",
+        F.sum("mass").over(w).alias("cum"),
+        F.sum("mass")
+        .over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    exact = (
+        cum.filter(
+            F.col("cum") >= F.expr("CAST((9 * total + 9) DIV 10 AS BIGINT)")
+        )
+        .agg(F.min("n_tokens").alias("exact_p90"))
+    )
+    out = est.crossJoin(exact)  # two 1-row sides
+    rel = (
+        F.col("exact_p90") - F.col("est_p90")
+    ).cast("double") / F.col("exact_p90").cast("double")
+    return out.select(
+        "est_p90", "exact_p90", pround(rel, 4).alias("rel_err")
+    )
+
+
+_QH_TOK_BIN = SK.qhist_bin_sql("n_tokens")
+
+SKETCH_QHIST_TOKEN_MASS_SQL = f"""
+WITH t AS (
+  SELECT CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens FROM documents
+), c AS (
+  SELECT {_QH_TOK_BIN} AS bin, CAST(SUM(n_tokens) AS BIGINT) AS cnt
+  FROM t GROUP BY 1
+), cum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM c
+), hit AS (
+  SELECT MIN(CASE WHEN cum >= CAST((9 * n + 9) // 10 AS BIGINT)
+             THEN bin END) AS b90
+  FROM cum
+), est AS (
+  SELECT CAST({SK.qhist_lower_sql("b90")} AS BIGINT) AS est_p90 FROM hit
+), bylen AS (
+  SELECT n_tokens, CAST(SUM(n_tokens) AS BIGINT) AS mass
+  FROM t GROUP BY n_tokens
+), wcum AS (
+  SELECT n_tokens, SUM(mass) OVER (ORDER BY n_tokens) AS cum,
+         SUM(mass) OVER () AS total
+  FROM bylen
+), ex AS (
+  SELECT MIN(n_tokens) AS exact_p90 FROM wcum
+  WHERE cum >= CAST((9 * total + 9) // 10 AS BIGINT)
+)
+SELECT e.est_p90, x.exact_p90,
+       {sql_round(
+           "(x.exact_p90 - e.est_p90) / CAST(x.exact_p90 AS DOUBLE)", 4)}
+         AS rel_err
+FROM est e, ex x
+"""
+
+QUERIES["sketch_qhist_token_mass"] = QuerySpec(
+    sketch_qhist_token_mass, SKETCH_QHIST_TOKEN_MASS_SQL
+)
