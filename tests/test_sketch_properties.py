@@ -172,3 +172,65 @@ def test_kmv_set_estimates_match_python_reference(spark, a_vals, b_vals, k):
         est_i = len(set(sa) & set(sb))
     assert got["est_union"] == est_u
     assert got["est_overlap"] == est_i
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]),
+        min_size=4,
+        max_size=120,
+    ),
+    den=st.sampled_from([3, 8, 20]),
+)
+def test_cms_heavy_hitters_match_python_reference(spark, vals, den):
+    """Exact heavy hitters through the CMS pre-filter must equal the
+    Python counter-based answer for any value mix and threshold — the
+    pre-filter is invisible by construction (one-sided error)."""
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = sorted(
+        map(
+            tuple,
+            SK.cms_heavy_hitters(
+                df, F.col("v"), 1, den, depth=3, width=16
+            ).collect(),
+        )
+    )
+    thr = (len(vals) + den - 1) // den
+    c = Counter(vals)
+    want = sorted((v, n) for v, n in c.items() if n >= thr)
+    assert got == want
+
+
+@SET
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100_000),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_qhist_weighted_quantiles_match_python_reference(spark, pairs):
+    """Weighted counters walk MASS: the estimate must equal the lower
+    bound of the first bin whose cumulative weight reaches ceil(q·W),
+    per a Python weighted-CDF reference."""
+    df = spark.createDataFrame(pairs, "v long, w long")
+    cnt = SK.qhist_counters(df, [], F.col("v"), weight=F.col("w"))
+    est = SK.qhist_quantiles(
+        cnt, [], [("p50", 1, 2), ("p90", 9, 10)]
+    ).collect()[0]
+    mass: Counter = Counter()
+    for v, w in pairs:
+        mass[_bin_py(v, SK.QH_SUB_BITS)] += w
+    total = sum(w for _, w in pairs)
+    for name, num, den in (("p50", 1, 2), ("p90", 9, 10)):
+        r = (num * total + den - 1) // den
+        cum = 0
+        for b in sorted(mass):
+            cum += mass[b]
+            if cum >= r:
+                assert est[name] == SK.qhist_lower_py(b), (name, b)
+                break
