@@ -529,3 +529,104 @@ def test_qhist_exact_quantiles_empty_input(spark):
     assert SK.qhist_exact_quantiles(
         nulls, ["grp"], F.col("v"), [("p50", 1, 2)]
     ).count() == 0
+
+
+# --------------------------------------------------------------------------
+# NULL semantics (round-7 advice): the whole sketch family excludes
+# NULL values — COUNT(DISTINCT) semantics, matching KMV's collect_set.
+# --------------------------------------------------------------------------
+
+
+def _with_nulls(spark, n, nulls, tag="n"):
+    """n tagged distinct values + `nulls` NULL rows, single group."""
+    vals = spark.range(n).select(
+        F.lit(0).alias("grp"),
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("v"),
+    )
+    nul = spark.range(nulls).select(
+        F.lit(0).alias("grp"), F.lit(None).cast("string").alias("v")
+    )
+    return vals.unionByName(nul)
+
+
+def test_hll_nulls_excluded(spark):
+    """NULLs must not mint a phantom bucket=NULL register (min_term=1,
+    maximum-rho evidence) nor count toward `observed` — with all 64
+    real buckets occupied that pushed the unseen-bucket correction
+    negative. Registers and estimate must equal the non-NULL subset's."""
+    df = _with_nulls(spark, 2000, 500)  # 2000 distinct occupies all 64
+    reg = SK.hll_registers(df, ["grp"], F.col("v"), p=6)
+    regs = reg.collect()
+    assert all(r.bucket is not None for r in regs)
+    assert len(regs) <= 64
+    clean = SK.hll_registers(
+        df.filter(F.col("v").isNotNull()), ["grp"], F.col("v"), p=6
+    )
+    assert _rows(reg) == _rows(clean)
+    est = SK.hll_estimate(reg, ["grp"], p=6).collect()[0]["est_distinct"]
+    assert est > 0
+
+
+def test_hll_sql_twin_null_parity(spark):
+    """The DuckDB twin's WHERE mirrors the Spark-side NULL filter, so
+    both engines agree bit-for-bit on NULL-bearing input."""
+    import duckdb
+
+    df = _with_nulls(spark, 300, 77)
+    est = SK.hll_estimate(
+        SK.hll_registers(df, ["grp"], F.col("v"), p=6), ["grp"], p=6
+    ).collect()[0]["est_distinct"]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.sql(
+        SK.hll_estimate_sql("t", ["grp"], "v", p=6)
+    ).fetchall()[0][1]
+    assert est == want
+
+
+def test_kmv_sql_twin_null_parity(spark):
+    """collect_set drops NULLs on the Spark side; the SQL twin's
+    DISTINCT would keep a NULL hash row without its WHERE — parity on
+    NULL-bearing input pins the shared exclusion."""
+    import duckdb
+
+    df = _with_nulls(spark, 100, 33)
+    est = SK.kmv_estimate(
+        SK.kmv_sketch(df, ["grp"], F.col("v"), k=32), ["grp"], k=32
+    ).collect()[0]["est_distinct"]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.sql(
+        SK.kmv_estimate_sql("t", ["grp"], "v", k=32)
+    ).fetchall()[0][1]
+    assert est == want
+
+
+def test_cms_counters_exclude_nulls(spark):
+    """Counter totals reflect only non-NULL occurrences: a NULL hashes
+    to NULL buckets no probe can reach, so counting it would inflate
+    totals with unreachable mass."""
+    df = _with_nulls(spark, 50, 25)
+    counters = SK.cms_counters(df, F.col("v"), depth=3, width=64)
+    per_row = (
+        counters.groupBy("row_idx").agg(F.sum("cnt").alias("s")).collect()
+    )
+    assert {r.s for r in per_row} == {50}
+
+
+def test_cms_heavy_hitters_ignores_nulls(spark):
+    """NULLs are excluded from the total AND the candidate space, so
+    the threshold is a share of the non-NULL occurrences — without the
+    filter 88 NULLs would raise thr from 2 to 10 and silently drop
+    'b' even though no NULL could ever surface as a candidate."""
+    rows = [("a",)] * 10 + [("b",)] * 2 + [(None,)] * 88
+    df = spark.createDataFrame(rows, "v string")
+    got = sorted(
+        map(
+            tuple,
+            SK.cms_heavy_hitters(
+                df, F.col("v"), 1, 10, depth=3, width=64
+            ).collect(),
+        )
+    )
+    assert got == [("a", 10), ("b", 2)]

@@ -107,11 +107,19 @@ def hll_registers(
     group per map task regardless of input size — the bounded-state
     property that makes this the at-scale distinct counter. Absent
     buckets mean rho=0; :func:`hll_estimate` adds their 2^R terms back.
+
+    NULL values are EXCLUDED before bucketing — COUNT(DISTINCT)
+    semantics, shared by the whole sketch family (KMV's collect_set
+    drops NULLs natively). Without the filter a NULL hashes to a
+    phantom ``bucket = NULL`` register whose min_term=1 (maximum-rho
+    evidence) ALSO counts toward ``observed``, so a fully-occupied
+    group would push the unseen-bucket correction ``m − observed``
+    negative and corrupt S (round-7 advice).
     """
     m = 1 << p
     w = H_BITS - p
     h = hash48(value)
-    base = df.select(
+    base = df.filter(value.isNotNull()).select(
         *group_cols,
         (h % F.lit(m)).alias("bucket"),
         ((h - h % F.lit(m)) / F.lit(m)).cast("long").alias("r"),
@@ -175,7 +183,9 @@ def hll_estimate_sql(
 ) -> str:
     """DuckDB/ANSI twin of registers→estimate over ``table_sql``
     (a FROM-able relation string). Emits the same generated hash and
-    term CASE text the Spark side evaluates, so values hash-match."""
+    term CASE text the Spark side evaluates, so values hash-match —
+    including the NULL-exclusion WHERE mirroring
+    :func:`hll_registers`."""
     from ue_big_data_project_spark.functions import sql_round
 
     if not group_cols:
@@ -198,6 +208,7 @@ def hll_estimate_sql(
     return f"""
 WITH hashed AS (
   SELECT {grps}, {hash48_sql(value_sql)} AS h FROM {table_sql}
+  WHERE ({value_sql}) IS NOT NULL
 ), bucketed AS (
   SELECT {grps}, h % {m} AS bucket,
          CAST((h - (h % {m})) / {m} AS BIGINT) AS r
@@ -238,6 +249,10 @@ def kmv_sketch(
     state is O(distinct-per-group ∩ below-threshold); for grand-total
     sketches over high-cardinality keys, build per-source sketches
     (bounded groups) and :func:`kmv_merge` the sidecars instead.
+
+    NULLs are excluded by construction: ``hash48(NULL)`` is NULL and
+    ``collect_set`` drops NULLs — the COUNT(DISTINCT) semantics the
+    whole sketch family shares (see :func:`hll_registers`).
     """
     h = hash48(value)
     base = df.select(*group_cols, h.alias("h"))
@@ -318,7 +333,13 @@ def cms_counters(
     (:func:`cms_merge`), so per-source/per-day sidecars compose like
     the HLL registers. Point lookups over-estimate only (min of d
     counters ≥ true count, never under) — the standard CMS guarantee.
+
+    NULL values are EXCLUDED — the sketch family's shared semantics
+    (see :func:`hll_registers`): a NULL hashes to NULL buckets that no
+    probe can ever hit, so counting it would inflate bucket totals
+    with occurrences that are unreachable by lookup.
     """
+    df = df.filter(value.isNotNull())
     a, b = _km_halves(value)
     rb = F.explode(
         F.array(
@@ -398,7 +419,9 @@ def kmv_estimate_sql(
 ) -> str:
     """DuckDB twin: distinct hashes → per-group rank → k-th minimum →
     the same integer estimate (``//`` floors BIGINT in DuckDB exactly
-    as Spark's ``DIV``)."""
+    as Spark's ``DIV``). NULL values are excluded by WHERE — SQL's
+    DISTINCT would otherwise keep a NULL row that Spark's collect_set
+    silently drops, a cross-engine divergence on NULL-bearing input."""
     if not group_cols:
         raise ValueError(
             "kmv_estimate_sql requires at least one group column: the generated SQL "
@@ -409,6 +432,7 @@ def kmv_estimate_sql(
     return f"""
 WITH hashed AS (
   SELECT DISTINCT {grps}, {hash48_sql(value_sql)} AS h FROM {table_sql}
+  WHERE ({value_sql}) IS NOT NULL
 ), ranked AS (
   SELECT {grps}, h,
          row_number() OVER (PARTITION BY {grps} ORDER BY h) AS rn
@@ -527,12 +551,14 @@ WITH sa AS (
   SELECT h FROM (
     SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
       SELECT DISTINCT {hash48_sql(a_value_sql)} AS h FROM {a_table_sql}
+      WHERE ({a_value_sql}) IS NOT NULL
     )
   ) WHERE rn <= {k}
 ), sb AS (
   SELECT h FROM (
     SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
       SELECT DISTINCT {hash48_sql(b_value_sql)} AS h FROM {b_table_sql}
+      WHERE ({b_value_sql}) IS NOT NULL
     )
   ) WHERE rn <= {k}
 ), un AS (
@@ -972,7 +998,15 @@ def cms_heavy_hitters(
         raise ValueError(
             f"share must be a fraction in (0, 1]: {share_num}/{share_den}"
         )
-    vals = df.select(value.alias("_hv"))
+    # NULLs are excluded from BOTH the total and the candidate space
+    # (round-7 advice): a NULL hashes to NULL buckets, joins nothing in
+    # the probe, and so could never surface as a candidate — counting
+    # it in `total` would only raise the threshold and silently break
+    # the "EXACTLY the naive answer" contract on NULL-bearing columns.
+    # The naive twin of this plan is therefore group-by-having over the
+    # NON-NULL values (what a GROUP BY would report for the NULL group
+    # is a different question than "which VALUES are heavy").
+    vals = df.select(value.alias("_hv")).filter(F.col("_hv").isNotNull())
     counters = cms_counters(
         vals, F.col("_hv"), depth=depth, width=width
     ).localCheckpoint(eager=True)  # consumed by total + every probe join
