@@ -185,6 +185,20 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # Round-8 rotation continuity (round-7 verdict task 1): report the
+    # sum over the NEW gate-50 next to the sum over the round-5–7 frozen
+    # gate-50. Both sets are fully contained in the (unchanged) bench
+    # set, so both sums come from this run's live medians and the r5–r7
+    # perf series (88.9 → 100.4 → 71.9 s) stays directly comparable.
+    from ue_big_data_project_spark.queries import GATE_ORDER, GATE_ORDER_R7
+
+    gate_sum = round(
+        sum(timings[n] for n in GATE_ORDER if n in timings), 3
+    )
+    gate_r7_sum = round(
+        sum(timings[n] for n in GATE_ORDER_R7 if n in timings), 3
+    )
+
     # The driver records only the LAST 2000 BYTES of stdout; round 4's
     # 79-query JSON line outgrew that and came back "parsed": null, so
     # 14 timings were invisible to the perf gate. The full per-query map
@@ -198,6 +212,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "runs_per_query": passes,
+        "gate50_sum": gate_sum,
+        "gate50_r7_sum": gate_r7_sum,
     }
     if sentinel_samples:
         flat = [s for p in sentinel_samples for s in p]
@@ -217,8 +233,6 @@ def main() -> None:
         f.write("\n")
     print(json.dumps(full), file=sys.stderr)
 
-    from ue_big_data_project_spark.queries import GATE_ORDER
-
     compact_queries = {
         name: round(statistics.median(samples[name]), 2)
         for name in sorted(GATE_ORDER)
@@ -235,6 +249,8 @@ def main() -> None:
                 "queries": compact_queries,
                 "sf": sf_val,
                 "runs_per_query": passes,
+                "gate50_sum": gate_sum,
+                "gate50_r7_sum": gate_r7_sum,
                 "bench_n": len(timings),
                 # Truncation must be detectable from stdout ALONE
                 # (round-5 advice): a reader who sees dropped > 0 knows
