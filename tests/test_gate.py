@@ -37,6 +37,10 @@ PROXIED = {
     # As-of family anchor after asof_first_ship rotated out: the
     # streaming as-of twin runs the same operator contract.
     "asof_bucketed_prev_click": "streaming_asof_join",
+    # Round-8-new, post-re-freeze: stss keyframe extraction rides the
+    # same demux + per-sample-decode pipeline the (now in-gate) frames
+    # entry hashes; the stss walk itself is pinned by tests/test_mp4.py.
+    "multimodal_mp4_keyframes": "multimodal_mp4_frames",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

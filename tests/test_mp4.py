@@ -350,3 +350,85 @@ def test_mp4_frames_reuses_preparsed_info():
     p = M.synth_mp4(13)
     info = M.parse_mp4(p)
     assert M.mp4_frames(p, 2, info=info) == M.mp4_frames(p, 2)
+
+
+def test_stss_keyframe_walk_touches_only_sync_samples():
+    """The stss path (round-7 verdict task 5): keyframe extraction
+    returns exactly the sync samples' still-encoded bytes with their
+    pts, never slicing non-keyframes; absent stss, every sample is
+    sync per ISO 14496-12 §8.6.2."""
+    frames = _frames(7, 8)
+    h, w = M.synth_mp4_frame_pixels(7, 0).shape
+    p = M.encode_mp4_mjpeg(
+        frames, width=w, height=h, chunk_plan=[2, 3, 3],
+        sync_samples=[1, 4, 7],
+    )
+    info = M.parse_mp4(p)
+    assert info["sync_samples"] == [0, 3, 6]
+    got = M.mp4_keyframes(p)
+    assert [fi for fi, _, _ in got] == [0, 3, 6]
+    assert [pts for pts in (x[1] for x in got)] == [0, 120, 240]
+    assert [b for _, _, b in got] == [frames[0], frames[3], frames[6]]
+    # No stss box -> all-intra: every sample is a keyframe.
+    p_all = M.encode_mp4_mjpeg(frames, width=w, height=h)
+    assert [fi for fi, _, _ in M.mp4_keyframes(p_all)] == list(range(8))
+
+
+def test_stss_keyframes_work_for_undecodable_codecs():
+    """The seam narrows to PIXEL decode: an avc1-stamped container
+    still yields its still-encoded keyframe access units (what an
+    external decoder consumes), while full pixel decode keeps raising
+    the documented NotImplementedError."""
+    frames = [b"\x00\x01fake-avc-au-%d" % i for i in range(6)]
+    p = M.encode_mp4_mjpeg(
+        frames, width=16, height=8, codec=b"avc1", sync_samples=[1, 5]
+    )
+    got = M.mp4_keyframes(p)
+    assert [(fi, b) for fi, _, b in got] == [(0, frames[0]), (4, frames[4])]
+    with pytest.raises(NotImplementedError, match="keyframe extraction"):
+        M.decode_mp4(p)
+
+
+def test_stss_forgeries_rejected():
+    frames = _frames(3, 4)
+    h, w = M.synth_mp4_frame_pixels(3, 0).shape
+    base = M.encode_mp4_mjpeg(
+        frames, width=w, height=h, sync_samples=[1, 3]
+    )
+    # Forged entry count must fail bounded, not allocate.
+    p = bytearray(base)
+    i = p.find(b"stss")
+    p[i + 8 : i + 12] = struct.pack(">I", 1_000_000)
+    with pytest.raises(ValueError, match="stss"):
+        M.parse_mp4(bytes(p))
+    # Out-of-range / non-increasing sample numbers are forgeries too.
+    p = bytearray(base)
+    p[i + 12 : i + 16] = struct.pack(">I", 9)  # > n_samples
+    with pytest.raises(ValueError, match="stss"):
+        M.parse_mp4(bytes(p))
+    # The muxer refuses to write them in the first place.
+    with pytest.raises(ValueError, match="sync_samples"):
+        M.encode_mp4_mjpeg(frames, width=w, height=h, sync_samples=[3, 1])
+
+
+def test_mp4_keyframe_samples_dataframe_op(spark):
+    """End-to-end DataFrame shape: containers in, one still-encoded
+    keyframe row per stss entry out, codec column carrying the stsd
+    fourcc so downstream decode can dispatch."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(4).select(F.col("id").alias("doc_id"))
+    with_payload = M.attach_mp4(ids)
+    out = M.mp4_keyframe_samples(with_payload).orderBy("doc_id", "frame_idx")
+    rows = out.collect()
+    # synth_mp4 writes no stss -> every frame of every doc is sync.
+    expect_n = sum(1 + d % 8 for d in range(4))
+    assert len(rows) == expect_n
+    assert {r.codec for r in rows} == {"jpeg"}
+    # Each emitted sample is the bit-exact encoded frame.
+    r0 = [r for r in rows if r.doc_id == 3 and r.frame_idx == 2][0]
+    import ue_big_data_project_spark.operators.multimodal as MM
+
+    want = MM.encode_jpeg_baseline(MM.synth_mp4_frame_pixels(3, 2))
+    assert bytes(r0.sample) == want
+    assert r0.pts_ms == 80

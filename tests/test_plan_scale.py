@@ -211,6 +211,9 @@ SHUFFLE_BUDGETS = {
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +
                                     # sample decode stay in-partition
+    "multimodal_mp4_keyframes": 1,  # same; the stss walk, keyframe
+                                    # slice, and decode never shuffle
+                                    # payloads
     "events_cube": 1,               # Expand feeds one aggregation exchange
     "events_props_variant": 1,      # variant path walk + one agg exchange
     # Corpus-size-dependent: (doc,term) postings + term df + stats

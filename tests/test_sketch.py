@@ -630,3 +630,32 @@ def test_cms_heavy_hitters_ignores_nulls(spark):
         )
     )
     assert got == [("a", 10), ("b", 2)]
+
+
+def test_heavy_hitters_dispatch_branches_agree(spark):
+    """The auto-dispatcher (round-7 verdict task 3) must return the
+    identical result whichever branch the cardinality evidence picks;
+    forcing the cutover to 0 (always CMS) and huge (always naive) pins
+    both, and the decision dict records the estimate and the choice."""
+    df = _ids(spark, 4000, "h", groups=40).select(
+        F.concat(F.lit("w"), (F.col("grp") % 7).cast("string")).alias("v")
+    )
+    naive, d_naive = SK.heavy_hitters(
+        df, F.col("v"), 1, 10, cms_min_distinct=10**9
+    )
+    cms, d_cms = SK.heavy_hitters(df, F.col("v"), 1, 10, cms_min_distinct=0)
+    assert d_naive["strategy"] == "naive"
+    assert d_cms["strategy"] == "cms_prefilter"
+    assert d_naive["est_distinct"] == d_cms["est_distinct"] > 0
+    assert _rows(naive) == _rows(cms)
+
+
+def test_heavy_hitters_default_cutover_picks_naive_at_fixture_scale(spark):
+    """At any vocabulary a test fixture can produce, the default 2M
+    cutover must choose the naive plan — the measured single-box
+    winner (scripts/heavy_hitters_scale_check.py: 0.66 s naive vs
+    3.55 s CMS at 200k distinct)."""
+    df = _ids(spark, 2000, "t", groups=1)
+    out, decision = SK.heavy_hitters(df, F.col("v"), 1, 2)
+    assert decision["strategy"] == "naive"
+    assert out.count() == 0  # 2000 uniform singletons, none >= 50%

@@ -151,3 +151,71 @@ def test_sketch_join_plan_empty_big_side_stays_plain(spark):
     )
     assert decision["strategy"] == "shuffle"
     assert joined.count() == 0
+
+
+def test_sketch_join_plan_sampled_planning_same_decisions(spark):
+    """Sampled planning (round-7 verdict task 4) must reach the same
+    strategy as exact planning on all three branch fixtures: the skew
+    test is a ratio so the fraction cancels, and the safety factor only
+    lowers the bar (errs toward the semantics-identical salted plan)."""
+    hot_big = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    uniform_big = spark.range(20000).select(
+        (F.col("id") % 2000).alias("k"), F.col("id").alias("payload")
+    )
+    other = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+    )
+    joined, d = SKW.sketch_join_plan(
+        hot_big, other, ["k"], broadcast_rows=10, skew_ratio=4,
+        planning_fraction=0.2,
+    )
+    assert d["strategy"] == "salted", d
+    assert d["planning"] == {"mode": "sampled", "fraction": 0.2, "safety": 2}
+    # Scaled estimates are in the right ballpark (18000 true hot rows).
+    assert 9000 <= d["max_key_freq_est"] <= 40000
+    # Result is semantics-identical to the plain join.
+    plain = hot_big.join(other, ["k"])
+    assert joined.count() == plain.count()
+
+    _, d2 = SKW.sketch_join_plan(
+        uniform_big, other, ["k"], broadcast_rows=10, skew_ratio=8,
+        planning_fraction=0.2,
+    )
+    assert d2["strategy"] == "shuffle", d2
+
+    dim = spark.range(50).select(F.col("id").alias("k"))
+    _, d3 = SKW.sketch_join_plan(
+        spark.range(5000).select((F.col("id") % 50).alias("k")),
+        dim, ["k"], planning_fraction=0.2,
+    )
+    assert d3["strategy"] == "broadcast"
+
+
+def test_sketch_join_plan_sampled_empty_big_side(spark):
+    big = spark.range(0).select(
+        F.col("id").alias("k"), F.col("id").alias("payload")
+    )
+    other = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+    )
+    joined, decision = SKW.sketch_join_plan(
+        big, other, ["k"], broadcast_rows=10, planning_fraction=0.5
+    )
+    assert decision["strategy"] == "shuffle"
+    assert joined.count() == 0
+
+
+def test_sketch_join_plan_rejects_bad_fraction(spark):
+    big = spark.range(10).select(F.col("id").alias("k"))
+    other = spark.range(100).select(F.col("id").alias("k"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="planning_fraction"):
+        SKW.sketch_join_plan(
+            big, other, ["k"], broadcast_rows=10, planning_fraction=1.5
+        )

@@ -2132,6 +2132,7 @@ def encode_mp4_mjpeg(
     codec: bytes = b"jpeg",
     co64: bool = False,
     ctts_offsets: list[int] | None = None,
+    sync_samples: list[int] | None = None,
 ) -> bytes:
     """Minimal-but-spec-shaped ISO BMFF writer for one video track of
     pre-encoded JPEG samples: ``[ftyp][mdat][moov]`` with real
@@ -2139,8 +2140,12 @@ def encode_mp4_mjpeg(
     samples group into mdat chunks (exercises stsc run resolution);
     ``codec`` stamps the stsd sample-entry fourcc (tests use ``avc1``
     to pin the unsupported-codec contract); ``co64`` forces 64-bit
-    chunk offsets. The fixture source for the demuxer tests — the same
-    role :func:`encode_jpeg_baseline` plays for the JPEG decoder."""
+    chunk offsets; ``sync_samples`` (1-based sample numbers, what
+    inter-frame codecs' muxers emit for their keyframes) writes an
+    ``stss`` sync-sample box — omitted, every sample is sync per ISO
+    14496-12 §8.6.2. The fixture source for the demuxer tests — the
+    same role :func:`encode_jpeg_baseline` plays for the JPEG
+    decoder."""
     if not frames:
         raise ValueError("need at least one frame")
     n = len(frames)
@@ -2218,7 +2223,23 @@ def encode_mp4_mjpeg(
             struct.pack(">I", n)
             + b"".join(struct.pack(">Ii", 1, o) for o in ctts_offsets),
         )
-    stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco)
+    stss = b""
+    if sync_samples is not None:
+        if any(not 1 <= s <= n for s in sync_samples) or sorted(
+            set(sync_samples)
+        ) != list(sync_samples):
+            raise ValueError(
+                "sync_samples must be strictly increasing 1-based sample "
+                "numbers within the track"
+            )
+        stss = _full_box(
+            b"stss",
+            0,
+            0,
+            struct.pack(">I", len(sync_samples))
+            + b"".join(struct.pack(">I", s) for s in sync_samples),
+        )
+    stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco + stss)
     dinf = _box(b"dinf", _full_box(b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")))
     vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">4H", 0, 0, 0, 0))
     minf = _box(b"minf", vmhd + dinf + stbl)
@@ -2294,11 +2315,13 @@ def parse_mp4(payload: bytes) -> dict:
     stts/stsc/stsz/stco(co64) resolution → absolute sample table.
 
     Returns ``{codec, width, height, timescale, duration_ms, n_samples,
-    samples: [(offset, size, dts, pts), ...]}`` (pts = dts + ctts
-    composition offset where present) — offsets index straight
-    into ``payload`` (mdat is never copied). Raises ``ValueError`` on
-    anything malformed — non-BMFF bytes, truncated boxes, missing
-    required boxes, sample extents past EOF, table inconsistencies."""
+    samples: [(offset, size, dts, pts), ...], sync_samples: [idx...]}``
+    (pts = dts + ctts composition offset where present; sync_samples =
+    0-based keyframe indices from stss, or every sample when the box is
+    absent) — offsets index straight into ``payload`` (mdat is never
+    copied). Raises ``ValueError`` on anything malformed — non-BMFF
+    bytes, truncated boxes, missing required boxes, sample extents past
+    EOF, table inconsistencies."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF (MP4) container")
     moov = _find_box(payload, 0, len(payload), b"moov")
@@ -2462,6 +2485,31 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
     if si != n_samples:
         raise ValueError("stsc assigns fewer samples than stsz holds")
 
+    # stss (optional): the sync-sample table — which samples are
+    # random-access points (keyframes). Absent, EVERY sample is sync
+    # (ISO 14496-12 §8.6.2, the MJPEG/all-intra case). Entry numbers
+    # are 1-based and must be strictly increasing within the track;
+    # out-of-range or disordered numbers are forgeries, not keyframes.
+    stss = table(b"stss")
+    if stss is None:
+        sync = list(range(n_samples))
+    else:
+        (n_stss,) = struct.unpack_from(">I", payload, stss[0] + 4)
+        entries_fit(stss, 8, 4, n_stss, "stss")
+        nums = np.frombuffer(
+            payload, dtype=">u4", count=n_stss, offset=stss[0] + 8
+        ).astype(np.int64)
+        if len(nums) and (
+            nums[0] < 1
+            or nums[-1] > n_samples
+            or np.any(np.diff(nums) <= 0)
+        ):
+            raise ValueError(
+                "stss sample numbers must be strictly increasing within "
+                "[1, sample count]"
+            )
+        sync = [int(s) - 1 for s in nums]
+
     return {
         "codec": codec,
         "width": int(width),
@@ -2470,6 +2518,7 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
         "duration_ms": int(duration) * 1000 // int(timescale),
         "n_samples": int(n_samples),
         "samples": samples,
+        "sync_samples": sync,
     }
 
 
@@ -2501,6 +2550,34 @@ def mp4_frames(
     ]
 
 
+def mp4_keyframes(
+    payload: bytes, info: dict | None = None
+) -> list[tuple[int, int, bytes]]:
+    """Keyframe extraction WITHOUT any pixel decode (round-7 verdict
+    task 5): ``[(frame_idx, pts_ms, still_encoded_sample_bytes), ...]``
+    for each sync sample in the ``stss`` table (every sample when the
+    box is absent — the all-intra case). Works for ANY codec — the
+    demuxer seeks to exact sample extents, so an avc1/hev1 container
+    yields its still-encoded keyframe access units ready for an
+    external decoder; the ``NotImplementedError`` seam is thereby
+    narrowed to PIXEL decode only. Non-keyframes are never touched, so
+    the cost is O(keyframes), the property real preview/thumbnail
+    pipelines rely on."""
+    info = info if info is not None else parse_mp4(payload)
+    ts = info["timescale"]
+    return [
+        (
+            fi,
+            info["samples"][fi][3] * 1000 // ts,
+            payload[
+                info["samples"][fi][0] : info["samples"][fi][0]
+                + info["samples"][fi][1]
+            ],
+        )
+        for fi in info["sync_samples"]
+    ]
+
+
 def decode_mp4(payload: bytes, every: int = 1) -> list[tuple[int, int, dict]]:
     """Demux + full pixel decode of every ``every``-th frame:
     ``[(frame_idx, pts_ms, features), ...]`` with the same feature dict
@@ -2510,8 +2587,11 @@ def decode_mp4(payload: bytes, every: int = 1) -> list[tuple[int, int, dict]]:
     info = parse_mp4(payload)
     if info["codec"] not in MP4_NATIVE_CODECS:
         raise NotImplementedError(
-            f"MP4 sample decode covers MJPEG ('jpeg' entries); plug "
-            f"ffmpeg in here for {info['codec']!r} streams"
+            f"MP4 PIXEL decode covers MJPEG ('jpeg' entries); plug "
+            f"ffmpeg in here for {info['codec']!r} streams — demux, "
+            f"frame seeking, and still-encoded keyframe extraction "
+            f"(mp4_keyframes / mp4_keyframe_samples) already work for "
+            f"this codec"
         )
     return [
         (fi, pts_ms, decode_jpeg(sample))
@@ -2546,11 +2626,15 @@ def synth_mp4_frame_pixels(doc_id: int, frame_idx: int) -> np.ndarray:
     return np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
 
 
-def synth_mp4(doc_id: int) -> bytes:
+def synth_mp4(doc_id: int, keyframe_stride: int | None = None) -> bytes:
     """Deterministic MJPEG-in-MP4 container for ``doc_id``: 1 + doc_id %
     8 frames at 25 fps (timescale 1000, delta 40 → pts_ms = 40·idx),
     chunked in an alternating 2/3 pattern so the stsc table carries
-    real runs, not the single-chunk degenerate case."""
+    real runs, not the single-chunk degenerate case. ``keyframe_stride``
+    writes an ``stss`` marking every stride-th sample sync (what an
+    inter-frame codec's muxer emits for its GOP structure); None (the
+    default, byte-identical to pre-round-8 output) omits the box —
+    all-intra semantics."""
     n_frames = 1 + doc_id % 8
     frames = [
         encode_jpeg_baseline(synth_mp4_frame_pixels(doc_id, fi))
@@ -2563,13 +2647,25 @@ def synth_mp4(doc_id: int) -> bytes:
         plan.append(take)
         left -= take
         nxt = 5 - nxt  # alternate 2, 3
-    return encode_mp4_mjpeg(frames, width=w, height=h, chunk_plan=plan)
+    sync = (
+        list(range(1, n_frames + 1, keyframe_stride))
+        if keyframe_stride
+        else None
+    )
+    return encode_mp4_mjpeg(
+        frames, width=w, height=h, chunk_plan=plan, sync_samples=sync
+    )
 
 
-def attach_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_mp4(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    keyframe_stride: int | None = None,
+) -> DataFrame:
     """Ingestion edge for the compressed-video path: (id) → (doc_id,
     payload) with a genuine MJPEG-in-MP4 container built per row in the
-    Arrow workers."""
+    Arrow workers. ``keyframe_stride`` forwards to :func:`synth_mp4`
+    (an stss box marking every stride-th sample)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2577,7 +2673,9 @@ def attach_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "payload": [synth_mp4(int(i)) for i in ids],
+                    "payload": [
+                        synth_mp4(int(i), keyframe_stride) for i in ids
+                    ],
                 }
             )
 
@@ -2616,3 +2714,53 @@ def mp4_frame_features(df: DataFrame, every: int = 1) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(gen, MP4_FRAMES_SCHEMA)
+
+
+MP4_KEYFRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("pts_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample", T.BinaryType()),
+    ]
+)
+
+
+def mp4_keyframe_samples(df: DataFrame) -> DataFrame:
+    """Keyframe EXTRACTION for the external-decoder seam: one row per
+    ``stss`` sync sample of each container — (doc_id, frame_idx,
+    pts_ms, codec, still-encoded sample bytes). No pixel decode
+    happens, so this works for every codec the demuxer can seek
+    (avc1/hev1 included — exactly what gets piped to ffmpeg or a GPU
+    decoder); non-keyframe samples are never sliced. Bytes stay in the
+    partition that read them (mapInPandas, no shuffle of payloads) —
+    downstream decode parallelism comes from repartitioning the
+    emitted keyframes, which are the small fraction a preview/
+    thumbnail/contact-sheet pipeline actually wants."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in MP4_KEYFRAMES_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                info = parse_mp4(raw)
+                for fi, pts_ms, sample in mp4_keyframes(raw, info=info):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(fi)
+                    rows["pts_ms"].append(pts_ms)
+                    rows["codec"].append(info["codec"])
+                    rows["sample"].append(sample)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "pts_ms": pd.Series(rows["pts_ms"], dtype="int64"),
+                    "codec": pd.Series(rows["codec"], dtype="object"),
+                    "sample": pd.Series(rows["sample"], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(gen, MP4_KEYFRAMES_SCHEMA)

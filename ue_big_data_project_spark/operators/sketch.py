@@ -1038,3 +1038,89 @@ def cms_heavy_hitters(
         .filter(F.col(out_count) >= F.lit(thr))
         .withColumnRenamed("_hv", out_value)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value: Column,
+    share_num: int = 1,
+    share_den: int = 64,
+    depth: int = 3,
+    width: int = 1024,
+    out_value: str = "value",
+    out_count: str = "n",
+    cms_min_distinct: int | None = None,
+    p: int = 10,
+) -> tuple[DataFrame, dict]:
+    """EXACT heavy hitters with the physical plan AUTO-DISPATCHED from
+    the engine's own cardinality evidence (round-7 verdict task 3 — the
+    :func:`~ue_big_data_project_spark.operators.skew.sketch_join_plan`
+    pattern): returns ``(result, decision)`` where ``decision`` records
+    what was estimated and which plan ran. Both plans return EXACTLY
+    the naive group-by-having answer (pinned result-equivalent by
+    tests), so the choice is purely physical.
+
+    Dispatch evidence: one bounded HLL pass (2^p registers, one
+    bounded shuffle) estimates the value column's distinct count.
+
+    - ``est_distinct <= cms_min_distinct`` → the NAIVE plan: one
+      partial-aggregated groupBy. Its shuffle carries up to
+      ``distinct × map_tasks`` partial rows — fine while the per-task
+      distinct-key hash table fits memory.
+    - above the cutover → the CMS pre-filter plan
+      (:func:`cms_heavy_hitters`): shuffle bounded by
+      ``depth × width + candidates`` regardless of vocabulary (measured
+      258× fewer exchange rows at 8× corpus under a 200k vocabulary).
+
+    The default cutover is 2,000,000 distinct: the measured trade
+    (``scripts/heavy_hitters_scale_check.py``) is that on one box the
+    naive plan wins WALL TIME at every vocabulary that fits the
+    per-task aggregate hash table (0.66 s vs 3.55 s at 200k distinct —
+    the md5 probe math costs more than the shuffle it avoids), while
+    the CMS plan wins SHUFFLE VOLUME; multi-million-distinct
+    vocabularies are where map-side partial aggregation stops absorbing
+    the key space (hash tables spill, every map task emits ~every key)
+    and shuffle bytes become the bottleneck a real cluster pays for.
+    Pass ``cms_min_distinct`` explicitly to move the cutover for
+    narrower networks (lower it) or fatter single boxes (raise it).
+    """
+    if cms_min_distinct is None:
+        cms_min_distinct = 2_000_000
+    vals = df.select(value.alias("_hv")).filter(F.col("_hv").isNotNull())
+    est_distinct = int(
+        hll_estimate(
+            hll_registers(vals, [], F.col("_hv"), p=p), [], p=p
+        ).collect()[0]["est_distinct"]
+    )
+    decision = {
+        "est_distinct": est_distinct,
+        "cms_min_distinct": cms_min_distinct,
+        "hll_p": p,
+    }
+    import logging
+
+    if est_distinct > cms_min_distinct:
+        decision["strategy"] = "cms_prefilter"
+        logging.getLogger(__name__).info("heavy_hitters dispatch: %s", decision)
+        out = cms_heavy_hitters(
+            vals,
+            F.col("_hv"),
+            share_num=share_num,
+            share_den=share_den,
+            depth=depth,
+            width=width,
+            out_value=out_value,
+            out_count=out_count,
+        )
+        return out, decision
+    decision["strategy"] = "naive"
+    logging.getLogger(__name__).info("heavy_hitters dispatch: %s", decision)
+    total = vals.count()
+    thr = (share_num * total + share_den - 1) // share_den
+    out = (
+        vals.groupBy("_hv")
+        .agg(F.count(F.lit(1)).cast("long").alias(out_count))
+        .filter(F.col(out_count) >= F.lit(thr))
+        .withColumnRenamed("_hv", out_value)
+    )
+    return out, decision

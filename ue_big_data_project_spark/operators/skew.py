@@ -121,6 +121,8 @@ def sketch_join_plan(
     shuffle_partitions: int | None = None,
     salt_buckets: int = 16,
     how: str = "inner",
+    planning_fraction: float | None = None,
+    safety: int = 2,
 ) -> tuple[DataFrame, dict]:
     """Pick the physical join strategy from SKETCH evidence and apply
     it: returns ``(joined, decision)`` where ``decision`` records what
@@ -130,13 +132,35 @@ def sketch_join_plan(
     measurements the sketches exist to make cheap at 100 TB:
 
     - ``other.count()`` (one scan, no shuffle) → broadcast eligibility;
-    - a count-min counter table over ``big``'s join key (≤ depth×width
-      integers shuffled) → ``max_key_freq_est``, an over-estimate-only
-      bound on the hottest key's row count. If even the OVER-estimate
-      is under ``skew_ratio``× the average reducer load, the key is
-      provably not skewed — the one-sided CMS error aims the test in
-      the safe direction (false "skewed" possible, false "uniform"
-      not).
+    - ONE fused pass over ``big``'s join key builds the count-min
+      counter table (≤ depth×width integers shuffled) and reads BOTH
+      planning numbers off it in a single bounded aggregate: the exact
+      row count (row 0's counters partition the keys, so their sum IS
+      n; ``concat_ws`` never yields NULL, so no row escapes the
+      sketch's NULL filter) and ``max_key_freq_est``, an
+      over-estimate-only bound on the hottest key's row count. The
+      round-7 plan paid ``big.count()`` PLUS the counter build — two
+      full scans; fusing them halves planning cost with the identical
+      decision (A/B in ``scripts/join_plan_ab.py``). If even the
+      OVER-estimate is under ``skew_ratio``× the average reducer load,
+      the key is provably not skewed — the one-sided CMS error aims
+      the test in the safe direction (false "skewed" possible, false
+      "uniform" not).
+
+    ``planning_fraction`` (round-7 verdict task 4) bounds planning cost
+    for inputs where even one full scan is too expensive: the fused
+    pass runs over a seeded Bernoulli sample of ``big``. The skew test
+    is a RATIO (max_key_freq / (n/partitions)), so the sample fraction
+    cancels and the sampled test needs no rescaling; sampling noise is
+    two-sided, so the bar drops by ``safety`` (default 2 — declare
+    skewed at half the ratio), which errs only toward ``salted`` (a
+    semantics-identical plan) and makes a missed true hot key require
+    the sampled count to fall below HALF its expectation — for a key
+    worth salting (≥ skew_ratio·n/partitions rows, e.g. ≥ 4·10⁶ rows
+    at n=10⁹/parts=2000/ratio=8) and any fraction ≥ 10⁻⁴, a
+    ≤ exp(−p·f/8) ≈ exp(−50) Chernoff tail. Exact mode (None, the
+    default) keeps the PROVABLE one-sided guarantee; pass a fraction
+    when ``big`` is a raw warehouse-scale scan.
 
     Strategies: ``broadcast`` (small side under ``broadcast_rows``),
     ``salted`` (hot key spread over ``salt_buckets`` reducers via
@@ -152,24 +176,50 @@ def sketch_join_plan(
         decision["strategy"] = "broadcast"
         return salted_broadcast_join(big, other, on, how=how), decision
 
-    n_big = big.count()
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+    keys = big.select(key.alias("_k"))
+    ratio_bar = skew_ratio
+    if planning_fraction is not None:
+        if not 0.0 < planning_fraction <= 1.0:
+            raise ValueError(
+                f"planning_fraction must be in (0, 1]: {planning_fraction}"
+            )
+        keys = keys.sample(fraction=planning_fraction, seed=7)
+        ratio_bar = skew_ratio / max(safety, 1)
+        decision["planning"] = {
+            "mode": "sampled",
+            "fraction": planning_fraction,
+            "safety": safety,
+        }
+    else:
+        decision["planning"] = {"mode": "exact"}
     parts = shuffle_partitions or int(
         big.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
-    max_freq = (
-        cms_counters(big.select(key.alias("_k")), F.col("_k"))
-        .agg(F.max("cnt").alias("m"))
-        .collect()[0]["m"]
-    ) or 0  # empty big side: no counters → no skew, plain shuffle
-    avg_load = max(n_big // max(parts, 1), 1)
+    # One job reads both numbers off the bounded counter table: row 0's
+    # buckets partition the (sampled) keys so their sum is the exact
+    # (sampled) row count; the max cell is the one-sided hot-key bound.
+    stats = (
+        cms_counters(keys, F.col("_k"))
+        .agg(
+            F.sum(F.when(F.col("row_idx") == 0, F.col("cnt")))
+            .cast("long")
+            .alias("n"),
+            F.max("cnt").alias("m"),
+        )
+        .collect()[0]
+    )
+    n_keys = stats["n"] or 0  # empty (or empty-sample) big side
+    max_freq = stats["m"] or 0
+    avg_load = max(n_keys // max(parts, 1), 1)
+    scale = 1.0 / planning_fraction if planning_fraction else 1.0
     decision.update(
-        n_big=n_big,
-        max_key_freq_est=int(max_freq),
-        avg_reducer_load=avg_load,
+        n_big=int(n_keys * scale),
+        max_key_freq_est=int(max_freq * scale),
+        avg_reducer_load=int(avg_load * scale),
         skew_ratio_est=round(max_freq / avg_load, 2),
     )
-    if max_freq >= skew_ratio * avg_load:
+    if max_freq >= ratio_bar * avg_load and n_keys > 0:
         decision["strategy"] = "salted"
         return (
             salted_shuffle_join(

@@ -290,6 +290,12 @@ BENCH_EXTRA = (
     # multi-round-green entries whose gate slots went to the round-7-new
     # queries. Benched every round, so the bench set is unchanged.
     *_ROTATED_OUT_R8,
+    # Round-8-new (gate re-frozen, so driver evidence arrives via the
+    # local pytest oracle + the in-gate mp4-frames proxy): keyframe
+    # extraction through the stss sync-sample table — still-encoded
+    # samples out, decode-stage verification against the closed-form
+    # luma oracle.
+    "multimodal_mp4_keyframes",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -295,3 +295,83 @@ QUERIES = {
         multimodal_mp4_frames, MULTIMODAL_MP4_FRAMES_SQL
     ),
 }
+
+
+def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction through the stss sync-sample table (round-7
+    verdict task 5): each document's container carries an stss marking
+    every 3rd sample (the GOP structure an inter-frame codec's muxer
+    writes), ``mp4_keyframe_samples`` seeks ONLY those samples and
+    emits them STILL-ENCODED — no pixel decode in the extraction, so
+    the same path serves avc1/hev1 containers bound for an external
+    decoder — and a downstream decode stage (the external decoder's
+    stand-in, valid here because the samples are MJPEG) proves every
+    emitted byte is the exact encoded keyframe: its luma sums match the
+    closed-form oracle. Non-keyframes are never sliced, so cost is
+    O(keyframes), the preview/thumbnail-pipeline property."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    kf = MM.mp4_keyframe_samples(MM.attach_mp4(ids, keyframe_stride=3))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [MM.decode_jpeg(bytes(s)) for s in pdf["sample"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "pts_ms": pdf["pts_ms"].astype("int64"),
+                    "codec": pdf["codec"],
+                    "sum_luma": pd.Series(
+                        [f["sum_luma"] for f in feats], dtype="int64"
+                    ),
+                }
+            )
+
+    return kf.mapInPandas(
+        decode,
+        "doc_id long, frame_idx int, pts_ms long, codec string, sum_luma long",
+    )
+
+
+# Keyframes at stride 3 over n = 1 + doc_id % 8 samples: frame_idx in
+# range(0, n, 3); pts_ms = 40*idx; luma closed form as in
+# MULTIMODAL_MP4_FRAMES_SQL.
+MULTIMODAL_MP4_KEYFRAMES_SQL = """
+WITH sampled AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, 1 + doc_id % 8, 3)) AS INTEGER) AS frame_idx
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, frame_idx, 1 + doc_id % 5 AS bw, 1 + doc_id % 3 AS bh
+  FROM sampled
+),
+bxs AS (
+  SELECT doc_id, frame_idx, bw, bh, unnest(range(0, bw)) AS bx FROM dims
+),
+blocks AS (
+  SELECT doc_id, frame_idx, bw, bh, bx, unnest(range(0, bh)) AS by
+  FROM bxs
+),
+vals AS (
+  SELECT doc_id, frame_idx,
+         128 + 2 * (((doc_id + 11 * frame_idx + 3 * bx + 5 * by) % 50) - 25)
+           AS v
+  FROM blocks
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(40 * frame_idx AS BIGINT) AS pts_ms,
+       'jpeg' AS codec,
+       CAST(sum(64 * v) AS BIGINT) AS sum_luma
+FROM vals GROUP BY doc_id, frame_idx
+"""
+
+QUERIES["multimodal_mp4_keyframes"] = QuerySpec(
+    multimodal_mp4_keyframes, MULTIMODAL_MP4_KEYFRAMES_SQL
+)

@@ -573,12 +573,16 @@ QUERIES["join_auto_strategy"] = QuerySpec(
 
 
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters (tokens with ≥ 2% of all occurrences) found
-    through the CMS map-side pre-filter (``cms_heavy_hitters``): the
-    sketch's over-estimate-only error makes the candidate set a
-    superset of the truth, the exact count then removes the false
-    positives — so the oracle is the NAIVE group-by-having, and the
-    hash match proves the pruned plan drops nothing."""
+    """Exact heavy hitters (tokens with ≥ 2% of all occurrences),
+    AUTO-DISPATCHED (``sketch.heavy_hitters``, round-7 verdict task 3):
+    an HLL pass estimates the vocabulary size, then the engine picks
+    the naive partial-aggregated group-by-having (what wins wall-time
+    while the per-task key table fits memory — this fixture) or the CMS
+    map-side pre-filter (whose one-sided over-estimate keeps the
+    candidate set a superset, bounding the shuffle by depth×width +
+    candidates at multi-million-token vocabularies). Both plans return
+    EXACTLY the same rows, so the single naive oracle hash-checks
+    whichever branch the evidence picks."""
     from ue_big_data_project_spark.functions.text import normalize_text
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -590,7 +594,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token")
     )
-    return SK.cms_heavy_hitters(
+    out, _decision = SK.heavy_hitters(
         toks,
         F.col("token"),
         share_num=1,
@@ -600,6 +604,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_value="token",
         out_count="n",
     )
+    return out
 
 
 TEXT_HEAVY_HITTERS_SQL = f"""
