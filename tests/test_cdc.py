@@ -133,3 +133,117 @@ def test_scd2_version_ties_break_on_order_cols(spark):
     }
     assert out["first"] == (10, False)
     assert out["second"] == (None, True)
+
+
+# --------------------------------------------------------------------------
+# merge_into (round-8 capability): Delta-style MERGE as one plan.
+# --------------------------------------------------------------------------
+
+
+def _merge_fixtures(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [(2, 5.0, False), (3, 0.0, True), (9, 90.0, False)],
+        "id long, delta double, drop_it boolean",
+    )
+    return target, source
+
+
+def test_merge_into_update_delete_insert(spark):
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    target, source = _merge_fixtures(spark)
+    out = merge_into(
+        target,
+        source,
+        ["id"],
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+        delete_when=F.col("s.drop_it"),
+        insert_values={"name": F.lit("new"), "bal": F.col("s.delta")},
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (1, "a", 10.0),   # target-only: untouched
+        (2, "b", 25.0),   # matched: updated
+        (4, "d", 40.0),   # target-only: untouched
+        (9, "new", 90.0),  # source-only: inserted
+    ]  # id=3 deleted
+
+
+def test_merge_into_without_insert_ignores_source_only(spark):
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    target, source = _merge_fixtures(spark)
+    out = merge_into(
+        target,
+        source,
+        ["id"],
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+    )
+    ids = sorted(r.id for r in out.collect())
+    assert ids == [1, 2, 3, 4]  # no delete clause, no insert of id=9
+
+
+def test_merge_into_duplicate_source_keys_raise(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    target, _ = _merge_fixtures(spark)
+    dup = spark.createDataFrame(
+        [(2, 1.0, False), (2, 2.0, False)],
+        "id long, delta double, drop_it boolean",
+    )
+    out = merge_into(
+        target, dup, ["id"],
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+    )
+    with pytest.raises(Exception, match="ambiguous"):
+        out.collect()
+
+
+def test_merge_into_null_keys_match_null_safe(spark):
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    target = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "y", 2.0)], "id long, name string, bal double"
+    )
+    source = spark.createDataFrame(
+        [(None, 100.0, False)], "id long, delta double, drop_it boolean"
+    )
+    out = merge_into(
+        target, source, ["id"],
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+    )
+    got = sorted(map(tuple, out.collect()), key=lambda r: (r[0] is None, r))
+    # NULL target key matched the NULL source key (updated), not
+    # mistaken for an unmatched side.
+    assert (None, "x", 101.0) in got and (1, "y", 2.0) in got
+    assert len(got) == 2
+
+
+def test_merge_into_contract_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    target, source = _merge_fixtures(spark)
+    with pytest.raises(ValueError, match="merge key"):
+        merge_into(target, source, ["id"], update_set={"id": F.lit(0)})
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_into(target, source, ["id"], update_set={"nope": F.lit(0)})
+    with pytest.raises(ValueError, match="insert_values must cover"):
+        merge_into(
+            target, source, ["id"], insert_values={"bal": F.lit(0.0)}
+        )

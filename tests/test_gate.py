@@ -41,6 +41,14 @@ PROXIED = {
     # same demux + per-sample-decode pipeline the (now in-gate) frames
     # entry hashes; the stss walk itself is pinned by tests/test_mp4.py.
     "multimodal_mp4_keyframes": "multimodal_mp4_frames",
+    # Round-8-new, post-re-freeze: the CMS inner-product join-size
+    # estimator builds on the counter tables the in-gate sketch entry
+    # hashes; the over-estimate guarantee is pinned by tests/test_sketch.py.
+    "sketch_join_size": "sketch_cms_tokens",
+    # Round-8-new, post-re-freeze: MERGE is the keyed-snapshot family
+    # the in-gate SCD2 entry hashes; clause semantics pinned by
+    # tests/test_cdc.py.
+    "cdc_merge_into": "cdc_scd2_history",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

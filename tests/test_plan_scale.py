@@ -214,6 +214,16 @@ SHUFFLE_BUDGETS = {
     "multimodal_mp4_keyframes": 1,  # same; the stss walk, keyframe
                                     # slice, and decode never shuffle
                                     # payloads
+    "cdc_merge_into": 5,            # stats agg + source-count window +
+                                    # the full-outer key join + final
+                                    # project; synthetic-insert branch
+                                    # reuses the stats agg
+    "sketch_join_size": 8,          # 2 bounded counter builds (orders
+                                    # sketch reused by both estimates)
+                                    # + 2 inner-product aggs + the
+                                    # exact twins (self-F2 group + FK
+                                    # join) the estimates are checked
+                                    # against
     "events_cube": 1,               # Expand feeds one aggregation exchange
     "events_props_variant": 1,      # variant path walk + one agg exchange
     # Corpus-size-dependent: (doc,term) postings + term df + stats

@@ -659,3 +659,62 @@ def test_heavy_hitters_default_cutover_picks_naive_at_fixture_scale(spark):
     out, decision = SK.heavy_hitters(df, F.col("v"), 1, 2)
     assert decision["strategy"] == "naive"
     assert out.count() == 0  # 2000 uniform singletons, none >= 50%
+
+
+# --------------------------------------------------------------------------
+# CMS inner-product join-size estimation (round-8 capability).
+# --------------------------------------------------------------------------
+
+
+def test_cms_join_size_never_underestimates(spark):
+    """Every hash row's inner product counts all same-bucket key pairs,
+    a superset of the true key pairs — so the min over rows is still an
+    over-estimate. Pinned across widths (narrow = heavy collisions)."""
+    a = _ids(spark, 3000, "a", groups=30).select(F.col("grp").cast("string").alias("v"))
+    b = _ids(spark, 2000, "b", groups=50).select(F.col("grp").cast("string").alias("v"))
+    exact = a.join(b, "v").count()
+    for width in (8, 64, 1024):
+        ca = SK.cms_counters(a, F.col("v"), depth=3, width=width)
+        cb = SK.cms_counters(b, F.col("v"), depth=3, width=width)
+        est = SK.cms_join_size(ca, cb).collect()[0]["est_join_rows"]
+        assert est >= exact, (width, est, exact)
+
+
+def test_cms_join_size_exact_when_collision_free(spark):
+    """With far more buckets than keys and no collisions in any row,
+    each inner product equals the true join size exactly (F2 for the
+    self-join case)."""
+    df = spark.createDataFrame(
+        [("k%d" % (i % 5),) for i in range(100)], "v string"
+    )
+    c = SK.cms_counters(df, F.col("v"), depth=4, width=65536)
+    est = SK.cms_join_size(c, c).collect()[0]["est_join_rows"]
+    exact = sum(
+        r.c * r.c
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    assert est == exact == 5 * 20 * 20
+
+
+def test_cms_join_size_from_merged_sidecars(spark):
+    """Counter addition composes: the estimate from cms_merge'd per-half
+    sidecars equals the whole-corpus estimate — join sizes are
+    predictable from sidecars that never co-scanned the data."""
+    df = _ids(spark, 2000, "m", groups=20).select(
+        F.col("grp").cast("string").alias("v")
+    )
+    whole = SK.cms_counters(df, F.col("v"), depth=3, width=256)
+    even = SK.cms_counters(
+        df.filter(F.col("v").cast("int") % 2 == 0), F.col("v"), depth=3, width=256
+    )
+    odd = SK.cms_counters(
+        df.filter(F.col("v").cast("int") % 2 == 1), F.col("v"), depth=3, width=256
+    )
+    merged = SK.cms_merge(even, odd)
+    probe = SK.cms_counters(
+        spark.createDataFrame([("3",), ("7",)], "v string"),
+        F.col("v"), depth=3, width=256,
+    )
+    est_whole = SK.cms_join_size(whole, probe).collect()[0]["est_join_rows"]
+    est_merged = SK.cms_join_size(merged, probe).collect()[0]["est_join_rows"]
+    assert est_whole == est_merged

@@ -107,3 +107,111 @@ def scd2_history(
     return hist.withColumnRenamed(version_col, "valid_from").withColumnRenamed(
         "_valid_to", "valid_to"
     )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_set: dict[str, "F.Column"] | None = None,
+    delete_when: "F.Column | None" = None,
+    insert_values: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
+    """Delta-style MERGE INTO as one declarative plan: returns the next
+    snapshot of ``target`` after applying ``source`` row-by-key —
+
+    - matched & ``delete_when`` → row dropped;
+    - matched otherwise → ``update_set`` columns replaced, other
+      columns kept;
+    - source-only keys → inserted via ``insert_values`` (omit to ignore
+      unmatched source rows — WHEN NOT MATCHED THEN do nothing);
+    - target-only keys → pass through unchanged.
+
+    Clause expressions reference the two sides by DataFrame alias —
+    ``F.col("t.<col>")`` for target, ``F.col("s.<col>")`` for source —
+    the Delta MERGE naming, resolved by Spark's alias qualifiers.
+
+    Spark shape: ONE full-outer equi join on the keys (AQE broadcasts a
+    small source), every clause a codegen CASE — no driver state, no
+    window. The SQL-standard/Delta ambiguity guard is enforced IN-PLAN:
+    a source carrying duplicate keys would apply two updates to one
+    target row nondeterministically, so each source row carries its
+    per-key count (one partial-agg pass) and the plan raises on
+    count > 1 — the job fails loudly instead of merging garbage, the
+    same fail-inside-the-job contract as pagerank's decimal guard.
+
+    At 100 TB: snapshot partitioned by key + dynamic partition
+    overwrite → only partitions holding changed keys rewrite; the merge
+    itself is the one key-shuffle (or zero with a broadcastable batch).
+    """
+    upd = update_set or {}
+    t_cols = target.columns
+    for c in keys:
+        if c in upd:
+            raise ValueError(f"update_set may not rewrite merge key {c!r}")
+    bad = [c for c in upd if c not in t_cols]
+    if bad:
+        raise ValueError(f"update_set targets unknown columns: {bad}")
+    if insert_values is not None:
+        missing = [
+            c for c in t_cols if c not in keys and c not in insert_values
+        ]
+        if missing:
+            raise ValueError(
+                f"insert_values must cover every non-key target column; "
+                f"missing: {missing}"
+            )
+
+    # Per-key source count via a WINDOW (not agg + name-equi re-join:
+    # plain equality would drop NULL-keyed source rows that the
+    # null-safe merge join below legitimately matches).
+    s_cnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    # Explicit presence markers, NOT key-null tests: the join condition
+    # is null-safe, so a NULL key value can legitimately match — only a
+    # marker distinguishes "side absent" from "side present with NULL".
+    s = source.withColumn("_s_cnt", s_cnt).withColumn(
+        "_s_present", F.lit(True)
+    ).alias("s")
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    cond = [
+        F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}")) for c in keys
+    ]
+    j = t.join(s, cond, "full_outer")
+    t_here = F.col("_t_present").isNotNull()
+    s_here = F.col("_s_present").isNotNull()
+    matched = t_here & s_here
+    s_only = ~t_here & s_here
+    guard = F.when(
+        F.col("_s_cnt") > 1,
+        F.raise_error(
+            F.format_string(
+                "merge_into: %s source rows share one key — merge is "
+                "ambiguous (sequence intra-batch changes first)",
+                F.col("_s_cnt").cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.lit(1))
+
+    keep = F.lit(True)
+    if delete_when is not None:
+        keep = ~(matched & F.coalesce(delete_when, F.lit(False)))
+    if insert_values is None:
+        keep = keep & ~s_only
+
+    out_cols = []
+    for c in t_cols:
+        if c in keys:
+            val = F.when(s_only, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        else:
+            val = F.col(f"t.{c}")
+            if c in upd:
+                val = F.when(matched, upd[c]).otherwise(val)
+            if insert_values is not None:
+                val = F.when(s_only, insert_values[c]).otherwise(val)
+        out_cols.append(val.alias(c))
+    # The guard rides the filter as a conjunct so every surviving row
+    # evaluates it inside codegen (coalesce: target-only rows carry a
+    # NULL _s_cnt and are never ambiguous).
+    return j.filter(keep & (F.coalesce(guard, F.lit(1)) == 1)).select(
+        *out_cols
+    )

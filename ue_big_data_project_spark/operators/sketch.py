@@ -1124,3 +1124,80 @@ def heavy_hitters(
         .withColumnRenamed("_hv", out_value)
     )
     return out, decision
+
+
+def cms_join_size(
+    a_counters: DataFrame,
+    b_counters: DataFrame,
+    out_col: str = "est_join_rows",
+) -> DataFrame:
+    """Equi-join OUTPUT-SIZE upper bound from two count-min counter
+    tables built with the SAME depth/width over each side's join key —
+    the classic CMS inner-product estimator (Cormode & Muthukrishnan
+    2005): per hash row, ``Σ_buckets cnt_a · cnt_b`` counts every
+    same-bucket key pair, which includes every TRUE key pair, so each
+    row's sum ≥ |A ⋈ B| and the min over the depth rows is still ≥ —
+    over-estimate ONLY, the same one-sided guarantee the rest of the
+    sketch planning layer is built on. With B = A this is the F₂
+    self-join moment (AMS).
+
+    Cost: one join of two ≤ depth×width integer tables — the join's
+    size is ESTIMATED without running it, from sidecars that never
+    co-scanned. Collision inflation is bounded in expectation by
+    ``F1_a·F1_b / width`` per row; size ``width ≳ F1_a·F1_b / (ε·true)``
+    for an ε-relative bound, i.e. wider sketches for bigger inputs —
+    the estimate column next to the exact count (the registry query)
+    shows the realized gap at fixture scale.
+
+    Returns one row ``(est_join_rows,)`` — pure integer arithmetic,
+    bit-identical across engines and partitionings.
+    """
+    a = a_counters.select(
+        "row_idx", "bucket", F.col("cnt").alias("_ca")
+    )
+    b = b_counters.select(
+        "row_idx", "bucket", F.col("cnt").alias("_cb")
+    )
+    per_row = (
+        a.join(b, ["row_idx", "bucket"])
+        .groupBy("row_idx")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_s"))
+    )
+    return per_row.agg(F.min("_s").cast("long").alias(out_col))
+
+
+def cms_counters_sql(
+    table_sql: str,
+    value_sql: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB/ANSI twin of :func:`cms_counters` over ``table_sql``: the
+    same Kirsch–Mitzenmacher row hashes from the same md5 halves, the
+    same NULL exclusion, one ``(row_idx, bucket, cnt)`` row per counter.
+    Emitted as a FROM-able subquery string so join-size / lookup
+    oracles compose it per side."""
+
+    def hex8(start: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"(strpos('0123456789abcdef', "
+                f"substr(md5({value_sql}), {start + k}, 1)) - 1)"
+                f" * {16 ** (7 - k)}"
+                for k in range(8)
+            )
+            + ")"
+        )
+
+    vals = ", ".join(f"({i})" for i in range(depth))
+    return f"""(
+  SELECT t.i AS row_idx,
+         ((ab.a + t.i * ab.b) % {CMS_PRIME}) % {width} AS bucket,
+         COUNT(*) AS cnt
+  FROM (
+    SELECT {hex8(1)} AS a, {hex8(9)} AS b
+    FROM {table_sql} WHERE ({value_sql}) IS NOT NULL
+  ) ab CROSS JOIN (VALUES {vals}) AS t(i)
+  GROUP BY 1, 2
+)"""

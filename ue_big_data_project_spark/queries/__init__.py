@@ -61,7 +61,8 @@ def all_queries() -> dict[str, QuerySpec]:
 # pytest-oracle evidence — swap IN to face the driver's independent
 # sf0.01 hash, and 13 multi-round-green stable entries (each ≥4 green
 # rounds, r1–r7) swap OUT into BENCH_EXTRA. The bench SET is unchanged
-# (gate ∪ BENCH_EXTRA is the same 98 queries), and bench.py reports the
+# (gate ∪ BENCH_EXTRA keeps every round-7 entry; round-8-new queries
+# append to BENCH_EXTRA), and bench.py reports the
 # old-gate-50 and new-gate-50 dict sums side by side this round so the
 # perf series stays comparable; the gate re-freezes at this set from
 # round 9. All rotated-out entries stay in all_queries(), the pytest
@@ -70,28 +71,10 @@ def all_queries() -> dict[str, QuerySpec]:
 # the new set — editing GATE_ORDER again is a test failure, not a
 # rotation.
 #
-# Gate-covered-by proxy (near-duplicate shapes merged into kit queries
-# or covered by a stronger twin; see tests/test_gate.py::PROXIED):
-#   text_langid + text_tokens + text_fingerprint -> text_nlp_kit
-#   q6 + q14 + q19                               -> scan_filter_agg_kit
-#   semi_join_late_orders + anti_join_small_customers -> semi_anti_join_kit
-#   events_tumbling_window  -> streaming_tumbling_window (same output,
-#                              computed as a true streaming query)
-#   events_sessionize       -> streaming_sessionize (same output)
-#   dedup_simhash           -> dedup_simhash_pairs (signatures feed pairs)
-#   events_hourly_by_type   -> events_rollup (superset grouping sets)
-#   cheapest_supplier_per_part -> window_top1_per_order (per-group top-1)
-#   q12_priority_by_status  -> scan_filter_agg_kit (conditional agg) +
-#                              q3 (join+agg)
-#   asof_bucketed_prev_click -> asof_first_ship (as-of join operator)
-#
-# Rotated out in round 3 after two green rounds (r1+r2), all still
-# pytest-oracle-gated: q15, q21, q7, q17, q22, outer_join_customer_orders,
-# moving_avg_order_price, q16, events_set_ops, events_percentiles,
-# events_funnel, events_dedup_first, events_props_json, text_scrub,
-# text_stats, haversine_knn, scalar_kit (the last two retired mid-round
-# to hand their slots to the round-3-new knn_cosine_pq and
-# pipeline_chunk_documents).
+# Every registry entry OUTSIDE the gate maps to an in-gate family
+# anchor; the authoritative (test-enforced) mappings live in
+# tests/test_gate.py::PROXIED (near-duplicate shapes / post-freeze
+# additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–8).
 GATE_CAP = 50
 GATE_ORDER = (
     # -- never driver-hashed: run first (round-7-new; round-8 rotation,
@@ -296,6 +279,13 @@ BENCH_EXTRA = (
     # samples out, decode-stage verification against the closed-form
     # luma oracle.
     "multimodal_mp4_keyframes",
+    # Round-8-new: join output-size estimation from bounded CMS
+    # sidecars (the inner-product / AMS-F2 estimator, over-estimate
+    # only) — self-join F2 + cross-table FK case next to exact counts.
+    "sketch_join_size",
+    # Round-8-new: Delta-style MERGE INTO (update/delete/insert clauses
+    # in one full-outer-join plan with an in-plan ambiguity guard).
+    "cdc_merge_into",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

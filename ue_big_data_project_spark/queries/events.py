@@ -1128,3 +1128,88 @@ QUERIES = {
     "asof_bucketed_prev_click": QuerySpec(asof_bucketed_prev_click, ASOF_BUCKETED_SQL),
     "interval_overlap_join": QuerySpec(interval_overlap_join, INTERVAL_OVERLAP_SQL),
 }
+
+
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO as one declarative plan
+    (operators/cdc.merge_into): the customer snapshot merged with a
+    per-customer order-stats batch — matched heavy customers (≥20
+    orders) DELETE, other matched customers UPDATE (balance += order
+    count, referencing both sides by the t./s. alias qualifiers),
+    synthetic unseen keys INSERT, order-less customers pass through
+    untouched. One full-outer key join + codegen CASEs; the oracle is
+    the literal SQL FULL OUTER JOIN + CASE translation, so the hash
+    match pins all four clause paths at once."""
+    from ue_big_data_project_spark.functions import pround
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    stats = t["orders"].groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    # Keys shifted past the customer key space exercise the INSERT
+    # clause deterministically (TPC-H custkeys are dense from 1).
+    synthetic = stats.filter(F.col("n_orders") >= 24).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        "n_orders",
+    )
+    src = stats.unionByName(synthetic)
+    merged = merge_into(
+        t["customer"],
+        src,
+        ["c_custkey"],
+        update_set={
+            "c_acctbal": F.col("t.c_acctbal") + F.col("s.n_orders")
+        },
+        delete_when=F.col("s.n_orders") >= 20,
+        insert_values={
+            "c_name": F.lit("merged-new"),
+            "c_nationkey": F.lit(-1).cast("int"),
+            "c_acctbal": F.col("s.n_orders").cast("double"),
+            "c_mktsegment": F.lit("NEW"),
+        },
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        pround(F.col("c_acctbal"), 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+
+
+CDC_MERGE_INTO_SQL = f"""
+WITH st AS (
+  SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey
+), src AS (
+  SELECT k, n FROM st
+  UNION ALL
+  SELECT k + 10000000 AS k, n FROM st WHERE n >= 24
+)
+SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
+       CASE WHEN c.c_custkey IS NULL THEN 'merged-new'
+            ELSE c.c_name END AS c_name,
+       CAST(CASE WHEN c.c_custkey IS NULL THEN -1
+                 ELSE c.c_nationkey END AS INTEGER) AS c_nationkey,
+       {{bal}} AS acctbal,
+       CASE WHEN c.c_custkey IS NULL THEN 'NEW'
+            ELSE c.c_mktsegment END AS c_mktsegment
+FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+WHERE NOT (c.c_custkey IS NOT NULL AND s.k IS NOT NULL AND s.n >= 20)
+"""
+
+
+def _merge_bal_sql() -> str:
+    from ue_big_data_project_spark.functions import sql_round
+
+    raw = (
+        "CASE WHEN c.c_custkey IS NULL THEN CAST(s.n AS DOUBLE) "
+        "WHEN s.k IS NOT NULL THEN c.c_acctbal + s.n "
+        "ELSE c.c_acctbal END"
+    )
+    return sql_round(raw, 2)
+
+
+CDC_MERGE_INTO_SQL = CDC_MERGE_INTO_SQL.format(bal=_merge_bal_sql())
+
+QUERIES["cdc_merge_into"] = QuerySpec(cdc_merge_into, CDC_MERGE_INTO_SQL)

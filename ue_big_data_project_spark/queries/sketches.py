@@ -712,3 +712,113 @@ FROM est e, ex x
 QUERIES["sketch_qhist_token_mass"] = QuerySpec(
     sketch_qhist_token_mass, SKETCH_QHIST_TOKEN_MASS_SQL
 )
+
+
+_JS_D = 4
+_JS_W = 16384
+
+
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join OUTPUT-SIZE estimation from bounded sketches, BEFORE running
+    the join (``sketch.cms_join_size`` — the CMS inner-product / AMS-F₂
+    estimator, over-estimate only). ONE counter table over
+    orders.o_custkey serves BOTH estimates: paired with itself it bounds
+    the self-join |orders ⋈ orders ON custkey| (the F₂ moment — the
+    "same-customer pair explosion" a planner wants to see coming);
+    paired with customer.c_custkey's counters it bounds the FK join —
+    two sketches that never co-scanned. Both estimates are pure-integer;
+    the realized one-sided gap is reported as rel_err next to each
+    exact count. At 100 TB this is the number a planner reads to refuse
+    (or budget) an exploding join, at the cost of bounded counter
+    tables instead of the join itself."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    oc = SK.cms_counters(
+        t["orders"], F.col("o_custkey").cast("string"),
+        depth=_JS_D, width=_JS_W,
+    ).localCheckpoint(eager=True)  # both inner products consume it
+    cc = SK.cms_counters(
+        t["customer"], F.col("c_custkey").cast("string"),
+        depth=_JS_D, width=_JS_W,
+    )
+    est_self = SK.cms_join_size(oc, oc, out_col="est_self_join")
+    exact_self = (
+        t["orders"].groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("long")
+            .alias("exact_self_join")
+        )
+    )
+    est_fk = SK.cms_join_size(oc, cc, out_col="est_fk_join")
+    exact_fk = (
+        t["orders"].join(
+            t["customer"],
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_fk_join"))
+    )
+    out = (
+        est_self.crossJoin(exact_self)
+        .crossJoin(est_fk)
+        .crossJoin(exact_fk)  # four 1-row sides
+    )
+    rel_s = (
+        F.col("est_self_join") - F.col("exact_self_join")
+    ).cast("double") / F.col("exact_self_join").cast("double")
+    rel_f = (
+        F.col("est_fk_join") - F.col("exact_fk_join")
+    ).cast("double") / F.col("exact_fk_join").cast("double")
+    return out.select(
+        "est_self_join",
+        "exact_self_join",
+        pround(rel_s, 4).alias("rel_err_self"),
+        "est_fk_join",
+        "exact_fk_join",
+        pround(rel_f, 4).alias("rel_err_fk"),
+    )
+
+
+_OC_SQL = SK.cms_counters_sql(
+    "orders", "CAST(o_custkey AS VARCHAR)", depth=_JS_D, width=_JS_W
+)
+_CC_SQL = SK.cms_counters_sql(
+    "customer", "CAST(c_custkey AS VARCHAR)", depth=_JS_D, width=_JS_W
+)
+
+SKETCH_JOIN_SIZE_SQL = f"""
+WITH oc AS (SELECT * FROM {_OC_SQL}),
+es AS (
+  SELECT CAST(MIN(s) AS BIGINT) AS est_self_join FROM (
+    SELECT a.row_idx, SUM(a.cnt * b.cnt) AS s
+    FROM oc a JOIN oc b ON a.row_idx = b.row_idx AND a.bucket = b.bucket
+    GROUP BY a.row_idx
+  )
+), xs AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_self_join FROM (
+    SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey
+  )
+), ef AS (
+  SELECT CAST(MIN(s) AS BIGINT) AS est_fk_join FROM (
+    SELECT a.row_idx, SUM(a.cnt * b.cnt) AS s
+    FROM oc a JOIN {_CC_SQL} b
+      ON a.row_idx = b.row_idx AND a.bucket = b.bucket
+    GROUP BY a.row_idx
+  )
+), xf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_fk_join
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT est_self_join, exact_self_join,
+       {sql_round(
+           "(est_self_join - exact_self_join)"
+           " / CAST(exact_self_join AS DOUBLE)", 4)} AS rel_err_self,
+       est_fk_join, exact_fk_join,
+       {sql_round(
+           "(est_fk_join - exact_fk_join)"
+           " / CAST(exact_fk_join AS DOUBLE)", 4)} AS rel_err_fk
+FROM es, xs, ef, xf
+"""
+
+QUERIES["sketch_join_size"] = QuerySpec(
+    sketch_join_size, SKETCH_JOIN_SIZE_SQL
+)
