@@ -1061,7 +1061,13 @@ def heavy_hitters(
     tests), so the choice is purely physical.
 
     Dispatch evidence: one bounded HLL pass (2^p registers, one
-    bounded shuffle) estimates the value column's distinct count.
+    bounded shuffle) estimates the value column's distinct count. The
+    raw harmonic estimator (no linear-counting branch — module
+    docstring) reads ~0.72·2^p (≈ 740 at the default p=10) for NEARLY
+    EMPTY vocabularies; that floor is 3 orders of magnitude under the
+    cutover, so it can never flip the decision — read
+    ``decision["est_distinct"]`` as "at most ~740 or the estimate",
+    not an exact small count.
 
     - ``est_distinct <= cms_min_distinct`` → the NAIVE plan: one
       partial-aggregated groupBy. Its shuffle carries up to
