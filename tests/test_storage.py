@@ -392,3 +392,60 @@ def test_compact_small_files_partitioned_count_and_sort(spark):
             assert vals == sorted(vals), f
         got = spark.read.parquet(out)
         assert got.count() == li.count()
+
+
+def test_bloom_sidecar_prunes_point_lookups(spark):
+    """Per-file Bloom index (round-8): point lookups on an UNSORTED
+    high-cardinality column scan only admitted files — the skipping
+    lever footer min/max cannot provide on unclustered data — and the
+    result is exactly the full-scan filter (false positives only admit
+    files; the exact IN predicate still applies)."""
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "li")
+        # Hash-partitioned on the key: each key lives in EXACTLY ONE
+        # file, but files are unsorted ranges (min/max useless).
+        (
+            li.select("l_orderkey", "l_partkey")
+            .repartition(8, "l_orderkey")
+            .write.parquet(out)
+        )
+        total_before = spark.read.parquet(out).count()
+        side = S.write_bloom_sidecar(spark, out, "l_orderkey")
+        assert os.path.basename(side).startswith("_bloom")
+        # Hidden sidecar: a vanilla read of the layout is unchanged.
+        assert spark.read.parquet(out).count() == total_before
+
+        keys = [r.l_orderkey for r in li.select("l_orderkey").distinct().limit(3).collect()]
+        pruned = S.read_bloom_pruned(spark, out, "l_orderkey", keys)
+        want = sorted(
+            map(tuple, spark.read.parquet(out)
+                .where(F.col("l_orderkey").isin(keys)).collect())
+        )
+        assert sorted(map(tuple, pruned.collect())) == want
+        m = _scan_metrics(pruned)
+        # 3 keys -> at most 3 files opened (bloom FPs could admit more,
+        # but 2^17 bits vs ~2k keys/file makes that astronomically
+        # unlikely); a stats-pruned read could not skip ANY file here.
+        assert m["numFiles"] <= 3, m
+
+
+def test_bloom_sidecar_absent_keys_and_empty(spark):
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "li")
+        li.select("l_orderkey").repartition(4, "l_orderkey").write.parquet(out)
+        S.write_bloom_sidecar(spark, out, "l_orderkey")
+        # Keys no file contains: every file bloom-rejects, zero scanned.
+        gone = S.read_bloom_pruned(
+            spark, out, "l_orderkey", [10**15, 10**15 + 1]
+        )
+        assert gone.count() == 0
+        # Empty lookup list: empty result, schema intact.
+        empty = S.read_bloom_pruned(spark, out, "l_orderkey", [])
+        assert empty.count() == 0 and empty.columns == ["l_orderkey"]
+        # Asking for a column with no sidecar is an explicit error.
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            S.read_bloom_pruned(spark, out, "l_partkey", [1])

@@ -10,6 +10,7 @@ files with identical semantics. Streaming twins live in
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -455,3 +456,133 @@ def read_stat_pruned(
     if hi is not None:
         df = df.filter(c <= F.lit(hi))
     return df
+
+
+def write_bloom_sidecar(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = 1 << 17,
+    k: int = 7,
+) -> str:
+    """Per-FILE Bloom index over ``col`` of an existing parquet layout —
+    the data-skipping lever footer min/max CANNOT provide: range stats
+    only prune when the layout is clustered on the column, while a
+    Bloom sidecar prunes point lookups on HIGH-CARDINALITY, UNSORTED
+    columns (user ids, document hashes — Delta's bloom filter index).
+
+    One distributed pass: every row hashes its key to ``k`` bit
+    positions (the ``operators/bloom.py`` construction, shared probe
+    expressions), ``bit_or`` folds them per (file, word) — the shuffle
+    carries ≤ files × m_bits/64 integer words, map-side combined, no
+    driver round-trip. The sidecar lands under ``<path>/_bloom_<col>``:
+    the ``_`` prefix makes it invisible to every normal read of the
+    layout (Spark skips hidden files in input listing), the same
+    convention as ``_delta_log``/``_metadata``. Hash params ride as
+    constant columns so readers need no out-of-band config.
+
+    Sizing: ~1% false-positive rate at ``m_bits ≈ 10 ×`` per-file
+    distinct keys; the 2¹⁷-bit default (16 KiB/file) covers ~13k
+    distinct per file. False positives only ADMIT files — never a
+    correctness issue, the reader applies the exact predicate.
+    """
+    from ue_big_data_project_spark.operators.bloom import (
+        _array_literal,
+        _BIT_MASKS,
+        _positions,
+    )
+
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    data = spark.read.parquet(path)
+    pos = F.explode(
+        F.array(*_positions(F.col(col), m_bits, k))
+    ).alias("_p")
+    sidecar = (
+        data.where(F.col(col).isNotNull())
+        .select(F.input_file_name().alias("file"), pos)
+        .select(
+            "file",
+            F.shiftright("_p", 6).alias("w"),
+            F.element_at(
+                _array_literal(_BIT_MASKS),
+                F.col("_p").bitwiseAND(F.lit(63)).cast("int") + 1,
+            ).alias("_m"),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("_m").alias("bits"))
+        .select(
+            "file",
+            "w",
+            "bits",
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(k).alias("k"),
+            F.lit(col).alias("col"),
+        )
+    )
+    out = os.path.join(path, f"_bloom_{col}")
+    sidecar.write.mode("overwrite").parquet(out)
+    return out
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+) -> DataFrame:
+    """Point-lookup read through the Bloom sidecar: scan ONLY the files
+    whose per-file filter admits at least one of ``values``, then apply
+    the exact ``IN`` predicate (false positives are admitted files, and
+    rows are still filtered exactly — result ≡ the full-scan filter).
+
+    The pruning decision is computed IN SPARK over the bounded sidecar
+    (≤ files × m_bits/64 rows): each value's k probe positions join the
+    word table, a file survives a value iff ALL k probes hit (the
+    standard conjunction), and only the surviving FILE LIST is
+    collected — bounded by file count, like ``prune_parquet_files``.
+    At 100 TB with ~200k files this is a sidecar-only job; the data
+    scan then opens just the admitted files.
+    """
+    from ue_big_data_project_spark.operators.bloom import (
+        _array_literal,
+        _BIT_MASKS,
+        _positions,
+    )
+
+    if not values:
+        return spark.read.parquet(path).where(F.lit(False))
+    side_path = os.path.join(path, f"_bloom_{col}")
+    side = spark.read.parquet(side_path)
+    meta = side.select("m_bits", "k", "col").first()
+    if meta is None or meta["col"] != col:
+        raise ValueError(f"no bloom sidecar for column {col!r} at {path}")
+    m_bits, k = int(meta["m_bits"]), int(meta["k"])
+    vals = spark.createDataFrame(
+        [(v,) for v in values], f"v {'string' if isinstance(values[0], str) else 'long'}"
+    )
+    probes = vals.select(
+        F.col("v"),
+        F.posexplode(F.array(*_positions(F.col("v"), m_bits, k))).alias(
+            "i", "_p"
+        ),
+    ).select(
+        "v",
+        F.shiftright("_p", 6).alias("w"),
+        F.element_at(
+            _array_literal(_BIT_MASKS),
+            F.col("_p").bitwiseAND(F.lit(63)).cast("int") + 1,
+        ).alias("mask"),
+    )
+    hits = (
+        side.join(F.broadcast(probes), "w")
+        .where(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        .groupBy("file", "v")
+        .agg(F.count(F.lit(1)).alias("hit_k"))
+        .where(F.col("hit_k") >= F.lit(k))
+    )
+    files = [r["file"] for r in hits.select("file").distinct().collect()]
+    exact = F.col(col).isin(values)
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(exact)
