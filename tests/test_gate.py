@@ -49,6 +49,10 @@ PROXIED = {
     # the in-gate SCD2 entry hashes; clause semantics pinned by
     # tests/test_cdc.py.
     "cdc_merge_into": "cdc_scd2_history",
+    # Round-8-new, post-re-freeze: the ledgered-foreachBatch snapshot
+    # family the in-gate incremental rollup hashes; replay-window and
+    # batch-order semantics pinned by tests/test_streaming.py.
+    "streaming_cdc_merge": "streaming_incremental_rollup",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -663,3 +663,130 @@ def test_restart_from_checkpoint_restores_dedup_state(spark, tmp_path):
     # The first-seen value won for re-sent keys (state, not reprocessing).
     vals = {r.entry_id: r.v for r in final.collect()}
     assert vals[2] in (20, 21) and vals[3] == 30
+
+
+def _merge_stream_fixture(spark, tmp_path):
+    """3 ordered change batches (mtime-staggered single files under
+    maxFilesPerTrigger=1) + the initial snapshot."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, bal double",
+    )
+    batches = [
+        [(1, 5.0), (2, 100.0)],          # update 1; 2 crosses delete bar
+        [(2, 7.0), (4, 40.0)],           # 2 re-inserts; 4 inserts
+        [(1, 1.0), (4, 2.0), (3, 99.0)],  # updates; 3 deleted
+    ]
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        bdir = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, "id long, delta double").coalesce(
+            1
+        ).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"b{i}.parquet")
+        os.symlink(os.path.join(bdir, part), dst)
+        # Strictly increasing mtimes pin micro-batch ORDER (the file
+        # source sorts by modification time; merge is order-sensitive).
+        os.utime(dst, (now + i, now + i), follow_symlinks=False)
+    sdf = spark.readStream.schema("id long, delta double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    clauses = dict(
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+        delete_when=F.col("s.delta") >= 90.0,
+        insert_values={"name": F.lit("ins"), "bal": F.col("s.delta")},
+    )
+    return initial, batches, sdf, clauses
+
+
+def test_merge_ingest_stream_equals_sequential_batch_merges(
+    spark, tmp_path
+):
+    """The streamed, versioned, ledgered merge sink must land EXACTLY
+    the state of applying merge_into sequentially batch-by-batch —
+    including order-sensitive effects (delete in batch 0 → re-insert in
+    batch 1 → relative update in batch 2)."""
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    initial, batches, sdf, clauses = _merge_stream_fixture(spark, tmp_path)
+    snap = str(tmp_path / "snap")
+    q = ST.merge_ingest_stream(sdf, initial, snap, ["id"], **clauses)
+    ST.run_until_drained(q)
+    got = sorted(
+        map(tuple, ST.read_merged_snapshot(spark, snap).collect())
+    )
+
+    want_df = initial
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "id long, delta double")
+        want_df = merge_into(want_df, bdf, ["id"], **clauses)
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want
+    # Spot-check the order-sensitive path: 2 was deleted (100 >= 90),
+    # re-inserted at 7, untouched after; 1 = 10+5+1; 3 deleted; 4 =
+    # 40 inserted + 2.
+    assert got == [(1, "a", 16.0), (2, "ins", 7.0), (4, "ins", 42.0)]
+
+
+def test_merge_ingest_stream_replay_windows_are_safe(spark, tmp_path):
+    """The two crash windows around a batch commit:
+
+    1. ledger-committed replay → the wrapper SKIPS the batch (marker
+       present) — pinned by re-invoking the sink machinery over an
+       already-drained ledger being a no-op on the version list;
+    2. uncommitted replay (crash between snapshot write and marker) →
+       the v=N rewrite is a PURE FUNCTION of immutable v=N−1 + batch N:
+       recomputing it yields byte-equal rows (merge is deterministic),
+       so a replay overwrites identical content instead of
+       double-applying the relative update."""
+    import os
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    initial, batches, sdf, clauses = _merge_stream_fixture(spark, tmp_path)
+    snap = str(tmp_path / "snap")
+    q = ST.merge_ingest_stream(sdf, initial, snap, ["id"], **clauses)
+    ST.run_until_drained(q)
+    versions = sorted(
+        d for d in os.listdir(snap) if d.startswith("v=")
+    )
+    assert versions == ["v=0", "v=1", "v=2"]
+    # Window 2: recompute v=2 from v=1 + batch 2 — identical rows.
+    v1 = spark.read.parquet(os.path.join(snap, "v=1"))
+    b2 = spark.createDataFrame(batches[2], "id long, delta double")
+    recomputed = merge_into(v1, b2, ["id"], **clauses)
+    assert sorted(map(tuple, recomputed.collect())) == sorted(
+        map(tuple, spark.read.parquet(os.path.join(snap, "v=2")).collect())
+    )
+    # Window 1: every batch is ledger-committed; readers resolve v=2.
+    committed = ST._committed_batch_ids(os.path.join(snap, "_ledger"))
+    assert committed == [0, 1, 2]
+    got = ST.read_merged_snapshot(spark, snap)
+    assert got.inputFiles()[0].find("v=2") >= 0
+
+
+def test_merge_ingest_stream_prunes_old_versions(spark, tmp_path):
+    from ue_big_data_project_spark import streaming as ST
+
+    initial, _, sdf, clauses = _merge_stream_fixture(spark, tmp_path)
+    snap = str(tmp_path / "snap")
+    q = ST.merge_ingest_stream(
+        sdf, initial, snap, ["id"], retain_versions=1, **clauses
+    )
+    ST.run_until_drained(q)
+    import os
+
+    versions = sorted(d for d in os.listdir(snap) if d.startswith("v="))
+    # After batch 2's prune, only the committed tail survives (plus the
+    # just-written v=2 whose marker lands after the prune).
+    assert "v=2" in versions and "v=0" not in versions

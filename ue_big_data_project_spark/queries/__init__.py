@@ -286,6 +286,10 @@ BENCH_EXTRA = (
     # Round-8-new: Delta-style MERGE INTO (update/delete/insert clauses
     # in one full-outer-join plan with an in-plan ambiguity guard).
     "cdc_merge_into",
+    # Round-8-new: the streaming twin — continuous CDC apply through a
+    # versioned, ledgered copy-on-write MERGE sink; oracle = the three
+    # merges unrolled as chained SQL CTEs (order-sensitive end state).
+    "streaming_cdc_merge",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

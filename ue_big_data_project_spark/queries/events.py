@@ -1213,3 +1213,127 @@ def _merge_bal_sql() -> str:
 CDC_MERGE_INTO_SQL = CDC_MERGE_INTO_SQL.format(bal=_merge_bal_sql())
 
 QUERIES["cdc_merge_into"] = QuerySpec(cdc_merge_into, CDC_MERGE_INTO_SQL)
+
+
+def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous CDC apply through the versioned MERGE sink
+    (streaming/merge_ingest_stream): three ORDERED change batches —
+    per-customer order counts split by orderkey residue, replayed as
+    real mtime-staggered micro-batches — merge sequentially onto the
+    customer snapshot (update balance += count; DELETE heavy customers
+    at ≥7 orders-in-batch; keys deleted in an earlier batch re-INSERT
+    when they reappear). The oracle unrolls the exact same three merges
+    as chained FULL OUTER JOIN + CASE CTEs (the pagerank
+    unrolled-iteration precedent), so the hash match pins the sink's
+    ORDER-SENSITIVE end state: versioning, ledger commit, and
+    batch-sequencing all have to be right at once."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    root = _tf.mkdtemp(prefix="spark_graft_cdcmerge_")
+    try:
+        stage = _os.path.join(root, "stage")
+        _os.makedirs(stage)
+        now = _time.time()
+        for i in range(3):
+            bdir = _os.path.join(root, f"b{i}")
+            (
+                t["orders"]
+                .filter(F.col("o_orderkey") % 3 == i)
+                .groupBy(F.col("o_custkey").alias("c_custkey"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .coalesce(1)
+                .write.parquet(bdir)
+            )
+            part = [
+                f for f in _os.listdir(bdir) if f.endswith(".parquet")
+            ][0]
+            dst = _os.path.join(stage, f"b{i}.parquet")
+            _os.symlink(_os.path.join(bdir, part), dst)
+            # Strictly increasing mtimes pin micro-batch ORDER (the
+            # file source sorts by modification time; MERGE is
+            # order-sensitive, unlike the commutative HLL rollup).
+            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+        sdf = spark.readStream.schema("c_custkey long, n long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        snap = _os.path.join(root, "snap")
+        q = ST.merge_ingest_stream(
+            sdf,
+            t["customer"],
+            snap,
+            ["c_custkey"],
+            update_set={
+                "c_acctbal": F.col("t.c_acctbal") + F.col("s.n")
+            },
+            delete_when=F.col("s.n") >= 7,
+            insert_values={
+                "c_name": F.lit("reinserted"),
+                "c_nationkey": F.lit(-1).cast("int"),
+                "c_acctbal": F.col("s.n").cast("double"),
+                "c_mktsegment": F.lit("NEW"),
+            },
+        )
+        ST.run_until_drained(q)
+        out = ST.read_merged_snapshot(spark, snap).select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            pround(F.col("c_acctbal"), 2).alias("acctbal"),
+            "c_mktsegment",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+def _cdc_merge_step_sql(prev: str, batch: str) -> str:
+    """One MERGE layer as ANSI SQL over relation names — the oracle twin
+    of one merge_ingest_stream micro-batch (generated once per batch so
+    the chain is literally the same text applied three times)."""
+    return f"""
+  SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+         CASE WHEN t.c_custkey IS NULL THEN 'reinserted'
+              ELSE t.c_name END AS c_name,
+         CAST(CASE WHEN t.c_custkey IS NULL THEN -1
+                   ELSE t.c_nationkey END AS INTEGER) AS c_nationkey,
+         CASE WHEN t.c_custkey IS NULL THEN CAST(s.n AS DOUBLE)
+              WHEN s.c_custkey IS NOT NULL THEN t.c_acctbal + s.n
+              ELSE t.c_acctbal END AS c_acctbal,
+         CASE WHEN t.c_custkey IS NULL THEN 'NEW'
+              ELSE t.c_mktsegment END AS c_mktsegment
+  FROM {prev} t FULL OUTER JOIN {batch} s
+    ON t.c_custkey = s.c_custkey
+  WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+             AND s.n >= 7)"""
+
+
+STREAMING_CDC_MERGE_SQL = f"""
+WITH b0 AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n FROM orders
+  WHERE o_orderkey % 3 = 0 GROUP BY 1
+), b1 AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n FROM orders
+  WHERE o_orderkey % 3 = 1 GROUP BY 1
+), b2 AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n FROM orders
+  WHERE o_orderkey % 3 = 2 GROUP BY 1
+), m0 AS ({_cdc_merge_step_sql("customer", "b0")}
+), m1 AS ({_cdc_merge_step_sql("m0", "b1")}
+), m2 AS ({_cdc_merge_step_sql("m1", "b2")}
+)
+SELECT c_custkey, c_name, c_nationkey,
+       {sql_round("c_acctbal", 2)} AS acctbal, c_mktsegment
+FROM m2
+"""
+
+QUERIES["streaming_cdc_merge"] = QuerySpec(
+    streaming_cdc_merge, STREAMING_CDC_MERGE_SQL
+)

@@ -960,3 +960,111 @@ def read_qhist_rollup(
     return cnt.groupBy(*group_cols, "bin").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
+
+
+def _committed_batch_ids(ledger_dir: str) -> list[int]:
+    """Batch ids whose ``batch-<id>.done`` marker exists (the
+    :func:`idempotent_foreach_batch` ledger format)."""
+    if not os.path.isdir(ledger_dir):
+        return []
+    out = []
+    for name in os.listdir(ledger_dir):
+        if name.startswith("batch-") and name.endswith(".done"):
+            out.append(int(name[len("batch-"):-len(".done")]))
+    return sorted(out)
+
+
+def merge_ingest_stream(
+    sdf: DataFrame,
+    initial: DataFrame,
+    snapshot_dir: str,
+    keys: list[str],
+    update_set: dict | None = None,
+    delete_when=None,
+    insert_values: dict | None = None,
+    retain_versions: int = 3,
+) -> StreamingQuery:
+    """Continuous CDC apply: each micro-batch of change rows MERGEs
+    (``operators/cdc.merge_into`` — update/delete/insert clauses) onto
+    a COPY-ON-WRITE versioned snapshot; :func:`read_merged_snapshot`
+    reads the latest committed version.
+
+    MERGE is NOT replay-absorbing (a relative update like
+    ``bal += s.delta`` applied twice double-counts — the qhist-ledger
+    side of the round-7 idempotence contrast), so at-least-once replay
+    needs BOTH mechanisms this sink composes:
+
+    - **Version dirs** (``v=<batch_id>``): batch N writes version N as a
+      pure function of IMMUTABLE version N−1 plus batch N, so a replay
+      that crashed between snapshot write and ledger commit simply
+      rewrites the identical bytes — deterministic overwrite, never a
+      second application onto its own output.
+    - **The idempotence ledger** (commit marker AFTER the write): a
+      replay of an already-committed batch is skipped outright, and
+      readers resolve ONLY committed versions, so a torn ``v=N`` dir
+      from a mid-write crash is invisible until its deterministic
+      rewrite commits.
+
+    Old committed versions beyond ``retain_versions`` are pruned after
+    each commit (time-travel window = the retained tail). Per-batch
+    cost is one key-equi merge join + an O(snapshot) copy-on-write
+    rewrite — the Delta-without-manifests shape; snapshots that need
+    partial rewrite at 100 TB layer this over the bucket-partitioned
+    layout (``incremental_windowed_rollup`` shows the
+    touched-partition-only variant for upsert-shaped merges).
+    """
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    ledger_dir = os.path.join(snapshot_dir, "_ledger")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        committed = [b for b in _committed_batch_ids(ledger_dir) if b < batch_id]
+        if committed:
+            target = sp.read.parquet(
+                os.path.join(snapshot_dir, f"v={committed[-1]}")
+            )
+        else:
+            target = initial
+        merged = merge_into(
+            target,
+            batch_df,
+            keys,
+            update_set=update_set,
+            delete_when=delete_when,
+            insert_values=insert_values,
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, f"v={batch_id}")
+        )
+
+    def prune_and_apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply(batch_df, batch_id)
+        # Prune INSIDE the callback but only versions strictly older
+        # than the retained committed tail (the marker for THIS batch
+        # is written by the ledger wrapper after we return — a crash
+        # here replays deterministically).
+        import shutil
+
+        committed = _committed_batch_ids(ledger_dir)
+        stale = committed[:-retain_versions] if retain_versions > 0 else []
+        for b in stale:
+            shutil.rmtree(
+                os.path.join(snapshot_dir, f"v={b}"), ignore_errors=True
+            )
+
+    return idempotent_foreach_batch(
+        sdf, prune_and_apply, ledger_dir=ledger_dir, mode="append"
+    )
+
+
+def read_merged_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Latest COMMITTED version of a :func:`merge_ingest_stream`
+    snapshot — committed = ledger-marked, so torn writes from a crashed
+    batch are never visible."""
+    committed = _committed_batch_ids(os.path.join(snapshot_dir, "_ledger"))
+    if not committed:
+        raise ValueError(f"no committed snapshot versions in {snapshot_dir}")
+    return spark.read.parquet(
+        os.path.join(snapshot_dir, f"v={committed[-1]}")
+    )
