@@ -53,6 +53,10 @@ PROXIED = {
     # family the in-gate incremental rollup hashes; replay-window and
     # batch-order semantics pinned by tests/test_streaming.py.
     "streaming_cdc_merge": "streaming_incremental_rollup",
+    # Round-8-new, post-re-freeze: same register/estimator math the
+    # in-gate HLL entry hashes + the cube/grouping shape events_cube
+    # hashes; the lattice==direct property is pinned by tests/test_sketch.py.
+    "sketch_hll_cube": "sketch_hll_parts_per_flag",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

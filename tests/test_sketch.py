@@ -718,3 +718,37 @@ def test_cms_join_size_from_merged_sidecars(spark):
     est_whole = SK.cms_join_size(whole, probe).collect()[0]["est_join_rows"]
     est_merged = SK.cms_join_size(merged, probe).collect()[0]["est_join_rows"]
     assert est_whole == est_merged
+
+
+def test_hll_cube_lattice_equals_direct_builds(spark):
+    """Every cube level's registers derive from the LEAF by min-merge;
+    associativity makes that EXACTLY the registers built directly at
+    that granularity — so each level's estimate equals a direct
+    hll_registers+hll_estimate at the same grouping."""
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("a"),
+        (F.col("id") % 2).cast("string").alias("b"),
+        F.concat(F.lit("v"), (F.col("id") % 700).cast("string")).alias("v"),
+    )
+    cube = SK.hll_cube(df, ["a", "b"], F.col("v"), p=6)
+    rows = {(r.a, r.b, r.grouping_id): r.est_distinct for r in cube.collect()}
+    # 6 leaf + 3 (a) + 2 (b) + 1 total
+    assert len(rows) == 12
+    # Direct builds per level.
+    for kept, gid in ((["a", "b"], 0), (["a"], 1), (["b"], 2), ([], 3)):
+        direct = SK.hll_estimate(
+            SK.hll_registers(df, kept, F.col("v"), p=6), kept, p=6
+        ).collect()
+        for r in direct:
+            key = (
+                r.a if "a" in kept else None,
+                r.b if "b" in kept else None,
+                gid,
+            )
+            assert rows[key] == r.est_distinct, key
+
+
+def test_hll_cube_rejects_bad_dims(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="dims"):
+        SK.hll_cube(df, [], F.col("v"))

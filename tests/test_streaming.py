@@ -790,3 +790,19 @@ def test_merge_ingest_stream_prunes_old_versions(spark, tmp_path):
     # After batch 2's prune, only the committed tail survives (plus the
     # just-written v=2 whose marker lands after the prune).
     assert "v=2" in versions and "v=0" not in versions
+
+
+def test_read_merged_snapshot_time_travel(spark, tmp_path):
+    from ue_big_data_project_spark import streaming as ST
+    import pytest as _pt
+
+    initial, batches, sdf, clauses = _merge_stream_fixture(spark, tmp_path)
+    snap = str(tmp_path / "snap")
+    ST.run_until_drained(
+        ST.merge_ingest_stream(sdf, initial, snap, ["id"], **clauses)
+    )
+    # v=0: after batch 0 only — 2 deleted (100 >= 90), 1 updated to 15.
+    v0 = {r.id: r.bal for r in ST.read_merged_snapshot(spark, snap, 0).collect()}
+    assert v0 == {1: 15.0, 3: 30.0}
+    with _pt.raises(ValueError, match="not a committed"):
+        ST.read_merged_snapshot(spark, snap, 99)

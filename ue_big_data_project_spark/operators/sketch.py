@@ -1207,3 +1207,65 @@ def cms_counters_sql(
   ) ab CROSS JOIN (VALUES {vals}) AS t(i)
   GROUP BY 1, 2
 )"""
+
+
+def hll_cube(
+    df: DataFrame,
+    dims: list[str],
+    value: Column,
+    p: int = 6,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Distinct-count CUBE from ONE scan: ``(dims…, grouping_id,
+    est_distinct)`` for every subset of ``dims`` (the Druid /
+    DataSketches pattern — COUNT(DISTINCT) does not roll up, sketches
+    do).
+
+    The corpus is scanned exactly once, building the LEAF register
+    table (groupBy ``dims + bucket``); every coarser granularity's
+    registers then derive from the leaf by ``min`` over the dropped
+    dimensions — exact, because min-merge is associative:
+    ``min over (subset, bucket)`` of the leaf minima equals the
+    registers built directly at that granularity. Each of the 2^d
+    rollups aggregates the BOUNDED register table (≤ groups × 2^p
+    rows), never the data — at 100 TB the lattice costs 2^d bounded
+    jobs after one scan, where an exact distinct cube pays the full
+    Expand-multiplied shuffle (every row × 2^d grouping sets).
+
+    ``grouping_id`` follows the SQL convention (bit = 1 ⇔ the dim is
+    AGGREGATED, first dim = most significant bit); dropped dims are
+    NULL, matching CUBE output so the oracle aligns rows by
+    (dims, grouping_id).
+    """
+    if not dims or len(dims) > 8:
+        raise ValueError("hll_cube wants 1..8 dims")
+    leaf = hll_registers(df, dims, value, p=p).localCheckpoint(eager=True)
+    dtypes = dict(df.select(*dims).dtypes)
+    frames = []
+    for mask in range(1 << len(dims)):
+        # SQL convention: bit set in grouping_id = dim aggregated away.
+        kept = [d for i, d in enumerate(dims) if not (mask >> (len(dims) - 1 - i)) & 1]
+        regs = (
+            leaf.groupBy(*kept, "bucket").agg(
+                F.min("min_term").alias("min_term")
+            )
+            if kept != dims
+            else leaf
+        )
+        est = hll_estimate(regs, kept, p=p, out_col=out_col)
+        cols = []
+        for d in dims:
+            cols.append(
+                F.col(d) if d in kept else F.lit(None).cast(dtypes[d]).alias(d)
+            )
+        frames.append(
+            est.select(
+                *cols,
+                F.lit(mask).cast("int").alias("grouping_id"),
+                out_col,
+            )
+        )
+    out = frames[0]
+    for nxt in frames[1:]:
+        out = out.unionByName(nxt)
+    return out

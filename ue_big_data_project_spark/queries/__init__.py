@@ -290,6 +290,10 @@ BENCH_EXTRA = (
     # versioned, ledgered copy-on-write MERGE sink; oracle = the three
     # merges unrolled as chained SQL CTEs (order-sensitive end state).
     "streaming_cdc_merge",
+    # Round-8-new: distinct-count CUBE from one scan — leaf HLL
+    # registers rolled up the grouping lattice by min-merge (sketches
+    # roll up; COUNT(DISTINCT) pays the Expand-multiplied shuffle).
+    "sketch_hll_cube",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -822,3 +822,98 @@ FROM es, xs, ef, xf
 QUERIES["sketch_join_size"] = QuerySpec(
     sketch_join_size, SKETCH_JOIN_SIZE_SQL
 )
+
+
+def sketch_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count CUBE from ONE scan (``sketch.hll_cube``): distinct
+    parts per (returnflag, linestatus) at EVERY granularity — leaf,
+    each single dim, grand total — where the corpus is scanned once for
+    the leaf registers and every coarser level derives by min-merge
+    over the bounded register table (exact: min is associative, so the
+    lattice rollup equals a direct build). COUNT(DISTINCT) cannot roll
+    up — the exact cube pays the Expand-multiplied shuffle (every row ×
+    2^d sets, computed here only as the verification column); sketches
+    make the cube one scan + 2^d bounded jobs. grouping_id follows the
+    SQL convention (bit = dim aggregated, first dim = MSB), so the
+    oracle aligns rows by (dims, grouping_id)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    dims = ["l_returnflag", "l_linestatus"]
+    est = SK.hll_cube(
+        li, dims, F.col("l_partkey").cast("string"), p=_P
+    )
+    exact = (
+        li.cube(*dims)
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_distinct"),
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("int").alias("grouping_id"),
+        )
+    )
+    cond = [est[d].eqNullSafe(exact[d]) for d in dims] + [
+        est["grouping_id"] == exact["grouping_id"]
+    ]
+    j = est.join(exact, cond)
+    rel = F.abs(
+        F.col("est_distinct") - F.col("exact_distinct").cast("double")
+    ) / F.col("exact_distinct").cast("double")
+    return j.select(
+        *[est[d] for d in dims],
+        est["grouping_id"],
+        "est_distinct",
+        "exact_distinct",
+        pround(rel, 4).alias("rel_err"),
+    )
+
+
+_HC_VAL = "CAST(l_partkey AS VARCHAR)"
+
+
+def _hll_cube_level_sql(kept: list[str], gid: int) -> str:
+    """One lattice level of the estimate as SQL: hll_estimate_sql at
+    that grouping, dropped dims as typed NULLs, the literal gid."""
+    dims = ["l_returnflag", "l_linestatus"]
+    if kept:
+        inner = SK.hll_estimate_sql("lineitem", kept, _HC_VAL, p=_P)
+    else:
+        inner = SK.hll_estimate_sql(
+            "(SELECT 1 AS g, l_partkey FROM lineitem)", ["g"], _HC_VAL, p=_P
+        )
+    sel = ", ".join(
+        d if d in kept else f"CAST(NULL AS VARCHAR) AS {d}" for d in dims
+    )
+    return (
+        f"SELECT {sel}, {gid} AS grouping_id, est_distinct"
+        f" FROM ({inner})"
+    )
+
+
+SKETCH_HLL_CUBE_SQL = f"""
+WITH est AS (
+  {_hll_cube_level_sql(["l_returnflag", "l_linestatus"], 0)}
+  UNION ALL
+  {_hll_cube_level_sql(["l_returnflag"], 1)}
+  UNION ALL
+  {_hll_cube_level_sql(["l_linestatus"], 2)}
+  UNION ALL
+  {_hll_cube_level_sql([], 3)}
+), exact AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+              AS INTEGER) AS grouping_id,
+         COUNT(DISTINCT l_partkey) AS exact_distinct
+  FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+)
+SELECT e.l_returnflag, e.l_linestatus,
+       CAST(e.grouping_id AS INTEGER) AS grouping_id,
+       e.est_distinct, x.exact_distinct,
+       {sql_round(
+           "abs(e.est_distinct - CAST(x.exact_distinct AS DOUBLE))"
+           " / CAST(x.exact_distinct AS DOUBLE)", 4)} AS rel_err
+FROM est e JOIN exact x
+  ON e.grouping_id = x.grouping_id
+ AND e.l_returnflag IS NOT DISTINCT FROM x.l_returnflag
+ AND e.l_linestatus IS NOT DISTINCT FROM x.l_linestatus
+"""
+
+QUERIES["sketch_hll_cube"] = QuerySpec(sketch_hll_cube, SKETCH_HLL_CUBE_SQL)

@@ -558,9 +558,11 @@ def read_bloom_pruned(
     if meta is None or meta["col"] != col:
         raise ValueError(f"no bloom sidecar for column {col!r} at {path}")
     m_bits, k = int(meta["m_bits"]), int(meta["k"])
-    vals = spark.createDataFrame(
-        [(v,) for v in values], f"v {'string' if isinstance(values[0], str) else 'long'}"
-    )
+    # Probe values carry the DATA column's exact type: the bloom hashes
+    # the canonical string form either way, but the exact IN predicate
+    # and any engine cast semantics stay type-faithful.
+    col_type = dict(spark.read.parquet(path).dtypes)[col]
+    vals = spark.createDataFrame([(v,) for v in values], f"v {col_type}")
     probes = vals.select(
         F.col("v"),
         F.posexplode(F.array(*_positions(F.col("v"), m_bits, k))).alias(

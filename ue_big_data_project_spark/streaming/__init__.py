@@ -1058,13 +1058,23 @@ def merge_ingest_stream(
     )
 
 
-def read_merged_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
-    """Latest COMMITTED version of a :func:`merge_ingest_stream`
-    snapshot — committed = ledger-marked, so torn writes from a crashed
-    batch are never visible."""
+def read_merged_snapshot(
+    spark: SparkSession, snapshot_dir: str, version: int | None = None
+) -> DataFrame:
+    """A COMMITTED version of a :func:`merge_ingest_stream` snapshot —
+    latest by default, or time-travel to any version still inside the
+    ``retain_versions`` tail. Committed = ledger-marked, so torn writes
+    from a crashed batch are never visible at ANY version."""
     committed = _committed_batch_ids(os.path.join(snapshot_dir, "_ledger"))
     if not committed:
         raise ValueError(f"no committed snapshot versions in {snapshot_dir}")
-    return spark.read.parquet(
-        os.path.join(snapshot_dir, f"v={committed[-1]}")
-    )
+    if version is None:
+        version = committed[-1]
+    elif version not in committed or not os.path.isdir(
+        os.path.join(snapshot_dir, f"v={version}")
+    ):
+        raise ValueError(
+            f"version {version} is not a committed, retained snapshot "
+            f"(have {committed})"
+        )
+    return spark.read.parquet(os.path.join(snapshot_dir, f"v={version}"))
