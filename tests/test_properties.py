@@ -889,3 +889,55 @@ def test_pagerank_matches_python_reference(spark, edges):
     assert set(got) == set(pr)
     for v in pr:
         assert abs(got[v] - pr[v]) < 1e-9, v
+
+
+_merge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),               # key
+        st.integers(min_value=-50, max_value=50),            # val
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tgt=_merge_rows, src=_merge_rows, bar=st.integers(20, 45))
+def test_merge_into_matches_python_reference(spark, tgt, src, bar):
+    """Randomized MERGE inputs against a dict-model reference: dedupe
+    keys per side (the operator's contract requires unique source
+    keys), then matched-delete / matched-update / source-insert /
+    target-passthrough must all agree with the model."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    tgt = list({k: (k, v) for k, v in tgt}.values())
+    src = list({k: (k, v) for k, v in src}.values())
+    t_schema, s_schema = "id long, val long", "id long, delta long"
+    target = spark.createDataFrame(tgt, t_schema)
+    source = spark.createDataFrame(src, s_schema)
+    out = merge_into(
+        target,
+        source,
+        ["id"],
+        update_set={"val": F.col("t.val") + F.col("s.delta")},
+        delete_when=F.col("s.delta") >= bar,
+        insert_values={"val": F.col("s.delta") * 2},
+    )
+    got = sorted((r.id, r.val) for r in out.collect())
+
+    model = {k: v for k, v in tgt}
+    for k, d in src:
+        if k in model:
+            if d >= bar:
+                del model[k]
+            else:
+                model[k] = model[k] + d
+        else:
+            model[k] = d * 2
+    assert got == sorted(model.items())

@@ -219,3 +219,30 @@ def test_sketch_join_plan_rejects_bad_fraction(spark):
         SKW.sketch_join_plan(
             big, other, ["k"], broadcast_rows=10, planning_fraction=1.5
         )
+
+
+def test_sketch_join_plan_estimates_output_size(spark):
+    """estimate_output=True records the CMS inner-product bound on the
+    join's output rows — exact mode over-estimates ONLY (never under
+    the true join size)."""
+    big = spark.range(20000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("payload")
+    )
+    other = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+    )
+    joined, d = SKW.sketch_join_plan(
+        big, other, ["k"], broadcast_rows=10, estimate_output=True
+    )
+    exact = joined.count()
+    assert d["est_join_rows"] >= exact
+    assert d["est_join_rows"] <= exact * 3  # sane bound at this width
+    # Sampled mode: in the right ballpark after the rescale.
+    _, ds = SKW.sketch_join_plan(
+        big, other, ["k"], broadcast_rows=10,
+        planning_fraction=0.25, estimate_output=True,
+    )
+    assert exact * 0.5 <= ds["est_join_rows"] <= exact * 4
+    # Off by default: the key stays out of the decision dict.
+    _, d0 = SKW.sketch_join_plan(big, other, ["k"], broadcast_rows=10)
+    assert "est_join_rows" not in d0

@@ -123,6 +123,7 @@ def sketch_join_plan(
     how: str = "inner",
     planning_fraction: float | None = None,
     safety: int = 2,
+    estimate_output: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Pick the physical join strategy from SKETCH evidence and apply
     it: returns ``(joined, decision)`` where ``decision`` records what
@@ -162,6 +163,17 @@ def sketch_join_plan(
     default) keeps the PROVABLE one-sided guarantee; pass a fraction
     when ``big`` is a raw warehouse-scale scan.
 
+    ``estimate_output=True`` additionally records
+    ``decision["est_join_rows"]`` — the CMS inner-product upper bound
+    on the join's OUTPUT size (:func:`~ue_big_data_project_spark.
+    operators.sketch.cms_join_size`, over-estimate only) from the
+    big-side counters the planner already built plus one counter pass
+    over ``other``'s key (respecting ``planning_fraction`` on the big
+    side, rescaled). Opt-in because it costs that extra ``other`` scan;
+    the number a caller reads to refuse or budget an exploding join
+    before running it. Skipped on the broadcast branch (the small side
+    was already counted exactly).
+
     Strategies: ``broadcast`` (small side under ``broadcast_rows``),
     ``salted`` (hot key spread over ``salt_buckets`` reducers via
     :func:`salted_shuffle_join`), else ``shuffle`` (plain — AQE's
@@ -199,9 +211,13 @@ def sketch_join_plan(
     # One job reads both numbers off the bounded counter table: row 0's
     # buckets partition the (sampled) keys so their sum is the exact
     # (sampled) row count; the max cell is the one-sided hot-key bound.
+    counters = cms_counters(keys, F.col("_k"))
+    if estimate_output:
+        # The bounded counter table gets a second consumer (the join-size
+        # inner product) — checkpoint so the key scan runs once.
+        counters = counters.localCheckpoint(eager=True)
     stats = (
-        cms_counters(keys, F.col("_k"))
-        .agg(
+        counters.agg(
             F.sum(F.when(F.col("row_idx") == 0, F.col("cnt")))
             .cast("long")
             .alias("n"),
@@ -219,6 +235,19 @@ def sketch_join_plan(
         avg_reducer_load=int(avg_load * scale),
         skew_ratio_est=round(max_freq / avg_load, 2),
     )
+    if estimate_output:
+        from ue_big_data_project_spark.operators.sketch import cms_join_size
+
+        other_key = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in on]
+        )
+        oc = cms_counters(other.select(other_key.alias("_k")), F.col("_k"))
+        raw = cms_join_size(counters, oc).collect()[0]["est_join_rows"]
+        # The big side's counts were sampled at `planning_fraction`; the
+        # inner product is linear in them, so one rescale restores the
+        # full-input bound (in expectation — sampled mode trades the
+        # strict one-sidedness for bounded planning cost, as above).
+        decision["est_join_rows"] = int(raw * scale)
     if max_freq >= ratio_bar * avg_load and n_keys > 0:
         decision["strategy"] = "salted"
         return (
