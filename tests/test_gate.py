@@ -57,6 +57,10 @@ PROXIED = {
     # in-gate HLL entry hashes + the cube/grouping shape events_cube
     # hashes; the lattice==direct property is pinned by tests/test_sketch.py.
     "sketch_hll_cube": "sketch_hll_parts_per_flag",
+    # Round-8-new, post-re-freeze: the bucketed/manifest merge layout
+    # shares streaming_cdc_merge's oracle verbatim; bucket-granular
+    # replay purity pinned by tests/test_streaming.py.
+    "streaming_cdc_merge_bucketed": "streaming_incremental_rollup",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

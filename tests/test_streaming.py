@@ -806,3 +806,158 @@ def test_read_merged_snapshot_time_travel(spark, tmp_path):
     assert v0 == {1: 15.0, 3: 30.0}
     with _pt.raises(ValueError, match="not a committed"):
         ST.read_merged_snapshot(spark, snap, 99)
+
+
+def test_bucketed_merge_stream_equals_copy_on_write_sink(spark, tmp_path):
+    """The manifest/bucket variant must land EXACTLY the same end state
+    as the copy-on-write sink (and therefore as sequential merge_into)
+    — the layouts differ, the semantics must not."""
+    from ue_big_data_project_spark import streaming as ST
+
+    initial, batches, sdf, clauses = _merge_stream_fixture(spark, tmp_path)
+    snap = str(tmp_path / "bsnap")
+    q = ST.bucketed_merge_ingest_stream(
+        sdf, initial, snap, ["id"], n_buckets=4, **clauses
+    )
+    ST.run_until_drained(q)
+    got = sorted(
+        map(
+            tuple,
+            ST.read_bucketed_merged_snapshot(spark, snap)
+            .select("id", "name", "bal")
+            .collect(),
+        )
+    )
+    assert got == [(1, "a", 16.0), (2, "ins", 7.0), (4, "ins", 42.0)]
+
+
+def test_bucketed_merge_stream_rewrites_only_touched_buckets(
+    spark, tmp_path
+):
+    """The at-scale property: after bootstrap, each batch's version dir
+    contains ONLY the buckets its change keys hash to; untouched
+    buckets stay at their old version via the manifest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark import streaming as ST
+
+    initial = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "id long, bal double"
+    )
+    # One single-key change batch after bootstrap.
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    import time as _t
+
+    now = _t.time()
+    for i, rows in enumerate([[(7, 1.0)], [(9, 2.0)]]):
+        bdir = str(tmp_path / f"c{i}")
+        spark.createDataFrame(rows, "id long, delta double").coalesce(
+            1
+        ).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"c{i}.parquet")
+        os.symlink(os.path.join(bdir, part), dst)
+        os.utime(dst, (now + i, now + i), follow_symlinks=False)
+    sdf = spark.readStream.schema("id long, delta double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    snap = str(tmp_path / "snap")
+    q = ST.bucketed_merge_ingest_stream(
+        sdf,
+        initial,
+        snap,
+        ["id"],
+        n_buckets=8,
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+    )
+    ST.run_until_drained(q)
+    # Batch 0 is the BOOTSTRAP (all buckets, merged with change c0);
+    # batch 1 (change c1, key 9) touched exactly ONE bucket.
+    buckets = [
+        d for d in os.listdir(os.path.join(snap, "v=1"))
+        if d.startswith("_bucket=")
+    ]
+    assert len(buckets) == 1, buckets
+    # Manifest: exactly one bucket at v=1, the rest still at v=0.
+    m = ST._read_manifest(ST._manifest_path(snap, 1))
+    versions = sorted(m.values())
+    assert versions.count(0) == 7 and versions.count(1) == 1, versions
+    # Semantics intact (7 merged during bootstrap, 9 in batch 1).
+    got = {r.id: r.bal for r in ST.read_bucketed_merged_snapshot(spark, snap).collect()}
+    assert got[7] == 8.0 and got[9] == 11.0 and got[0] == 0.0
+    # Replay purity at bucket granularity: recompute batch 1's bucket
+    # rewrite from manifest m-0's dirs + batch 1 — identical rows.
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    m0 = ST._read_manifest(ST._manifest_path(snap, 0))
+    b9 = buckets[0]
+    bucket_id = int(b9.split("=")[1])
+    prev = spark.read.parquet(
+        os.path.join(snap, f"v={m0[bucket_id]}", f"_bucket={bucket_id}")
+    )
+    recomputed = merge_into(
+        prev,
+        spark.createDataFrame([(9, 2.0)], "id long, delta double"),
+        ["id"],
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+    )
+    stored = spark.read.parquet(os.path.join(snap, "v=1", b9))
+    assert sorted(map(tuple, recomputed.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+
+
+def test_bucketed_merge_insert_into_empty_bucket(spark, tmp_path):
+    """A change key hashing to a bucket that has never held a row (no
+    dir at its manifest version) must insert cleanly, not crash on the
+    missing directory."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark import streaming as ST
+
+    # Tiny initial: with 32 buckets most are EMPTY at bootstrap.
+    initial = spark.createDataFrame([(1, 1.0)], "id long, bal double")
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    found = None
+    bucket_of = lambda df: df.select(
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(32)).alias("b")
+    ).collect()[0]["b"]
+    b1 = bucket_of(initial)
+    # Find a key landing in a DIFFERENT bucket than id=1.
+    for cand in range(2, 200):
+        if bucket_of(
+            spark.createDataFrame([(cand, 0.0)], "id long, bal double")
+        ) != b1:
+            found = cand
+            break
+    bdir = str(tmp_path / "c0")
+    spark.createDataFrame(
+        [(found, 5.0)], "id long, delta double"
+    ).coalesce(1).write.parquet(bdir)
+    part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+    os.symlink(os.path.join(bdir, part), os.path.join(stage, "c0.parquet"))
+    sdf = spark.readStream.schema("id long, delta double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    snap = str(tmp_path / "snap")
+    # Bootstrap happens with batch 0 = the change batch itself; then the
+    # insert lands in an empty bucket.
+    q = ST.bucketed_merge_ingest_stream(
+        sdf,
+        initial,
+        snap,
+        ["id"],
+        n_buckets=32,
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+        insert_values={"bal": F.col("s.delta")},
+    )
+    ST.run_until_drained(q)
+    got = {r.id: r.bal for r in ST.read_bucketed_merged_snapshot(spark, snap).collect()}
+    assert got == {1: 1.0, found: 5.0}

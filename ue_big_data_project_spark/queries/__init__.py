@@ -294,6 +294,11 @@ BENCH_EXTRA = (
     # registers rolled up the grouping lattice by min-merge (sketches
     # roll up; COUNT(DISTINCT) pays the Expand-multiplied shuffle).
     "sketch_hll_cube",
+    # Round-8-new: the PARTIAL-REWRITE merge sink (hash-bucketed
+    # snapshot + per-version manifest, Iceberg/Delta shape) — same
+    # chained-CTE oracle as streaming_cdc_merge: layouts must not
+    # change semantics.
+    "streaming_cdc_merge_bucketed",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -1337,3 +1337,86 @@ FROM m2
 QUERIES["streaming_cdc_merge"] = QuerySpec(
     streaming_cdc_merge, STREAMING_CDC_MERGE_SQL
 )
+
+
+def streaming_cdc_merge_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PARTIAL-REWRITE twin of ``streaming_cdc_merge``: identical
+    three ordered change batches and clauses, but through
+    ``bucketed_merge_ingest_stream`` — the snapshot is hash-bucketed on
+    the key, each batch rewrites ONLY its touched buckets, and a
+    per-version manifest maps buckets to versions (the Iceberg/Delta
+    shape; per-batch cost O(touched buckets), not O(snapshot)). The
+    ORACLE IS THE SAME chained-CTE SQL: layouts must not change
+    semantics, and the shared hash pins exactly that."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    root = _tf.mkdtemp(prefix="spark_graft_cdcmergeb_")
+    try:
+        stage = _os.path.join(root, "stage")
+        _os.makedirs(stage)
+        now = _time.time()
+        for i in range(3):
+            bdir = _os.path.join(root, f"b{i}")
+            (
+                t["orders"]
+                .filter(F.col("o_orderkey") % 3 == i)
+                .groupBy(F.col("o_custkey").alias("c_custkey"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .coalesce(1)
+                .write.parquet(bdir)
+            )
+            part = [
+                f for f in _os.listdir(bdir) if f.endswith(".parquet")
+            ][0]
+            dst = _os.path.join(stage, f"b{i}.parquet")
+            _os.symlink(_os.path.join(bdir, part), dst)
+            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+        sdf = spark.readStream.schema("c_custkey long, n long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        snap = _os.path.join(root, "snap")
+        q = ST.bucketed_merge_ingest_stream(
+            sdf,
+            t["customer"],
+            snap,
+            ["c_custkey"],
+            n_buckets=16,
+            update_set={
+                "c_acctbal": F.col("t.c_acctbal") + F.col("s.n")
+            },
+            delete_when=F.col("s.n") >= 7,
+            insert_values={
+                "c_name": F.lit("reinserted"),
+                "c_nationkey": F.lit(-1).cast("int"),
+                "c_acctbal": F.col("s.n").cast("double"),
+                "c_mktsegment": F.lit("NEW"),
+            },
+        )
+        ST.run_until_drained(q)
+        out = ST.read_bucketed_merged_snapshot(spark, snap).select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            pround(F.col("c_acctbal"), 2).alias("acctbal"),
+            "c_mktsegment",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+# Layouts must not change semantics: the bucketed sink hashes against
+# the IDENTICAL chained-merge oracle.
+QUERIES["streaming_cdc_merge_bucketed"] = QuerySpec(
+    streaming_cdc_merge_bucketed, STREAMING_CDC_MERGE_SQL
+)

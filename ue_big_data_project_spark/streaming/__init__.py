@@ -1078,3 +1078,198 @@ def read_merged_snapshot(
             f"(have {committed})"
         )
     return spark.read.parquet(os.path.join(snapshot_dir, f"v={version}"))
+
+
+def _read_manifest(path: str) -> dict[int, int]:
+    import json
+
+    with open(path) as f:
+        return {int(k): int(v) for k, v in json.load(f).items()}
+
+
+def _manifest_path(snapshot_dir: str, batch_id: int) -> str:
+    return os.path.join(snapshot_dir, "_manifests", f"m-{batch_id}.json")
+
+
+def bucketed_merge_ingest_stream(
+    sdf: DataFrame,
+    initial: DataFrame,
+    snapshot_dir: str,
+    keys: list[str],
+    update_set: dict | None = None,
+    delete_when=None,
+    insert_values: dict | None = None,
+    n_buckets: int = 16,
+    retain_versions: int = 3,
+) -> StreamingQuery:
+    """The PARTIAL-REWRITE variant of :func:`merge_ingest_stream` — the
+    Iceberg/Delta manifest shape: the snapshot is hash-bucketed on the
+    merge key, each micro-batch MERGEs and rewrites ONLY the buckets
+    its change keys touch, and a per-version MANIFEST maps every bucket
+    to the version that last rewrote it. Per-batch cost is
+    O(touched buckets), not O(snapshot) — the property that makes a
+    continuous MERGE viable against a 100 TB table
+    (``scripts/merge_scale_check.py`` measures the contrast).
+
+    Same two replay-safety mechanisms as the copy-on-write sink, now
+    over (bucket, version) granularity:
+
+    - version PURITY: batch N's bucket rewrites and manifest m-N are a
+      pure function of the IMMUTABLE manifest m-(N−1)'s bucket files
+      plus batch N, so an uncommitted replay deterministically rewrites
+      identical bytes;
+    - the LEDGER commits after manifest + data land; readers resolve
+      the max committed manifest only, so torn writes are invisible.
+
+    Retention prunes version dirs that are (a) older than the
+    ``retain_versions`` committed tail AND (b) not referenced by the
+    LATEST committed manifest — a bucket untouched for many batches
+    keeps its old version dir alive for as long as the manifest points
+    at it (compaction = a full-touch batch).
+    """
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    ledger_dir = os.path.join(snapshot_dir, "_ledger")
+    os.makedirs(os.path.join(snapshot_dir, "_manifests"), exist_ok=True)
+    bucket_of = F.pmod(
+        F.xxhash64(*[F.col(k).cast("string") for k in keys]),
+        F.lit(n_buckets),
+    ).cast("int")
+
+    def bucket_dir(version: int, bucket: int) -> str:
+        # partitionBy names dirs <col>=<val>; the column is _bucket.
+        return os.path.join(
+            snapshot_dir, f"v={version}", f"_bucket={bucket}"
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        committed = [
+            b for b in _committed_batch_ids(ledger_dir) if b < batch_id
+        ]
+        manifest = (
+            _read_manifest(_manifest_path(snapshot_dir, committed[-1]))
+            if committed
+            else None
+        )
+        batch = batch_df.withColumn("_bucket", bucket_of)
+        if manifest is None:
+            # Bootstrap: every bucket is touched — seed from `initial`.
+            touched = list(range(n_buckets))
+            target = initial.withColumn("_bucket", bucket_of)
+        else:
+            touched = sorted(
+                r["_bucket"]
+                for r in batch.select("_bucket").distinct().collect()
+            )
+            if touched:
+                # A bucket can be EMPTY at its manifest version (no row
+                # ever landed there — partitionBy writes no dir for an
+                # empty bucket): treat missing dirs as empty buckets.
+                dirs = [
+                    d
+                    for d in (
+                        bucket_dir(manifest[b], b) for b in touched
+                    )
+                    if os.path.isdir(d)
+                ]
+                target = (
+                    spark_union_read(sp, dirs).withColumn(
+                        "_bucket", bucket_of
+                    )
+                    if dirs
+                    else initial.limit(0).withColumn("_bucket", bucket_of)
+                )
+            else:
+                target = None
+        if touched:
+            merged = merge_into(
+                target.drop("_bucket"),
+                batch.drop("_bucket"),
+                keys,
+                update_set=update_set,
+                delete_when=delete_when,
+                insert_values=insert_values,
+            ).withColumn("_bucket", bucket_of)
+            # One write task per touched bucket; partitionBy lands each
+            # bucket in its own dir under this batch's version.
+            (
+                merged.repartition(max(len(touched), 1), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(os.path.join(snapshot_dir, f"v={batch_id}"))
+            )
+            # partitionBy writes dirs named _bucket=<b>; normalize the
+            # manifest to plain bucket ids.
+        new_manifest = (
+            {b: batch_id for b in range(n_buckets)}
+            if manifest is None
+            else {**manifest, **{b: batch_id for b in touched}}
+        )
+        mpath = _manifest_path(snapshot_dir, batch_id)
+        tmp = mpath + ".tmp"
+        import json
+
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in new_manifest.items()}, f)
+        os.rename(tmp, mpath)
+
+    def prune_and_apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply(batch_df, batch_id)
+        import shutil
+
+        committed = _committed_batch_ids(ledger_dir)
+        if not committed:
+            return
+        latest = _read_manifest(
+            _manifest_path(snapshot_dir, committed[-1])
+        )
+        # Versions referenced by the latest committed manifest (plus
+        # the version just written, whose manifest commits after this
+        # callback returns) must survive; prune committed versions
+        # outside both the reference set and the retained tail.
+        referenced = set(latest.values()) | {batch_id}
+        tail = set(committed[-retain_versions:]) if retain_versions else set()
+        for b in committed:
+            if b not in referenced and b not in tail:
+                shutil.rmtree(
+                    os.path.join(snapshot_dir, f"v={b}"),
+                    ignore_errors=True,
+                )
+
+    return idempotent_foreach_batch(
+        sdf, prune_and_apply, ledger_dir=ledger_dir, mode="append"
+    )
+
+
+def spark_union_read(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """Read several parquet dirs as one frame (schemas identical)."""
+    return spark.read.parquet(*dirs)
+
+
+def read_bucketed_merged_snapshot(
+    spark: SparkSession, snapshot_dir: str, version: int | None = None
+) -> DataFrame:
+    """Resolve a :func:`bucketed_merge_ingest_stream` snapshot at the
+    latest (or a retained) COMMITTED manifest: each bucket reads from
+    the version that last rewrote it."""
+    committed = _committed_batch_ids(os.path.join(snapshot_dir, "_ledger"))
+    if not committed:
+        raise ValueError(f"no committed snapshot versions in {snapshot_dir}")
+    if version is None:
+        version = committed[-1]
+    elif version not in committed:
+        raise ValueError(
+            f"version {version} is not committed (have {committed})"
+        )
+    manifest = _read_manifest(_manifest_path(snapshot_dir, version))
+    dirs = [
+        os.path.join(snapshot_dir, f"v={v}", f"_bucket={b}")
+        for b, v in manifest.items()
+    ]
+    # partitionBy writes dirs as <col>=<val>; passing leaf dirs drops
+    # the partition column, which is fine — _bucket is derivable.
+    existing = [d for d in dirs if os.path.isdir(d)]
+    if not existing:
+        raise ValueError(f"manifest references no existing buckets: {dirs[:3]}")
+    return spark.read.parquet(*existing)
