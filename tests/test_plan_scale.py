@@ -218,6 +218,11 @@ SHUFFLE_BUDGETS = {
                                     # the full-outer key join + final
                                     # project; synthetic-insert branch
                                     # reuses the stats agg
+    "sketch_hll_cube": 9,           # leaf registers (checkpointed,
+                                    # counted once) + 4 bounded lattice
+                                    # rollups/estimates + the exact
+                                    # Expand-cube verification column +
+                                    # the null-safe est-exact join
     "sketch_join_size": 8,          # 2 bounded counter builds (orders
                                     # sketch reused by both estimates)
                                     # + 2 inner-product aggs + the
