@@ -449,3 +449,18 @@ def test_bloom_sidecar_absent_keys_and_empty(spark):
 
         with _pt.raises(Exception):
             S.read_bloom_pruned(spark, out, "l_partkey", [1])
+
+
+def test_bloom_pruned_read_refuses_hive_partitioned_layouts(spark):
+    """A file-list read of a hive layout silently drops partition
+    columns; the bloom reader refuses with guidance instead."""
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "li")
+        li.select("l_orderkey", "l_linestatus").write.partitionBy(
+            "l_linestatus"
+        ).parquet(out)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="hive partition"):
+            S.read_bloom_pruned(spark, out, "l_orderkey", [1])

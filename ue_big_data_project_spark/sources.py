@@ -550,6 +550,21 @@ def read_bloom_pruned(
         _positions,
     )
 
+    # Flat layouts only: reading ADMITTED FILES directly would silently
+    # drop hive partition columns (their values live in dir names, not
+    # footers). Partitioned layouts already have partition pruning for
+    # the partition key; bloom-index a non-partition column there by
+    # pointing this at one partition dir.
+    for entry in os.listdir(path):
+        if "=" in entry and not entry.startswith("_") and os.path.isdir(
+            os.path.join(path, entry)
+        ):
+            raise ValueError(
+                f"read_bloom_pruned wants a flat parquet layout; {path} "
+                f"has hive partition dirs ({entry}) whose columns a "
+                "file-list read would drop — prune the partition key "
+                "via partition pruning and bloom-read inside a partition"
+            )
     if not values:
         return spark.read.parquet(path).where(F.lit(False))
     side_path = os.path.join(path, f"_bloom_{col}")
