@@ -61,6 +61,11 @@ PROXIED = {
     # shares streaming_cdc_merge's oracle verbatim; bucket-granular
     # replay purity pinned by tests/test_streaming.py.
     "streaming_cdc_merge_bucketed": "streaming_incremental_rollup",
+    # Round-8-new, post-re-freeze: the streaming counter rollup shares
+    # streaming_hll_distinct's sidecar-fold shape (in-gate) and
+    # sketch_cms_tokens' oracle verbatim; ledger contrast pinned by
+    # tests/test_streaming.py.
+    "streaming_cms_tokens": "streaming_hll_distinct",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -961,3 +961,51 @@ def test_bucketed_merge_insert_into_empty_bucket(spark, tmp_path):
     ST.run_until_drained(q)
     got = {r.id: r.bal for r in ST.read_bucketed_merged_snapshot(spark, snap).collect()}
     assert got == {1: 1.0, found: 5.0}
+
+
+def test_cms_rollup_multibatch_and_replay_ledger(spark, tmp_path):
+    """The CMS member of the streaming-sketch family: multi-batch
+    counter partitions fold to EXACTLY the single-pass batch counters
+    (merge == rebuild), and a replayed batch is single-counted because
+    the ledger skips it (counter addition is NOT replay-absorbing —
+    the qhist side of the idempotence contrast)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators import sketch as SK
+
+    df = spark.range(4000).select(
+        F.concat(F.lit("t"), (F.col("id") % 37).cast("string")).alias("v")
+    )
+    stage = str(tmp_path / "stage")
+    df.repartition(4).write.parquet(stage)
+    sdf = spark.readStream.schema("v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    counters_dir = str(tmp_path / "counters")
+    ledger = str(tmp_path / "ledger")
+    q = ST.cms_ingest_stream(sdf, counters_dir, ledger, "v", depth=3, width=64)
+    ST.run_until_drained(q)
+    assert len(ST._committed_batch_ids(ledger)) == 4
+    merged = ST.read_cms_rollup(spark, counters_dir)
+    whole = SK.cms_counters(df, F.col("v"), depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # Replay superset: a fresh stream over the same files with a new
+    # checkpoint re-offers every batch; the ledger (keyed by batch id,
+    # deterministic per-partition overwrite) keeps the sidecar
+    # UNCHANGED — fold again and the counts are still single-counted.
+    sdf2 = spark.readStream.schema("v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    q2 = ST.cms_ingest_stream(
+        sdf2, counters_dir, ledger, "v", depth=3, width=64
+    )
+    ST.run_until_drained(q2)
+    again = ST.read_cms_rollup(spark, counters_dir)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

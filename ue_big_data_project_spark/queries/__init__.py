@@ -299,6 +299,10 @@ BENCH_EXTRA = (
     # chained-CTE oracle as streaming_cdc_merge: layouts must not
     # change semantics.
     "streaming_cdc_merge_bucketed",
+    # Round-8-new: the CMS member of the streaming-sketch family
+    # (ledgered — counter addition is not replay-absorbing); merge ==
+    # rebuild makes the batch query's oracle apply verbatim.
+    "streaming_cms_tokens",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

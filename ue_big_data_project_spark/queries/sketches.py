@@ -917,3 +917,77 @@ FROM est e JOIN exact x
 """
 
 QUERIES["sketch_hll_cube"] = QuerySpec(sketch_hll_cube, SKETCH_HLL_CUBE_SQL)
+
+
+def streaming_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``sketch_cms_tokens``: documents replay as
+    4 real micro-batches through ``cms_ingest_stream`` (per-batch
+    counter partitions + the idempotence ledger — counter ADDITION is
+    not replay-absorbing, unlike the HLL rollup's min-merge), the
+    merged sidecar alone estimates the top-10 exact tokens' counts.
+    Counter merge == rebuild, so the ORACLE IS THE SAME SQL as the
+    batch query — stream == batch, pinned by the shared hash."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.functions.text import normalize_text
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    root = _tf.mkdtemp(prefix="spark_graft_cmsstream_")
+    try:
+        stage = _os.path.join(root, "stage")
+        d.select("doc_id", "text").repartition(4).write.parquet(stage)
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        toks_of = lambda frame: frame.select(
+            F.explode(
+                F.filter(
+                    F.split(normalize_text(F.col("text")), " "),
+                    lambda t: t != "",
+                )
+            ).alias("token")
+        )
+        # Tokenize INSIDE the stream: the counter build consumes the
+        # token stream per micro-batch.
+        q = ST.cms_ingest_stream(
+            toks_of(sdf),
+            _os.path.join(root, "counters"),
+            _os.path.join(root, "ledger"),
+            "token",
+            depth=_CMS_D,
+            width=_CMS_W,
+        )
+        ST.run_until_drained(q)
+        counters = ST.read_cms_rollup(spark, _os.path.join(root, "counters"))
+        toks = toks_of(d)
+        top = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("exact_count"))
+            .orderBy(F.desc("exact_count"), "token")
+            .limit(10)
+        )
+        est = SK.cms_lookup(
+            counters, top, F.col("token"), depth=_CMS_D, width=_CMS_W
+        )
+        return est.select(
+            "token",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+# Stream == batch: counter merge equals the single-pass build, so the
+# batch oracle text applies verbatim.
+QUERIES["streaming_cms_tokens"] = QuerySpec(
+    streaming_cms_tokens, SKETCH_CMS_TOKENS_SQL
+)

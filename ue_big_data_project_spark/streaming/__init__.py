@@ -962,6 +962,53 @@ def read_qhist_rollup(
     )
 
 
+def cms_ingest_stream(
+    sdf: DataFrame,
+    counters_path: str,
+    ledger_dir: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> StreamingQuery:
+    """Continuous frequency rollup — the count-min member of the
+    streaming-sketch family: each micro-batch's counter table lands in
+    its own ``batch_id=N`` partition; :func:`read_cms_rollup` folds the
+    sidecar by ADDING counts, so point-frequency estimates and
+    heavy-hitter candidate filters stay queryable over an unbounded
+    stream from bounded state (≤ depth×width integers per batch).
+
+    Same idempotence class as :func:`qhist_ingest_stream` (counter
+    addition is NOT replay-absorbing — a double-folded batch
+    double-counts), so it KEEPS the ledger, while
+    :func:`hll_ingest_stream` is ledger-free (min-merge absorbs
+    replays) — the round-7 contrast, now pinned across all three
+    sketch rollups."""
+    from ue_big_data_project_spark.operators.sketch import cms_counters
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        cnt = cms_counters(
+            batch_df, F.col(value_col), depth=depth, width=width
+        )
+        cnt.write.mode("overwrite").parquet(
+            os.path.join(counters_path, f"batch_id={batch_id}")
+        )
+
+    return idempotent_foreach_batch(sdf, ingest, ledger_dir)
+
+
+def read_cms_rollup(spark: SparkSession, counters_path: str) -> DataFrame:
+    """Current merged counter table from a sidecar maintained by
+    :func:`cms_ingest_stream` — feed it to ``sketch.cms_lookup`` /
+    ``sketch.cms_join_size``. One bounded scan of counter rows, never
+    of the ingested data."""
+    cnt = spark.read.parquet(counters_path)
+    if "batch_id" in cnt.columns:
+        cnt = cnt.drop("batch_id")
+    return cnt.groupBy("row_idx", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
 def _committed_batch_ids(ledger_dir: str) -> list[int]:
     """Batch ids whose ``batch-<id>.done`` marker exists (the
     :func:`idempotent_foreach_batch` ledger format)."""
