@@ -185,18 +185,18 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # Round-8 rotation continuity (round-7 verdict task 1): report the
-    # sum over the NEW gate-50 next to the sum over the round-5–7 frozen
-    # gate-50. Both sets are fully contained in the (unchanged) bench
-    # set, so both sums come from this run's live medians and the r5–r7
-    # perf series (88.9 → 100.4 → 71.9 s) stays directly comparable.
-    from ue_big_data_project_spark.queries import GATE_ORDER, GATE_ORDER_R7
+    # Round-9 rotation continuity (round-8 verdict task 1): report the
+    # sum over the NEW gate-50 next to the sum over the round-8 gate-50.
+    # Both sets are fully contained in the (unchanged) bench set, so
+    # both sums come from this run's live medians and the r8 perf series
+    # (gate50_sum 86.1 s in BENCH_r08.json) stays directly comparable.
+    from ue_big_data_project_spark.queries import GATE_ORDER, GATE_ORDER_R8
 
     gate_sum = round(
         sum(timings[n] for n in GATE_ORDER if n in timings), 3
     )
-    gate_r7_sum = round(
-        sum(timings[n] for n in GATE_ORDER_R7 if n in timings), 3
+    gate_r8_sum = round(
+        sum(timings[n] for n in GATE_ORDER_R8 if n in timings), 3
     )
 
     # The driver records only the LAST 2000 BYTES of stdout; round 4's
@@ -213,7 +213,7 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": passes,
         "gate50_sum": gate_sum,
-        "gate50_r7_sum": gate_r7_sum,
+        "gate50_r8_sum": gate_r8_sum,
     }
     if sentinel_samples:
         flat = [s for p in sentinel_samples for s in p]
@@ -250,7 +250,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": passes,
                 "gate50_sum": gate_sum,
-                "gate50_r7_sum": gate_r7_sum,
+                "gate50_r8_sum": gate_r8_sum,
                 "bench_n": len(timings),
                 # Truncation must be detectable from stdout ALONE
                 # (round-5 advice): a reader who sees dropped > 0 knows

@@ -37,35 +37,10 @@ PROXIED = {
     # As-of family anchor after asof_first_ship rotated out: the
     # streaming as-of twin runs the same operator contract.
     "asof_bucketed_prev_click": "streaming_asof_join",
-    # Round-8-new, post-re-freeze: stss keyframe extraction rides the
-    # same demux + per-sample-decode pipeline the (now in-gate) frames
-    # entry hashes; the stss walk itself is pinned by tests/test_mp4.py.
-    "multimodal_mp4_keyframes": "multimodal_mp4_frames",
-    # Round-8-new, post-re-freeze: the CMS inner-product join-size
-    # estimator builds on the counter tables the in-gate sketch entry
-    # hashes; the over-estimate guarantee is pinned by tests/test_sketch.py.
-    "sketch_join_size": "sketch_cms_tokens",
-    # Round-8-new, post-re-freeze: MERGE is the keyed-snapshot family
-    # the in-gate SCD2 entry hashes; clause semantics pinned by
-    # tests/test_cdc.py.
-    "cdc_merge_into": "cdc_scd2_history",
-    # Round-8-new, post-re-freeze: the ledgered-foreachBatch snapshot
-    # family the in-gate incremental rollup hashes; replay-window and
-    # batch-order semantics pinned by tests/test_streaming.py.
-    "streaming_cdc_merge": "streaming_incremental_rollup",
-    # Round-8-new, post-re-freeze: same register/estimator math the
-    # in-gate HLL entry hashes + the cube/grouping shape events_cube
-    # hashes; the lattice==direct property is pinned by tests/test_sketch.py.
-    "sketch_hll_cube": "sketch_hll_parts_per_flag",
-    # Round-8-new, post-re-freeze: the bucketed/manifest merge layout
-    # shares streaming_cdc_merge's oracle verbatim; bucket-granular
-    # replay purity pinned by tests/test_streaming.py.
-    "streaming_cdc_merge_bucketed": "streaming_incremental_rollup",
-    # Round-8-new, post-re-freeze: the streaming counter rollup shares
-    # streaming_hll_distinct's sidecar-fold shape (in-gate) and
-    # sketch_cms_tokens' oracle verbatim; ledger contrast pinned by
-    # tests/test_streaming.py.
-    "streaming_cms_tokens": "streaming_hll_distinct",
+    # (The 7 round-8-new entries that were proxied here post-re-freeze —
+    # MERGE INTO, both streaming CDC merge sinks, the HLL cube, CMS
+    # join-size, the streaming CMS rollup, MP4 keyframes — rotated INTO
+    # the gate in round 9 and face the driver's hash directly.)
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -97,10 +72,10 @@ ROTATED_OUT = {
     # pytest-oracle-gated:
     "dedup_exact": "dedup_clusters",  # exact-fingerprint dedup
     "pipeline_split": "pipeline_weighted_sample",  # hash-split family
-    "pipeline_corpus_stats": "pipeline_profile",  # one-pass profiling
+    "pipeline_corpus_stats": "pipeline_quantile_trim",  # one-pass stats family (profile rotated out r9)
     "events_rollup": "streaming_incremental_rollup",  # rollup family
     "q1_pricing_summary": "scan_filter_agg_kit",  # grouped multi-agg
-    "theta_join_next_error": "streaming_interval_join",  # non-equi join
+    "theta_join_next_error": "streaming_asof_join",  # non-equi join (interval entry rotated out r9)
     "knn_cosine_ivf": "knn_cosine_ivf_indexed",  # IVF (indexed twin)
     # Rotated out mid-round-4 (driver-green r1-r3) to hand slots to the
     # real-codec multimodal_bmp / multimodal_video_frames:
@@ -110,17 +85,17 @@ ROTATED_OUT = {
     "salted_hot_key_agg": "scan_filter_agg_kit",  # grouped multi-agg family
     # Rotated out mid-round-4 (driver-green r2+r3) to hand slots to
     # TPC-H q2/q4 and the first gating of pipeline_scrub_boilerplate:
-    "multimodal_features": "multimodal_wav",  # real-codec features twin
-    "multimodal_frames": "multimodal_video_frames",  # real-codec frames twin
+    "multimodal_features": "multimodal_jpeg",  # real-codec features twin (wav rotated out r9)
+    "multimodal_frames": "multimodal_mp4_frames",  # real-codec frames twin (BMPV entry rotated out r9)
     "knn_cosine_brute": "knn_cosine_ivf_indexed",  # cosine top-k family
     "q9_product_profit": "join_auto_strategy",  # multi-join grouped agg
-    "interval_overlap_join": "streaming_interval_join",  # interval join
+    "interval_overlap_join": "streaming_asof_join",  # interval-predicate join (interval entry rotated out r9)
     "q20_dominant_part_suppliers": "q2_min_cost_supplier",  # correlated agg threshold
     # Rotated out in round 5 (driver-green >= 2 rounds each) to hand
     # slots to the 13 never-hashed round-4 entries; all still benched
     # via BENCH_EXTRA and pytest-oracle-gated:
     "knn_cosine_pq": "knn_cosine_ivf_indexed",  # quantizer-train + code-scored knn
-    "pipeline_chunk_documents": "pipeline_scrub_boilerplate",  # per-doc text transform
+    "pipeline_chunk_documents": "text_repetition",  # per-doc text transform (scrub rotated out r9)
     "q11_important_parts": "q2_min_cost_supplier",  # scalar threshold + join-agg
     "pipeline_contamination": "dedup_clusters",  # n-gram overlap family
     "pipeline_upsert_corpus": "cdc_scd2_history",  # keyed latest-version upsert
@@ -157,6 +132,17 @@ ROTATED_OUT = {
     "window_top1_per_order": "window_rank_kit",  # rank-window family
     "pipeline_pack_sequences": "events_ewma",  # running-window accumulation
     "pipeline_stratified_sample": "pipeline_weighted_sample",  # hash-draw sampling
+    # Rotated out in ROUND 9 (each >= 5 consecutive driver-green rounds)
+    # in the rotation that put the 7 round-8-new entries in front of the
+    # driver's hash (round-8 verdict task 1). All stay benched every
+    # round (BENCH_EXTRA) and full-registry pytest-oracle-gated:
+    "multimodal_wav": "multimodal_jpeg",  # real-codec decode family
+    "multimodal_bmp": "multimodal_png",  # real-codec decode family
+    "multimodal_video_frames": "multimodal_mp4_frames",  # frame-stream demux family
+    "pipeline_profile": "pipeline_quantile_trim",  # one-pass column stats family
+    "events_resample": "events_ewma",  # time-bucket resample/running family
+    "pipeline_scrub_boilerplate": "text_repetition",  # per-doc text transform family
+    "streaming_interval_join": "streaming_asof_join",  # watermarked stream-stream join
 }
 
 
@@ -165,21 +151,23 @@ def test_gate_within_driver_cap():
     assert len(set(GATE_ORDER)) == len(GATE_ORDER)
 
 
-def test_gate_is_frozen_at_round8_set():
-    """The gate froze at the round-5 set for rounds 6–7 (round-5 verdict
-    task 2); ROUND 8 performed the one-time controlled rotation the
-    round-7 verdict mandated (task 1: the 13 round-7-new queries face
-    the driver's independent hash, 13 ≥4-round-green entries rotate to
+def test_gate_is_frozen_at_round9_set():
+    """The gate froze at the round-5 set for rounds 6–7; round 8 ran the
+    one-time rotation the round-7 verdict mandated (13/13 hashed green,
+    CORRECTNESS_r08); ROUND 9 repeats that precedent on the round-8
+    verdict's mandate (task 1: the 7 round-8-new queries face the
+    driver's independent hash, 7 ≥5-round-green entries rotate to
     BENCH_EXTRA, bench reports BOTH gate-50 sums for series continuity)
-    and RE-FROZE here. Editing GATE_ORDER again is a deliberate act that
-    requires updating this pin (and accepting a delta-baseline reset)."""
+    and RE-FREEZES here. Editing GATE_ORDER again is a deliberate act
+    that requires updating this pin (and accepting a delta-baseline
+    reset)."""
     import hashlib
 
     frozen = hashlib.sha256("\n".join(GATE_ORDER).encode()).hexdigest()
     assert len(GATE_ORDER) == 50
     assert frozen == (
-        "16f2dfdf815e05eb310df59878732e534de969085d26183723790ab28d08be73"
-    ), "GATE_ORDER changed — the gate re-froze at the round-8 set"
+        "445f95d3ec0990fe4fe0af7660bf5a1ab4d803bcd22534744f130a2b8ad91168"
+    ), "GATE_ORDER changed — the gate re-froze at the round-9 set"
 
 
 def test_gate_is_registry_subset():
@@ -207,26 +195,20 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r07 covered the rest of the registry; the 13
-    # round-7-new entries the driver has never hashed (the round-8
-    # rotation pool the round-7 verdict named in task 1) must lead the
+    # CORRECTNESS_r01-r08 covered the rest of the registry; the 7
+    # round-8-new entries the driver has never hashed (the round-9
+    # rotation pool the round-8 verdict named in task 1) must lead the
     # gate. Once these hash green, every registry entry is cumulatively
     # driver-verified again.
-    never_hashed = GATE_ORDER[:13]
+    never_hashed = GATE_ORDER[:7]
     assert set(never_hashed) == {
-        "sketch_hll_parts_per_flag",
-        "sketch_kmv_custkeys",
-        "sketch_kmv_overlap",
-        "sketch_cms_tokens",
-        "sketch_hll_merged_modes",
-        "sketch_qhist_prices",
-        "sketch_qhist_token_mass",
-        "streaming_hll_distinct",
-        "text_heavy_hitters",
-        "text_bm25_appended",
-        "multimodal_mp4_frames",
-        "pipeline_quantile_trim",
-        "join_auto_strategy",
+        "cdc_merge_into",
+        "streaming_cdc_merge",
+        "streaming_cdc_merge_bucketed",
+        "sketch_hll_cube",
+        "sketch_join_size",
+        "streaming_cms_tokens",
+        "multimodal_mp4_keyframes",
     }
 
 
@@ -246,7 +228,7 @@ def test_bench_stdout_line_fits_driver_tail():
             "sf": 0.1,
             "runs_per_query": 3,
             "gate50_sum": 99999.999,
-            "gate50_r7_sum": 99999.999,
+            "gate50_r8_sum": 99999.999,
             "bench_n": 99,
             "dropped": 50,
             "full": "bench_full.json",

@@ -56,16 +56,18 @@ def all_queries() -> dict[str, QuerySpec]:
 # got a driver-green row (114/114 cumulative by round 5, zero fails);
 # rounds 6–7 ran it FROZEN at the round-5 set (round-5 verdict task 2)
 # so the r6 regression and r7 recovery compared identical query sets.
-# ROUND 8 performs the ONE-TIME controlled rotation the round-7 verdict
-# mandated (task 1): the 13 round-7-new queries — which had only local
-# pytest-oracle evidence — swap IN to face the driver's independent
-# sf0.01 hash, and 13 multi-round-green stable entries (each ≥4 green
-# rounds, r1–r7) swap OUT into BENCH_EXTRA. The bench SET is unchanged
-# (gate ∪ BENCH_EXTRA keeps every round-7 entry; round-8-new queries
-# append to BENCH_EXTRA), and bench.py reports the
-# old-gate-50 and new-gate-50 dict sums side by side this round so the
+# ROUND 8 performed the one-time rotation the round-7 verdict mandated
+# (13 round-7-new queries in — all 13 hashed green, CORRECTNESS_r08 —
+# 13 ≥4-round-green entries out to BENCH_EXTRA). ROUND 9 repeats that
+# exact precedent on the round-8 verdict's mandate (task 1): the 7
+# round-8-new queries, which have only local pytest-oracle evidence,
+# swap IN to face the driver's independent sf0.01 hash, and 7
+# multi-round-green entries (each ≥5 green rounds r4–r8, or r3–r8)
+# swap OUT into BENCH_EXTRA. The bench SET is unchanged (gate ∪
+# BENCH_EXTRA is identical to round 8's), and bench.py reports the
+# r8-gate-50 and r9-gate-50 dict sums side by side this round so the
 # perf series stays comparable; the gate re-freezes at this set from
-# round 9. All rotated-out entries stay in all_queries(), the pytest
+# round 10. All rotated-out entries stay in all_queries(), the pytest
 # oracle gate (tests/test_oracle.py, which always hash-checks the FULL
 # registry against DuckDB), and the bench set. tests/test_gate.py pins
 # the new set — editing GATE_ORDER again is a test failure, not a
@@ -74,14 +76,23 @@ def all_queries() -> dict[str, QuerySpec]:
 # Every registry entry OUTSIDE the gate maps to an in-gate family
 # anchor; the authoritative (test-enforced) mappings live in
 # tests/test_gate.py::PROXIED (near-duplicate shapes / post-freeze
-# additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–8).
+# additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–9).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed: run first (round-7-new; round-8 rotation,
-    # round-7 verdict task 1). Sketch family, heavy hitters, MP4 demux,
-    # BM25 append, quantile trim, sketch-driven join planning, and the
-    # streaming HLL rollup — the code written last round faces the
-    # driver's independent sf0.01 hash for the first time. -----------
+    # -- never driver-hashed: run first (round-8-new; round-9 rotation,
+    # round-8 verdict task 1). MERGE INTO, both streaming CDC merge
+    # sinks, the HLL distinct-count cube, CMS join-size estimation, the
+    # streaming CMS rollup, and MP4 stss keyframe extraction — the code
+    # written last round faces the driver's independent sf0.01 hash for
+    # the first time. ------------------------------------------------
+    "cdc_merge_into",
+    "streaming_cdc_merge",
+    "streaming_cdc_merge_bucketed",
+    "sketch_hll_cube",
+    "sketch_join_size",
+    "streaming_cms_tokens",
+    "multimodal_mp4_keyframes",
+    # -- first hashed (green) in round 8 ---------------------------------
     "sketch_hll_parts_per_flag",
     "sketch_kmv_custkeys",
     "sketch_kmv_overlap",
@@ -116,19 +127,12 @@ GATE_ORDER = (
     "text_bm25_probe",
     # -- first hashed (green) in round 4 ---------------------------------
     "knn_cosine_ivf_indexed",
-    "pipeline_profile",
     "text_repetition",
-    "multimodal_wav",
-    "multimodal_bmp",
-    "multimodal_video_frames",
     "bloom_pruned_join",
     "streaming_asof_join",
     "q2_min_cost_supplier",
-    "pipeline_scrub_boilerplate",
-    "events_resample",
     "sql_text_nation_revenue",
     # -- first hashed (green) in round 3 ---------------------------------
-    "streaming_interval_join",
     "streaming_incremental_rollup",
     # -- first hashed (green) in round 2 ---------------------------------
     "ref_q1_plane_bus_wait",
@@ -139,13 +143,28 @@ GATE_ORDER = (
     "dedup_clusters",
 )
 
-# The round-5–7 FROZEN gate set, kept verbatim so bench.py can report
-# the old-gate-50 sum NEXT TO the new-gate-50 sum this round — the perf
-# series (r5 88.9 → r6 100.4 → r7 71.9 s) stays directly comparable
-# across the rotation (round-7 verdict task 1: "record BOTH old-set and
-# new-set bench sums"). Every entry is still benched (gate ∪ BENCH_EXTRA
-# is unchanged), so the sum is computed from live medians, not replayed.
-GATE_ORDER_R7 = (
+# The round-8 gate set, kept verbatim so bench.py can report the
+# old-gate-50 sum NEXT TO the new-gate-50 sum this round — the perf
+# series (r7 71.9 → r8 86.1 s on this set) stays directly comparable
+# across the rotation (round-8 verdict task 1: "record BOTH bench
+# sums"). Every entry is still benched (gate ∪ BENCH_EXTRA is
+# unchanged), so the sum is computed from live medians, not replayed.
+# (The round-7 set's crossover sum was recorded in BENCH_r08.json —
+# gate50_r7_sum 75.6 s — so the r7-set series is already closed.)
+GATE_ORDER_R8 = (
+    "sketch_hll_parts_per_flag",
+    "sketch_kmv_custkeys",
+    "sketch_kmv_overlap",
+    "sketch_cms_tokens",
+    "sketch_hll_merged_modes",
+    "sketch_qhist_prices",
+    "sketch_qhist_token_mass",
+    "streaming_hll_distinct",
+    "text_heavy_hitters",
+    "text_bm25_appended",
+    "multimodal_mp4_frames",
+    "pipeline_quantile_trim",
+    "join_auto_strategy",
     "text_bm25_search",
     "text_bm25_indexed",
     "text_hybrid_search",
@@ -176,25 +195,12 @@ GATE_ORDER_R7 = (
     "pipeline_scrub_boilerplate",
     "events_resample",
     "sql_text_nation_revenue",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q13_order_count_distribution",
     "streaming_interval_join",
     "streaming_incremental_rollup",
-    "dedup_incremental",
-    "pipeline_pack_sequences",
-    "pipeline_stratified_sample",
     "ref_q1_plane_bus_wait",
-    "knn_cosine_lsh",
-    "text_nlp_kit",
     "scan_filter_agg_kit",
-    "semi_anti_join_kit",
-    "q18_large_orders",
-    "asof_first_ship",
-    "window_top1_per_order",
     "streaming_sessionize",
     "streaming_tumbling_window",
-    "dedup_ngram_jaccard",
     "dedup_clusters",
 )
 
@@ -218,6 +224,24 @@ _ROTATED_OUT_R8 = (
     "window_top1_per_order",
     "pipeline_pack_sequences",
     "pipeline_stratified_sample",
+)
+
+# Rotated out of the gate in ROUND 9 (each ≥5 consecutive driver-green
+# rounds: r4–r8, or r3–r8 for the interval join) to hand their slots to
+# the 7 round-8-new entries — the rotation the round-8 verdict mandated
+# (task 1), following the round-8 precedent exactly. All stay benched
+# every round (appended to BENCH_EXTRA below, so the bench SET is
+# identical to round 8's) and hash-checked by the full pytest oracle
+# gate; their operator families keep in-gate anchors (tests/test_gate.py
+# maps each).
+_ROTATED_OUT_R9 = (
+    "multimodal_wav",
+    "multimodal_bmp",
+    "multimodal_video_frames",
+    "pipeline_profile",
+    "events_resample",
+    "pipeline_scrub_boilerplate",
+    "streaming_interval_join",
 )
 
 # Rotated out of the gate in earlier rounds (driver-green) — but still
@@ -273,36 +297,11 @@ BENCH_EXTRA = (
     # multi-round-green entries whose gate slots went to the round-7-new
     # queries. Benched every round, so the bench set is unchanged.
     *_ROTATED_OUT_R8,
-    # Round-8-new (gate re-frozen, so driver evidence arrives via the
-    # local pytest oracle + the in-gate mp4-frames proxy): keyframe
-    # extraction through the stss sync-sample table — still-encoded
-    # samples out, decode-stage verification against the closed-form
-    # luma oracle.
-    "multimodal_mp4_keyframes",
-    # Round-8-new: join output-size estimation from bounded CMS
-    # sidecars (the inner-product / AMS-F2 estimator, over-estimate
-    # only) — self-join F2 + cross-table FK case next to exact counts.
-    "sketch_join_size",
-    # Round-8-new: Delta-style MERGE INTO (update/delete/insert clauses
-    # in one full-outer-join plan with an in-plan ambiguity guard).
-    "cdc_merge_into",
-    # Round-8-new: the streaming twin — continuous CDC apply through a
-    # versioned, ledgered copy-on-write MERGE sink; oracle = the three
-    # merges unrolled as chained SQL CTEs (order-sensitive end state).
-    "streaming_cdc_merge",
-    # Round-8-new: distinct-count CUBE from one scan — leaf HLL
-    # registers rolled up the grouping lattice by min-merge (sketches
-    # roll up; COUNT(DISTINCT) pays the Expand-multiplied shuffle).
-    "sketch_hll_cube",
-    # Round-8-new: the PARTIAL-REWRITE merge sink (hash-bucketed
-    # snapshot + per-version manifest, Iceberg/Delta shape) — same
-    # chained-CTE oracle as streaming_cdc_merge: layouts must not
-    # change semantics.
-    "streaming_cdc_merge_bucketed",
-    # Round-8-new: the CMS member of the streaming-sketch family
-    # (ledgered — counter addition is not replay-absorbing); merge ==
-    # rebuild makes the batch query's oracle apply verbatim.
-    "streaming_cms_tokens",
+    # Rotated out in ROUND 9 (see _ROTATED_OUT_R9 above): the 7
+    # multi-round-green entries whose gate slots went to the 7
+    # round-8-new queries (which moved OUT of this tuple and INTO the
+    # gate — the bench set is unchanged).
+    *_ROTATED_OUT_R9,
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or
