@@ -210,6 +210,46 @@ def test_merge_into_duplicate_source_keys_raise(spark):
         out.collect()
 
 
+def test_merge_into_duplicates_raise_even_when_all_rows_drop(spark):
+    """Round-8 advice: the guard must not ride BEHIND the keep
+    predicate — a duplicate key whose rows ALL resolve to row-drop
+    (every matched duplicate satisfies delete_when, or source-only
+    duplicates with insert_values=None) must still raise, per the
+    documented count>1 contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.cdc import merge_into
+
+    target, _ = _merge_fixtures(spark)
+    # Case 1: both duplicates match id=2 and both satisfy delete_when —
+    # the merged row drops either way, but the merge is still ambiguous.
+    dup = spark.createDataFrame(
+        [(2, 1.0, True), (2, 2.0, True)],
+        "id long, delta double, drop_it boolean",
+    )
+    out = merge_into(
+        target, dup, ["id"],
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+        delete_when=F.col("s.drop_it"),
+    )
+    with pytest.raises(Exception, match="ambiguous"):
+        out.collect()
+    # Case 2: duplicates on a key absent from the target, with WHEN NOT
+    # MATCHED = do nothing — the rows would be silently discarded, but
+    # the batch is still malformed and must fail loudly.
+    dup_unmatched = spark.createDataFrame(
+        [(999, 1.0, False), (999, 2.0, False)],
+        "id long, delta double, drop_it boolean",
+    )
+    out2 = merge_into(
+        target, dup_unmatched, ["id"],
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+    )
+    with pytest.raises(Exception, match="ambiguous"):
+        out2.collect()
+
+
 def test_merge_into_null_keys_match_null_safe(spark):
     from pyspark.sql import functions as F
 

@@ -676,7 +676,7 @@ def test_cms_join_size_never_underestimates(spark):
     for width in (8, 64, 1024):
         ca = SK.cms_counters(a, F.col("v"), depth=3, width=width)
         cb = SK.cms_counters(b, F.col("v"), depth=3, width=width)
-        est = SK.cms_join_size(ca, cb).collect()[0]["est_join_rows"]
+        est = SK.cms_join_size(ca, cb, depth=3, width=width).collect()[0]["est_join_rows"]
         assert est >= exact, (width, est, exact)
 
 
@@ -688,12 +688,38 @@ def test_cms_join_size_exact_when_collision_free(spark):
         [("k%d" % (i % 5),) for i in range(100)], "v string"
     )
     c = SK.cms_counters(df, F.col("v"), depth=4, width=65536)
-    est = SK.cms_join_size(c, c).collect()[0]["est_join_rows"]
+    est = SK.cms_join_size(c, c, depth=4, width=65536).collect()[0]["est_join_rows"]
     exact = sum(
         r.c * r.c
         for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
     )
     assert est == exact == 5 * 20 * 20
+
+
+def test_cms_join_size_rejects_mismatched_parameters(spark):
+    """Round-8 advice: two counter tables built with different
+    depth/width silently intersect on (row_idx, bucket) and can
+    UNDER-estimate — the declared params are validated in-plan against
+    each side's observed shape, so a mismatched pair raises instead of
+    returning a plausible wrong bound."""
+    import pytest
+
+    df = spark.createDataFrame([("k%d" % i,) for i in range(200)], "v string")
+    narrow = SK.cms_counters(df, F.col("v"), depth=3, width=64)
+    wide = SK.cms_counters(df, F.col("v"), depth=3, width=4096)
+    deep = SK.cms_counters(df, F.col("v"), depth=5, width=64)
+    # Width mismatch: the wide table's buckets exceed the declared width.
+    with pytest.raises(Exception, match="does not match declared"):
+        SK.cms_join_size(narrow, wide, depth=3, width=64).collect()
+    # Depth mismatch: the deep table's row_idx set is not {0..2}.
+    with pytest.raises(Exception, match="does not match declared"):
+        SK.cms_join_size(narrow, deep, depth=3, width=64).collect()
+    # An EMPTY side is a valid sketch (empty input), not a mismatch.
+    empty = SK.cms_counters(
+        spark.createDataFrame([], "v string"), F.col("v"), depth=3, width=64
+    )
+    row = SK.cms_join_size(narrow, empty, depth=3, width=64).collect()[0]
+    assert row["est_join_rows"] is None  # min over zero rows
 
 
 def test_cms_join_size_from_merged_sidecars(spark):
@@ -715,8 +741,8 @@ def test_cms_join_size_from_merged_sidecars(spark):
         spark.createDataFrame([("3",), ("7",)], "v string"),
         F.col("v"), depth=3, width=256,
     )
-    est_whole = SK.cms_join_size(whole, probe).collect()[0]["est_join_rows"]
-    est_merged = SK.cms_join_size(merged, probe).collect()[0]["est_join_rows"]
+    est_whole = SK.cms_join_size(whole, probe, depth=3, width=256).collect()[0]["est_join_rows"]
+    est_merged = SK.cms_join_size(merged, probe, depth=3, width=256).collect()[0]["est_join_rows"]
     assert est_whole == est_merged
 
 

@@ -209,9 +209,16 @@ def merge_into(
             if insert_values is not None:
                 val = F.when(s_only, insert_values[c]).otherwise(val)
         out_cols.append(val.alias(c))
-    # The guard rides the filter as a conjunct so every surviving row
-    # evaluates it inside codegen (coalesce: target-only rows carry a
-    # NULL _s_cnt and are never ambiguous).
-    return j.filter(keep & (F.coalesce(guard, F.lit(1)) == 1)).select(
+    # The guard is the LEFT conjunct so codegen evaluates it for EVERY
+    # joined row before `keep` can short-circuit: with it on the right,
+    # a key whose duplicate source rows all resolve to row-drop (all
+    # matched duplicates satisfy delete_when, or source-only duplicates
+    # with insert_values=None) would never raise, silently violating
+    # the documented count>1 contract. Conjunct order inside one Filter
+    # is preserved (And evaluates left-to-right), and neither conjunct
+    # can be pushed below the FULL OUTER join, so left-position
+    # evaluation is reliable. (coalesce: target-only rows carry a NULL
+    # _s_cnt and are never ambiguous.)
+    return j.filter((F.coalesce(guard, F.lit(1)) == 1) & keep).select(
         *out_cols
     )

@@ -1136,6 +1136,8 @@ def cms_join_size(
     a_counters: DataFrame,
     b_counters: DataFrame,
     out_col: str = "est_join_rows",
+    depth: int = 4,
+    width: int = 1024,
 ) -> DataFrame:
     """Equi-join OUTPUT-SIZE upper bound from two count-min counter
     tables built with the SAME depth/width over each side's join key —
@@ -1146,6 +1148,18 @@ def cms_join_size(
     over-estimate ONLY, the same one-sided guarantee the rest of the
     sketch planning layer is built on. With B = A this is the F₂
     self-join moment (AMS).
+
+    ``depth``/``width`` declare the parameters BOTH tables were built
+    with (the :func:`cms_counters` defaults) and are VALIDATED in-plan
+    against each table's observed shape — round-8 advice: silently
+    intersecting two differently-parameterized counter tables on
+    (row_idx, bucket) loses pairs and can UNDER-estimate, destroying
+    the one-sided guarantee. A table whose row_idx set is not exactly
+    ``0..depth-1`` or whose buckets fall outside ``[0, width)`` raises
+    inside the job (the pagerank-guard pattern), so a mismatched pair
+    fails loudly instead of returning a plausible wrong bound. (An
+    empty counter table — empty input side — is valid: the estimate is
+    NULL-free 0-row semantics of the min-agg, never an under-estimate.)
 
     Cost: one join of two ≤ depth×width integer tables — the join's
     size is ESTIMATED without running it, from sidecars that never
@@ -1158,6 +1172,31 @@ def cms_join_size(
     Returns one row ``(est_join_rows,)`` — pure integer arithmetic,
     bit-identical across engines and partitionings.
     """
+    def shape_guard(c: DataFrame, side: str) -> DataFrame:
+        # One bounded agg (≤ depth×width counter rows) per side: a
+        # non-empty table built with the declared params has row_idx
+        # exactly {0..depth-1} and every bucket in [0, width). A wider
+        # build shows buckets ≥ width; a different depth shows a
+        # different row_idx set — either raises inside the job.
+        ok = (F.count(F.lit(1)) == 0) | (
+            (F.count_distinct(F.col("row_idx")) == F.lit(depth))
+            & (F.min("row_idx") == F.lit(0))
+            & (F.max("row_idx") == F.lit(depth - 1))
+            & (F.min("bucket") >= F.lit(0))
+            & (F.max("bucket") < F.lit(width))
+        )
+        guard = F.when(ok, F.lit(0).cast("long")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"cms_join_size: {side} counter table does not match "
+                    f"declared depth={depth}/width={width} — both sides "
+                    "must be built with the same parameters or the bound "
+                    "can silently under-estimate"
+                )
+            ).cast("long")
+        )
+        return c.agg(guard.alias(f"_guard_{side}"))
+
     a = a_counters.select(
         "row_idx", "bucket", F.col("cnt").alias("_ca")
     )
@@ -1169,7 +1208,19 @@ def cms_join_size(
         .groupBy("row_idx")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_s"))
     )
-    return per_row.agg(F.min("_s").cast("long").alias(out_col))
+    est = per_row.agg(F.min("_s").cast("long").alias(out_col))
+    # Fold both guards into the returned value (1-row cross joins of
+    # 1-row aggregates): +0 when shapes match, raise_error otherwise —
+    # the guard cannot be pruned away because the output references it.
+    return (
+        est.crossJoin(shape_guard(a_counters, "left"))
+        .crossJoin(shape_guard(b_counters, "right"))
+        .select(
+            (F.col(out_col) + F.col("_guard_left") + F.col("_guard_right"))
+            .cast("long")
+            .alias(out_col)
+        )
+    )
 
 
 def cms_counters_sql(

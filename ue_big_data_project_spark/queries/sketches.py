@@ -740,7 +740,9 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"], F.col("c_custkey").cast("string"),
         depth=_JS_D, width=_JS_W,
     )
-    est_self = SK.cms_join_size(oc, oc, out_col="est_self_join")
+    est_self = SK.cms_join_size(
+        oc, oc, out_col="est_self_join", depth=_JS_D, width=_JS_W
+    )
     exact_self = (
         t["orders"].groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -749,7 +751,9 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_self_join")
         )
     )
-    est_fk = SK.cms_join_size(oc, cc, out_col="est_fk_join")
+    est_fk = SK.cms_join_size(
+        oc, cc, out_col="est_fk_join", depth=_JS_D, width=_JS_W
+    )
     exact_fk = (
         t["orders"].join(
             t["customer"],
