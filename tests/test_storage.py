@@ -464,3 +464,49 @@ def test_bloom_pruned_read_refuses_hive_partitioned_layouts(spark):
 
         with _pt.raises(ValueError, match="hive partition"):
             S.read_bloom_pruned(spark, out, "l_orderkey", [1])
+
+
+def test_bloom_pruned_read_detects_stale_sidecar(spark):
+    """Round-8 advice: files appended AFTER write_bloom_sidecar have no
+    sidecar rows and would be silently excluded from the pruned read —
+    the reader now compares the layout's current file set against the
+    sidecar's and fails loudly on staleness."""
+    import pytest as _pt
+
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "li")
+        li.select("l_orderkey").limit(500).repartition(2).write.parquet(out)
+        S.write_bloom_sidecar(spark, out, "l_orderkey")
+        # Fresh sidecar: reads fine.
+        S.read_bloom_pruned(spark, out, "l_orderkey", [1]).count()
+        # Append a data file the sidecar has never seen.
+        spark.createDataFrame(
+            [(999_999_999,)], "l_orderkey long"
+        ).write.mode("append").parquet(out)
+        with _pt.raises(ValueError, match="STALE"):
+            S.read_bloom_pruned(spark, out, "l_orderkey", [999_999_999])
+        # Re-indexing clears it — and the appended key is found.
+        S.write_bloom_sidecar(spark, out, "l_orderkey")
+        found = S.read_bloom_pruned(spark, out, "l_orderkey", [999_999_999])
+        assert found.count() == 1
+
+
+def test_bloom_sidecar_registers_all_null_files(spark):
+    """A file whose rows are all NULL in the indexed column contributes
+    no hashed words but must still REGISTER in the sidecar (zero-bits
+    row) — otherwise the freshness check would misread 'indexed,
+    provably key-free' as 'appended after indexing' and raise."""
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "t")
+        spark.createDataFrame(
+            [(None,), (None,)], "k long"
+        ).coalesce(1).write.parquet(out)
+        spark.createDataFrame(
+            [(7,), (8,)], "k long"
+        ).coalesce(1).write.mode("append").parquet(out)
+        S.write_bloom_sidecar(spark, out, "k")
+        got = S.read_bloom_pruned(spark, out, "k", [7])
+        assert [r.k for r in got.collect()] == [7]
+        # NULL-only keys: nothing admitted, nothing scanned, no raise.
+        assert S.read_bloom_pruned(spark, out, "k", [12345]).count() == 0

@@ -1009,3 +1009,88 @@ def test_cms_rollup_multibatch_and_replay_ledger(spark, tmp_path):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_bucketed_time_travel_raises_on_pruned_version(spark, tmp_path):
+    """Round-8 advice (medium): retention protects only the LATEST
+    manifest's references plus the committed tail, so an older committed
+    manifest can point at a pruned version dir. Resolving that version
+    must FAIL LOUDLY (read_merged_snapshot's contract), never silently
+    skip the missing bucket and return a partial snapshot."""
+    import os
+    import time
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark import streaming as ST
+
+    # Two ids per bucket (n_buckets=2), discovered from the sink's own
+    # hash so the batch → touched-bucket mapping is deterministic.
+    probe = spark.range(1, 40).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(2))
+        .cast("int")
+        .alias("b"),
+    )
+    by_bucket = {
+        b: [r.id for r in probe.where(F.col("b") == b).limit(2).collect()]
+        for b in (0, 1)
+    }
+    a0, a1 = by_bucket[0]
+    b0, _ = by_bucket[1]
+    initial = spark.createDataFrame(
+        [(a0, 1.0), (b0, 2.0)], "id long, bal double"
+    )
+    # batch 0 bootstraps (all buckets from `initial`); b1 touches
+    # bucket 0 only; b2 touches bucket 0 only (evicting v=1 from the
+    # latest manifest); b3 touches bucket 1 (its prune drops v=1: not
+    # referenced by m-2, outside the retain_versions=1 tail).
+    batches = [
+        [(a0, 5.0)],
+        [(a0, 10.0)],
+        [(a1, 20.0)],
+        [(b0, 30.0)],
+    ]
+    stage = str(tmp_path / "ttstage")
+    os.makedirs(stage)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        bdir = str(tmp_path / f"ttb{i}")
+        spark.createDataFrame(rows, "id long, bal double").coalesce(
+            1
+        ).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"b{i}.parquet")
+        os.symlink(os.path.join(bdir, part), dst)
+        os.utime(dst, (now + i, now + i), follow_symlinks=False)
+    sdf = spark.readStream.schema("id long, bal double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    snap = str(tmp_path / "ttsnap")
+    q = ST.bucketed_merge_ingest_stream(
+        sdf,
+        initial,
+        snap,
+        ["id"],
+        update_set={"bal": F.col("s.bal")},
+        insert_values={"bal": F.col("s.bal")},
+        n_buckets=2,
+        retain_versions=1,
+    )
+    ST.run_until_drained(q)
+    committed = ST._committed_batch_ids(os.path.join(snap, "_ledger"))
+    assert committed == [0, 1, 2, 3]
+    # Version 1's dir must actually be pruned while manifest m-1 still
+    # references it for bucket 0 — the silent-partial setup.
+    assert not os.path.isdir(os.path.join(snap, "v=1"))
+    # Latest still reads fine (bucket 0 at v=2, bucket 1 at v=3).
+    got = {
+        r.id: r.bal
+        for r in ST.read_bucketed_merged_snapshot(spark, snap).collect()
+    }
+    assert got == {a0: 10.0, a1: 20.0, b0: 30.0}
+    # Time-travel to v=1: bucket 1's data still exists (v=0), bucket 0's
+    # was pruned with v=1 — a silent read would return HALF the table.
+    with _pt.raises(ValueError, match="no longer fully retained"):
+        ST.read_bucketed_merged_snapshot(spark, snap, version=1)

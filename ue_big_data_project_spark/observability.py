@@ -17,6 +17,8 @@ from __future__ import annotations
 import json
 from collections.abc import Mapping
 
+from ue_big_data_project_spark import fs
+
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
@@ -102,7 +104,6 @@ def drain_with_metrics(
     so a drain-then-read via :class:`MetricsListener` would race; the
     listener is for long-running queries, this is for bounded drains).
     """
-    import shutil
     import tempfile
     import uuid
 
@@ -132,7 +133,7 @@ def drain_with_metrics(
     finally:
         q.stop()
         spark.catalog.dropTempView(name)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        fs.rmtree(ckpt)
     return result, batches
 
 

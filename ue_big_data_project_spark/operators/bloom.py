@@ -231,6 +231,8 @@ def save_bloom(spec: BloomSpec, path: str) -> None:
     import json
     import os
 
+    from ue_big_data_project_spark import fs
+
     payload = json.dumps(
         {
             "words": spec.words,
@@ -239,22 +241,19 @@ def save_bloom(spec: BloomSpec, path: str) -> None:
             "canonical": spec.canonical,
         }
     )
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(tmp, "w") as f:
-        f.write(payload)
-    os.rename(tmp, path)
+    fs.makedirs(os.path.dirname(path) or ".")
+    fs.write_text_atomic(path, payload)
 
 
 def load_bloom(path: str) -> BloomSpec | None:
     """Load a persisted filter; None when the file does not exist."""
     import json
-    import os
 
-    if not os.path.exists(path):
+    from ue_big_data_project_spark import fs
+
+    if not fs.exists(path):
         return None
-    with open(path) as f:
-        d = json.load(f)
+    d = json.loads(fs.read_text(path))
     return BloomSpec(
         words=[int(w) for w in d["words"]],
         m_bits=int(d["m_bits"]),

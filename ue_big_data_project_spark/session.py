@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 
+from ue_big_data_project_spark import fs
+
 from pyspark.sql import SparkSession
 
 
@@ -123,7 +125,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
+        if fs.exists(path):
             df = spark.read.parquet(path)
             if name == "events" and isinstance(
                 df.schema["ts"].dataType, T.LongType

@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 from collections.abc import Iterable, Sequence
 
+from ue_big_data_project_spark import fs
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -306,14 +308,7 @@ def compact_small_files(
     (the key survives as a data column) but directory-level pruning
     would be gone.
     """
-    import os
-
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(in_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    total = sum(size for _, size in fs.walk_files(in_path))
     n = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(in_path)
     if partition_by:
@@ -335,12 +330,7 @@ def compact_small_files(
             .partitionBy(*partition_by)
             .parquet(out_path)
         )
-        return sum(
-            1
-            for root, _, files in os.walk(out_path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+        return len(fs.walk_files(out_path))
     if sort_cols:
         (
             df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
@@ -362,43 +352,54 @@ def parquet_file_stats(path: str, col: str) -> list[tuple[str, object, object]]:
     footer reads, parallelizable and cacheable. Files whose footer lacks
     statistics for ``col`` are returned with ``(None, None)`` so callers
     keep them conservatively.
-    """
-    import os
 
+    Listing goes through the ``fs`` seam (POSIX locally, Hadoop
+    FileSystem on object stores); non-local footers are opened through
+    ``pyarrow.fs.FileSystem.from_uri`` (the s3/hdfs connectors pyarrow
+    ships — raises where the wheel lacks them rather than guessing).
+    """
     import pyarrow.parquet as pq
 
+    pa_fs = None
+    if not fs.is_local(path):
+        import pyarrow.fs as pafs
+
+        pa_fs, _ = pafs.FileSystem.from_uri(path)
+
     out = []
-    for root, _, files in os.walk(path):
-        for f in sorted(files):
-            if not f.endswith(".parquet"):
-                continue
-            fpath = os.path.join(root, f)
-            pf = pq.ParquetFile(fpath)
-            # Resolve the LEAF column index by its dotted parquet path:
-            # the Arrow top-level field index diverges from the parquet
-            # leaf-column index as soon as an earlier field is nested
-            # (struct/map/list flatten to multiple leaves), which would
-            # silently read another column's statistics. A column with
-            # no leaf of that exact path is conservatively unpruned.
-            leaf_paths = [
-                pf.metadata.row_group(0).column(i).path_in_schema
-                for i in range(pf.metadata.num_columns)
-            ] if pf.metadata.num_row_groups else []
-            if col not in leaf_paths:
-                out.append((fpath, None, None))
-                continue
-            idx = leaf_paths.index(col)
-            mins, maxs = [], []
-            for rg in range(pf.metadata.num_row_groups):
-                st = pf.metadata.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    mins, maxs = [], []
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-            out.append(
-                (fpath, min(mins), max(maxs)) if mins else (fpath, None, None)
-            )
+    for fpath, _ in fs.walk_files(path):
+        pf = (
+            pq.ParquetFile(fpath)
+            if pa_fs is None
+            else pq.ParquetFile(pa_fs.open_input_file(
+                fpath.split("://", 1)[1] if "://" in fpath else fpath
+            ))
+        )
+        # Resolve the LEAF column index by its dotted parquet path:
+        # the Arrow top-level field index diverges from the parquet
+        # leaf-column index as soon as an earlier field is nested
+        # (struct/map/list flatten to multiple leaves), which would
+        # silently read another column's statistics. A column with
+        # no leaf of that exact path is conservatively unpruned.
+        leaf_paths = [
+            pf.metadata.row_group(0).column(i).path_in_schema
+            for i in range(pf.metadata.num_columns)
+        ] if pf.metadata.num_row_groups else []
+        if col not in leaf_paths:
+            out.append((fpath, None, None))
+            continue
+        idx = leaf_paths.index(col)
+        mins, maxs = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mins, maxs = [], []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append(
+            (fpath, min(mins), max(maxs)) if mins else (fpath, None, None)
+        )
     return out
 
 
@@ -498,7 +499,7 @@ def write_bloom_sidecar(
     pos = F.explode(
         F.array(*_positions(F.col(col), m_bits, k))
     ).alias("_p")
-    sidecar = (
+    hashed = (
         data.where(F.col(col).isNotNull())
         .select(F.input_file_name().alias("file"), pos)
         .select(
@@ -511,14 +512,37 @@ def write_bloom_sidecar(
         )
         .groupBy("file", "w")
         .agg(F.bit_or("_m").alias("bits"))
+    )
+    # EVERY file gets at least one sidecar row — a file whose rows are
+    # all NULL in `col` (or a ZERO-ROW part file, which input_file_name
+    # can never enumerate because no row carries its name) contributes
+    # no hashed words, but it must still register so the reader's
+    # freshness check can tell "indexed, provably key-free" (zero bits:
+    # no probe ever hits) apart from "appended after the sidecar was
+    # written" (stale — fail loudly). The registry therefore comes from
+    # the DIRECTORY LISTING, joined to the hashed set by basename
+    # (input_file_name emits file:// URIs, the listing plain paths).
+    listing = [(f,) for f, _ in fs.walk_files(path)]
+    all_files = spark.createDataFrame(listing, "file string")
+
+    def base(c: Column) -> Column:
+        return F.element_at(F.split(c, "/"), -1)
+
+    hashed_names = hashed.select(base(F.col("file")).alias("_b")).distinct()
+    empty_files = (
+        all_files.withColumn("_b", base(F.col("file")))
+        .join(hashed_names, "_b", "left_anti")
         .select(
-            "file",
-            "w",
-            "bits",
-            F.lit(m_bits).alias("m_bits"),
-            F.lit(k).alias("k"),
-            F.lit(col).alias("col"),
+            "file", F.lit(0).alias("w"), F.lit(0).cast("long").alias("bits")
         )
+    )
+    sidecar = hashed.unionByName(empty_files).select(
+        "file",
+        "w",
+        "bits",
+        F.lit(m_bits).alias("m_bits"),
+        F.lit(k).alias("k"),
+        F.lit(col).alias("col"),
     )
     out = os.path.join(path, f"_bloom_{col}")
     sidecar.write.mode("overwrite").parquet(out)
@@ -555,8 +579,8 @@ def read_bloom_pruned(
     # footers). Partitioned layouts already have partition pruning for
     # the partition key; bloom-index a non-partition column there by
     # pointing this at one partition dir.
-    for entry in os.listdir(path):
-        if "=" in entry and not entry.startswith("_") and os.path.isdir(
+    for entry in fs.listdir(path):
+        if "=" in entry and not entry.startswith("_") and fs.isdir(
             os.path.join(path, entry)
         ):
             raise ValueError(
@@ -573,6 +597,27 @@ def read_bloom_pruned(
     if meta is None or meta["col"] != col:
         raise ValueError(f"no bloom sidecar for column {col!r} at {path}")
     m_bits, k = int(meta["m_bits"]), int(meta["k"])
+    # Freshness check (round-8 advice): a file appended to the layout
+    # AFTER write_bloom_sidecar has no sidecar rows, so pruning would
+    # silently drop its rows and break the documented "result ≡ the
+    # full-scan filter" guarantee. Both listings are bounded by file
+    # count (sidecar distinct + one directory walk); basenames compare
+    # scheme-independently (input_file_name emits file:// URIs). Files
+    # the sidecar indexes but the layout no longer has fail loudly in
+    # the read below, so only the appended-unindexed side needs this.
+    indexed = {
+        os.path.basename(r["file"])
+        for r in side.select("file").distinct().collect()
+    }
+    current = {os.path.basename(f) for f, _ in fs.walk_files(path)}
+    unindexed = sorted(current - indexed)
+    if unindexed:
+        raise ValueError(
+            f"bloom sidecar at {side_path} is STALE: {len(unindexed)} "
+            f"data file(s) were added after it was written (e.g. "
+            f"{unindexed[0]}) and would be silently excluded — re-run "
+            "write_bloom_sidecar over the layout"
+        )
     # Probe values carry the DATA column's exact type: the bloom hashes
     # the canonical string form either way, but the exact IN predicate
     # and any engine cast semantics stay type-faithful.

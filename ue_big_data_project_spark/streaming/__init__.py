@@ -22,6 +22,8 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+from ue_big_data_project_spark import fs
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -189,21 +191,20 @@ def idempotent_foreach_batch(
     re-run after a crash between side effect and checkpoint commit).
     The standard fix is an idempotence ledger keyed by ``batchId``: the
     wrapper runs ``fn`` only for unseen ids and records the id AFTER the
-    side effect succeeds. The ledger here is marker files (portable to
-    object stores via atomic rename); production sinks with native
-    txn/batchId support (Delta, JDBC upsert) subsume it.
+    side effect succeeds. The ledger here is marker files, portable to
+    object stores: all marker IO goes through the ``fs`` seam (POSIX
+    locally, Hadoop FileSystem API for hdfs/s3a/gs paths). Production
+    sinks with native txn/batchId support (Delta, JDBC upsert) subsume
+    it.
     """
-    os.makedirs(ledger_dir, exist_ok=True)
+    fs.makedirs(ledger_dir)
 
     def wrapper(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
-        if os.path.exists(marker):
+        if fs.exists(marker):
             return
         fn(batch_df, batch_id)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("done")
-        os.rename(tmp, marker)
+        fs.write_text_atomic(marker, "done")
 
     return df.writeStream.outputMode(mode).foreachBatch(wrapper).start()
 
@@ -228,7 +229,7 @@ def per_batch_artifact_sink(
     batch-id ledger from :func:`idempotent_foreach_batch`, so a batch
     replayed after a crash does not re-write its artifact.
     """
-    os.makedirs(out_dir, exist_ok=True)
+    fs.makedirs(out_dir)
 
     def default_render(pdf, batch_id: int) -> str:
         return pdf.to_csv(index=False)
@@ -239,10 +240,7 @@ def per_batch_artifact_sink(
         pdf = batch_df.limit(limit).toPandas()
         artifact = render_fn(pdf, batch_id)
         path = os.path.join(out_dir, f"batch-{batch_id}.txt")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(artifact)
-        os.rename(tmp, path)
+        fs.write_text_atomic(path, artifact)
 
     return idempotent_foreach_batch(
         df, cb, ledger_dir=os.path.join(out_dir, "_ledger"), mode=mode
@@ -308,8 +306,8 @@ def incremental_windowed_rollup(
             "chunk_id", F.floor(F.col("window_us") / F.lit(chunk_us))
         )
         key_cols = ["window_us", *keys]
-        if os.path.isdir(snapshot_dir) and any(
-            not e.startswith("_") for e in os.listdir(snapshot_dir)
+        if fs.isdir(snapshot_dir) and any(
+            not e.startswith("_") for e in fs.listdir(snapshot_dir)
         ):
             prev = sp.read.parquet(snapshot_dir)
             touched = batch.select("chunk_id").distinct()
@@ -495,9 +493,7 @@ def drain_to_table(
         # The memory-sink table holds the drained result; the (RocksDB)
         # checkpoint is dead weight once the query stops — repeated
         # drains must not accumulate state dirs in /tmp.
-        import shutil
-
-        shutil.rmtree(ckpt, ignore_errors=True)
+        fs.rmtree(ckpt)
     return spark.table(name)
 
 
@@ -523,12 +519,11 @@ def drain_to_table_with_artifacts(
     inside the ledger guard; the snapshot capture sits outside it, so a
     ledger-skipped replay still refreshes the returned table.
     """
-    import shutil
     import tempfile
 
-    os.makedirs(art_dir, exist_ok=True)
+    fs.makedirs(art_dir)
     ledger = os.path.join(art_dir, "_ledger")
-    os.makedirs(ledger, exist_ok=True)
+    fs.makedirs(ledger)
 
     def default_render(pdf, batch_id: int) -> str:
         return pdf.to_csv(index=False)
@@ -542,18 +537,12 @@ def drain_to_table_with_artifacts(
         if prev is not None:
             prev.unpersist()
         marker = os.path.join(ledger, f"batch-{batch_id}.done")
-        if os.path.exists(marker):
+        if fs.exists(marker):
             return
         pdf = holder["snapshot"].limit(limit).toPandas()
         path = os.path.join(art_dir, f"batch-{batch_id}.txt")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(render_fn(pdf, batch_id))
-        os.rename(tmp, path)
-        mtmp = marker + ".tmp"
-        with open(mtmp, "w") as f:
-            f.write("done")
-        os.rename(mtmp, marker)
+        fs.write_text_atomic(path, render_fn(pdf, batch_id))
+        fs.write_text_atomic(marker, "done")
 
     ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
     key = "spark.sql.shuffle.partitions"
@@ -572,7 +561,7 @@ def drain_to_table_with_artifacts(
     finally:
         if shuffle_partitions:
             spark.conf.set(key, old)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        fs.rmtree(ckpt)
     if "snapshot" not in holder:
         return spark.createDataFrame([], df.schema)
     return holder["snapshot"]
@@ -1012,10 +1001,10 @@ def read_cms_rollup(spark: SparkSession, counters_path: str) -> DataFrame:
 def _committed_batch_ids(ledger_dir: str) -> list[int]:
     """Batch ids whose ``batch-<id>.done`` marker exists (the
     :func:`idempotent_foreach_batch` ledger format)."""
-    if not os.path.isdir(ledger_dir):
+    if not fs.isdir(ledger_dir):
         return []
     out = []
-    for name in os.listdir(ledger_dir):
+    for name in fs.listdir(ledger_dir):
         if name.startswith("batch-") and name.endswith(".done"):
             out.append(int(name[len("batch-"):-len(".done")]))
     return sorted(out)
@@ -1053,12 +1042,18 @@ def merge_ingest_stream(
       rewrite commits.
 
     Old committed versions beyond ``retain_versions`` are pruned after
-    each commit (time-travel window = the retained tail). Per-batch
-    cost is one key-equi merge join + an O(snapshot) copy-on-write
-    rewrite — the Delta-without-manifests shape; snapshots that need
-    partial rewrite at 100 TB layer this over the bucket-partitioned
-    layout (``incremental_windowed_rollup`` shows the
-    touched-partition-only variant for upsert-shaped merges).
+    each commit (time-travel window = the retained tail).
+
+    **This is the NAIVE form — deploy**
+    :func:`bucketed_merge_ingest_stream` **by default.** Per-batch cost
+    here is one key-equi merge join + an O(snapshot) copy-on-write
+    rewrite, measured at **30.9× the bytes per batch** of the bucketed/
+    manifest sink at 32 buckets (``scripts/merge_scale_check.py``) —
+    write amplification that scales with SNAPSHOT size, which a
+    continuous MERGE against a 100 TB table cannot pay. Keep this form
+    for small dimension-table snapshots where a whole-table rewrite is
+    cheaper than manifest bookkeeping, or as the semantics reference
+    (the bucketed sink is equivalence-tested against it).
     """
     from ue_big_data_project_spark.operators.cdc import merge_into
 
@@ -1091,14 +1086,10 @@ def merge_ingest_stream(
         # than the retained committed tail (the marker for THIS batch
         # is written by the ledger wrapper after we return — a crash
         # here replays deterministically).
-        import shutil
-
         committed = _committed_batch_ids(ledger_dir)
         stale = committed[:-retain_versions] if retain_versions > 0 else []
         for b in stale:
-            shutil.rmtree(
-                os.path.join(snapshot_dir, f"v={b}"), ignore_errors=True
-            )
+            fs.rmtree(os.path.join(snapshot_dir, f"v={b}"))
 
     return idempotent_foreach_batch(
         sdf, prune_and_apply, ledger_dir=ledger_dir, mode="append"
@@ -1117,7 +1108,7 @@ def read_merged_snapshot(
         raise ValueError(f"no committed snapshot versions in {snapshot_dir}")
     if version is None:
         version = committed[-1]
-    elif version not in committed or not os.path.isdir(
+    elif version not in committed or not fs.isdir(
         os.path.join(snapshot_dir, f"v={version}")
     ):
         raise ValueError(
@@ -1130,8 +1121,7 @@ def read_merged_snapshot(
 def _read_manifest(path: str) -> dict[int, int]:
     import json
 
-    with open(path) as f:
-        return {int(k): int(v) for k, v in json.load(f).items()}
+    return {int(k): int(v) for k, v in json.loads(fs.read_text(path)).items()}
 
 
 def _manifest_path(snapshot_dir: str, batch_id: int) -> str:
@@ -1177,7 +1167,7 @@ def bucketed_merge_ingest_stream(
     from ue_big_data_project_spark.operators.cdc import merge_into
 
     ledger_dir = os.path.join(snapshot_dir, "_ledger")
-    os.makedirs(os.path.join(snapshot_dir, "_manifests"), exist_ok=True)
+    fs.makedirs(os.path.join(snapshot_dir, "_manifests"))
     bucket_of = F.pmod(
         F.xxhash64(*[F.col(k).cast("string") for k in keys]),
         F.lit(n_buckets),
@@ -1218,7 +1208,7 @@ def bucketed_merge_ingest_stream(
                     for d in (
                         bucket_dir(manifest[b], b) for b in touched
                     )
-                    if os.path.isdir(d)
+                    if fs.isdir(d)
                 ]
                 target = (
                     spark_union_read(sp, dirs).withColumn(
@@ -1254,17 +1244,14 @@ def bucketed_merge_ingest_stream(
             else {**manifest, **{b: batch_id for b in touched}}
         )
         mpath = _manifest_path(snapshot_dir, batch_id)
-        tmp = mpath + ".tmp"
         import json
 
-        with open(tmp, "w") as f:
-            json.dump({str(k): v for k, v in new_manifest.items()}, f)
-        os.rename(tmp, mpath)
+        fs.write_text_atomic(
+            mpath, json.dumps({str(k): v for k, v in new_manifest.items()})
+        )
 
     def prune_and_apply(batch_df: DataFrame, batch_id: int) -> None:
         apply(batch_df, batch_id)
-        import shutil
-
         committed = _committed_batch_ids(ledger_dir)
         if not committed:
             return
@@ -1279,10 +1266,7 @@ def bucketed_merge_ingest_stream(
         tail = set(committed[-retain_versions:]) if retain_versions else set()
         for b in committed:
             if b not in referenced and b not in tail:
-                shutil.rmtree(
-                    os.path.join(snapshot_dir, f"v={b}"),
-                    ignore_errors=True,
-                )
+                fs.rmtree(os.path.join(snapshot_dir, f"v={b}"))
 
     return idempotent_foreach_batch(
         sdf, prune_and_apply, ledger_dir=ledger_dir, mode="append"
@@ -1310,13 +1294,35 @@ def read_bucketed_merged_snapshot(
             f"version {version} is not committed (have {committed})"
         )
     manifest = _read_manifest(_manifest_path(snapshot_dir, version))
-    dirs = [
-        os.path.join(snapshot_dir, f"v={v}", f"_bucket={b}")
-        for b, v in manifest.items()
-    ]
     # partitionBy writes dirs as <col>=<val>; passing leaf dirs drops
     # the partition column, which is fine — _bucket is derivable.
-    existing = [d for d in dirs if os.path.isdir(d)]
+    #
+    # Two distinct reasons a manifest-referenced bucket dir can be
+    # missing, and they must NOT be conflated (round-8 advice —
+    # conflating them silently returned a PARTIAL snapshot):
+    # - the bucket was legitimately EMPTY at that version (partitionBy
+    #   writes no dir for an empty bucket, but the version dir itself
+    #   exists) → skip, it contributes zero rows;
+    # - the referenced VERSION DIR is gone (retention protects only the
+    #   LATEST manifest's references plus the committed tail, so an
+    #   older manifest can point at pruned versions) → fail loudly,
+    #   matching read_merged_snapshot's contract.
+    existing: list[str] = []
+    for b, v in manifest.items():
+        vdir = os.path.join(snapshot_dir, f"v={v}")
+        bdir = os.path.join(vdir, f"_bucket={b}")
+        if fs.isdir(bdir):
+            existing.append(bdir)
+        elif not fs.isdir(vdir):
+            raise ValueError(
+                f"version {version} is no longer fully retained: its "
+                f"manifest maps bucket {b} to pruned version dir {vdir} "
+                "(retention keeps the latest manifest's references plus "
+                "the committed tail — time-travel only within it)"
+            )
     if not existing:
-        raise ValueError(f"manifest references no existing buckets: {dirs[:3]}")
+        raise ValueError(
+            f"snapshot at version {version} has no bucket data dirs — "
+            "an all-empty snapshot has no readable schema"
+        )
     return spark.read.parquet(*existing)
