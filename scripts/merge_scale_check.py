@@ -39,14 +39,14 @@ from ue_big_data_project_spark import streaming as ST
 N_BUCKETS = 32
 
 
-def staged_batches(spark, root: str) -> "DataFrame":
+def staged_batches(spark, root: str, keys=(7, 9, 11)) -> "DataFrame":
     stage = os.path.join(root, "stage")
     os.makedirs(stage)
     now = time.time()
-    for i, key in enumerate((7, 9, 11)):
+    for i, key in enumerate(keys):
         bdir = os.path.join(root, f"c{i}")
         spark.createDataFrame(
-            [(key, 1.0)], "id long, delta double"
+            [(int(key), 1.0)], "id long, delta double"
         ).coalesce(1).write.parquet(bdir)
         part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
         dst = os.path.join(stage, f"c{i}.parquet")
@@ -55,6 +55,90 @@ def staged_batches(spark, root: str) -> "DataFrame":
     return spark.readStream.schema("id long, delta double").option(
         "maxFilesPerTrigger", 1
     ).parquet(stage)
+
+
+def dir_bytes(d: str) -> int:
+    out = 0
+    for r_, _, fls in os.walk(d):
+        out += sum(os.path.getsize(os.path.join(r_, f)) for f in fls)
+    return out
+
+
+def run_many_batches(
+    spark, rows: int, n_batches: int, bucketed: bool, retain: int = 3
+) -> dict:
+    """Round-8 verdict tasks 5+7: an N-batch drain of one sink —
+    per-batch wall time (ledger-marker mtimes), BYTES written per
+    post-bootstrap version, version-dir count after retention, and the
+    latest-snapshot read latency at the end. Under retention both the
+    dir count and the read cost must stay FLAT in N (the manifests
+    accumulate, but each is a few hundred bytes and readers open ONE)."""
+    root = tempfile.mkdtemp(
+        prefix=f"merge_many_{rows}_{n_batches}_{bucketed}_"
+    )
+    try:
+        initial = spark.range(rows).select(
+            F.col("id"),
+            (F.col("id") % 97).cast("double").alias("bal"),
+            F.repeat(F.concat(F.lit("p"), F.col("id").cast("string")), 32)
+            .alias("pad"),
+        )
+        # One distinct key per batch, spread across the id range so
+        # successive batches touch different buckets.
+        sdf = staged_batches(
+            spark,
+            root,
+            keys=[(i * 7919) % rows for i in range(n_batches)],
+        )
+        snap = os.path.join(root, "snap")
+        kwargs = dict(
+            update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+            retain_versions=retain,
+        )
+        t0 = time.monotonic()
+        if bucketed:
+            q = ST.bucketed_merge_ingest_stream(
+                sdf, initial, snap, ["id"], n_buckets=N_BUCKETS, **kwargs
+            )
+        else:
+            q = ST.merge_ingest_stream(sdf, initial, snap, ["id"], **kwargs)
+        ST.run_until_drained(q)
+        drain = round(time.monotonic() - t0, 3)
+        ledger = os.path.join(snap, "_ledger")
+        marks = sorted(
+            (int(f[len("batch-"):-len(".done")]),
+             os.path.getmtime(os.path.join(ledger, f)))
+            for f in os.listdir(ledger)
+            if f.endswith(".done")
+        )
+        gaps = [
+            round(t_b - t_a, 3)
+            for (_, t_a), (_, t_b) in zip(marks, marks[1:])
+        ]
+        k = min(5, max(1, len(gaps) // 2))
+        version_dirs = [
+            d for d in os.listdir(snap) if d.startswith("v=")
+        ]
+        per_version = sorted(
+            dir_bytes(os.path.join(snap, d)) for d in version_dirs
+        )
+        t1 = time.monotonic()
+        if bucketed:
+            n_read = ST.read_bucketed_merged_snapshot(spark, snap).count()
+        else:
+            n_read = ST.read_merged_snapshot(spark, snap).count()
+        read_s = round(time.monotonic() - t1, 3)
+        assert n_read == rows
+        return {
+            "drain_s": drain,
+            "batch_s_first": round(sum(gaps[:k]) / k, 3),
+            "batch_s_last": round(sum(gaps[-k:]) / k, 3),
+            "version_dirs": len(version_dirs),
+            "median_version_bytes": per_version[len(per_version) // 2],
+            "read_s": read_s,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def run_sink(spark, rows: int, bucketed: bool) -> dict:
@@ -98,14 +182,6 @@ def run_sink(spark, rows: int, bucketed: bool) -> dict:
         for (b0, t_a), (b1, t_b) in zip(marks, marks[1:]):
             batch_times.append(round(t_b - t_a, 3))
         # batch_times[i] ~ time of batch i+1 (post-bootstrap batches).
-        def dir_bytes(d: str) -> int:
-            out = 0
-            for r_, _, fs in os.walk(d):
-                out += sum(
-                    os.path.getsize(os.path.join(r_, f)) for f in fs
-                )
-            return out
-
         v1 = os.path.join(snap, "v=1")
         return {
             "drain_s": total,
@@ -137,6 +213,36 @@ def main() -> None:
         )
     r["write_amp_cow_over_bucketed_10x"] = round(
         r["cow_10x_v1_bytes"] / max(r["bucketed_10x_v1_bytes"], 1), 1
+    )
+    # Retention flatness (verdict task 5): 10 vs 50 batches through the
+    # bucketed sink — version-dir count and read latency must not grow
+    # with batch count.
+    for tag, nb in (("b10", 10), ("b50", 50)):
+        s = run_many_batches(spark, 500_000, nb, bucketed=True)
+        for key, val in s.items():
+            r[f"bucketed_{tag}_{key}"] = val
+    r["retention_read_ratio_50_over_10"] = round(
+        r["bucketed_b50_read_s"] / max(r["bucketed_b10_read_s"], 1e-9), 2
+    )
+    r["retention_dirs_ratio_50_over_10"] = round(
+        r["bucketed_b50_version_dirs"]
+        / max(r["bucketed_b10_version_dirs"], 1),
+        2,
+    )
+    # 10x-snapshot, 10x-batches wall-time point, both sinks (verdict
+    # task 7): 30 batches against the 5M-row snapshot.
+    for name, bucketed in (("cow", False), ("bucketed", True)):
+        s = run_many_batches(spark, 5_000_000, 30, bucketed=bucketed)
+        for key, val in s.items():
+            r[f"{name}_10x_b30_{key}"] = val
+    r["drain_10x_b30_cow_over_bucketed"] = round(
+        r["cow_10x_b30_drain_s"] / max(r["bucketed_10x_b30_drain_s"], 1e-9),
+        2,
+    )
+    r["bytes_10x_b30_cow_over_bucketed"] = round(
+        r["cow_10x_b30_median_version_bytes"]
+        / max(r["bucketed_10x_b30_median_version_bytes"], 1),
+        1,
     )
     print(json.dumps(r))
 
