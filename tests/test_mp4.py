@@ -432,3 +432,94 @@ def test_mp4_keyframe_samples_dataframe_op(spark):
     want = MM.encode_jpeg_baseline(MM.synth_mp4_frame_pixels(3, 2))
     assert bytes(r0.sample) == want
     assert r0.pts_ms == 80
+
+
+def test_codec_config_extracted_from_sample_entry():
+    """The stsd decoder-config box (avcC/hvcC extradata) rides the
+    sample entry after the 78-byte VisualSampleEntry body; an avc1
+    sample is length-prefixed NALUs whose SPS/PPS live ONLY there, so
+    the extraction seam must surface it (round-8 verdict task 6)."""
+    frames = [M.encode_jpeg_baseline(M.synth_jpeg_pixels(1))] * 4
+    fake_avcc = bytes(
+        [1, 0x64, 0x00, 0x1E, 0xFF, 0xE1, 0x00, 0x04, 0x67, 1, 2, 3]
+    )
+    payload = M.encode_mp4_mjpeg(
+        frames,
+        width=64,
+        height=48,
+        codec=b"avc1",
+        sync_samples=[1, 3],
+        codec_config=fake_avcc,
+    )
+    info = M.parse_mp4(payload)
+    assert info["codec"] == "avc1"
+    assert info["codec_config"] == fake_avcc
+    # Extraction pairs every keyframe with the config — the complete
+    # external-decoder handoff.
+    kfs = M.mp4_keyframes(payload, info=info)
+    assert [fi for fi, _, _ in kfs] == [0, 2]
+    # No config box (MJPEG) -> None, not a parse error.
+    plain = M.encode_mp4_mjpeg(frames, width=64, height=48)
+    assert M.parse_mp4(plain)["codec_config"] is None
+
+
+def test_codec_config_rides_keyframe_dataframe(spark):
+    from pyspark.sql import functions as F
+
+    frames = [M.encode_jpeg_baseline(M.synth_jpeg_pixels(7))] * 3
+    cfg = b"\x01\x64\x00\x1e\xff\xe1"
+    payload = M.encode_mp4_mjpeg(
+        frames, width=64, height=48, codec=b"avc1",
+        sync_samples=[2], codec_config=cfg,
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = M.mp4_keyframe_samples(df).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].codec_config) == cfg
+    assert rows[0].codec == "avc1"
+
+
+def test_pyav_decodes_emitted_keyframe():
+    """Import-gated interop proof (round-8 verdict task 6, the PIL
+    precedent): where PyAV exists, a REAL h264 MP4 encoded by PyAV is
+    demuxed by OUR parser, a keyframe is extracted still-encoded, and
+    PyAV decodes it from nothing but the (codec_config, sample) pair
+    the seam emits — closing the external-decoder loop. Skips cleanly
+    where PyAV is absent (this sandbox)."""
+    av = pytest.importorskip("av")
+    import io
+
+    buf = io.BytesIO()
+    out = av.open(buf, "w", format="mp4")
+    stream = out.add_stream("h264", rate=25)
+    stream.width, stream.height = 64, 48
+    stream.pix_fmt = "yuv420p"
+    stream.options = {"g": "3", "bf": "0"}
+    for i in range(6):
+        img = np.full((48, 64, 3), (i * 37) % 200, dtype=np.uint8)
+        frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+        for pkt in stream.encode(frame):
+            out.mux(pkt)
+    for pkt in stream.encode():
+        out.mux(pkt)
+    out.close()
+    payload = buf.getvalue()
+
+    info = M.parse_mp4(payload)
+    assert info["codec"] == "avc1"
+    assert info["codec_config"], "avcC extradata must be captured"
+    kfs = M.mp4_keyframes(payload, info=info)
+    assert kfs, "h264 GOP must expose stss keyframes"
+    _, _, sample = kfs[0]
+
+    codec = av.CodecContext.create("h264", "r")
+    codec.extradata = info["codec_config"]
+    frames = list(codec.decode(av.Packet(sample)))
+    try:
+        frames += list(codec.decode(None))  # flush
+    except Exception:
+        pass
+    assert frames, "emitted keyframe bytes must decode standalone"
+    arr = frames[0].to_ndarray(format="rgb24")
+    assert arr.shape == (48, 64, 3)

@@ -2133,6 +2133,8 @@ def encode_mp4_mjpeg(
     co64: bool = False,
     ctts_offsets: list[int] | None = None,
     sync_samples: list[int] | None = None,
+    codec_config: bytes | None = None,
+    config_fourcc: bytes = b"avcC",
 ) -> bytes:
     """Minimal-but-spec-shaped ISO BMFF writer for one video track of
     pre-encoded JPEG samples: ``[ftyp][mdat][moov]`` with real
@@ -2172,6 +2174,11 @@ def encode_mp4_mjpeg(
         + b"\x00" * 32  # compressorname
         + struct.pack(">Hh", 24, -1)  # depth, pre_defined
     )
+    if codec_config is not None:
+        # Real muxers append the decoder-config box (avcC/hvcC) after
+        # the VisualSampleEntry body; fixtures carry it so the
+        # extraction seam's extradata plumbing is testable natively.
+        vse = vse + _box(config_fourcc, codec_config)
     stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + _box(codec, vse))
     stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
     stsc_entries = []
@@ -2374,6 +2381,26 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
     entry = stsd[0] + 8
     codec = payload[entry + 4 : entry + 8].decode("latin-1")
     width, height = struct.unpack_from(">HH", payload, entry + 8 + 24)
+    # Codec-specific configuration (the DECODER EXTRADATA an external
+    # decoder needs alongside extracted samples — avc1 samples are
+    # length-prefixed NALUs whose SPS/PPS live ONLY here): extension
+    # boxes trail the 78-byte VisualSampleEntry body. The first
+    # recognized config box's PAYLOAD is exposed; None when absent
+    # (MJPEG needs none).
+    (entry_size,) = struct.unpack_from(">I", payload, entry)
+    entry_end = min(entry + max(entry_size, 8), stsd[1])
+    codec_config = None
+    ext = entry + 8 + 78
+    while ext + 8 <= entry_end:
+        (bsize,) = struct.unpack_from(">I", payload, ext)
+        if bsize < 8 or ext + bsize > entry_end:
+            break
+        if payload[ext + 4 : ext + 8] in (
+            b"avcC", b"hvcC", b"vpcC", b"av1C", b"dvcC",
+        ):
+            codec_config = payload[ext + 8 : ext + bsize]
+            break
+        ext += bsize
 
     def entries_fit(box, header: int, entry: int, n: int, name: str) -> None:
         # A corrupted entry count must fail HERE, not as an unbounded
@@ -2512,6 +2539,7 @@ def _parse_video_trak(payload: bytes, trak_s: int, trak_e: int, mdia) -> dict:
 
     return {
         "codec": codec,
+        "codec_config": codec_config,
         "width": int(width),
         "height": int(height),
         "timescale": int(timescale),
@@ -2722,6 +2750,7 @@ MP4_KEYFRAMES_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("pts_ms", T.LongType()),
         T.StructField("codec", T.StringType()),
+        T.StructField("codec_config", T.BinaryType()),
         T.StructField("sample", T.BinaryType()),
     ]
 )
@@ -2733,7 +2762,13 @@ def mp4_keyframe_samples(df: DataFrame) -> DataFrame:
     pts_ms, codec, still-encoded sample bytes). No pixel decode
     happens, so this works for every codec the demuxer can seek
     (avc1/hev1 included — exactly what gets piped to ffmpeg or a GPU
-    decoder); non-keyframe samples are never sliced. Bytes stay in the
+    decoder), with the stsd DECODER CONFIG (avcC/hvcC extradata) on
+    every row — an avc1 sample is length-prefixed NALUs whose SPS/PPS
+    live only in that config, so the pair (codec_config, sample) is
+    the complete external-decoder handoff (tests/test_mp4.py pins the
+    plumbing; the import-gated PyAV test decodes a real emitted
+    keyframe where a decoder exists); non-keyframe samples are never
+    sliced. Bytes stay in the
     partition that read them (mapInPandas, no shuffle of payloads) —
     downstream decode parallelism comes from repartitioning the
     emitted keyframes, which are the small fraction a preview/
@@ -2752,6 +2787,7 @@ def mp4_keyframe_samples(df: DataFrame) -> DataFrame:
                     rows["frame_idx"].append(fi)
                     rows["pts_ms"].append(pts_ms)
                     rows["codec"].append(info["codec"])
+                    rows["codec_config"].append(info["codec_config"])
                     rows["sample"].append(sample)
             yield pd.DataFrame(
                 {
@@ -2759,6 +2795,9 @@ def mp4_keyframe_samples(df: DataFrame) -> DataFrame:
                     "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
                     "pts_ms": pd.Series(rows["pts_ms"], dtype="int64"),
                     "codec": pd.Series(rows["codec"], dtype="object"),
+                    "codec_config": pd.Series(
+                        rows["codec_config"], dtype="object"
+                    ),
                     "sample": pd.Series(rows["sample"], dtype="object"),
                 }
             )
