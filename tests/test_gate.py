@@ -37,6 +37,15 @@ PROXIED = {
     # As-of family anchor after asof_first_ship rotated out: the
     # streaming as-of twin runs the same operator contract.
     "asof_bucketed_prev_click": "streaming_asof_join",
+    # Round-9-new, post-re-freeze: the incremental cluster map shares
+    # dedup_clusters' oracle verbatim (append == rebuild); the
+    # contracted-CC math and bucket-partial rewrite are pinned by
+    # tests/test_graph.py + tests/test_incremental_dedup.py.
+    "dedup_clusters_incremental": "dedup_clusters",
+    # Round-9-new, post-re-freeze: the streaming cluster-maintenance
+    # sink; shares the CC-closure oracle family (band pairs instead of
+    # exact-Jaccard pairs) and the in-gate ledgered-foreachBatch shape.
+    "streaming_dedup_clusters": "dedup_clusters",
     # (The 7 round-8-new entries that were proxied here post-re-freeze —
     # MERGE INTO, both streaming CDC merge sinks, the HLL cube, CMS
     # join-size, the streaming CMS rollup, MP4 keyframes — rotated INTO

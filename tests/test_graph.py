@@ -364,3 +364,86 @@ def test_triangles_release_their_cache(spark):
     assert {(r.id, r.triangles) for r in out.collect()} == {
         (1, 3), (2, 3), (3, 3), (4, 3),
     }
+
+
+# --------------------------------------------------------------------------
+# Incremental connected components (round-8 verdict task 4).
+# --------------------------------------------------------------------------
+
+
+def _cc_rows(df):
+    return sorted((r[0], r[1]) for r in df.collect())
+
+
+def test_append_components_equals_full_rebuild(spark):
+    """The equivalence contract: folding any increment into cc(G0) gives
+    exactly cc(G0 ∪ ΔV, E0 ∪ ΔE) — splits must not change semantics."""
+    import random
+
+    from ue_big_data_project_spark.operators.graph import (
+        append_components,
+        connected_components,
+    )
+
+    rng = random.Random(20260815)
+    n = 60
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(70)
+        }
+    )
+    for split in (20, 40, 55):
+        base_nodes = spark.createDataFrame(
+            [(i,) for i in range(split)], "id long"
+        )
+        new_nodes = spark.createDataFrame(
+            [(i,) for i in range(split, n)], "id long"
+        )
+        base_edges = spark.createDataFrame(
+            [e for e in edges if e[0] < split and e[1] < split] or
+            [(-1, -1)], "src long, dst long"
+        )
+        if not [e for e in edges if e[0] < split and e[1] < split]:
+            base_edges = base_edges.limit(0)
+        inc_edges = spark.createDataFrame(
+            [e for e in edges if e[0] >= split or e[1] >= split],
+            "src long, dst long",
+        )
+        base = connected_components(base_nodes, base_edges)
+        got = append_components(
+            base, new_nodes, inc_edges, node_col="id"
+        )
+        all_nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        all_edges = spark.createDataFrame(edges, "src long, dst long")
+        want = connected_components(all_nodes, all_edges)
+        assert _cc_rows(got) == _cc_rows(want), f"split={split}"
+
+
+def test_append_components_merges_old_clusters_through_new_node(spark):
+    from ue_big_data_project_spark.operators.graph import append_components
+
+    base = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (8, 8)],
+        "id long, component long",
+    )
+    new_nodes = spark.createDataFrame([(10,), (11,)], "id long")
+    new_edges = spark.createDataFrame(
+        [(10, 2), (10, 6)], "src long, dst long"
+    )
+    got = dict(_cc_rows(append_components(base, new_nodes, new_edges)))
+    # 10 bridges {1,2} and {5,6}: all label 1 (global min); 8 untouched;
+    # 11 isolated singleton.
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 8: 8, 10: 1, 11: 11}
+
+
+def test_append_components_new_smaller_id_relabels_old_cluster(spark):
+    from ue_big_data_project_spark.operators.graph import append_components
+
+    base = spark.createDataFrame(
+        [(5, 5), (6, 5)], "id long, component long"
+    )
+    new_nodes = spark.createDataFrame([(0,)], "id long")
+    new_edges = spark.createDataFrame([(0, 6)], "src long, dst long")
+    got = dict(_cc_rows(append_components(base, new_nodes, new_edges)))
+    assert got == {0: 0, 5: 0, 6: 0}

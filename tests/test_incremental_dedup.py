@@ -428,3 +428,179 @@ def test_dedup_ingest_stream_bloom_resize_reseeds(spark):
         assert index.where(
             ~bloom_might_contain(F.col("fingerprint"), bloom)
         ).count() == 0  # reseeded superset at the new size
+
+
+# --------------------------------------------------------------------------
+# Persisted cluster map + bucket-partial incremental maintenance
+# (round-8 verdict task 4).
+# --------------------------------------------------------------------------
+
+
+def test_cluster_map_append_equals_rebuild(spark, tmp_path):
+    import random
+
+    from ue_big_data_project_spark.operators.dedup import (
+        append_cluster_map,
+        read_cluster_map,
+        write_cluster_map,
+    )
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(99)
+    n, split = 80, 50
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(n), 2))) for _ in range(90)}
+    )
+    base_edges = [e for e in edges if e[0] < split and e[1] < split]
+    inc_edges = [e for e in edges if e[0] >= split or e[1] >= split]
+    base = connected_components(
+        spark.createDataFrame([(i,) for i in range(split)], "doc_id long"),
+        spark.createDataFrame(base_edges, "id_a long, id_b long"),
+        node_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    path = str(tmp_path / "cmap")
+    write_cluster_map(base, path, n_buckets=8)
+    append_cluster_map(
+        spark,
+        path,
+        spark.createDataFrame([(i,) for i in range(split, n)], "doc_id long"),
+        spark.createDataFrame(inc_edges, "id_a long, id_b long"),
+    )
+    got = sorted(
+        (r.doc_id, r.component)
+        for r in read_cluster_map(spark, path).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.component)
+        for r in connected_components(
+            spark.createDataFrame([(i,) for i in range(n)], "doc_id long"),
+            spark.createDataFrame(edges, "id_a long, id_b long"),
+            node_col="doc_id",
+            src_col="id_a",
+            dst_col="id_b",
+        ).collect()
+    )
+    assert got == want
+
+
+def test_cluster_map_append_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale property: an increment touching one component must not
+    open or rewrite the other components' bucket dirs (file mtimes and
+    names identical before/after)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.dedup import (
+        append_cluster_map,
+        write_cluster_map,
+    )
+
+    n_buckets = 8
+    # Components 0..63, two members each — every bucket holds some.
+    base = spark.createDataFrame(
+        [(c * 1000 + m, c) for c in range(64) for m in (0, 1)],
+        "doc_id long, component long",
+    )
+    path = str(tmp_path / "cmap")
+    write_cluster_map(base, path, n_buckets=n_buckets)
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("_cbucket="):
+                continue
+            for f in os.listdir(os.path.join(path, d)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(path, d, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = snapshot()
+    # One new doc joins component 7 (no relabel: 7 < new id).
+    changed = append_cluster_map(
+        spark,
+        path,
+        spark.createDataFrame([(999_999,)], "doc_id long"),
+        spark.createDataFrame([(999_999, 7000)], "id_a long, id_b long"),
+    )
+    assert changed.count() == 0  # no existing component relabeled
+    after = snapshot()
+    tb = int(
+        spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit("7")), F.lit(n_buckets)).cast("int")
+        ).collect()[0][0]
+    )
+    touched_dir = os.path.join(path, f"_cbucket={tb}")
+    untouched_before = {
+        p: t for p, t in before.items() if not p.startswith(touched_dir)
+    }
+    untouched_after = {
+        p: t for p, t in after.items() if not p.startswith(touched_dir)
+    }
+    assert untouched_before == untouched_after
+    assert any(p.startswith(touched_dir) for p in after)
+    rows = {
+        r.doc_id: r.component
+        for r in spark.read.parquet(path).drop("_cbucket").collect()
+    }
+    assert rows[999_999] == 7 and rows[7000] == 7 and len(rows) == 129
+
+
+def test_cluster_map_drained_bucket_is_cleared(spark, tmp_path):
+    """If a relabel drains a bucket of its only component, dynamic
+    partition overwrite alone would leave the stale dir — the append
+    must clear it or the old labels resurface on read."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.dedup import (
+        append_cluster_map,
+        read_cluster_map,
+        write_cluster_map,
+    )
+
+    n_buckets = 4
+    # Find two component ids landing in DIFFERENT buckets.
+    probe = spark.range(1, 200).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("b"),
+    ).collect()
+    by_bucket: dict[int, list[int]] = {}
+    for r in probe:
+        by_bucket.setdefault(r.b, []).append(r.id)
+    buckets = sorted(by_bucket)
+    hi = by_bucket[buckets[0]][-1]  # component to drain (larger id)
+    lo = next(i for i in by_bucket[buckets[1]] if i < hi)
+    base = spark.createDataFrame(
+        [(hi, hi), (hi + 10_000, hi), (lo, lo)],
+        "doc_id long, component long",
+    )
+    path = str(tmp_path / "cmap")
+    write_cluster_map(base, path, n_buckets=n_buckets)
+    # New doc bridges hi's cluster into lo's: hi relabels to lo, its
+    # bucket drains (lo hashes to a different bucket).
+    changed = append_cluster_map(
+        spark,
+        path,
+        spark.createDataFrame([(hi + 20_000,)], "doc_id long"),
+        spark.createDataFrame(
+            [(hi + 20_000, hi), (hi + 20_000, lo)], "id_a long, id_b long"
+        ),
+    )
+    assert {(r._old, r._new) for r in changed.collect()} == {(hi, lo)}
+    rows = {
+        r.doc_id: r.component
+        for r in read_cluster_map(spark, path).collect()
+    }
+    assert rows == {
+        hi: lo,
+        hi + 10_000: lo,
+        lo: lo,
+        hi + 20_000: lo,
+    }

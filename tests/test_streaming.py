@@ -1094,3 +1094,94 @@ def test_bucketed_time_travel_raises_on_pruned_version(spark, tmp_path):
     # was pruned with v=1 — a silent read would return HALF the table.
     with _pt.raises(ValueError, match="no longer fully retained"):
         ST.read_bucketed_merged_snapshot(spark, snap, version=1)
+
+
+def test_cluster_ingest_stream_equals_one_shot_clustering(spark, tmp_path):
+    """Round-9: the streaming cluster-maintenance sink's final map must
+    equal clustering the whole corpus at once over band-sharing pairs —
+    batching, index growth, and bucket-partial rewrites must cancel."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators.dedup import (
+        minhash_band_rows,
+        read_cluster_map,
+    )
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = [
+        (i, f"the quick brown fox jumps over dog {i % 5} again and again")
+        for i in range(24)
+    ] + [(100 + i, f"totally unrelated text number {i} " * 3) for i in range(4)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    now = time.time()
+    for i in range(3):
+        bdir = str(tmp_path / f"cb{i}")
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"b{i}.parquet")
+        os.symlink(os.path.join(bdir, part), dst)
+        os.utime(dst, (now + i, now + i), follow_symlinks=False)
+    sdf = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    root = str(tmp_path / "cmstream")
+    q = ST.cluster_ingest_stream(
+        sdf,
+        map_path=os.path.join(root, "cmap"),
+        band_index_path=os.path.join(root, "bands"),
+        ledger_dir=os.path.join(root, "_ledger"),
+        n_buckets=8,
+    )
+    ST.run_until_drained(q)
+    got = sorted(
+        (r.doc_id, r.component)
+        for r in read_cluster_map(spark, os.path.join(root, "cmap")).collect()
+    )
+    bands_all = minhash_band_rows(d, "doc_id", "text")
+    a, b = bands_all.alias("a"), bands_all.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    want = sorted(
+        (r.doc_id, r.component)
+        for r in connected_components(
+            d.select("doc_id"), pairs,
+            node_col="doc_id", src_col="id_a", dst_col="id_b",
+        ).collect()
+    )
+    assert got == want
+    # Replay-absorbing: re-applying the last increment is a no-op.
+    from ue_big_data_project_spark.operators.dedup import append_cluster_map
+
+    last = d.filter(F.col("doc_id") % 3 == 2)
+    changed = append_cluster_map(
+        spark,
+        os.path.join(root, "cmap"),
+        last.select("doc_id"),
+        pairs.join(
+            last.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+        ),
+    )
+    assert changed.count() == 0
+    got2 = sorted(
+        (r.doc_id, r.component)
+        for r in read_cluster_map(spark, os.path.join(root, "cmap")).collect()
+    )
+    assert got2 == got

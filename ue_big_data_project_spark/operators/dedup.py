@@ -567,3 +567,189 @@ def update_dedup_index(
     survivors = survivors.localCheckpoint(eager=True)
     survivors.select("fingerprint").write.mode("append").parquet(index_path)
     return survivors
+
+
+# --------------------------------------------------------------------------
+# Persisted cluster map + incremental maintenance (round-8 verdict task 4).
+# --------------------------------------------------------------------------
+
+_CLUSTER_META = "_cluster_meta.json"
+
+
+def _comp_bucket(comp_col: str, n_buckets: int):
+    return F.pmod(
+        F.xxhash64(F.col(comp_col).cast("string")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def write_cluster_map(
+    assign: DataFrame,
+    path: str,
+    node_col: str = "doc_id",
+    comp_col: str = "component",
+    n_buckets: int = 32,
+) -> str:
+    """Persist a ``(node, component)`` assignment hash-partitioned BY
+    COMPONENT (``_cbucket`` dirs): cluster merges relabel whole
+    components, so a component-bucketed layout lets
+    :func:`append_cluster_map` rewrite ONLY the buckets whose
+    components the increment touches — the bucketed-merge-sink layout
+    lever applied to the dedup cluster map. ``n_buckets`` rides a meta
+    sidecar (fs seam, object-store-safe) so appends need no
+    out-of-band config."""
+    import json
+    import os
+
+    from ue_big_data_project_spark import fs
+
+    df = assign.select(node_col, comp_col).withColumn(
+        "_cbucket", _comp_bucket(comp_col, n_buckets)
+    )
+    (
+        df.repartition(n_buckets, "_cbucket")
+        .write.mode("overwrite")
+        .partitionBy("_cbucket")
+        .parquet(path)
+    )
+    fs.write_text_atomic(
+        os.path.join(path, _CLUSTER_META),
+        json.dumps({"n_buckets": n_buckets, "node_col": node_col,
+                    "comp_col": comp_col}),
+    )
+    return path
+
+
+def read_cluster_map(spark, path: str) -> DataFrame:
+    """The current assignment, partition column dropped."""
+    return spark.read.parquet(path).drop("_cbucket")
+
+
+def append_cluster_map(
+    spark,
+    path: str,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Fold an increment (new docs + their near-dup pairs, e.g. from
+    the :func:`incremental_minhash_filter` screen or a one-sided
+    Jaccard probe) into the persisted cluster map WITHOUT re-running
+    connected components over the full pair graph.
+
+    Mechanics (``operators/graph.append_components`` does the math):
+    the increment contracts against the existing labels, a CC over the
+    O(increment)-sized contracted graph produces the bounded relabel
+    map, and only the buckets holding (a) relabeled components, (b)
+    relabel TARGETS, or (c) fresh rows' components are read and
+    rewritten (dynamic partition overwrite — untouched bucket dirs are
+    never opened). Result ≡ rebuilding the map from scratch over the
+    union graph, test-pinned; cost is O(increment + touched buckets),
+    not O(corpus) — re-clustering per crawl increment is the dedup
+    pipeline's largest repeated cost, and this removes it.
+
+    Returns the (bounded) relabel map ``(_old, _new)`` — callers use it
+    to patch any downstream artifacts keyed by cluster id.
+    """
+    import json
+    import os
+
+    from ue_big_data_project_spark import fs
+    from ue_big_data_project_spark.operators.graph import append_components
+
+    meta = json.loads(fs.read_text(os.path.join(path, _CLUSTER_META)))
+    n_buckets = int(meta["n_buckets"])
+    node_col, comp_col = meta["node_col"], meta["comp_col"]
+    base = read_cluster_map(spark, path)
+    merged = append_components(
+        base,
+        new_nodes.select(F.col(new_nodes.columns[0]).alias(node_col))
+        if node_col not in new_nodes.columns
+        else new_nodes.select(node_col),
+        new_edges,
+        node_col=node_col,
+        comp_col=comp_col,
+        src_col=src_col,
+        dst_col=dst_col,
+    )
+    # The bounded relabel + fresh sets decide which buckets rewrite.
+    fresh = merged.join(base.select(node_col), node_col, "left_anti")
+    changed = (
+        merged.alias("m")
+        .join(
+            base.alias("b"),
+            F.col(f"m.{node_col}") == F.col(f"b.{node_col}"),
+        )
+        .where(F.col(f"m.{comp_col}") != F.col(f"b.{comp_col}"))
+        .select(
+            F.col(f"b.{comp_col}").alias("_old"),
+            F.col(f"m.{comp_col}").alias("_new"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # bounded by the increment
+    )
+    fresh = fresh.localCheckpoint(eager=True)
+    # ONE bounded collect for the touched-bucket set (three separate
+    # jobs here cost ~1 s/batch of pure scheduling in the streaming
+    # sink).
+    touched = {
+        int(r["_t"])
+        for r in (
+            changed.select(F.col("_old").alias("_c"))
+            .unionByName(changed.select(F.col("_new").alias("_c")))
+            .unionByName(fresh.select(F.col(comp_col).alias("_c")))
+            .select(_comp_bucket("_c", n_buckets).alias("_t"))
+            .distinct()
+            .collect()
+        )
+    }
+    if not touched:
+        return changed
+    # Rewrite = surviving rows of touched buckets (relabeled where the
+    # map says so) + fresh rows, all of which land in touched buckets
+    # by construction of the touched set.
+    bucket_list = sorted(touched)
+    old_rows = spark.read.parquet(path).where(
+        F.col("_cbucket").isin(bucket_list)
+    ).drop("_cbucket")
+    relabeled = (
+        old_rows.join(
+            F.broadcast(changed.withColumnRenamed("_old", comp_col)),
+            comp_col,
+            "left",
+        )
+        .select(
+            node_col,
+            F.coalesce("_new", F.col(comp_col)).alias(comp_col),
+        )
+    )
+    out = relabeled.unionByName(fresh.select(node_col, comp_col)).withColumn(
+        "_cbucket", _comp_bucket(comp_col, n_buckets)
+    )
+    out = out.localCheckpoint(eager=True)  # consumed by write + audit
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            out.repartition(max(len(bucket_list), 1), "_cbucket")
+            .write.mode("overwrite")
+            .partitionBy("_cbucket")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    # Dynamic overwrite only rewrites partitions PRESENT in the output:
+    # a touched bucket drained of every row (all its components
+    # relabeled into other buckets) would keep its stale dir and the
+    # old rows would resurface on read — clear those explicitly.
+    written = {
+        int(r["_cbucket"])
+        for r in out.select("_cbucket").distinct().collect()
+    }
+    for b_empty in touched - written:
+        fs.rmtree(os.path.join(path, f"_cbucket={b_empty}"))
+    return changed

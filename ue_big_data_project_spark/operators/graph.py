@@ -483,3 +483,126 @@ def triangle_counts(
     for cached in (e, deg, e_or, adj):
         cached.unpersist()
     return out
+
+
+def append_components(
+    base: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "id",
+    comp_col: str = "component",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """INCREMENTAL connected components (round-8 verdict task 4): fold a
+    batch of new nodes and their incident edges into an existing
+    ``(node, component=min reachable id)`` assignment WITHOUT re-running
+    CC over the full pair graph — the ``append_text_index`` /
+    ``ivf_index_append`` pattern applied to clustering, because at crawl
+    scale re-clustering the corpus per increment is the dedup pipeline's
+    largest repeated cost.
+
+    The standard union-find-by-contraction argument: every existing
+    component is already collapsed to its representative (its min node
+    id), so new edges can only merge REPRESENTATIVES. Each new edge
+    endpoint maps to its base component if known, else to itself (a new
+    node); CC then runs on that CONTRACTED graph — O(increment) nodes
+    and edges, never O(corpus). The contracted labels are exact global
+    labels: a base rep IS the min of its old cluster, so the min over a
+    merged set of reps and new ids equals the min over the merged
+    cluster's full membership. Base rows relabel through the bounded
+    rep→label map (broadcast); rows of untouched components stream
+    through unchanged — one map-side pass over the base, zero base
+    shuffles.
+
+    Equivalence contract (test-pinned): ``append_components(cc(G₀), ΔV,
+    ΔE) == cc(G₀ ∪ ΔV, E₀ ∪ ΔE)`` row-for-row, for any split — layouts
+    and increments must not change semantics.
+
+    ``new_edges`` must be incident to ≥1 new node or to existing nodes
+    (endpoints absent from ``base`` are treated as new); ``new_nodes``
+    lists the increment's vertices (isolated ones become singletons).
+    ``new_nodes`` MAY overlap ``base`` — an at-least-once replay
+    re-presents an already-applied increment — in which case the
+    overlapping nodes keep their existing assignment (relabeled if the
+    edges still merge anything): re-applying an applied increment is a
+    no-op, the property the streaming sink's crash story rests on.
+    """
+    b = base.select(
+        F.col(node_col).alias("_n"), F.col(comp_col).alias("_c")
+    )
+    e = new_edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    # Contract endpoints to their current labels. The increment is the
+    # small side: broadcast IT against the base map, never the reverse
+    # (the base map is unbounded).
+    ends = (
+        e.select(F.col("_s").alias("_x"))
+        .union(e.select(F.col("_d").alias("_x")))
+        .distinct()
+    )
+    lbl = (
+        b.join(F.broadcast(ends), b["_n"] == F.col("_x"), "right")
+        .select(
+            F.col("_x"),
+            F.coalesce("_c", F.col("_x")).alias("_lbl"),
+        )
+    )
+    ce = (
+        e.join(
+            F.broadcast(lbl.withColumnRenamed("_x", "_s").withColumnRenamed("_lbl", "_la")),
+            "_s",
+        )
+        .join(
+            F.broadcast(lbl.withColumnRenamed("_x", "_d").withColumnRenamed("_lbl", "_lb")),
+            "_d",
+        )
+        .select("_la", "_lb")
+        .where(F.col("_la") != F.col("_lb"))
+        .distinct()
+    )
+    cc_nodes = (
+        new_nodes.select(F.col(node_col).alias("_v"))
+        .union(ce.select(F.col("_la").alias("_v")))
+        .union(ce.select(F.col("_lb").alias("_v")))
+        .distinct()
+    )
+    sub = connected_components(
+        cc_nodes,
+        ce,
+        node_col="_v",
+        src_col="_la",
+        dst_col="_lb",
+        max_iters=max_iters,
+    ).localCheckpoint(eager=True)  # consumed by 3 branches below
+    # Bounded relabel map for EXISTING components: contracted nodes
+    # that are base labels and whose label changed.
+    relabel = (
+        sub.join(
+            b.select(F.col("_c").alias("_v")).distinct(), "_v", "left_semi"
+        )
+        .where(F.col("_v") != F.col("component"))
+        .select(F.col("_v").alias("_old"), F.col("component").alias("_new"))
+    )
+    updated = (
+        b.join(F.broadcast(relabel), b["_c"] == F.col("_old"), "left")
+        .select(
+            F.col("_n").alias(node_col),
+            F.coalesce("_new", F.col("_c")).alias(comp_col),
+        )
+    )
+    fresh = (
+        new_nodes.select(F.col(node_col).alias("_v"))
+        # Replay tolerance: a "new" node already present in the base
+        # (an at-least-once redelivery) must NOT gain a second row with
+        # a self-label — its assignment lives in `updated`.
+        .join(b.select(F.col("_n").alias("_v")), "_v", "left_anti")
+        .join(sub, "_v", "left")
+        .select(
+            F.col("_v").alias(node_col),
+            F.coalesce("component", F.col("_v")).alias(comp_col),
+        )
+    )
+    return updated.unionByName(fresh)

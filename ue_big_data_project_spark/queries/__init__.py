@@ -302,6 +302,20 @@ BENCH_EXTRA = (
     # round-8-new queries (which moved OUT of this tuple and INTO the
     # gate — the bench set is unchanged).
     *_ROTATED_OUT_R9,
+    # Round-9-new (gate frozen at the round-9 set, so driver evidence
+    # arrives via the local pytest oracle + the in-gate dedup_clusters
+    # proxy): incremental cluster maintenance — the persisted
+    # component-bucketed cluster map absorbs an increment through a
+    # contracted-graph CC + touched-buckets-only rewrite; the oracle is
+    # the full-rebuild recursive CTE verbatim (append == rebuild).
+    "dedup_clusters_incremental",
+    # Round-9-new: the STREAMING twin — cluster_ingest_stream replays
+    # documents as 4 real micro-batches, banding each and folding its
+    # candidate pairs into the persisted map; oracle = one-shot
+    # clustering of the whole corpus (band-pair SQL + recursive-CTE
+    # closure), since per-batch pair discovery unions to the full pair
+    # set and CC is edge-order-insensitive.
+    "streaming_dedup_clusters",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

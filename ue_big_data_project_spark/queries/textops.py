@@ -260,6 +260,156 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cluster maintenance (round-8 verdict task 4): 3/4 of
+    the corpus (doc_id % 4 != 3) is clustered the normal way and
+    persisted as a component-bucketed cluster map; the remaining quarter
+    arrives as an increment whose incident near-dup pairs fold in via
+    ``dedup.append_cluster_map`` — a CC over the CONTRACTED
+    O(increment) graph plus a touched-buckets-only rewrite, never a
+    re-cluster of the full pair graph (at crawl scale, the dedup
+    pipeline's largest repeated cost). The oracle is dedup_clusters'
+    full-corpus recursive-CTE transitive closure VERBATIM: append ==
+    rebuild is the whole contract, so the increment path must hash
+    identically to clustering everything at once."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.dedup import (
+        append_cluster_map,
+        read_cluster_map,
+        write_cluster_map,
+    )
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # The pair pipeline (shingle, prefix-join, verify) feeds both the
+    # base and increment splits; materialize it once.
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.8
+    ).localCheckpoint(eager=True)
+    new_pred = F.col("doc_id") % 4 == 3
+    base_docs = d.where(~new_pred).select("doc_id")
+    new_docs = d.where(new_pred).select("doc_id")
+    base_pairs = pairs.where(
+        (F.col("id_a") % 4 != 3) & (F.col("id_b") % 4 != 3)
+    )
+    inc_pairs = pairs.where(
+        (F.col("id_a") % 4 == 3) | (F.col("id_b") % 4 == 3)
+    )
+    base = connected_components(
+        base_docs, base_pairs,
+        node_col="doc_id", src_col="id_a", dst_col="id_b",
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_cmap_")
+    cmap = root + "/cmap"
+    try:
+        write_cluster_map(base, cmap, n_buckets=16)
+        append_cluster_map(spark, cmap, new_docs, inc_pairs)
+        return (
+            read_cluster_map(spark, cmap)
+            .select("doc_id", "component")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+def streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous cluster maintenance end-to-end (round-9): documents
+    replay as 4 REAL micro-batches through
+    ``streaming.cluster_ingest_stream`` — each batch LSH-bands its
+    docs, folds candidate pairs (vs the growing band index + in-batch)
+    into the persisted cluster map via the contracted-graph append, and
+    appends its band rows. The oracle clusters the WHOLE corpus at once
+    (dedup_minhash_lsh's band-pair SQL under the recursive-CTE
+    closure): every band-sharing pair is discovered exactly once across
+    batches and CC is edge-order-insensitive, so the streamed map must
+    hash identically to the one-shot clustering — batching, index
+    growth, ledger, and bucket-partial rewrites all have to cancel
+    out."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators.dedup import read_cluster_map
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    # Half the corpus in 3 batches: the sink's per-batch cost is real
+    # (banding + contracted CC + bucket rewrite), so the bench entry
+    # stays in its family's footprint; the oracle filters identically.
+    # Equivalence in kind is unchanged — full-corpus appends are
+    # exercised by dedup_clusters_incremental and the pytest suite.
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") % 2 == 0
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_cluststream_")
+    try:
+        stage = _os.path.join(root, "stage")
+        _os.makedirs(stage)
+        now = _time.time()
+        for i in range(3):
+            bdir = _os.path.join(root, f"b{i}")
+            (
+                d.filter((F.col("doc_id") / 2) % 3 == i)
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.parquet(bdir)
+            )
+            part = [
+                f for f in _os.listdir(bdir) if f.endswith(".parquet")
+            ][0]
+            dst = _os.path.join(stage, f"b{i}.parquet")
+            _os.symlink(_os.path.join(bdir, part), dst)
+            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+        sdf = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        q = ST.cluster_ingest_stream(
+            sdf,
+            map_path=_os.path.join(root, "cmap"),
+            band_index_path=_os.path.join(root, "bands"),
+            ledger_dir=_os.path.join(root, "_ledger"),
+        )
+        ST.run_until_drained(q)
+        return (
+            read_cluster_map(spark, _os.path.join(root, "cmap"))
+            .select("doc_id", "component")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+# The oracle clusters the SAME half-corpus: DEDUP_MINHASH_SQL reads the
+# `documents` view, so the filter is injected by retargeting it at a
+# filtered CTE (string-level, like the shared-oracle sketch twins).
+STREAMING_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE docs_half AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    {DEDUP_MINHASH_SQL.replace("FROM documents", "FROM docs_half")}
+  ) p
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM docs_half
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
 def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: email/URL redaction with placeholder tokens +
     per-doc counts; md5 of the scrubbed text proves the exact redacted
@@ -1976,6 +2126,12 @@ QUERIES = {
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_incremental": QuerySpec(
+        dedup_clusters_incremental, DEDUP_CLUSTERS_SQL
+    ),
+    "streaming_dedup_clusters": QuerySpec(
+        streaming_dedup_clusters, STREAMING_DEDUP_CLUSTERS_SQL
+    ),
     "text_scrub": QuerySpec(text_scrub, TEXT_SCRUB_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),

@@ -567,6 +567,27 @@ def drain_to_table_with_artifacts(
     return holder["snapshot"]
 
 
+def _read_partitioned_index(
+    sp: SparkSession, path: str, batch_id: int
+) -> DataFrame | None:
+    """Read a persisted index, excluding rows the CURRENT batch wrote
+    (a crashed earlier attempt of this same batch id) — partition
+    pruning on the hive ``batch_id`` column, so the exclusion never
+    scans the excluded files. None when the index does not exist yet."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = sp.read.parquet(path)
+        df.schema
+    except AnalysisException:
+        return None
+    if "batch_id" in df.columns:
+        df = df.filter(F.col("batch_id") != F.lit(batch_id)).drop(
+            "batch_id"
+        )
+    return df
+
+
 def dedup_ingest_stream(
     sdf: DataFrame,
     index_path: str,
@@ -641,23 +662,7 @@ def dedup_ingest_stream(
     if near_dup and not band_index_path:
         band_index_path = index_path.rstrip("/") + "_bands"
 
-    def _read_index(
-        sp: SparkSession, path: str, batch_id: int
-    ) -> DataFrame | None:
-        """Read an index, excluding rows the CURRENT batch wrote (a
-        crashed earlier attempt of this same batch id) — partition
-        pruning on the hive ``batch_id`` column, so the exclusion never
-        scans the excluded files."""
-        try:
-            df = sp.read.parquet(path)
-            df.schema
-        except AnalysisException:
-            return None
-        if "batch_id" in df.columns:
-            df = df.filter(F.col("batch_id") != F.lit(batch_id)).drop(
-                "batch_id"
-            )
-        return df
+    _read_index = _read_partitioned_index
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from ue_big_data_project_spark.operators.bloom import (
@@ -767,6 +772,117 @@ def dedup_ingest_stream(
             raise RuntimeError("injected crash: after fingerprint append")
 
     return idempotent_foreach_batch(sdf, ingest, ledger_dir)
+
+
+def cluster_ingest_stream(
+    sdf: DataFrame,
+    map_path: str,
+    band_index_path: str,
+    ledger_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 32,
+) -> StreamingQuery:
+    """Continuous NEAR-DUP CLUSTER maintenance: each micro-batch of
+    documents is banded (MinHash LSH), its candidate pairs — against
+    the persisted band index AND within the batch — fold into the
+    persisted cluster map via ``dedup.append_cluster_map`` (a CC over
+    the O(batch) contracted graph + touched-buckets-only rewrite), and
+    the batch's band rows append to the index. The corpus is never
+    re-clustered: the streaming form of the round-9 incremental
+    maintenance path.
+
+    END-STATE EQUIVALENCE (the oracle contract): every band-sharing
+    pair (a, b) is discovered exactly once — in b's batch against the
+    index holding a, or in-batch when they arrive together — so the
+    union of per-batch pair sets IS the full corpus's band-pair set,
+    and CC over a union of edges is batch-order-INSENSITIVE. The final
+    map therefore equals clustering the whole corpus at once
+    (`dedup_minhash_lsh`'s pair SQL under a recursive-CTE closure).
+
+    Crash/replay safety, three layers:
+    - band rows land in this batch's own ``batch_id=N`` partition
+      (overwrite mode) and the candidate probe EXCLUDES the current
+      batch id — a replay probes exactly the pre-batch index
+      (:func:`dedup_ingest_stream`'s contract);
+    - ``append_cluster_map`` is replay-ABSORBING: already-appended
+      nodes fall out of the fresh set (anti-join against the map) and
+      already-applied relabels produce an empty change map, so
+      re-applying an increment is a no-op — and min-label relabeling is
+      monotone, so a crash that committed only SOME touched buckets
+      converges to the same fixpoint on replay (test-pinned);
+    - the ledger commits last and skips fully-committed batches.
+    """
+    from ue_big_data_project_spark.operators.dedup import (
+        append_cluster_map,
+        minhash_band_rows,
+        write_cluster_map,
+    )
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        band_rows = minhash_band_rows(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_n
+        ).localCheckpoint(eager=True)  # probe + in-batch + index append
+        a, b = band_rows.alias("a"), band_rows.alias("b")
+        in_batch = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        index = _read_partitioned_index(sp, band_index_path, batch_id)
+        if index is not None:
+            cross = (
+                band_rows.join(
+                    index.withColumnRenamed(id_col, "_idx_id"),
+                    ["band_idx", "band_val"],
+                )
+                .select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("_idx_id").alias("id_b"),
+                )
+                .distinct()
+            )
+            pairs = in_batch.unionByName(cross)
+        else:
+            pairs = in_batch
+        new_nodes = batch_df.select(id_col).distinct()
+        if fs.exists(os.path.join(map_path, "_cluster_meta.json")):
+            append_cluster_map(
+                sp, map_path, new_nodes, pairs,
+                src_col="id_a", dst_col="id_b",
+            )
+        else:
+            # Bootstrap: the first batch IS the corpus; deterministic
+            # overwrite makes a replayed bootstrap byte-identical.
+            write_cluster_map(
+                connected_components(
+                    new_nodes, pairs,
+                    node_col=id_col, src_col="id_a", dst_col="id_b",
+                ),
+                map_path,
+                node_col=id_col,
+                n_buckets=n_buckets,
+            )
+        band_rows.write.mode("overwrite").parquet(
+            os.path.join(band_index_path, f"batch_id={batch_id}")
+        )
+
+    return idempotent_foreach_batch(sdf, apply, ledger_dir)
 
 
 def ivf_ingest_stream(
