@@ -1092,8 +1092,19 @@ def test_bucketed_time_travel_raises_on_pruned_version(spark, tmp_path):
     assert got == {a0: 10.0, a1: 20.0, b0: 30.0}
     # Time-travel to v=1: bucket 1's data still exists (v=0), bucket 0's
     # was pruned with v=1 — a silent read would return HALF the table.
+    # (Round-9 manifest retention prunes m-1 alongside v=1, so this
+    # raises at manifest resolution.)
     with _pt.raises(ValueError, match="no longer fully retained"):
         ST.read_bucketed_merged_snapshot(spark, snap, version=1)
+    # The crash-window variant: a manifest SURVIVES but a version dir
+    # it references is gone (manually simulated — the two prune loops
+    # share a keep set, so only a crash between them leaves this
+    # state). The reader must still fail loudly, not skip the bucket.
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(snap, "v=2"))
+    with _pt.raises(ValueError, match="pruned version dir"):
+        ST.read_bucketed_merged_snapshot(spark, snap)
 
 
 def test_cluster_ingest_stream_equals_one_shot_clustering(spark, tmp_path):
@@ -1185,3 +1196,73 @@ def test_cluster_ingest_stream_equals_one_shot_clustering(spark, tmp_path):
         for r in read_cluster_map(spark, os.path.join(root, "cmap")).collect()
     )
     assert got2 == got
+
+
+def test_ledger_compaction_bounds_marker_files(tmp_path):
+    """Round-9 scale fix: without compaction the per-batch ledger scan
+    is O(total batches ever) and a long-lived stream goes quadratic.
+    The contiguous committed prefix folds into one _watermark file;
+    loose markers stay bounded; committed ids and replay skips are
+    unchanged."""
+    import os
+
+    from ue_big_data_project_spark import fs
+    from ue_big_data_project_spark import streaming as ST
+
+    ledger = str(tmp_path / "_ledger")
+    fs.makedirs(ledger)
+    for b in range(200):
+        fs.write_text_atomic(
+            os.path.join(ledger, f"batch-{b}.done"), "done"
+        )
+        ST._compact_ledger(ledger)
+    files = os.listdir(ledger)
+    loose = [f for f in files if f.startswith("batch-")]
+    assert len(loose) < ST._LEDGER_COMPACT_THRESHOLD + 1
+    assert "_watermark" in files
+    assert ST._committed_batch_ids(ledger) == list(range(200))
+    # Ids folded into the watermark still count as committed (replay
+    # of a compacted batch must skip, even with its marker deleted).
+    assert ST._ledger_watermark(ledger) >= 200 - ST._LEDGER_COMPACT_THRESHOLD
+    # A GAP stalls the watermark but never loses ids.
+    fs.write_text_atomic(os.path.join(ledger, "batch-205.done"), "done")
+    ST._compact_ledger(ledger)
+    got = ST._committed_batch_ids(ledger)
+    assert got == list(range(200)) + [205]
+
+
+def test_ledger_compaction_in_live_stream(spark, tmp_path, monkeypatch):
+    """The wrapper skips batches <= watermark and compacts as it goes:
+    a real drain past the (lowered) threshold keeps the ledger dir
+    bounded while every batch's side effect still runs exactly once."""
+    import os
+    import time
+
+    from ue_big_data_project_spark import streaming as ST
+
+    monkeypatch.setattr(ST, "_LEDGER_COMPACT_THRESHOLD", 4)
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    now = time.time()
+    for i in range(10):
+        bdir = str(tmp_path / f"lb{i}")
+        spark.createDataFrame([(i,)], "v long").coalesce(1).write.parquet(
+            bdir
+        )
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"b{i}.parquet")
+        os.symlink(os.path.join(bdir, part), dst)
+        os.utime(dst, (now + i, now + i), follow_symlinks=False)
+    sdf = spark.readStream.schema("v long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    seen: list[int] = []
+    ledger = str(tmp_path / "_ledger")
+    q = ST.idempotent_foreach_batch(
+        sdf, lambda df, bid: seen.append(bid), ledger_dir=ledger
+    )
+    ST.run_until_drained(q)
+    assert seen == list(range(10))
+    loose = [f for f in os.listdir(ledger) if f.startswith("batch-")]
+    assert len(loose) <= 4
+    assert ST._committed_batch_ids(ledger) == list(range(10))

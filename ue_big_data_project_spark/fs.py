@@ -142,6 +142,21 @@ def rmtree(path: str) -> None:
     fs.delete(p, True)
 
 
+def remove(path: str) -> None:
+    """Delete a single FILE, no error when missing (``shutil.rmtree``
+    silently refuses plain files on the POSIX branch, so marker/manifest
+    retention needs this explicitly)."""
+    if is_local(path):
+        local = _strip_file_scheme(path)
+        try:
+            os.remove(local)
+        except FileNotFoundError:
+            pass
+        return
+    _, fs, p = _hadoop(path)
+    fs.delete(p, False)
+
+
 def walk_files(path: str, suffix: str = ".parquet") -> list[tuple[str, int]]:
     """Recursive ``(file_path, size_bytes)`` listing — the
     ``os.walk``-shaped primitive behind compaction sizing and sidecar

@@ -201,10 +201,11 @@ def idempotent_foreach_batch(
 
     def wrapper(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
-        if fs.exists(marker):
+        if batch_id <= _ledger_watermark(ledger_dir) or fs.exists(marker):
             return
         fn(batch_df, batch_id)
         fs.write_text_atomic(marker, "done")
+        _compact_ledger(ledger_dir)
 
     return df.writeStream.outputMode(mode).foreachBatch(wrapper).start()
 
@@ -1114,9 +1115,24 @@ def read_cms_rollup(spark: SparkSession, counters_path: str) -> DataFrame:
     )
 
 
-def _committed_batch_ids(ledger_dir: str) -> list[int]:
-    """Batch ids whose ``batch-<id>.done`` marker exists (the
-    :func:`idempotent_foreach_batch` ledger format)."""
+# Keep at most this many loose marker files before folding the
+# contiguous prefix into the watermark. Low enough that the per-batch
+# ledger scan stays O(1)-ish forever; high enough that compaction work
+# (one tiny file write + a few deletes) amortizes to nothing.
+_LEDGER_COMPACT_THRESHOLD = 64
+
+
+def _ledger_watermark(ledger_dir: str) -> int:
+    """Highest batch id folded into the compacted prefix: every id
+    ``<= watermark`` is committed (its loose marker may be deleted).
+    −1 when the ledger has never compacted."""
+    path = os.path.join(ledger_dir, "_watermark")
+    if not fs.exists(path):
+        return -1
+    return int(fs.read_text(path).strip())
+
+
+def _loose_marker_ids(ledger_dir: str) -> list[int]:
     if not fs.isdir(ledger_dir):
         return []
     out = []
@@ -1124,6 +1140,42 @@ def _committed_batch_ids(ledger_dir: str) -> list[int]:
         if name.startswith("batch-") and name.endswith(".done"):
             out.append(int(name[len("batch-"):-len(".done")]))
     return sorted(out)
+
+
+def _compact_ledger(ledger_dir: str) -> None:
+    """Fold the contiguous committed prefix into the ``_watermark``
+    file and delete its loose markers — WITHOUT this, the per-batch
+    ledger listing is O(total batches ever) and a long-lived stream
+    goes quadratic (round-9 finding; the 100 TB deployment runs
+    forever). Crash-safe: the watermark is written atomically BEFORE
+    any marker is deleted and ids ≤ watermark short-circuit the replay
+    check, so a crash between the two steps only leaves redundant
+    markers."""
+    loose = _loose_marker_ids(ledger_dir)
+    if len(loose) < _LEDGER_COMPACT_THRESHOLD:
+        return
+    w = _ledger_watermark(ledger_dir)
+    for b in loose:
+        if b == w + 1:
+            w = b
+        elif b > w + 1:
+            break
+    if w < 0:
+        return
+    fs.write_text_atomic(os.path.join(ledger_dir, "_watermark"), str(w))
+    for b in loose:
+        if b <= w:
+            fs.remove(os.path.join(ledger_dir, f"batch-{b}.done"))
+
+
+def _committed_batch_ids(ledger_dir: str) -> list[int]:
+    """Every committed batch id — the compacted contiguous prefix
+    (``0..watermark``) plus loose ``batch-<id>.done`` markers (the
+    :func:`idempotent_foreach_batch` ledger format). Bounded: the
+    prefix is one range, loose markers are capped by compaction."""
+    w = _ledger_watermark(ledger_dir)
+    loose = [b for b in _loose_marker_ids(ledger_dir) if b > w]
+    return list(range(w + 1)) + loose
 
 
 def merge_ingest_stream(
@@ -1201,11 +1253,17 @@ def merge_ingest_stream(
         # Prune INSIDE the callback but only versions strictly older
         # than the retained committed tail (the marker for THIS batch
         # is written by the ledger wrapper after we return — a crash
-        # here replays deterministically).
+        # here replays deterministically). Iterate EXISTING v= dirs,
+        # not every committed id — with the compacted ledger the
+        # committed list spans the stream's whole lifetime and a
+        # per-id rmtree loop would go quadratic.
+        if retain_versions <= 0:
+            return
         committed = _committed_batch_ids(ledger_dir)
-        stale = committed[:-retain_versions] if retain_versions > 0 else []
-        for b in stale:
-            fs.rmtree(os.path.join(snapshot_dir, f"v={b}"))
+        keep = set(committed[-retain_versions:]) | {batch_id}
+        for d in _existing_version_ids(snapshot_dir):
+            if d not in keep:
+                fs.rmtree(os.path.join(snapshot_dir, f"v={d}"))
 
     return idempotent_foreach_batch(
         sdf, prune_and_apply, ledger_dir=ledger_dir, mode="append"
@@ -1232,6 +1290,22 @@ def read_merged_snapshot(
             f"(have {committed})"
         )
     return spark.read.parquet(os.path.join(snapshot_dir, f"v={version}"))
+
+
+def _existing_version_ids(snapshot_dir: str) -> list[int]:
+    """Version ids with a ``v=<id>`` dir on disk — the prune loops walk
+    THESE (bounded by retention), never the committed-id range (which
+    spans the stream's whole lifetime under the compacted ledger)."""
+    if not fs.isdir(snapshot_dir):
+        return []
+    out = []
+    for name in fs.listdir(snapshot_dir):
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def _read_manifest(path: str) -> dict[int, int]:
@@ -1378,11 +1452,25 @@ def bucketed_merge_ingest_stream(
         # the version just written, whose manifest commits after this
         # callback returns) must survive; prune committed versions
         # outside both the reference set and the retained tail.
+        # Iterate EXISTING dirs/manifests, never the full committed id
+        # range (quadratic over a long-lived stream otherwise).
         referenced = set(latest.values()) | {batch_id}
         tail = set(committed[-retain_versions:]) if retain_versions else set()
-        for b in committed:
-            if b not in referenced and b not in tail:
+        keep = referenced | tail
+        for b in _existing_version_ids(snapshot_dir):
+            if b not in keep:
                 fs.rmtree(os.path.join(snapshot_dir, f"v={b}"))
+        # Manifests are a few hundred bytes each but one lands per
+        # batch FOREVER without retention; a manifest is only readable
+        # for versions whose dirs survive, so the same keep set bounds
+        # them. (Time-travel outside the keep set already fails loudly
+        # at version-dir resolution.)
+        mdir = os.path.join(snapshot_dir, "_manifests")
+        for name in fs.listdir(mdir):
+            if name.startswith("m-") and name.endswith(".json"):
+                mid = int(name[2:-5])
+                if mid not in keep and mid < batch_id:
+                    fs.remove(os.path.join(mdir, name))
 
     return idempotent_foreach_batch(
         sdf, prune_and_apply, ledger_dir=ledger_dir, mode="append"
@@ -1409,7 +1497,15 @@ def read_bucketed_merged_snapshot(
         raise ValueError(
             f"version {version} is not committed (have {committed})"
         )
-    manifest = _read_manifest(_manifest_path(snapshot_dir, version))
+    mpath = _manifest_path(snapshot_dir, version)
+    if not fs.exists(mpath):
+        raise ValueError(
+            f"version {version} is no longer fully retained: its "
+            "manifest was pruned (retention keeps the latest manifest's "
+            "references plus the committed tail — time-travel only "
+            "within it)"
+        )
+    manifest = _read_manifest(mpath)
     # partitionBy writes dirs as <col>=<val>; passing leaf dirs drops
     # the partition column, which is fine — _bucket is derivable.
     #
