@@ -46,6 +46,10 @@ PROXIED = {
     # sink; shares the CC-closure oracle family (band pairs instead of
     # exact-Jaccard pairs) and the in-gate ledgered-foreachBatch shape.
     "streaming_dedup_clusters": "dedup_clusters",
+    # Round-9-new, post-re-freeze: the one-sided probe form of the
+    # exact-Jaccard pair family; losslessness pinned by
+    # tests/test_incremental_dedup.py equivalence tests.
+    "dedup_jaccard_incremental": "dedup_clusters",
     # (The 7 round-8-new entries that were proxied here post-re-freeze —
     # MERGE INTO, both streaming CDC merge sinks, the HLL cube, CMS
     # join-size, the streaming CMS rollup, MP4 keyframes — rotated INTO

@@ -604,3 +604,81 @@ def test_cluster_map_drained_bucket_is_cleared(spark, tmp_path):
         lo: lo,
         hi + 20_000: lo,
     }
+
+
+# --------------------------------------------------------------------------
+# Persisted one-sided Jaccard probe index (round-9).
+# --------------------------------------------------------------------------
+
+
+def _jaccard_docs(spark):
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta token{i % 4}")
+        for i in range(12)
+    ] + [
+        (50 + i, f"completely different text body number {i} " * 2)
+        for i in range(4)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_probe_equals_full_pairs_restricted(spark, tmp_path):
+    """The one-sided probe must return EXACTLY the full
+    ngram_jaccard_pairs output restricted to increment-incident pairs —
+    the frozen-order prefix filter stays lossless across the split."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.dedup import (
+        jaccard_probe_index,
+        ngram_jaccard_pairs,
+        write_jaccard_index,
+    )
+
+    d = _jaccard_docs(spark)
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "jidx")
+    write_jaccard_index(old, path, threshold=0.8, n_buckets=4)
+    got = sorted(
+        map(tuple, jaccard_probe_index(spark, path, new).collect())
+    )
+    full = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+    want = sorted(
+        map(
+            tuple,
+            full.filter(
+                (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_jaccard_index_append_then_probe_equals_rebuild(spark, tmp_path):
+    """Appending an increment under the FROZEN order then probing must
+    equal probing a freshly rebuilt index — append never changes
+    answers (quantizer-freeze contract), only prefix sizes."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.dedup import (
+        append_jaccard_index,
+        jaccard_probe_index,
+        write_jaccard_index,
+    )
+
+    d = _jaccard_docs(spark)
+    gen0 = d.filter(F.col("doc_id") < 8)
+    gen1 = d.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 52))
+    probe = d.filter(F.col("doc_id") >= 52)
+    appended = str(tmp_path / "ja")
+    write_jaccard_index(gen0, appended, n_buckets=4)
+    append_jaccard_index(spark, appended, gen1)
+    rebuilt = str(tmp_path / "jr")
+    write_jaccard_index(gen0.unionByName(gen1), rebuilt, n_buckets=4)
+    got = sorted(
+        map(tuple, jaccard_probe_index(spark, appended, probe).collect())
+    )
+    want = sorted(
+        map(tuple, jaccard_probe_index(spark, rebuilt, probe).collect())
+    )
+    assert got == want

@@ -753,3 +753,246 @@ def append_cluster_map(
     for b_empty in touched - written:
         fs.rmtree(os.path.join(path, f"_cbucket={b_empty}"))
     return changed
+
+
+# --------------------------------------------------------------------------
+# Persisted one-sided Jaccard probe index (round-9): incremental EXACT
+# near-dup pair generation — the pair-generation complement to the
+# cluster-map append (the band screen is recall-oriented; this is the
+# exact-verify path, incremental).
+# --------------------------------------------------------------------------
+
+
+def _jaccard_prefix(
+    shh: DataFrame,
+    freq: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """PPJoin prefix rows ``(id, _h, n_sh)`` under the given FROZEN
+    global order ``(_df asc, _h asc)`` — unseen hashes take _df = 0
+    (front of the order). Losslessness needs only a CONSISTENT total
+    order shared by index and probe, not true frequencies (the
+    Bayardo/PPJoin prefix theorem holds for any fixed order), which is
+    what lets the order freeze at index-build time like the IVF
+    quantizer."""
+    from pyspark.sql import Window
+
+    ranked = shh.join(freq, "_h", "left").select(
+        id_col,
+        "_h",
+        F.row_number()
+        .over(
+            Window.partitionBy(id_col).orderBy(
+                F.asc(F.coalesce("_df", F.lit(0))), F.asc("_h")
+            )
+        )
+        .alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_sh"),
+    )
+    prefix_len = F.col("n_sh") - F.ceil(
+        F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)
+    ) + 1
+    return ranked.filter(F.col("_rn") <= prefix_len).select(
+        id_col, "_h", "n_sh"
+    )
+
+
+def write_jaccard_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    n_buckets: int = 16,
+) -> str:
+    """Persist the corpus side of the exact-Jaccard pair search: PPJoin
+    PREFIX rows hash-partitioned by ``_hbucket = pmod(_h, n_buckets)``
+    (the term-sharded ``build_text_index`` layout — probes read only
+    the buckets their hashes fall in), the frozen shingle-frequency
+    table (same sharding), and the full sorted shingle ARRAYS for exact
+    verification. ``<path>_stats`` carries the constants. The frequency
+    ORDER freezes here: appends and probes rank with it (df 0 for
+    unseen shingles), which keeps the prefix filter lossless forever —
+    re-index to re-tighten prefix sizes after heavy drift (a recall-
+    neutral, purely perf decision)."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).cache()
+    try:
+        shh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("_h"))
+        freq = shh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        prefix = _jaccard_prefix(shh, freq, id_col, threshold)
+        bucket = F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
+        root = path.rstrip("/")
+        (
+            prefix.withColumn("_hbucket", bucket)
+            .repartition(n_buckets, "_hbucket")
+            .write.mode("overwrite")
+            .partitionBy("_hbucket")
+            .parquet(root)
+        )
+        (
+            freq.withColumn("_hbucket", bucket)
+            .repartition(n_buckets, "_hbucket")
+            .write.mode("overwrite")
+            .partitionBy("_hbucket")
+            .parquet(root + "_freq")
+        )
+        sets = sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("_arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        sets.write.mode("overwrite").parquet(root + "_arrays")
+        spark = df.sparkSession
+        spark.createDataFrame(
+            [(shingle_n, float(threshold), n_buckets, id_col)],
+            "shingle_n int, threshold double, n_buckets int, id_col string",
+        ).write.mode("overwrite").parquet(root + "_stats")
+        return root
+    finally:
+        sh.unpersist()
+
+
+def append_jaccard_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+) -> None:
+    """Append an increment to a :func:`write_jaccard_index` layout:
+    shingle the increment ONLY, rank its prefixes under the FROZEN
+    order, and append prefix + array rows into the existing partitions.
+    The frequency table stays frozen (the quantizer-freeze pattern), so
+    the append never scans the corpus."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col, shingle_n = meta["id_col"], int(meta["shingle_n"])
+    threshold, n_buckets = float(meta["threshold"]), int(meta["n_buckets"])
+    sh = shingle_rows(new_docs, id_col, text_col, shingle_n).cache()
+    try:
+        shh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("_h"))
+        freq = spark.read.parquet(root + "_freq").drop("_hbucket")
+        prefix = _jaccard_prefix(shh, freq, id_col, threshold)
+        bucket = F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
+        (
+            prefix.withColumn("_hbucket", bucket)
+            .repartition("_hbucket")
+            .write.mode("append")
+            .partitionBy("_hbucket")
+            .parquet(root)
+        )
+        sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("_arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        ).write.mode("append").parquet(root + "_arrays")
+    finally:
+        sh.unpersist()
+
+
+def jaccard_probe_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-sided exact-Jaccard pair search: every pair ``(id_a, id_b,
+    jaccard ≥ threshold)`` with AT LEAST ONE endpoint in ``new_docs`` —
+    probe-vs-index plus probe-vs-probe — without re-shingling the
+    corpus. Results are EXACTLY the full :func:`ngram_jaccard_pairs`
+    output restricted to increment-incident pairs (equivalence-tested):
+    candidates come from the lossless frozen-order prefix join, then
+    verify against the exact sorted shingle arrays.
+
+    Scale shape: the probe reads only the ``_hbucket`` partitions its
+    prefix hashes fall in (bounded bucket-id collect, the BM25-probe
+    idiom); candidate and verify joins are bounded by the increment ×
+    matched postings, never corpus × corpus. ``new_docs`` ids must be
+    disjoint from the indexed ids."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col, shingle_n = meta["id_col"], int(meta["shingle_n"])
+    threshold, n_buckets = float(meta["threshold"]), int(meta["n_buckets"])
+    sh = shingle_rows(new_docs, id_col, text_col, shingle_n).cache()
+    try:
+        shh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("_h"))
+        buckets = sorted(
+            r.b
+            for r in shh.select(
+                F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        freq = (
+            spark.read.parquet(root + "_freq")
+            .filter(F.col("_hbucket").isin(buckets))
+            .drop("_hbucket")
+        )
+        prefix_new = _jaccard_prefix(
+            shh, freq, id_col, threshold
+        ).localCheckpoint(eager=True)  # feeds cross AND in-batch joins
+        index_prefix = spark.read.parquet(root).filter(
+            F.col("_hbucket").isin(buckets)
+        )
+        size_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
+            threshold * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        )
+        a, b = prefix_new.alias("a"), index_prefix.alias("b")
+        cand_cross = (
+            a.join(b, (F.col("a._h") == F.col("b._h")) & size_ok)
+            .select(
+                F.col(f"a.{id_col}").alias("_new"),
+                F.col(f"b.{id_col}").alias("_old"),
+            )
+            .distinct()
+        )
+        a2, b2 = prefix_new.alias("a"), prefix_new.alias("b")
+        cand_batch = (
+            a2.join(
+                b2,
+                (F.col("a._h") == F.col("b._h"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & size_ok,
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("_new"),
+                F.col(f"b.{id_col}").alias("_old"),
+            )
+            .distinct()
+        )
+        batch_sets = sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("_arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        index_sets = spark.read.parquet(root + "_arrays")
+
+        def verify(cand: DataFrame, old_sets: DataFrame) -> DataFrame:
+            sa = batch_sets.select(
+                F.col(id_col).alias("_new"),
+                F.col("_arr").alias("_arr_a"),
+                F.col("n_sh").alias("n_a"),
+            )
+            sb = old_sets.select(
+                F.col(id_col).alias("_old"),
+                F.col("_arr").alias("_arr_b"),
+                F.col("n_sh").alias("n_b"),
+            )
+            # `sets` sides carry full shingle arrays (corpus-growing):
+            # never broadcast them — candidates are the small side.
+            j = cand.join(sa, "_new").join(sb, "_old")
+            common = F.size(F.array_intersect("_arr_a", "_arr_b"))
+            jac = pround(
+                common / (F.col("n_a") + F.col("n_b") - common), 4
+            )
+            return j.select(
+                F.least(F.col("_new"), F.col("_old")).alias("id_a"),
+                F.greatest(F.col("_new"), F.col("_old")).alias("id_b"),
+                jac.alias("jaccard"),
+            ).filter(F.col("jaccard") >= threshold)
+
+        out = verify(cand_cross, index_sets).unionByName(
+            verify(cand_batch, batch_sets)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()

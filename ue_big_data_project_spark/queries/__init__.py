@@ -316,6 +316,11 @@ BENCH_EXTRA = (
     # closure), since per-batch pair discovery unions to the full pair
     # set and CC is edge-order-insensitive.
     "streaming_dedup_clusters",
+    # Round-9-new: one-sided exact-Jaccard pair probe against the
+    # persisted frozen-order prefix index — increment-incident pairs
+    # without re-shingling the corpus; oracle = the full pair SQL
+    # restricted to pairs touching the increment.
+    "dedup_jaccard_incremental",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

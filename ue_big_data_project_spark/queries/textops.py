@@ -317,6 +317,50 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(root, ignore_errors=True)
 
 
+def dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided EXACT near-dup pair generation (round-9): 3/4 of the
+    corpus persists as a Jaccard probe index (PPJoin prefix rows
+    hash-sharded by shingle bucket + frozen frequency order + exact
+    verify arrays); the remaining quarter probes it — every qualifying
+    pair with ≥1 new endpoint, WITHOUT re-shingling the corpus. The
+    oracle is the full-corpus exact-Jaccard pair SQL restricted to
+    increment-incident pairs: the frozen-order prefix filter must stay
+    lossless across the split (prefix theorems need only a consistent
+    total order, not true frequencies)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.dedup import (
+        jaccard_probe_index,
+        write_jaccard_index,
+    )
+
+    # Index HALF the corpus, probe a disjoint quarter (the bench-entry
+    # footprint rule the streaming clusters entry follows): the index
+    # build — shingle + freq + prefix + arrays over the corpus side —
+    # is the dominant, size-linear cost of this self-contained entry.
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 4 == 1)
+    root = _tf.mkdtemp(prefix="spark_graft_jidx_")
+    try:
+        idx = root + "/jidx"
+        write_jaccard_index(old, idx, shingle_n=3, threshold=0.8)
+        return jaccard_probe_index(spark, idx, new)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+# Jaccard is PAIRWISE, so restricting the full-corpus pair SQL to the
+# (index ∪ probe) membership and ≥1-probe-endpoint predicates is exact.
+DEDUP_JACCARD_INCREMENTAL_SQL = f"""
+SELECT id_a, id_b, jaccard FROM ({DEDUP_JACCARD_SQL})
+WHERE (id_a % 4 = 1 OR id_b % 4 = 1)
+  AND (id_a % 2 = 0 OR id_a % 4 = 1)
+  AND (id_b % 2 = 0 OR id_b % 4 = 1)
+"""
+
+
 def streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous cluster maintenance end-to-end (round-9): documents
     replay as 4 REAL micro-batches through
@@ -2131,6 +2175,9 @@ QUERIES = {
     ),
     "streaming_dedup_clusters": QuerySpec(
         streaming_dedup_clusters, STREAMING_DEDUP_CLUSTERS_SQL
+    ),
+    "dedup_jaccard_incremental": QuerySpec(
+        dedup_jaccard_incremental, DEDUP_JACCARD_INCREMENTAL_SQL
     ),
     "text_scrub": QuerySpec(text_scrub, TEXT_SCRUB_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
