@@ -223,12 +223,17 @@ SHUFFLE_BUDGETS = {
                                     # rollups/estimates + the exact
                                     # Expand-cube verification column +
                                     # the null-safe est-exact join
-    "sketch_join_size": 8,          # 2 bounded counter builds (orders
+    "sketch_join_size": 17,         # 2 bounded counter builds (orders
                                     # sketch reused by both estimates)
                                     # + 2 inner-product aggs + the
                                     # exact twins (self-F2 group + FK
-                                    # join) the estimates are checked
-                                    # against
+                                    # join) + the round-9 in-plan
+                                    # shape guards: 2 per cms_join_size
+                                    # call, each ONE aggregate over a
+                                    # ≤ depth×width counter table —
+                                    # bounded rows, never data-scaled
+                                    # (the advice fix that makes
+                                    # mismatched sketches fail loudly)
     "events_cube": 1,               # Expand feeds one aggregation exchange
     "events_props_variant": 1,      # variant path walk + one agg exchange
     # Corpus-size-dependent: (doc,term) postings + term df + stats
