@@ -447,3 +447,21 @@ def test_append_components_new_smaller_id_relabels_old_cluster(spark):
     new_edges = spark.createDataFrame([(0, 6)], "src long, dst long")
     got = dict(_cc_rows(append_components(base, new_nodes, new_edges)))
     assert got == {0: 0, 5: 0, 6: 0}
+
+
+def test_append_components_ignores_phantom_endpoints(spark):
+    """connected_components parity: an edge touching a vertex in
+    neither the base nor the increment is ignored — a phantom id
+    (here 0, smaller than every real node) must never become a
+    component label."""
+    from ue_big_data_project_spark.operators.graph import append_components
+
+    base = spark.createDataFrame(
+        [(5, 5), (6, 5)], "id long, component long"
+    )
+    new_nodes = spark.createDataFrame([(9,)], "id long")
+    new_edges = spark.createDataFrame(
+        [(9, 5), (9, 0)], "src long, dst long"  # 0 is phantom
+    )
+    got = dict(_cc_rows(append_components(base, new_nodes, new_edges)))
+    assert got == {5: 5, 6: 5, 9: 5}

@@ -938,8 +938,15 @@ def jaccard_probe_index(
             threshold * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
         )
         a, b = prefix_new.alias("a"), index_prefix.alias("b")
+        # id inequality guards a contract violation (probe id also in
+        # the index) from surfacing as a jaccard-1.0 self-pair.
         cand_cross = (
-            a.join(b, (F.col("a._h") == F.col("b._h")) & size_ok)
+            a.join(
+                b,
+                (F.col("a._h") == F.col("b._h"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+                & size_ok,
+            )
             .select(
                 F.col(f"a.{id_col}").alias("_new"),
                 F.col(f"b.{id_col}").alias("_old"),

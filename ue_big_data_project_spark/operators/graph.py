@@ -520,9 +520,12 @@ def append_components(
     ΔE) == cc(G₀ ∪ ΔV, E₀ ∪ ΔE)`` row-for-row, for any split — layouts
     and increments must not change semantics.
 
-    ``new_edges`` must be incident to ≥1 new node or to existing nodes
-    (endpoints absent from ``base`` are treated as new); ``new_nodes``
-    lists the increment's vertices (isolated ones become singletons).
+    ``new_edges`` endpoints must each be in ``base`` or ``new_nodes``;
+    edges touching a PHANTOM endpoint (in neither) are IGNORED, exactly
+    like :func:`connected_components` ignores edges to vertices outside
+    its node set — otherwise a phantom id could become a component
+    label that names no real node. ``new_nodes`` lists the increment's
+    vertices (isolated ones become singletons).
     ``new_nodes`` MAY overlap ``base`` — an at-least-once replay
     re-presents an already-applied increment — in which case the
     overlapping nodes keep their existing assignment (relabeled if the
@@ -543,22 +546,45 @@ def append_components(
         .union(e.select(F.col("_d").alias("_x")))
         .distinct()
     )
+    nn = new_nodes.select(F.col(node_col).alias("_x")).withColumn(
+        "_isnew", F.lit(True)
+    )
     lbl = (
         b.join(F.broadcast(ends), b["_n"] == F.col("_x"), "right")
+        .join(F.broadcast(nn), "_x", "left")
         .select(
             F.col("_x"),
             F.coalesce("_c", F.col("_x")).alias("_lbl"),
+            # Known = in the base or in the increment; an edge touching
+            # a PHANTOM endpoint is dropped below (connected_components
+            # parity — a phantom must never become a label).
+            (F.col("_c").isNotNull() | F.col("_isnew").isNotNull()).alias(
+                "_known"
+            ),
         )
     )
     ce = (
         e.join(
-            F.broadcast(lbl.withColumnRenamed("_x", "_s").withColumnRenamed("_lbl", "_la")),
+            F.broadcast(
+                lbl.select(
+                    F.col("_x").alias("_s"),
+                    F.col("_lbl").alias("_la"),
+                    F.col("_known").alias("_ka"),
+                )
+            ),
             "_s",
         )
         .join(
-            F.broadcast(lbl.withColumnRenamed("_x", "_d").withColumnRenamed("_lbl", "_lb")),
+            F.broadcast(
+                lbl.select(
+                    F.col("_x").alias("_d"),
+                    F.col("_lbl").alias("_lb"),
+                    F.col("_known").alias("_kb"),
+                )
+            ),
             "_d",
         )
+        .where(F.col("_ka") & F.col("_kb"))
         .select("_la", "_lb")
         .where(F.col("_la") != F.col("_lb"))
         .distinct()
