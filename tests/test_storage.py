@@ -510,3 +510,32 @@ def test_bloom_sidecar_registers_all_null_files(spark):
         assert [r.k for r in got.collect()] == [7]
         # NULL-only keys: nothing admitted, nothing scanned, no raise.
         assert S.read_bloom_pruned(spark, out, "k", [12345]).count() == 0
+
+
+def test_expire_batches_drops_oldest_partitions(spark):
+    """Retention helper for batch_id-partitioned ingest layouts: only
+    the newest keep_last batch partitions survive; reads of the root
+    see exactly the retained rows; nothing is rewritten."""
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "idx")
+        for b in range(5):
+            spark.createDataFrame(
+                [(b * 10 + i,) for i in range(3)], "v long"
+            ).write.parquet(os.path.join(out, f"batch_id={b}"))
+        before = {
+            p: os.path.getmtime(os.path.join(out, "batch_id=4", p))
+            for p in os.listdir(os.path.join(out, "batch_id=4"))
+        }
+        dropped = S.expire_batches(spark, out, keep_last=2)
+        assert dropped == [0, 1, 2]
+        got = sorted(r.v for r in spark.read.parquet(out).drop("batch_id").collect())
+        assert got == [30, 31, 32, 40, 41, 42]
+        # Survivors untouched (no rewrite).
+        after = {
+            p: os.path.getmtime(os.path.join(out, "batch_id=4", p))
+            for p in os.listdir(os.path.join(out, "batch_id=4"))
+        }
+        assert after == before
+        # keep_last larger than history: no-op; missing layout: empty.
+        assert S.expire_batches(spark, out, keep_last=9) == []
+        assert S.expire_batches(spark, os.path.join(d, "nope"), 1) == []

@@ -648,3 +648,39 @@ def read_bloom_pruned(
     if not files:
         return spark.read.parquet(path).where(F.lit(False))
     return spark.read.parquet(*files).where(exact)
+
+
+def expire_batches(
+    spark: SparkSession, path: str, keep_last: int
+) -> list[int]:
+    """Retention for ``batch_id=N``-partitioned layouts (the
+    dedup/IVF/band ingest indexes and corpus dirs, whose batch
+    partition "doubles as the retention/compaction unit"): drop every
+    batch partition except the newest ``keep_last``. Returns the
+    dropped batch ids.
+
+    Semantics note — this is the CRAWL-FRESHNESS tradeoff, not a
+    correctness lever: expiring fingerprint/band index batches means
+    content seen only in expired batches can re-enter the corpus as
+    "new" (by design: screens bound their memory by forgetting the
+    oldest arrivals); expiring corpus batches removes their documents
+    from reads. Metadata IO rides the ``fs`` seam, so hdfs/s3a layouts
+    expire the same way. Directory-granular and O(batch count) —
+    nothing is rewritten."""
+    from ue_big_data_project_spark import fs
+
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+    if not fs.isdir(path):
+        return []
+    ids = []
+    for name in fs.listdir(path):
+        if name.startswith("batch_id="):
+            try:
+                ids.append(int(name[len("batch_id="):]))
+            except ValueError:
+                continue
+    drop = sorted(ids)[: max(len(ids) - keep_last, 0)]
+    for b in drop:
+        fs.rmtree(os.path.join(path, f"batch_id={b}"))
+    return drop
