@@ -414,13 +414,25 @@ def streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf = spark.readStream.schema("doc_id long, text string").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
-        q = ST.cluster_ingest_stream(
-            sdf,
-            map_path=_os.path.join(root, "cmap"),
-            band_index_path=_os.path.join(root, "bands"),
-            ledger_dir=_os.path.join(root, "_ledger"),
-        )
-        ST.run_until_drained(q)
+        # Right-size the per-batch shuffles for a bounded replay (the
+        # drain_to_table precedent): the contracted CC and candidate
+        # joins run a dozen tiny jobs per micro-batch, and a vanilla
+        # session's 200 (or the engine's 32) partitions pay pure task
+        # overhead at this batch size. Scoped to the drain, restored
+        # after; production streams size this to real batch width.
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = ST.cluster_ingest_stream(
+                sdf,
+                map_path=_os.path.join(root, "cmap"),
+                band_index_path=_os.path.join(root, "bands"),
+                ledger_dir=_os.path.join(root, "_ledger"),
+            )
+            ST.run_until_drained(q)
+        finally:
+            spark.conf.set(key, prev)
         return (
             read_cluster_map(spark, _os.path.join(root, "cmap"))
             .select("doc_id", "component")
