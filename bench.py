@@ -185,18 +185,19 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # Round-9 rotation continuity (round-8 verdict task 1): report the
-    # sum over the NEW gate-50 next to the sum over the round-8 gate-50.
+    # Round-10 rotation continuity (round-9 verdict task 1): report the
+    # sum over the NEW gate-50 next to the sum over the round-9 gate-50.
     # Both sets are fully contained in the (unchanged) bench set, so
-    # both sums come from this run's live medians and the r8 perf series
-    # (gate50_sum 86.1 s in BENCH_r08.json) stays directly comparable.
-    from ue_big_data_project_spark.queries import GATE_ORDER, GATE_ORDER_R8
+    # both sums come from this run's live medians and the r9 perf series
+    # (r9-set sum 94.1 s builder / 120.4 s driver in BENCH_r09.json)
+    # stays directly comparable.
+    from ue_big_data_project_spark.queries import GATE_ORDER, GATE_ORDER_R9
 
     gate_sum = round(
         sum(timings[n] for n in GATE_ORDER if n in timings), 3
     )
-    gate_r8_sum = round(
-        sum(timings[n] for n in GATE_ORDER_R8 if n in timings), 3
+    gate_r9_sum = round(
+        sum(timings[n] for n in GATE_ORDER_R9 if n in timings), 3
     )
 
     # The driver records only the LAST 2000 BYTES of stdout; round 4's
@@ -213,7 +214,7 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": passes,
         "gate50_sum": gate_sum,
-        "gate50_r8_sum": gate_r8_sum,
+        "gate50_r9_sum": gate_r9_sum,
     }
     if sentinel_samples:
         flat = [s for p in sentinel_samples for s in p]
@@ -250,7 +251,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": passes,
                 "gate50_sum": gate_sum,
-                "gate50_r8_sum": gate_r8_sum,
+                "gate50_r9_sum": gate_r9_sum,
                 "bench_n": len(timings),
                 # Truncation must be detectable from stdout ALONE
                 # (round-5 advice): a reader who sees dropped > 0 knows

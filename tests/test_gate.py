@@ -31,29 +31,18 @@ PROXIED = {
     # Candidate-pair dedup family anchor after dedup_ngram_jaccard
     # rotated out: the PPJoin-pairs + CC pipeline.
     "dedup_simhash": "dedup_clusters",
-    "events_hourly_by_type": "streaming_incremental_rollup",
+    # Windowed-rollup family anchor after streaming_incremental_rollup
+    # rotated out in round 10: the tumbling-window streaming drain.
+    "events_hourly_by_type": "streaming_tumbling_window",
     "cheapest_supplier_per_part": "window_rank_kit",
     "q12_priority_by_status": "scan_filter_agg_kit",
     # As-of family anchor after asof_first_ship rotated out: the
     # streaming as-of twin runs the same operator contract.
     "asof_bucketed_prev_click": "streaming_asof_join",
-    # Round-9-new, post-re-freeze: the incremental cluster map shares
-    # dedup_clusters' oracle verbatim (append == rebuild); the
-    # contracted-CC math and bucket-partial rewrite are pinned by
-    # tests/test_graph.py + tests/test_incremental_dedup.py.
-    "dedup_clusters_incremental": "dedup_clusters",
-    # Round-9-new, post-re-freeze: the streaming cluster-maintenance
-    # sink; shares the CC-closure oracle family (band pairs instead of
-    # exact-Jaccard pairs) and the in-gate ledgered-foreachBatch shape.
-    "streaming_dedup_clusters": "dedup_clusters",
-    # Round-9-new, post-re-freeze: the one-sided probe form of the
-    # exact-Jaccard pair family; losslessness pinned by
-    # tests/test_incremental_dedup.py equivalence tests.
-    "dedup_jaccard_incremental": "dedup_clusters",
-    # (The 7 round-8-new entries that were proxied here post-re-freeze —
-    # MERGE INTO, both streaming CDC merge sinks, the HLL cube, CMS
-    # join-size, the streaming CMS rollup, MP4 keyframes — rotated INTO
-    # the gate in round 9 and face the driver's hash directly.)
+    # (The 3 round-9-new entries that were proxied here post-re-freeze —
+    # incremental cluster maintenance, the streaming cluster sink, the
+    # Jaccard probe index — rotated INTO the gate in round 10 and face
+    # the driver's hash directly, per the round-9 verdict's task 1.)
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -78,7 +67,7 @@ ROTATED_OUT = {
     "text_stats": "text_repetition",  # per-doc text metrics
     # Retired mid-round-3 to hand slots to knn_cosine_pq /
     # pipeline_chunk_documents (both r1+r2 driver-green):
-    "haversine_knn": "knn_cosine_ivf_indexed",  # distance top-k family
+    "haversine_knn": "knn_cosine_ivf_probe",  # distance top-k family
     "scalar_kit": "ref_q1_plane_bus_wait",  # X3-X10 scalar family
     # Rotated out in round 4 (driver-green r1-r3) for the last 7
     # never-hashed entries; all still benched via BENCH_EXTRA and
@@ -86,10 +75,10 @@ ROTATED_OUT = {
     "dedup_exact": "dedup_clusters",  # exact-fingerprint dedup
     "pipeline_split": "pipeline_weighted_sample",  # hash-split family
     "pipeline_corpus_stats": "pipeline_quantile_trim",  # one-pass stats family (profile rotated out r9)
-    "events_rollup": "streaming_incremental_rollup",  # rollup family
+    "events_rollup": "streaming_tumbling_window",  # rollup family
     "q1_pricing_summary": "scan_filter_agg_kit",  # grouped multi-agg
     "theta_join_next_error": "streaming_asof_join",  # non-equi join (interval entry rotated out r9)
-    "knn_cosine_ivf": "knn_cosine_ivf_indexed",  # IVF (indexed twin)
+    "knn_cosine_ivf": "knn_cosine_ivf_probe",  # IVF (probe twin)
     # Rotated out mid-round-4 (driver-green r1-r3) to hand slots to the
     # real-codec multimodal_bmp / multimodal_video_frames:
     "q3_shipping_priority": "join_auto_strategy",  # join+agg+top-k limit
@@ -100,14 +89,14 @@ ROTATED_OUT = {
     # TPC-H q2/q4 and the first gating of pipeline_scrub_boilerplate:
     "multimodal_features": "multimodal_jpeg",  # real-codec features twin (wav rotated out r9)
     "multimodal_frames": "multimodal_mp4_frames",  # real-codec frames twin (BMPV entry rotated out r9)
-    "knn_cosine_brute": "knn_cosine_ivf_indexed",  # cosine top-k family
+    "knn_cosine_brute": "knn_cosine_ivf_probe",  # cosine top-k family
     "q9_product_profit": "join_auto_strategy",  # multi-join grouped agg
     "interval_overlap_join": "streaming_asof_join",  # interval-predicate join (interval entry rotated out r9)
     "q20_dominant_part_suppliers": "q2_min_cost_supplier",  # correlated agg threshold
     # Rotated out in round 5 (driver-green >= 2 rounds each) to hand
     # slots to the 13 never-hashed round-4 entries; all still benched
     # via BENCH_EXTRA and pytest-oracle-gated:
-    "knn_cosine_pq": "knn_cosine_ivf_indexed",  # quantizer-train + code-scored knn
+    "knn_cosine_pq": "knn_cosine_ivf_probe",  # quantizer-train + code-scored knn
     "pipeline_chunk_documents": "text_repetition",  # per-doc text transform (scrub rotated out r9)
     "q11_important_parts": "q2_min_cost_supplier",  # scalar threshold + join-agg
     "pipeline_contamination": "dedup_clusters",  # n-gram overlap family
@@ -138,9 +127,9 @@ ROTATED_OUT = {
     "q18_large_orders": "q2_min_cost_supplier",  # per-key agg threshold + join
     "semi_anti_join_kit": "bloom_pruned_join",  # probe-pruning join family
     "text_nlp_kit": "text_repetition",  # per-doc native text metrics
-    "knn_cosine_lsh": "knn_cosine_ivf_indexed",  # bucketed ANN family
+    "knn_cosine_lsh": "knn_cosine_ivf_probe",  # bucketed ANN family
     "dedup_ngram_jaccard": "dedup_clusters",  # candidate-pair dedup family
-    "dedup_incremental": "streaming_incremental_rollup",  # ledgered incremental ingest
+    "dedup_incremental": "streaming_dedup_clusters",  # ledgered incremental ingest
     "asof_first_ship": "streaming_asof_join",  # as-of join operator
     "window_top1_per_order": "window_rank_kit",  # rank-window family
     "pipeline_pack_sequences": "events_ewma",  # running-window accumulation
@@ -156,6 +145,15 @@ ROTATED_OUT = {
     "events_resample": "events_ewma",  # time-bucket resample/running family
     "pipeline_scrub_boilerplate": "text_repetition",  # per-doc text transform family
     "streaming_interval_join": "streaming_asof_join",  # watermarked stream-stream join
+    # Rotated out in ROUND 10 (streaming_incremental_rollup ≥7
+    # consecutive driver-green rounds r3–r9; the other two r4–r9) in the
+    # rotation that put the 3 round-9-new incremental-dedup entries in
+    # front of the driver's hash (round-9 verdict task 1). All stay
+    # benched every round (BENCH_EXTRA) and full-registry
+    # pytest-oracle-gated:
+    "streaming_incremental_rollup": "streaming_tumbling_window",  # windowed rollup family
+    "knn_cosine_ivf_indexed": "knn_cosine_ivf_probe",  # IVF build (probe/append twins in gate)
+    "sql_text_nation_revenue": "scan_filter_agg_kit",  # grouped-agg family (spark.sql entry)
 }
 
 
@@ -164,23 +162,22 @@ def test_gate_within_driver_cap():
     assert len(set(GATE_ORDER)) == len(GATE_ORDER)
 
 
-def test_gate_is_frozen_at_round9_set():
-    """The gate froze at the round-5 set for rounds 6–7; round 8 ran the
-    one-time rotation the round-7 verdict mandated (13/13 hashed green,
-    CORRECTNESS_r08); ROUND 9 repeats that precedent on the round-8
-    verdict's mandate (task 1: the 7 round-8-new queries face the
-    driver's independent hash, 7 ≥5-round-green entries rotate to
-    BENCH_EXTRA, bench reports BOTH gate-50 sums for series continuity)
-    and RE-FREEZES here. Editing GATE_ORDER again is a deliberate act
-    that requires updating this pin (and accepting a delta-baseline
-    reset)."""
+def test_gate_is_frozen_at_round10_set():
+    """The gate froze at the round-5 set for rounds 6–7; rounds 8, 9,
+    and 10 each ran a verdict-mandated rotation (r8: 13 round-7-new in,
+    13/13 green; r9: 7 round-8-new in, 7/7 green; r10: the 3
+    round-9-new incremental-dedup entries in, 3 multi-round-green
+    entries out to BENCH_EXTRA, bench reports BOTH gate-50 sums for
+    series continuity) and RE-FROZE after each. Editing GATE_ORDER
+    again is a deliberate act that requires updating this pin (and
+    accepting a delta-baseline reset)."""
     import hashlib
 
     frozen = hashlib.sha256("\n".join(GATE_ORDER).encode()).hexdigest()
     assert len(GATE_ORDER) == 50
     assert frozen == (
-        "445f95d3ec0990fe4fe0af7660bf5a1ab4d803bcd22534744f130a2b8ad91168"
-    ), "GATE_ORDER changed — the gate re-froze at the round-9 set"
+        "1686bb4c98b5547b2f17ee18a1ef43a5aa02651ade33d69e13537f62dc96e252"
+    ), "GATE_ORDER changed — the gate re-froze at the round-10 set"
 
 
 def test_gate_is_registry_subset():
@@ -208,20 +205,16 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r08 covered the rest of the registry; the 7
-    # round-8-new entries the driver has never hashed (the round-9
-    # rotation pool the round-8 verdict named in task 1) must lead the
+    # CORRECTNESS_r01-r09 covered the rest of the registry; the 3
+    # round-9-new entries the driver has never hashed (the round-10
+    # rotation pool the round-9 verdict named in task 1) must lead the
     # gate. Once these hash green, every registry entry is cumulatively
     # driver-verified again.
-    never_hashed = GATE_ORDER[:7]
+    never_hashed = GATE_ORDER[:3]
     assert set(never_hashed) == {
-        "cdc_merge_into",
-        "streaming_cdc_merge",
-        "streaming_cdc_merge_bucketed",
-        "sketch_hll_cube",
-        "sketch_join_size",
-        "streaming_cms_tokens",
-        "multimodal_mp4_keyframes",
+        "dedup_clusters_incremental",
+        "streaming_dedup_clusters",
+        "dedup_jaccard_incremental",
     }
 
 
@@ -241,7 +234,7 @@ def test_bench_stdout_line_fits_driver_tail():
             "sf": 0.1,
             "runs_per_query": 3,
             "gate50_sum": 99999.999,
-            "gate50_r8_sum": 99999.999,
+            "gate50_r9_sum": 99999.999,
             "bench_n": 99,
             "dropped": 50,
             "full": "bench_full.json",

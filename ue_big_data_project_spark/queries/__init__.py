@@ -58,33 +58,40 @@ def all_queries() -> dict[str, QuerySpec]:
 # so the r6 regression and r7 recovery compared identical query sets.
 # ROUND 8 performed the one-time rotation the round-7 verdict mandated
 # (13 round-7-new queries in — all 13 hashed green, CORRECTNESS_r08 —
-# 13 ≥4-round-green entries out to BENCH_EXTRA). ROUND 9 repeats that
-# exact precedent on the round-8 verdict's mandate (task 1): the 7
-# round-8-new queries, which have only local pytest-oracle evidence,
-# swap IN to face the driver's independent sf0.01 hash, and 7
-# multi-round-green entries (each ≥5 green rounds r4–r8, or r3–r8)
-# swap OUT into BENCH_EXTRA. The bench SET is unchanged (gate ∪
-# BENCH_EXTRA is identical to round 8's), and bench.py reports the
-# r8-gate-50 and r9-gate-50 dict sums side by side this round so the
-# perf series stays comparable; the gate re-freezes at this set from
-# round 10. All rotated-out entries stay in all_queries(), the pytest
-# oracle gate (tests/test_oracle.py, which always hash-checks the FULL
-# registry against DuckDB), and the bench set. tests/test_gate.py pins
-# the new set — editing GATE_ORDER again is a test failure, not a
-# rotation.
+# 13 ≥4-round-green entries out to BENCH_EXTRA). ROUND 9 repeated that
+# precedent on the round-8 verdict's mandate (7 round-8-new in, all 7
+# hashed green — CORRECTNESS_r09 — 7 ≥5-round-green out). ROUND 10
+# repeats it once more on the round-9 verdict's mandate (task 1): the 3
+# round-9-new incremental-dedup queries, which have only local
+# pytest-oracle evidence, swap IN to face the driver's independent
+# sf0.01 hash, and 3 multi-round-green entries (streaming_incremental_
+# rollup green r3–r9, knn_cosine_ivf_indexed and sql_text_nation_revenue
+# green r4–r9, each with an in-gate family anchor) swap OUT into
+# BENCH_EXTRA. The bench SET is unchanged (gate ∪ BENCH_EXTRA is
+# identical to round 9's), and bench.py reports the r9-gate-50 and
+# r10-gate-50 dict sums side by side this round so the perf series
+# stays comparable; the gate re-freezes at this set from round 11. All
+# rotated-out entries stay in all_queries(), the pytest oracle gate
+# (tests/test_oracle.py, which always hash-checks the FULL registry
+# against DuckDB), and the bench set. tests/test_gate.py pins the new
+# set — editing GATE_ORDER again is a test failure, not a rotation.
 #
 # Every registry entry OUTSIDE the gate maps to an in-gate family
 # anchor; the authoritative (test-enforced) mappings live in
 # tests/test_gate.py::PROXIED (near-duplicate shapes / post-freeze
-# additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–9).
+# additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–10).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed: run first (round-8-new; round-9 rotation,
-    # round-8 verdict task 1). MERGE INTO, both streaming CDC merge
-    # sinks, the HLL distinct-count cube, CMS join-size estimation, the
-    # streaming CMS rollup, and MP4 stss keyframe extraction — the code
-    # written last round faces the driver's independent sf0.01 hash for
-    # the first time. ------------------------------------------------
+    # -- never driver-hashed: run first (round-9-new; round-10 rotation,
+    # round-9 verdict task 1). The engine's flagship incremental-dedup
+    # paths — the component-bucketed persisted cluster map absorbing an
+    # increment via contracted-graph CC, the streaming cluster-
+    # maintenance sink, and the frozen-order exact-Jaccard probe index —
+    # face the driver's independent sf0.01 hash for the first time. ----
+    "dedup_clusters_incremental",
+    "streaming_dedup_clusters",
+    "dedup_jaccard_incremental",
+    # -- first hashed (green) in round 9 ---------------------------------
     "cdc_merge_into",
     "streaming_cdc_merge",
     "streaming_cdc_merge_bucketed",
@@ -126,14 +133,13 @@ GATE_ORDER = (
     "knn_cosine_ivf_probe",
     "text_bm25_probe",
     # -- first hashed (green) in round 4 ---------------------------------
-    "knn_cosine_ivf_indexed",
+    # (knn_cosine_ivf_indexed, sql_text_nation_revenue, and the round-3
+    # streaming_incremental_rollup rotated out in ROUND 10 — see
+    # _ROTATED_OUT_R10 below.)
     "text_repetition",
     "bloom_pruned_join",
     "streaming_asof_join",
     "q2_min_cost_supplier",
-    "sql_text_nation_revenue",
-    # -- first hashed (green) in round 3 ---------------------------------
-    "streaming_incremental_rollup",
     # -- first hashed (green) in round 2 ---------------------------------
     "ref_q1_plane_bus_wait",
     "scan_filter_agg_kit",
@@ -143,15 +149,23 @@ GATE_ORDER = (
     "dedup_clusters",
 )
 
-# The round-8 gate set, kept verbatim so bench.py can report the
+# The round-9 gate set, kept verbatim so bench.py can report the
 # old-gate-50 sum NEXT TO the new-gate-50 sum this round — the perf
-# series (r7 71.9 → r8 86.1 s on this set) stays directly comparable
-# across the rotation (round-8 verdict task 1: "record BOTH bench
-# sums"). Every entry is still benched (gate ∪ BENCH_EXTRA is
-# unchanged), so the sum is computed from live medians, not replayed.
-# (The round-7 set's crossover sum was recorded in BENCH_r08.json —
-# gate50_r7_sum 75.6 s — so the r7-set series is already closed.)
-GATE_ORDER_R8 = (
+# series (r9-set sum 94.1 s builder / 120.4 s driver in BENCH_r09.json)
+# stays directly comparable across the rotation (round-9 verdict
+# task 1: "record BOTH bench sums"). Every entry is still benched
+# (gate ∪ BENCH_EXTRA is unchanged), so the sum is computed from live
+# medians, not replayed. (The round-8 set's crossover sums were
+# recorded in BENCH_r09.json — gate50_r8_sum 85.9 s builder / 100.9 s
+# driver vs r8's 86.1 — so the r8-set series is already closed.)
+GATE_ORDER_R9 = (
+    "cdc_merge_into",
+    "streaming_cdc_merge",
+    "streaming_cdc_merge_bucketed",
+    "sketch_hll_cube",
+    "sketch_join_size",
+    "streaming_cms_tokens",
+    "multimodal_mp4_keyframes",
     "sketch_hll_parts_per_flag",
     "sketch_kmv_custkeys",
     "sketch_kmv_overlap",
@@ -184,18 +198,11 @@ GATE_ORDER_R8 = (
     "knn_cosine_ivf_probe",
     "text_bm25_probe",
     "knn_cosine_ivf_indexed",
-    "pipeline_profile",
     "text_repetition",
-    "multimodal_wav",
-    "multimodal_bmp",
-    "multimodal_video_frames",
     "bloom_pruned_join",
     "streaming_asof_join",
     "q2_min_cost_supplier",
-    "pipeline_scrub_boilerplate",
-    "events_resample",
     "sql_text_nation_revenue",
-    "streaming_interval_join",
     "streaming_incremental_rollup",
     "ref_q1_plane_bus_wait",
     "scan_filter_agg_kit",
@@ -242,6 +249,23 @@ _ROTATED_OUT_R9 = (
     "events_resample",
     "pipeline_scrub_boilerplate",
     "streaming_interval_join",
+)
+
+# Rotated out of the gate in ROUND 10 (streaming_incremental_rollup
+# driver-green r3–r9, the other two r4–r9) to hand their slots to the 3
+# round-9-new incremental-dedup entries — the rotation the round-9
+# verdict mandated (task 1), following the r8/r9 precedent exactly. All
+# stay benched every round (appended to BENCH_EXTRA below, so the bench
+# SET is identical to round 9's) and hash-checked by the full pytest
+# oracle gate; their operator families keep in-gate anchors
+# (tests/test_gate.py maps each: the windowed-rollup family anchors on
+# streaming_tumbling_window, the IVF family on knn_cosine_ivf_probe /
+# knn_cosine_ivf_appended, the grouped-agg family on
+# scan_filter_agg_kit).
+_ROTATED_OUT_R10 = (
+    "streaming_incremental_rollup",
+    "knn_cosine_ivf_indexed",
+    "sql_text_nation_revenue",
 )
 
 # Rotated out of the gate in earlier rounds (driver-green) — but still
@@ -302,25 +326,11 @@ BENCH_EXTRA = (
     # round-8-new queries (which moved OUT of this tuple and INTO the
     # gate — the bench set is unchanged).
     *_ROTATED_OUT_R9,
-    # Round-9-new (gate frozen at the round-9 set, so driver evidence
-    # arrives via the local pytest oracle + the in-gate dedup_clusters
-    # proxy): incremental cluster maintenance — the persisted
-    # component-bucketed cluster map absorbs an increment through a
-    # contracted-graph CC + touched-buckets-only rewrite; the oracle is
-    # the full-rebuild recursive CTE verbatim (append == rebuild).
-    "dedup_clusters_incremental",
-    # Round-9-new: the STREAMING twin — cluster_ingest_stream replays
-    # documents as 4 real micro-batches, banding each and folding its
-    # candidate pairs into the persisted map; oracle = one-shot
-    # clustering of the whole corpus (band-pair SQL + recursive-CTE
-    # closure), since per-batch pair discovery unions to the full pair
-    # set and CC is edge-order-insensitive.
-    "streaming_dedup_clusters",
-    # Round-9-new: one-sided exact-Jaccard pair probe against the
-    # persisted frozen-order prefix index — increment-incident pairs
-    # without re-shingling the corpus; oracle = the full pair SQL
-    # restricted to pairs touching the increment.
-    "dedup_jaccard_incremental",
+    # Rotated out in ROUND 10 (see _ROTATED_OUT_R10 above): the 3
+    # multi-round-green entries whose gate slots went to the 3
+    # round-9-new incremental-dedup queries (which moved OUT of this
+    # tuple and INTO the gate — the bench set is unchanged).
+    *_ROTATED_OUT_R10,
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or
