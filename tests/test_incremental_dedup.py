@@ -606,6 +606,77 @@ def test_cluster_map_drained_bucket_is_cleared(spark, tmp_path):
     }
 
 
+def test_cluster_map_append_replay_after_crash_before_bucket_clear(
+    spark, tmp_path
+):
+    """Crash window (round-9 advice, medium): the append commits its
+    dynamic-partition overwrite, then the driver dies BEFORE the
+    explicit clear of drained buckets — a relabeled node's row now
+    exists in both its old and its new bucket. The ledger never
+    committed, so the batch replays: both copies must relabel to the
+    same final component and collapse to ONE row (the node-level dedupe
+    before the overwrite), converging to the rebuild fixpoint instead
+    of persisting duplicates."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.dedup import (
+        append_cluster_map,
+        read_cluster_map,
+        write_cluster_map,
+    )
+
+    n_buckets = 4
+    probe = spark.range(1, 200).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("b"),
+    ).collect()
+    by_bucket: dict[int, list[int]] = {}
+    for r in probe:
+        by_bucket.setdefault(r.b, []).append(r.id)
+    buckets = sorted(by_bucket)
+    hi = by_bucket[buckets[0]][-1]
+    lo = next(i for i in by_bucket[buckets[1]] if i < hi)
+    b_hi = buckets[0]
+    base = spark.createDataFrame(
+        [(hi, hi), (hi + 10_000, hi), (lo, lo)],
+        "doc_id long, component long",
+    )
+    path = str(tmp_path / "cmap")
+    write_cluster_map(base, path, n_buckets=n_buckets)
+    # Snapshot hi's bucket dir (the one the append will drain).
+    stale_src = f"{path}/_cbucket={b_hi}"
+    snap = str(tmp_path / "stale_bucket_snapshot")
+    shutil.copytree(stale_src, snap)
+    new_nodes = spark.createDataFrame([(hi + 20_000,)], "doc_id long")
+    new_edges = spark.createDataFrame(
+        [(hi + 20_000, hi), (hi + 20_000, lo)], "id_a long, id_b long"
+    )
+    append_cluster_map(spark, path, new_nodes, new_edges)
+    # Simulate the crash: the overwrite committed (done above) but the
+    # drained-bucket clear "never ran" — restore the stale dir.
+    assert not __import__("os").path.exists(stale_src)
+    shutil.copytree(snap, stale_src)
+    stale = {
+        r.doc_id: r.component
+        for r in spark.read.parquet(stale_src).collect()
+    }
+    assert stale == {hi: hi, hi + 10_000: hi}  # corruption is in place
+    # Replay the SAME batch (at-least-once redelivery).
+    append_cluster_map(spark, path, new_nodes, new_edges)
+    rows = read_cluster_map(spark, path).collect()
+    assert len(rows) == 4, "duplicate (node, component) rows survived replay"
+    assert {(r.doc_id, r.component) for r in rows} == {
+        (hi, lo),
+        (hi + 10_000, lo),
+        (lo, lo),
+        (hi + 20_000, lo),
+    }
+
+
 # --------------------------------------------------------------------------
 # Persisted one-sided Jaccard probe index (round-9).
 # --------------------------------------------------------------------------

@@ -697,29 +697,83 @@ def test_cms_join_size_exact_when_collision_free(spark):
 
 
 def test_cms_join_size_rejects_mismatched_parameters(spark):
-    """Round-8 advice: two counter tables built with different
+    """Round-8/round-9 advice: two counter tables built with different
     depth/width silently intersect on (row_idx, bucket) and can
-    UNDER-estimate — the declared params are validated in-plan against
-    each side's observed shape, so a mismatched pair raises instead of
-    returning a plausible wrong bound."""
+    UNDER-estimate. Tables built by cms_counters RECORD their params
+    (column metadata) and declared != recorded raises driver-side —
+    including the case observed shape cannot catch, a table built with
+    a SMALLER width than declared."""
     import pytest
 
     df = spark.createDataFrame([("k%d" % i,) for i in range(200)], "v string")
     narrow = SK.cms_counters(df, F.col("v"), depth=3, width=64)
     wide = SK.cms_counters(df, F.col("v"), depth=3, width=4096)
     deep = SK.cms_counters(df, F.col("v"), depth=5, width=64)
-    # Width mismatch: the wide table's buckets exceed the declared width.
-    with pytest.raises(Exception, match="does not match declared"):
-        SK.cms_join_size(narrow, wide, depth=3, width=64).collect()
-    # Depth mismatch: the deep table's row_idx set is not {0..2}.
-    with pytest.raises(Exception, match="does not match declared"):
-        SK.cms_join_size(narrow, deep, depth=3, width=64).collect()
+    assert SK.cms_params(narrow) == (3, 64)
+    # Width mismatch — recorded params raise before any job runs.
+    with pytest.raises(ValueError, match="records it was built"):
+        SK.cms_join_size(narrow, wide, depth=3, width=64)
+    # Depth mismatch.
+    with pytest.raises(ValueError, match="records it was built"):
+        SK.cms_join_size(narrow, deep, depth=3, width=64)
+    # The round-9 gap: a table built with a SMALLER width than declared
+    # has every bucket < width, so an observed-shape check passes while
+    # the bucket assignment disagrees — recorded params catch it.
+    with pytest.raises(ValueError, match="records it was built"):
+        SK.cms_join_size(narrow, wide, depth=3, width=4096)
     # An EMPTY side is a valid sketch (empty input), not a mismatch.
     empty = SK.cms_counters(
         spark.createDataFrame([], "v string"), F.col("v"), depth=3, width=64
     )
     row = SK.cms_join_size(narrow, empty, depth=3, width=64).collect()[0]
     assert row["est_join_rows"] is None  # min over zero rows
+
+
+def test_cms_join_size_observed_shape_guard_without_metadata(spark):
+    """Tables with NO recorded params (the DuckDB SQL twin, external
+    producers) still hit the in-plan observed-shape guard: a grossly
+    mismatched pair raises inside the job instead of returning a
+    plausible wrong bound."""
+    import pytest
+
+    df = spark.createDataFrame([("k%d" % i,) for i in range(200)], "v string")
+
+    def strip(c):
+        out = c.select(
+            "row_idx", "bucket", F.col("cnt").cast("long").alias("cnt")
+        )
+        assert SK.cms_params(out) is None
+        return out
+
+    narrow = strip(SK.cms_counters(df, F.col("v"), depth=3, width=64))
+    wide = strip(SK.cms_counters(df, F.col("v"), depth=3, width=4096))
+    deep = strip(SK.cms_counters(df, F.col("v"), depth=5, width=64))
+    with pytest.raises(Exception, match="does not match declared"):
+        SK.cms_join_size(narrow, wide, depth=3, width=64).collect()
+    with pytest.raises(Exception, match="does not match declared"):
+        SK.cms_join_size(narrow, deep, depth=3, width=64).collect()
+
+
+def test_cms_recorded_params_survive_parquet_and_merge(spark, tmp_path):
+    """The params sidecar must survive the two ways counter tables
+    travel: persisted parquet sidecars and merge chains. cms_merge
+    refuses to add differently-parameterized counters."""
+    import pytest
+
+    df = spark.createDataFrame([("k%d" % i,) for i in range(100)], "v string")
+    c = SK.cms_counters(df, F.col("v"), depth=3, width=128)
+    p = str(tmp_path / "cms_sidecar")
+    c.write.parquet(p)
+    reread = spark.read.parquet(p)
+    assert SK.cms_params(reread) == (3, 128)
+    merged = SK.cms_merge(reread, c)
+    assert SK.cms_params(merged) == (3, 128)
+    other = SK.cms_counters(df, F.col("v"), depth=3, width=256)
+    with pytest.raises(ValueError, match="mismatched counter parameters"):
+        SK.cms_merge(c, other)
+    # Declared != recorded still raises after a round-trip + merge.
+    with pytest.raises(ValueError, match="records it was built"):
+        SK.cms_join_size(merged, merged, depth=3, width=256)
 
 
 def test_cms_join_size_from_merged_sidecars(spark):

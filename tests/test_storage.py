@@ -314,6 +314,32 @@ def test_parquet_file_stats_resolve_leaf_columns_on_nested_schema(spark):
         assert len(kept2) == 1
 
 
+def test_parquet_file_stats_remote_branch_fs_relative_paths(
+    spark, monkeypatch
+):
+    """Round-9 advice: footer opens on an authority-bearing URI
+    (hdfs://namenode:8020/p) must hand pyarrow the FS-RELATIVE path
+    ('/p'), not 'namenode:8020/p' from a naive scheme split. Driven
+    over file:// presented as non-local — the same resolution path an
+    hdfs:// URI takes: FileSystem.from_uri on the root + per-file
+    path splicing (Hadoop's listing renders file:///x as file:/x, so
+    the splice must survive scheme-normalized names too)."""
+    from ue_big_data_project_spark import fs
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "remote")
+        spark.range(10).selectExpr("id", "id * 100 AS ts").coalesce(
+            1
+        ).write.parquet(out)
+        monkeypatch.setattr(
+            fs, "is_local", lambda p: not str(p).startswith("file://")
+        )
+        stats = S.parquet_file_stats("file://" + out, "ts")
+        assert len(stats) == 1
+        _, mn, mx = stats[0]
+        assert (mn, mx) == (0, 900), (mn, mx)
+
+
 def test_read_stat_pruned_hive_partitioned_layout(spark):
     """Regression (round-3 advice): an explicit kept-file list used to
     drop hive partition columns, so a predicate on the partition column

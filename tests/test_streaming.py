@@ -1231,6 +1231,42 @@ def test_ledger_compaction_bounds_marker_files(tmp_path):
     assert got == list(range(200)) + [205]
 
 
+def test_ledger_bounded_helpers_match_enumeration(tmp_path):
+    """The sinks' hot paths and snapshot readers use the bounded
+    (watermark, loose)-derived helpers, never the materialized
+    committed-id range — which is O(total batches ever) per batch
+    (round-9 advice). Pin the helpers' arithmetic against the
+    enumerating utility across prefix/gap shapes."""
+    import os
+
+    from ue_big_data_project_spark import fs
+    from ue_big_data_project_spark import streaming as ST
+
+    ledger = str(tmp_path / "_ledger")
+    fs.makedirs(ledger)
+    # Compacted prefix 0..149 + a gap + loose markers 152, 155.
+    fs.write_text_atomic(os.path.join(ledger, "_watermark"), "149")
+    for b in (152, 155):
+        fs.write_text_atomic(os.path.join(ledger, f"batch-{b}.done"), "done")
+    ids = ST._committed_batch_ids(ledger)
+    assert ids == list(range(150)) + [152, 155]
+    assert ST._latest_committed(ledger) == 155
+    for n in (0, 1, 2, 3, 5, 200):
+        assert ST._committed_tail(ledger, n) == (ids[-n:] if n else [])
+    for b in (0, 149, 150, 152, 153, 155, 156, 400):
+        assert ST._is_committed(ledger, b) == (b in ids)
+        assert ST._last_committed_before(ledger, b) == max(
+            (i for i in ids if i < b), default=-1
+        )
+    # Empty ledger: every helper degrades to "nothing committed".
+    empty = str(tmp_path / "_empty")
+    fs.makedirs(empty)
+    assert ST._latest_committed(empty) == -1
+    assert ST._last_committed_before(empty, 7) == -1
+    assert ST._committed_tail(empty, 3) == []
+    assert not ST._is_committed(empty, 0)
+
+
 def test_ledger_compaction_in_live_stream(spark, tmp_path, monkeypatch):
     """The wrapper skips batches <= watermark and compacts as it goes:
     a real drain past the (lowered) threshold keeps the ledger dir

@@ -723,8 +723,20 @@ def append_cluster_map(
             F.coalesce("_new", F.col(comp_col)).alias(comp_col),
         )
     )
-    out = relabeled.unionByName(fresh.select(node_col, comp_col)).withColumn(
-        "_cbucket", _comp_bucket(comp_col, n_buckets)
+    out = (
+        relabeled.unionByName(fresh.select(node_col, comp_col))
+        # Crash-window convergence: if a previous append died BETWEEN
+        # the dynamic-overwrite commit and the drained-bucket rmtree
+        # below, a relabeled node's row survives in both its old and
+        # its new bucket. On ledger replay both copies are read here,
+        # relabel to the SAME final component (the stale label
+        # reconnects through its duplicated edge-endpoint labels in
+        # append_components' contraction), and without this dedupe
+        # would be written back as permanent duplicate rows. One
+        # bounded exchange over touched-bucket rows buys the
+        # "replay converges to the rebuild fixpoint" contract.
+        .dropDuplicates([node_col])
+        .withColumn("_cbucket", _comp_bucket(comp_col, n_buckets))
     )
     out = out.localCheckpoint(eager=True)  # consumed by write + audit
     prev_mode = spark.conf.get(

@@ -358,17 +358,69 @@ def cms_counters(
         df.select(rb)
         .select("rb.row_idx", "rb.bucket")
         .groupBy("row_idx", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        # The build parameters ride the table as column metadata — a
+        # schema-level params sidecar (round-9 advice). Metadata
+        # survives select/filter and a parquet round-trip (Spark stores
+        # the full StructField in the footer schema), so persisted
+        # counter sidecars keep their provenance and consumers can
+        # validate DECLARED == RECORDED instead of inferring parameters
+        # from the observed bucket range — which cannot distinguish a
+        # table built with a SMALLER width than declared.
+        .agg(
+            F.count(F.lit(1))
+            .cast("long")
+            .alias("cnt", metadata={"cms_depth": depth, "cms_width": width})
+        )
+    )
+
+
+def cms_params(counters: DataFrame) -> tuple[int, int] | None:
+    """``(depth, width)`` a counter table RECORDS it was built with
+    (:func:`cms_counters` column metadata, parquet-round-trip-safe), or
+    None for tables from other producers (SQL twins, external)."""
+    try:
+        md = counters.schema["cnt"].metadata
+    except KeyError:
+        return None
+    if md and "cms_depth" in md and "cms_width" in md:
+        return int(md["cms_depth"]), int(md["cms_width"])
+    return None
+
+
+def _cms_reattach_params(
+    merged: DataFrame, params: tuple[int, int] | None
+) -> DataFrame:
+    if params is None:
+        return merged
+    depth, width = params
+    return merged.withColumn(
+        "cnt",
+        F.col("cnt").alias(
+            "cnt", metadata={"cms_depth": depth, "cms_width": width}
+        ),
     )
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Counter addition — associative, so sidecars union in any order."""
-    return (
+    """Counter addition — associative, so sidecars union in any order.
+    Sides that RECORD their build parameters (:func:`cms_counters`
+    metadata) must agree — adding counters from differently-hashed
+    tables is meaningless — and the merged table keeps the recorded
+    params so validation survives arbitrarily long merge chains."""
+    pa, pb = cms_params(a), cms_params(b)
+    if pa is not None and pb is not None and pa != pb:
+        raise ValueError(
+            f"cms_merge: mismatched counter parameters — left built with "
+            f"depth={pa[0]}/width={pa[1]}, right with depth={pb[0]}/"
+            f"width={pb[1]}; counters from differently-parameterized "
+            "sketches must not be added"
+        )
+    merged = (
         a.unionByName(b)
         .groupBy("row_idx", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+    return _cms_reattach_params(merged, pa if pa is not None else pb)
 
 
 def cms_lookup(
@@ -1150,16 +1202,27 @@ def cms_join_size(
     self-join moment (AMS).
 
     ``depth``/``width`` declare the parameters BOTH tables were built
-    with (the :func:`cms_counters` defaults) and are VALIDATED in-plan
-    against each table's observed shape — round-8 advice: silently
-    intersecting two differently-parameterized counter tables on
-    (row_idx, bucket) loses pairs and can UNDER-estimate, destroying
-    the one-sided guarantee. A table whose row_idx set is not exactly
-    ``0..depth-1`` or whose buckets fall outside ``[0, width)`` raises
-    inside the job (the pagerank-guard pattern), so a mismatched pair
-    fails loudly instead of returning a plausible wrong bound. (An
-    empty counter table — empty input side — is valid: the estimate is
-    NULL-free 0-row semantics of the min-agg, never an under-estimate.)
+    with (the :func:`cms_counters` defaults) and are validated in TWO
+    layers — round-8/round-9 advice: silently intersecting two
+    differently-parameterized counter tables on (row_idx, bucket) loses
+    pairs and can UNDER-estimate, destroying the one-sided guarantee.
+
+    - **Declared == recorded** (exact): a table built by
+      :func:`cms_counters` RECORDS its depth/width as ``cnt`` column
+      metadata (parquet-round-trip-safe); any recorded value that
+      differs from the declaration raises driver-side before a job
+      runs. This catches the case observed shape cannot: a table built
+      with a SMALLER width than declared (all its buckets < width, so
+      a range check passes while the bucket assignment disagrees).
+    - **Observed shape** (necessary condition, in-plan): for tables
+      with no recorded params (the DuckDB SQL twin, external
+      producers), a row_idx set that is not exactly ``0..depth-1`` or
+      buckets outside ``[0, width)`` raise inside the job (the
+      pagerank-guard pattern), so a grossly mismatched pair still
+      fails loudly instead of returning a plausible wrong bound. (An
+      empty counter table — empty input side — is valid: the estimate
+      is NULL-free 0-row semantics of the min-agg, never an
+      under-estimate.)
 
     Cost: one join of two ≤ depth×width integer tables — the join's
     size is ESTIMATED without running it, from sidecars that never
@@ -1172,6 +1235,17 @@ def cms_join_size(
     Returns one row ``(est_join_rows,)`` — pure integer arithmetic,
     bit-identical across engines and partitionings.
     """
+    for side_df, side in ((a_counters, "left"), (b_counters, "right")):
+        recorded = cms_params(side_df)
+        if recorded is not None and recorded != (depth, width):
+            raise ValueError(
+                f"cms_join_size: {side} counter table records it was "
+                f"built with depth={recorded[0]}/width={recorded[1]} but "
+                f"depth={depth}/width={width} was declared — both sides "
+                "must be built with the declared parameters or the bound "
+                "can silently under-estimate"
+            )
+
     def shape_guard(c: DataFrame, side: str) -> DataFrame:
         # One bounded agg (≤ depth×width counter rows) per side: a
         # non-empty table built with the declared params has row_idx

@@ -361,19 +361,42 @@ def parquet_file_stats(path: str, col: str) -> list[tuple[str, object, object]]:
     import pyarrow.parquet as pq
 
     pa_fs = None
+    root_rel = None
+    root_uri = path.rstrip("/")
     if not fs.is_local(path):
         import pyarrow.fs as pafs
 
-        pa_fs, _ = pafs.FileSystem.from_uri(path)
+        # from_uri also returns the ROOT's fs-relative path, which is
+        # scheme-specific: s3 keeps the bucket as the leading path
+        # segment ("bucket/prefix"), hdfs strips scheme AND authority
+        # ("/prefix") — naively splitting the scheme off a file URI
+        # would leave "namenode:8020/p" for hdfs (round-9 advice).
+        pa_fs, root_rel = pafs.FileSystem.from_uri(root_uri)
+
+    def fs_relative(fpath: str) -> str:
+        # Every listed file shares the root URI prefix, so its
+        # fs-relative path is the root's resolved path plus the file's
+        # suffix under the root — no per-file FileSystem construction.
+        if fpath.startswith(root_uri):
+            return root_rel.rstrip("/") + fpath[len(root_uri):]
+        # Hadoop normalizes URI rendering (file:///x lists as file:/x),
+        # so fall back to comparing URI *paths*.
+        from urllib.parse import urlparse
+
+        fp = urlparse(fpath).path
+        rp = (urlparse(root_uri).path or "").rstrip("/")
+        if rp and fp.startswith(rp + "/"):
+            return root_rel.rstrip("/") + fp[len(rp):]
+        import pyarrow.fs as pafs
+
+        return pafs.FileSystem.from_uri(fpath)[1]
 
     out = []
     for fpath, _ in fs.walk_files(path):
         pf = (
             pq.ParquetFile(fpath)
             if pa_fs is None
-            else pq.ParquetFile(pa_fs.open_input_file(
-                fpath.split("://", 1)[1] if "://" in fpath else fpath
-            ))
+            else pq.ParquetFile(pa_fs.open_input_file(fs_relative(fpath)))
         )
         # Resolve the LEAF column index by its dotted parquet path:
         # the Arrow top-level field index diverges from the parquet

@@ -1168,13 +1168,59 @@ def _compact_ledger(ledger_dir: str) -> None:
             fs.remove(os.path.join(ledger_dir, f"batch-{b}.done"))
 
 
-def _committed_batch_ids(ledger_dir: str) -> list[int]:
-    """Every committed batch id — the compacted contiguous prefix
-    (``0..watermark``) plus loose ``batch-<id>.done`` markers (the
-    :func:`idempotent_foreach_batch` ledger format). Bounded: the
-    prefix is one range, loose markers are capped by compaction."""
+def _ledger_state(ledger_dir: str) -> tuple[int, list[int]]:
+    """``(watermark, loose ids above it)`` — the ledger's bounded
+    representation (the watermark folds the contiguous committed
+    prefix; loose markers are capped by compaction). Every per-batch
+    and read path works from THIS, never from a materialized
+    ``range(watermark + 1)``: that list grows O(total batches ever) and
+    re-introduces the unbounded per-batch cost ledger compaction was
+    added to eliminate (round-9 advice)."""
     w = _ledger_watermark(ledger_dir)
     loose = [b for b in _loose_marker_ids(ledger_dir) if b > w]
+    return w, loose
+
+
+def _latest_committed(ledger_dir: str) -> int:
+    """Highest committed batch id, or -1 if none."""
+    w, loose = _ledger_state(ledger_dir)
+    return loose[-1] if loose else w
+
+
+def _last_committed_before(ledger_dir: str, batch_id: int) -> int:
+    """Highest committed id strictly below ``batch_id``, or -1."""
+    w, loose = _ledger_state(ledger_dir)
+    below = [b for b in loose if b < batch_id]
+    if below:
+        return below[-1]
+    return min(w, batch_id - 1)
+
+
+def _is_committed(ledger_dir: str, batch_id: int) -> bool:
+    w, loose = _ledger_state(ledger_dir)
+    return 0 <= batch_id <= w or batch_id in loose
+
+
+def _committed_tail(ledger_dir: str, n: int) -> list[int]:
+    """The last ``n`` committed ids, ascending — computed
+    arithmetically from the watermark plus loose markers, O(n), never
+    O(batches-ever)."""
+    if n <= 0:
+        return []
+    w, loose = _ledger_state(ledger_dir)
+    tail = loose[-n:]
+    short = n - len(tail)
+    if short > 0 and w >= 0:
+        tail = list(range(max(0, w - short + 1), w + 1)) + tail
+    return tail
+
+
+def _committed_batch_ids(ledger_dir: str) -> list[int]:
+    """Every committed batch id, materialized — O(total batches ever),
+    so this is a TEST/DEBUG enumeration utility only; the sinks' hot
+    paths and the snapshot readers use the bounded
+    :func:`_ledger_state`-derived helpers above."""
+    w, loose = _ledger_state(ledger_dir)
     return list(range(w + 1)) + loose
 
 
@@ -1229,11 +1275,9 @@ def merge_ingest_stream(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        committed = [b for b in _committed_batch_ids(ledger_dir) if b < batch_id]
-        if committed:
-            target = sp.read.parquet(
-                os.path.join(snapshot_dir, f"v={committed[-1]}")
-            )
+        prev = _last_committed_before(ledger_dir, batch_id)
+        if prev >= 0:
+            target = sp.read.parquet(os.path.join(snapshot_dir, f"v={prev}"))
         else:
             target = initial
         merged = merge_into(
@@ -1259,8 +1303,7 @@ def merge_ingest_stream(
         # per-id rmtree loop would go quadratic.
         if retain_versions <= 0:
             return
-        committed = _committed_batch_ids(ledger_dir)
-        keep = set(committed[-retain_versions:]) | {batch_id}
+        keep = set(_committed_tail(ledger_dir, retain_versions)) | {batch_id}
         for d in _existing_version_ids(snapshot_dir):
             if d not in keep:
                 fs.rmtree(os.path.join(snapshot_dir, f"v={d}"))
@@ -1277,17 +1320,18 @@ def read_merged_snapshot(
     latest by default, or time-travel to any version still inside the
     ``retain_versions`` tail. Committed = ledger-marked, so torn writes
     from a crashed batch are never visible at ANY version."""
-    committed = _committed_batch_ids(os.path.join(snapshot_dir, "_ledger"))
-    if not committed:
+    ledger_dir = os.path.join(snapshot_dir, "_ledger")
+    latest = _latest_committed(ledger_dir)
+    if latest < 0:
         raise ValueError(f"no committed snapshot versions in {snapshot_dir}")
     if version is None:
-        version = committed[-1]
-    elif version not in committed or not fs.isdir(
+        version = latest
+    elif not _is_committed(ledger_dir, version) or not fs.isdir(
         os.path.join(snapshot_dir, f"v={version}")
     ):
         raise ValueError(
             f"version {version} is not a committed, retained snapshot "
-            f"(have {committed})"
+            f"(latest committed: {latest})"
         )
     return spark.read.parquet(os.path.join(snapshot_dir, f"v={version}"))
 
@@ -1371,12 +1415,10 @@ def bucketed_merge_ingest_stream(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        committed = [
-            b for b in _committed_batch_ids(ledger_dir) if b < batch_id
-        ]
+        prev = _last_committed_before(ledger_dir, batch_id)
         manifest = (
-            _read_manifest(_manifest_path(snapshot_dir, committed[-1]))
-            if committed
+            _read_manifest(_manifest_path(snapshot_dir, prev))
+            if prev >= 0
             else None
         )
         batch = batch_df.withColumn("_bucket", bucket_of)
@@ -1442,12 +1484,10 @@ def bucketed_merge_ingest_stream(
 
     def prune_and_apply(batch_df: DataFrame, batch_id: int) -> None:
         apply(batch_df, batch_id)
-        committed = _committed_batch_ids(ledger_dir)
-        if not committed:
+        latest_id = _latest_committed(ledger_dir)
+        if latest_id < 0:
             return
-        latest = _read_manifest(
-            _manifest_path(snapshot_dir, committed[-1])
-        )
+        latest = _read_manifest(_manifest_path(snapshot_dir, latest_id))
         # Versions referenced by the latest committed manifest (plus
         # the version just written, whose manifest commits after this
         # callback returns) must survive; prune committed versions
@@ -1455,8 +1495,7 @@ def bucketed_merge_ingest_stream(
         # Iterate EXISTING dirs/manifests, never the full committed id
         # range (quadratic over a long-lived stream otherwise).
         referenced = set(latest.values()) | {batch_id}
-        tail = set(committed[-retain_versions:]) if retain_versions else set()
-        keep = referenced | tail
+        keep = referenced | set(_committed_tail(ledger_dir, retain_versions))
         for b in _existing_version_ids(snapshot_dir):
             if b not in keep:
                 fs.rmtree(os.path.join(snapshot_dir, f"v={b}"))
@@ -1488,14 +1527,16 @@ def read_bucketed_merged_snapshot(
     """Resolve a :func:`bucketed_merge_ingest_stream` snapshot at the
     latest (or a retained) COMMITTED manifest: each bucket reads from
     the version that last rewrote it."""
-    committed = _committed_batch_ids(os.path.join(snapshot_dir, "_ledger"))
-    if not committed:
+    ledger_dir = os.path.join(snapshot_dir, "_ledger")
+    latest = _latest_committed(ledger_dir)
+    if latest < 0:
         raise ValueError(f"no committed snapshot versions in {snapshot_dir}")
     if version is None:
-        version = committed[-1]
-    elif version not in committed:
+        version = latest
+    elif not _is_committed(ledger_dir, version):
         raise ValueError(
-            f"version {version} is not committed (have {committed})"
+            f"version {version} is not committed "
+            f"(latest committed: {latest})"
         )
     mpath = _manifest_path(snapshot_dir, version)
     if not fs.exists(mpath):
