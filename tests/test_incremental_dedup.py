@@ -753,3 +753,156 @@ def test_jaccard_index_append_then_probe_equals_rebuild(spark, tmp_path):
         map(tuple, jaccard_probe_index(spark, rebuilt, probe).collect())
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Retention (round-9 verdict task 6): the cluster map and Jaccard index
+# must be able to SHED expired documents — append-only artifacts grow
+# forever otherwise.
+# --------------------------------------------------------------------------
+
+
+def test_rewrite_cluster_map_sheds_expired_docs(spark, tmp_path):
+    """Prune keeps exactly the keep-set's rows (storage shed), leaves
+    component grouping intact for survivors (labels are opaque — even a
+    label naming an expired doc persists), and the pruned map still
+    absorbs appends."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.dedup import (
+        append_cluster_map,
+        read_cluster_map,
+        rewrite_cluster_map,
+        write_cluster_map,
+    )
+
+    # Component 1 = {1, 2, 3} (label 1), component 10 = {10, 11}.
+    base = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    path = str(tmp_path / "cmap")
+    write_cluster_map(base, path, n_buckets=4)
+    # Expire doc 1 — the LABEL of its component — and doc 11.
+    keep = spark.createDataFrame([(2,), (3,), (10,)], "doc_id long")
+    n = rewrite_cluster_map(spark, path, keep)
+    assert n == 3
+    rows = {
+        (r.doc_id, r.component)
+        for r in read_cluster_map(spark, path).collect()
+    }
+    # Survivors keep their grouping; label 1 persists as an opaque id.
+    assert rows == {(2, 1), (3, 1), (10, 10)}
+    # The pruned map still absorbs appends (contract against the
+    # surviving labels).
+    append_cluster_map(
+        spark,
+        path,
+        spark.createDataFrame([(20,)], "doc_id long"),
+        spark.createDataFrame([(20, 2)], "id_a long, id_b long"),
+    )
+    rows = {
+        (r.doc_id, r.component)
+        for r in read_cluster_map(spark, path).collect()
+    }
+    assert rows == {(2, 1), (3, 1), (10, 10), (20, 1)}
+
+
+def test_rewrite_jaccard_index_prune_then_probe_equivalence(
+    spark, tmp_path
+):
+    """After pruning the index to a keep-set, probing returns exactly
+    the pre-prune pairs whose INDEX endpoint survives (probe-probe
+    pairs unchanged); the frozen order must not move (prefix layout
+    for survivors is byte-stable, freq table untouched)."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.dedup import (
+        jaccard_probe_index,
+        rewrite_jaccard_index,
+        write_jaccard_index,
+    )
+
+    d = _jaccard_docs(spark)
+    indexed = d.filter(F.col("doc_id") < 52)
+    # Probes that MATCH the identical-text families (token0 partners
+    # are docs 0/4/8 — even, surviving; token1 partners are 1/5/9 —
+    # odd, expired below), so the prune provably removes pairs.
+    probe = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta token0"),
+            (101, "alpha beta gamma delta epsilon zeta eta theta token1"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "jidx")
+    write_jaccard_index(indexed, path, n_buckets=4)
+    before = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_probe_index(spark, path, probe).collect()
+    }
+    freq_before = sorted(
+        map(tuple, spark.read.parquet(path + "_freq").collect())
+    )
+    # Expire the ODD indexed docs.
+    keep = indexed.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    n = rewrite_jaccard_index(spark, path, keep)
+    assert n > 0
+    after = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_probe_index(spark, path, probe).collect()
+    }
+    probe_ids = {r.doc_id for r in probe.collect()}
+    survivors = {r.doc_id for r in keep.collect()} | probe_ids
+    want = {
+        (a, b, j)
+        for (a, b, j) in before
+        if a in survivors and b in survivors
+    }
+    assert after == want
+    assert before - after, "prune did not remove any index-endpoint pair"
+    # The frozen order did not move.
+    freq_after = sorted(
+        map(tuple, spark.read.parquet(path + "_freq").collect())
+    )
+    assert freq_after == freq_before
+
+
+def test_jaccard_index_staleness_audit(spark, tmp_path):
+    """The staleness audit reads ~1.0 on a fresh index and grows after
+    a drifted append (disjoint vocabulary → unseen shingles rank at the
+    front of the frozen order and bloat prefix exposure); a fresh
+    rebuild over the union corpus resets it to ~1.0."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.dedup import (
+        append_jaccard_index,
+        jaccard_index_staleness,
+        write_jaccard_index,
+    )
+
+    def docs(prefix, start, n):
+        # Unique-per-doc words plus a 4-word block common to the era.
+        return spark.range(n).select(
+            (F.col("id") + start).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"{prefix}u"),
+                        F.col("id").cast("string"),
+                        F.lit(f"w{i}"),
+                    )
+                    for i in range(10)
+                ],
+                *[F.lit(f"{prefix}c{i}") for i in range(4)],
+            ).alias("text"),
+        )
+
+    path = str(tmp_path / "jidx")
+    write_jaccard_index(docs("a", 0, 40), path, n_buckets=4)
+    fresh = jaccard_index_staleness(spark, path)
+    assert fresh["staleness_ratio"] == pytest.approx(1.0, abs=0.05)
+    append_jaccard_index(spark, path, docs("b", 1000, 40))
+    drifted = jaccard_index_staleness(spark, path)
+    assert drifted["staleness_ratio"] > fresh["staleness_ratio"]

@@ -637,16 +637,26 @@ def append_cluster_map(
     Jaccard probe) into the persisted cluster map WITHOUT re-running
     connected components over the full pair graph.
 
-    Mechanics (``operators/graph.append_components`` does the math):
-    the increment contracts against the existing labels, a CC over the
-    O(increment)-sized contracted graph produces the bounded relabel
-    map, and only the buckets holding (a) relabeled components, (b)
-    relabel TARGETS, or (c) fresh rows' components are read and
+    Mechanics (``operators/graph.append_components_detail`` does the
+    math): the increment contracts against the existing labels, a CC
+    over the O(increment)-sized contracted graph produces the bounded
+    relabel map, and only the buckets holding (a) relabeled components,
+    (b) relabel TARGETS, or (c) fresh rows' components are read and
     rewritten (dynamic partition overwrite — untouched bucket dirs are
     never opened). Result ≡ rebuilding the map from scratch over the
     union graph, test-pinned; cost is O(increment + touched buckets),
     not O(corpus) — re-clustering per crawl increment is the dedup
     pipeline's largest repeated cost, and this removes it.
+
+    Base-map cost per append (round-10 tightening): exactly two
+    map-side scans of the persisted map — the endpoint-label
+    contraction pass and the new-node overlap pass, both inside
+    ``append_components_detail``, both streaming against broadcast
+    increment-derived sets — plus the touched-bucket read. The base is
+    never shuffled and never broadcast. (Previously the relabel map and
+    the fresh set were re-derived by joining the FULL updated
+    assignment back against the base — two O(corpus) shuffles per
+    append that the detail API eliminates.)
 
     Returns the (bounded) relabel map ``(_old, _new)`` — callers use it
     to patch any downstream artifacts keyed by cluster id.
@@ -655,13 +665,15 @@ def append_cluster_map(
     import os
 
     from ue_big_data_project_spark import fs
-    from ue_big_data_project_spark.operators.graph import append_components
+    from ue_big_data_project_spark.operators.graph import (
+        append_components_detail,
+    )
 
     meta = json.loads(fs.read_text(os.path.join(path, _CLUSTER_META)))
     n_buckets = int(meta["n_buckets"])
     node_col, comp_col = meta["node_col"], meta["comp_col"]
     base = read_cluster_map(spark, path)
-    merged = append_components(
+    parts = append_components_detail(
         base,
         new_nodes.select(F.col(new_nodes.columns[0]).alias(node_col))
         if node_col not in new_nodes.columns
@@ -672,23 +684,11 @@ def append_cluster_map(
         src_col=src_col,
         dst_col=dst_col,
     )
-    # The bounded relabel + fresh sets decide which buckets rewrite.
-    fresh = merged.join(base.select(node_col), node_col, "left_anti")
-    changed = (
-        merged.alias("m")
-        .join(
-            base.alias("b"),
-            F.col(f"m.{node_col}") == F.col(f"b.{node_col}"),
-        )
-        .where(F.col(f"m.{comp_col}") != F.col(f"b.{comp_col}"))
-        .select(
-            F.col(f"b.{comp_col}").alias("_old"),
-            F.col(f"m.{comp_col}").alias("_new"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # bounded by the increment
-    )
-    fresh = fresh.localCheckpoint(eager=True)
+    # The bounded relabel + fresh sets decide which buckets rewrite —
+    # taken straight from the contraction (bounded by the increment),
+    # never re-derived against the base.
+    changed = parts.relabel.localCheckpoint(eager=True)
+    fresh = parts.fresh.localCheckpoint(eager=True)
     # ONE bounded collect for the touched-bucket set (three separate
     # jobs here cost ~1 s/batch of pure scheduling in the streaming
     # sink).
@@ -1015,3 +1015,164 @@ def jaccard_probe_index(
         return out.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+
+
+def rewrite_cluster_map(spark, path: str, keep_docs: DataFrame) -> int:
+    """RETENTION for the persisted cluster map (round-9 verdict
+    task 6): keep only the rows whose node id appears in ``keep_docs``
+    (single-column frame), rewriting the component-bucketed layout in
+    place — the entry point a 100 TB deployment uses to shed expired
+    documents, which `append_cluster_map` alone never does (the map
+    otherwise only grows).
+
+    Contract — STORAGE shed, not connectivity re-derivation: expired
+    docs' edges stay baked into the merged components (components never
+    split retroactively), and a component whose min-id doc expires
+    keeps its old label (labels are opaque ids to every consumer;
+    appends contract against them regardless). Re-deriving connectivity
+    without the expired docs is a rebuild, not a prune — the same
+    contract as expiring batches under an IVF index's frozen quantizer.
+
+    Offline cost: one scan + one keyed semi join + full-layout rewrite.
+    ``keep_docs`` may be corpus-sized, so the join is NOT broadcast.
+    Returns the surviving row count."""
+    import json
+    import os
+
+    from ue_big_data_project_spark import fs
+
+    meta = json.loads(fs.read_text(os.path.join(path, _CLUSTER_META)))
+    n_buckets = int(meta["n_buckets"])
+    node_col = meta["node_col"]
+    comp_col = meta["comp_col"]
+    keep = keep_docs.select(
+        F.col(keep_docs.columns[0]).alias(node_col)
+    ).distinct()
+    survivors = (
+        spark.read.parquet(path)
+        .drop("_cbucket")
+        .join(keep, node_col, "left_semi")
+        # Materialize BEFORE the overwrite — Spark cannot overwrite a
+        # path it is still reading from.
+        .localCheckpoint(eager=True)
+    )
+    n = survivors.count()
+    (
+        survivors.withColumn("_cbucket", _comp_bucket(comp_col, n_buckets))
+        .repartition(n_buckets, "_cbucket")
+        .write.mode("overwrite")
+        .partitionBy("_cbucket")
+        .parquet(path)
+    )
+    fs.write_text_atomic(
+        os.path.join(path, _CLUSTER_META),
+        json.dumps(
+            {
+                "n_buckets": n_buckets,
+                "node_col": node_col,
+                "comp_col": comp_col,
+            }
+        ),
+    )
+    return n
+
+
+def rewrite_jaccard_index(spark, path: str, keep_docs: DataFrame) -> int:
+    """RETENTION for the Jaccard probe index (round-9 verdict task 6):
+    drop prefix and exact-verify rows of documents not in ``keep_docs``,
+    rewriting the sharded layouts in place. The FROZEN frequency table
+    is deliberately left untouched — the order is the freeze, and any
+    consistent order stays lossless, so pruning must not move it
+    (re-freezing to re-tighten prefixes is a separate, measured rebuild
+    decision: :func:`jaccard_index_staleness` + the drift curve in
+    ``scripts/jaccard_drift_check.py``).
+
+    Probe equivalence after the prune (test-pinned): probe results ==
+    pre-prune results restricted to pairs whose INDEX endpoint
+    survives. Returns the surviving prefix-row count."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col, n_buckets = meta["id_col"], int(meta["n_buckets"])
+    keep = keep_docs.select(
+        F.col(keep_docs.columns[0]).alias(id_col)
+    ).distinct()
+    prefix = (
+        spark.read.parquet(root)
+        .join(keep, id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n = prefix.count()
+    (
+        prefix.repartition(n_buckets, "_hbucket")
+        .write.mode("overwrite")
+        .partitionBy("_hbucket")
+        .parquet(root)
+    )
+    arrays = (
+        spark.read.parquet(root + "_arrays")
+        .join(keep, id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    arrays.write.mode("overwrite").parquet(root + "_arrays")
+    return n
+
+
+def jaccard_index_staleness(spark, path: str) -> dict:
+    """How much the FROZEN frequency order has degraded as the corpus
+    drifted (round-9 verdict task 4 — the quantizer-drift audit applied
+    to the Jaccard probe index).
+
+    The prefix filter stays LOSSLESS forever (any consistent total
+    order satisfies the Bayardo/PPJoin theorem), but prefix
+    SELECTIVITY decays: appends rank unseen shingles df = 0 (the
+    most-selective slot), so a shingle that became common after the
+    freeze still sits at the front of the order and lands in prefixes,
+    inflating candidate counts. This audit recomputes CURRENT document
+    frequencies from the exact-verify arrays sidecar (no re-shingling
+    — the arrays already hold every doc's shingle set) and compares
+    the candidate exposure of the STORED frozen-order prefixes against
+    the prefixes a fresh order would pick:
+
+        exposure(prefix set) = Σ_docs Σ_{h ∈ prefix(doc)} (df_now(h) − 1)
+
+    — each prefix posting can pair with every other doc containing the
+    shingle, so exposure is the (up-to-dedup) prefix-join candidate
+    count. ``staleness_ratio = exposure_frozen / exposure_fresh ≥ ~1``;
+    1.0 means the frozen order is still candidate-optimal, and the
+    drift curve in ``scripts/jaccard_drift_check.py`` maps the ratio to
+    measured probe-candidate inflation (SCALE.md records the rebuild
+    threshold). One corpus-size pass over the arrays sidecar — an
+    OFFLINE audit/retention decision, not a probe-path cost.
+    """
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col, threshold = meta["id_col"], float(meta["threshold"])
+    postings = (
+        spark.read.parquet(root + "_arrays")
+        .select(id_col, F.explode("_arr").alias("shingle"))
+        .select(F.col(id_col), F.xxhash64("shingle").alias("_h"))
+    ).localCheckpoint(eager=True)  # feeds df, fresh prefix, exposure
+    df_now = postings.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    frozen_prefix = spark.read.parquet(root).drop("_hbucket")
+    fresh_prefix = _jaccard_prefix(postings, df_now, id_col, threshold)
+
+    def exposure(prefix: DataFrame) -> int:
+        row = (
+            prefix.join(df_now, "_h")
+            .agg(
+                F.sum(F.col("_df") - F.lit(1)).cast("long").alias("_e")
+            )
+            .first()
+        )
+        return int(row["_e"] or 0)
+
+    frozen_e, fresh_e = exposure(frozen_prefix), exposure(fresh_prefix)
+    return {
+        "exposure_frozen": frozen_e,
+        "exposure_fresh": fresh_e,
+        # +1-smoothed so an all-unique corpus (fresh exposure 0) reads
+        # 1.0 only when the frozen order is ALSO collision-free — a
+        # plain ratio would mask positive frozen exposure behind a
+        # zero-division guard.
+        "staleness_ratio": float(frozen_e + 1) / (fresh_e + 1),
+    }

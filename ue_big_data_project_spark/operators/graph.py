@@ -24,6 +24,8 @@ contract; ``connected_components(algorithm="star")`` dispatches.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -485,6 +487,20 @@ def triangle_counts(
     return out
 
 
+class AppendParts(NamedTuple):
+    """:func:`append_components_detail` results. ``assignment`` is the
+    full updated map (lazy — consuming it streams the base exactly
+    once); ``relabel`` and ``fresh`` are the BOUNDED increment-derived
+    pieces, exposed so incremental consumers (the persisted cluster
+    map, the streaming sink) never have to re-derive them by joining
+    the full assignment back against the base — which is exactly the
+    O(corpus)-shuffle-per-append this operator exists to avoid."""
+
+    assignment: DataFrame  # (node_col, comp_col), full updated map
+    relabel: DataFrame  # (_old, _new) component relabels, ≤ |increment|
+    fresh: DataFrame  # (node_col, comp_col) for genuinely-new nodes
+
+
 def append_components(
     base: DataFrame,
     new_nodes: DataFrame,
@@ -513,8 +529,18 @@ def append_components(
     merged set of reps and new ids equals the min over the merged
     cluster's full membership. Base rows relabel through the bounded
     rep→label map (broadcast); rows of untouched components stream
-    through unchanged — one map-side pass over the base, zero base
-    shuffles.
+    through unchanged.
+
+    Base-map cost contract (round-10 tightening, plan-pinned by
+    tests/test_plan_scale.py): base rows are NEVER shuffled and never
+    broadcast raw — every pass over the base is map-side (streamed
+    against a broadcast increment-derived set), and everything that IS
+    broadcast or shuffled is bounded by the increment: the endpoint-
+    label pass, the new-node overlap pass (each a single scan emitting
+    ≤ O(increment) rows), and the final relabel stream. The previous
+    formulation re-derived ``fresh`` via an anti join whose right side
+    was the full base — a full base shuffle per append that this
+    version eliminates.
 
     Equivalence contract (test-pinned): ``append_components(cc(G₀), ΔV,
     ΔE) == cc(G₀ ∪ ΔV, E₀ ∪ ΔE)`` row-for-row, for any split — layouts
@@ -532,6 +558,32 @@ def append_components(
     edges still merge anything): re-applying an applied increment is a
     no-op, the property the streaming sink's crash story rests on.
     """
+    return append_components_detail(
+        base,
+        new_nodes,
+        new_edges,
+        node_col=node_col,
+        comp_col=comp_col,
+        src_col=src_col,
+        dst_col=dst_col,
+        max_iters=max_iters,
+    ).assignment
+
+
+def append_components_detail(
+    base: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "id",
+    comp_col: str = "component",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+) -> AppendParts:
+    """:func:`append_components` plus its bounded intermediates — see
+    that docstring for the contraction math and the base-map cost
+    contract. Incremental consumers use ``relabel``/``fresh`` directly
+    instead of joining ``assignment`` back against the base."""
     b = base.select(
         F.col(node_col).alias("_n"), F.col(comp_col).alias("_c")
     )
@@ -561,7 +613,17 @@ def append_components(
             (F.col("_c").isNotNull() | F.col("_isnew").isNotNull()).alias(
                 "_known"
             ),
+            # A label that came FROM the base is a base-component rep —
+            # recorded here so the relabel map can be restricted to real
+            # base labels without a second pass over the base (a
+            # distinct over the full base's comp column was a
+            # base-wide shuffle).
+            F.col("_c").isNotNull().alias("_from_base"),
         )
+        # Bounded (≤ |endpoint set| rows, replay duplicates included) —
+        # eager so the two contraction broadcasts below and the
+        # base-label derivation scan the base exactly ONCE between them.
+        .localCheckpoint(eager=True)
     )
     ce = (
         e.join(
@@ -604,11 +666,18 @@ def append_components(
         max_iters=max_iters,
     ).localCheckpoint(eager=True)  # consumed by 3 branches below
     # Bounded relabel map for EXISTING components: contracted nodes
-    # that are base labels and whose label changed.
+    # that are base labels and whose label changed. Base-label-ness
+    # comes from the checkpointed endpoint-label pass — every base
+    # label that can merge appears there (it reached the contracted
+    # graph through some edge endpoint), so no pass over the base is
+    # needed; a new-node self-label can never collide with a base
+    # label (labels are base node ids) and an un-merged label is
+    # excluded by the inequality, so the restriction is exact.
+    base_labels = (
+        lbl.where("_from_base").select(F.col("_lbl").alias("_v")).distinct()
+    )
     relabel = (
-        sub.join(
-            b.select(F.col("_c").alias("_v")).distinct(), "_v", "left_semi"
-        )
+        sub.join(F.broadcast(base_labels), "_v", "left_semi")
         .where(F.col("_v") != F.col("component"))
         .select(F.col("_v").alias("_old"), F.col("component").alias("_new"))
     )
@@ -619,16 +688,32 @@ def append_components(
             F.coalesce("_new", F.col("_c")).alias(comp_col),
         )
     )
+    # Replay tolerance: a "new" node already present in the base (an
+    # at-least-once redelivery) must NOT gain a second row with a
+    # self-label — its assignment lives in `updated`. The overlap is
+    # found by streaming the base against the BROADCAST new-node set
+    # (map-side, output ≤ |new_nodes|), then subtracting it from the
+    # new nodes with bounded sides only — an anti join whose right
+    # side is the full base would shuffle the whole base per append.
+    overlap = b.select(F.col("_n").alias("_v")).join(
+        F.broadcast(new_nodes.select(F.col(node_col).alias("_v"))),
+        "_v",
+        "left_semi",
+    )
     fresh = (
         new_nodes.select(F.col(node_col).alias("_v"))
-        # Replay tolerance: a "new" node already present in the base
-        # (an at-least-once redelivery) must NOT gain a second row with
-        # a self-label — its assignment lives in `updated`.
-        .join(b.select(F.col("_n").alias("_v")), "_v", "left_anti")
-        .join(sub, "_v", "left")
+        .join(F.broadcast(overlap), "_v", "left_anti")
+        # sub is the bounded contracted-CC output — broadcasting it
+        # keeps the fresh branch exchange-free (every shuffle in the
+        # append graph is over bounded increment-derived rows).
+        .join(F.broadcast(sub), "_v", "left")
         .select(
             F.col("_v").alias(node_col),
             F.coalesce("component", F.col("_v")).alias(comp_col),
         )
     )
-    return updated.unionByName(fresh)
+    return AppendParts(
+        assignment=updated.unionByName(fresh),
+        relabel=relabel,
+        fresh=fresh,
+    )

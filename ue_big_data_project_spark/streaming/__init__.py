@@ -861,6 +861,13 @@ def cluster_ingest_stream(
             pairs = in_batch.unionByName(cross)
         else:
             pairs = in_batch
+        # ONE pair-discovery job per batch: the append consumes the
+        # edge set from several branches (endpoint contraction,
+        # contracted-CC nodes and edges), and without this checkpoint
+        # each branch re-runs the index probe + in-batch self-join —
+        # measured ~2-3 re-executions per micro-batch of the batch's
+        # single most expensive plan.
+        pairs = pairs.localCheckpoint(eager=True)
         new_nodes = batch_df.select(id_col).distinct()
         if fs.exists(os.path.join(map_path, "_cluster_meta.json")):
             append_cluster_map(
