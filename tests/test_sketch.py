@@ -774,6 +774,10 @@ def test_cms_recorded_params_survive_parquet_and_merge(spark, tmp_path):
     # Declared != recorded still raises after a round-trip + merge.
     with pytest.raises(ValueError, match="records it was built"):
         SK.cms_join_size(merged, merged, depth=3, width=256)
+    # Point lookups validate the same way — mismatched probe hashes
+    # read arbitrary buckets and void the upper-bound guarantee.
+    with pytest.raises(ValueError, match="records it was built"):
+        SK.cms_lookup(merged, df, F.col("v"), depth=3, width=256)
 
 
 def test_cms_join_size_from_merged_sidecars(spark):

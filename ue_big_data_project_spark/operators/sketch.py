@@ -434,7 +434,18 @@ def cms_lookup(
     """Point-frequency estimate per item row: min of the item's
     ``depth`` counters. The counter table is bounded (≤ depth × width
     rows) so the join broadcasts; absent counters mean the value was
-    never seen → 0."""
+    never seen → 0. A counter table that RECORDS its build parameters
+    (:func:`cms_counters` metadata) must match the declaration —
+    probing with mismatched hashes reads arbitrary buckets and the
+    min is no longer an upper bound."""
+    recorded = cms_params(counters)
+    if recorded is not None and recorded != (depth, width):
+        raise ValueError(
+            f"cms_lookup: counter table records it was built with "
+            f"depth={recorded[0]}/width={recorded[1]} but depth={depth}/"
+            f"width={width} was declared — probe hashes would not match "
+            "the build"
+        )
     a, b = _km_halves(value)
     probes = items.select(
         "*",
