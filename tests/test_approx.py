@@ -4,6 +4,8 @@ twins here."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ue_big_data_project_spark.observability import (
@@ -284,3 +286,52 @@ def test_assign_clusters_backends_bit_identical(spark):
                     )
                 )
             assert pairs[0] == pairs[1], (metric, nprobe)
+
+
+def test_ivf_index_staleness_audit(spark, tmp_path):
+    """The quantizer-drift audit (round-10): ~1.0 on an index whose
+    frozen quantizer still fits its contents; materially above 1 after
+    a frozen-quantizer append of vectors from a region the training
+    never saw; a rebuild over the union resets it."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_staleness,
+    )
+
+    def vecs(start, n, axis):
+        # Deterministic 3-d vectors hugging one axis with small jitter.
+        base = [0.0, 0.0, 0.0]
+        jit = [
+            (F.col("id") % 5).cast("double") / 50,
+            ((F.col("id") * 3) % 7).cast("double") / 70,
+        ]
+        comps = []
+        j = iter(jit)
+        for d in range(3):
+            comps.append(F.lit(1.0) if d == axis else next(j))
+        return spark.range(n).select(
+            (F.col("id") + start).alias("vec_id"),
+            F.array(*comps).alias("embedding"),
+        )
+
+    a = vecs(0, 60, 0).unionByName(vecs(100, 60, 1))
+    path = str(tmp_path / "ivf")
+    build_ivf_index(a, path, n_centroids=2, kmeans_iters=2, train_mod=1)
+    before = ivf_index_staleness(spark, path, train_mod=1)
+    assert before["staleness_ratio"] == pytest.approx(1.0, abs=0.1)
+    # Drift: a third cluster on the axis the training never saw.
+    b = vecs(1000, 120, 2)
+    ivf_index_append(spark, path, b)
+    drifted = ivf_index_staleness(spark, path, train_mod=1)
+    assert drifted["staleness_ratio"] > 1.3, drifted
+    # Rebuild over the union resets the audit.
+    rebuilt = str(tmp_path / "ivf2")
+    build_ivf_index(
+        a.unionByName(b), rebuilt, n_centroids=3, kmeans_iters=3,
+        train_mod=1,
+    )
+    reset = ivf_index_staleness(spark, rebuilt, train_mod=1)
+    assert reset["staleness_ratio"] < drifted["staleness_ratio"]

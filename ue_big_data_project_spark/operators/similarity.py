@@ -1083,6 +1083,79 @@ def ivf_cell_stats(spark: SparkSession, index_path: str) -> DataFrame:
     )
 
 
+def ivf_index_staleness(
+    spark: SparkSession,
+    index_path: str,
+    train_mod: int = 4,
+    kmeans_iters: int = 2,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    score_scale: int = 6,
+) -> dict:
+    """How much the FROZEN coarse quantizer has degraded as the corpus
+    drifted — the fit-quality complement to :func:`ivf_cell_stats`'s
+    occupancy skew, and the IVF twin of
+    ``dedup.jaccard_index_staleness`` (round-10: SCALE.md's "rebuild
+    only on measured quantizer drift" now has its measurement).
+
+    Appends under a frozen quantizer stay EXACT (assignment is just
+    routing), but probe COST degrades as vectors land far from every
+    frozen centroid: nprobe cells stop covering the true neighborhoods
+    and cell sizes skew. This audit retrains a candidate quantizer on
+    the CURRENT index contents (same deterministic sampling as the
+    build) and compares mean quantization fit:
+
+        distortion = 1 − mean cosine(vector, its best centroid)
+        staleness_ratio = distortion_frozen / distortion_fresh
+
+    ~1.0 means the frozen quantizer still fits the corpus it indexes
+    (rebuilding would buy nothing); materially above 1 — the pinned
+    drift test reads >1.3 under a disjoint-cluster append — means
+    probes are paying for the freeze and a rebuild re-tightens cells.
+    Offline audit cost: one index scan per quantizer (zero-shuffle
+    assignment against broadcast centroids) plus one bounded-sample
+    k-means; never a probe-path cost.
+    """
+    root = index_path.rstrip("/")
+    centroids = spark.read.parquet(root + "_centroids")
+    n_cent = centroids.count()
+    rows = spark.read.parquet(root).select(item_id, item_vec)
+
+    def mean_fit(cents: DataFrame) -> float:
+        assigned = _assign_clusters(
+            rows, cents, item_vec, item_id, nprobe=1,
+            score_scale=score_scale,
+        )
+        row = (
+            assigned.join(
+                F.broadcast(cents.select("cent_id", "cent_vec")), "cent_id"
+            )
+            .agg(
+                F.avg(cosine(F.col(item_vec), F.col("cent_vec"))).alias("_s")
+            )
+            .first()
+        )
+        return float(row["_s"] or 0.0)
+
+    fresh_cent = kmeans_centroids(
+        rows,
+        n_centroids=int(n_cent),
+        iters=kmeans_iters,
+        item_id=item_id,
+        item_vec=item_vec,
+        train_mod=train_mod,
+        score_scale=score_scale,
+    )
+    fit_frozen, fit_fresh = mean_fit(centroids), mean_fit(fresh_cent)
+    d_frozen, d_fresh = 1.0 - fit_frozen, 1.0 - fit_fresh
+    eps = 1e-9
+    return {
+        "fit_frozen": fit_frozen,
+        "fit_fresh": fit_fresh,
+        "staleness_ratio": (d_frozen + eps) / (d_fresh + eps),
+    }
+
+
 def ivf_knn_indexed(
     spark: SparkSession,
     index_path: str,
