@@ -43,6 +43,12 @@ PROXIED = {
     # incremental cluster maintenance, the streaming cluster sink, the
     # Jaccard probe index — rotated INTO the gate in round 10 and face
     # the driver's hash directly, per the round-9 verdict's task 1.)
+    # Round-10-new, post-re-freeze: the RETENTION paths — prune the
+    # persisted cluster map / Jaccard index to a keep set; same
+    # artifact families as the in-gate incremental entries, prune
+    # semantics pinned by tests/test_incremental_dedup.py::test_rewrite_*.
+    "dedup_clusters_pruned": "dedup_clusters_incremental",
+    "dedup_jaccard_pruned": "dedup_jaccard_incremental",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -419,6 +419,11 @@ SHUFFLE_BUDGETS = {
     "dedup_clusters_incremental": 0,
     "streaming_dedup_clusters": 0,
     "dedup_jaccard_incremental": 0,
+    # Round-10 retention twins: same truncated-return shape (pruned-map
+    # read / probe checkpoint); prune mechanics pinned by the
+    # test_rewrite_* equivalence tests.
+    "dedup_clusters_pruned": 0,
+    "dedup_jaccard_pruned": 0,
 }
 
 

@@ -331,6 +331,15 @@ BENCH_EXTRA = (
     # round-9-new incremental-dedup queries (which moved OUT of this
     # tuple and INTO the gate — the bench set is unchanged).
     *_ROTATED_OUT_R10,
+    # Round-10-new (gate frozen at the round-10 set, so driver evidence
+    # arrives via the local pytest oracle + the in-gate incremental
+    # anchors): RETENTION paths — the cluster map pruned to a keep set
+    # (oracle = full closure over the half corpus, filtered AFTER the
+    # closure, pinning both the row shed and the label freeze) and the
+    # Jaccard probe index pruned then probed (oracle = full pair SQL
+    # restricted to surviving endpoints with ≥1 probe endpoint).
+    "dedup_clusters_pruned",
+    "dedup_jaccard_pruned",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

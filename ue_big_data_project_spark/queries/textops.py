@@ -361,6 +361,48 @@ WHERE (id_a % 4 = 1 OR id_b % 4 = 1)
 """
 
 
+def dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION on the Jaccard probe index (round-10): index HALF the
+    corpus, expire every 16th doc via ``rewrite_jaccard_index`` (prefix
+    + verify-array rows shed in place, the frozen frequency order
+    untouched), then probe with a disjoint quarter. The oracle is the
+    full-corpus exact pair SQL restricted to pairs whose endpoints all
+    survive (keep ∪ probe) with ≥1 probe endpoint — hash-equality
+    proves the prune removed exactly the expired docs' pairs and
+    nothing else, under the still-frozen order."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.dedup import (
+        jaccard_probe_index,
+        rewrite_jaccard_index,
+        write_jaccard_index,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    keep = old.filter(F.col("doc_id") % 16 != 0).select("doc_id")
+    new = d.filter(F.col("doc_id") % 4 == 1)
+    root = _tf.mkdtemp(prefix="spark_graft_jprune_")
+    try:
+        idx = root + "/jidx"
+        write_jaccard_index(old, idx, shingle_n=3, threshold=0.8)
+        rewrite_jaccard_index(spark, idx, keep)
+        return jaccard_probe_index(spark, idx, new)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+# Pairwise again: endpoints must be in (keep ∪ probe) where keep =
+# indexed (even) AND not expired (% 16 ≠ 0), with ≥1 probe endpoint.
+DEDUP_JACCARD_PRUNED_SQL = f"""
+SELECT id_a, id_b, jaccard FROM ({DEDUP_JACCARD_SQL})
+WHERE (id_a % 4 = 1 OR id_b % 4 = 1)
+  AND ((id_a % 2 = 0 AND id_a % 16 <> 0) OR id_a % 4 = 1)
+  AND ((id_b % 2 = 0 AND id_b % 16 <> 0) OR id_b % 4 = 1)
+"""
+
+
 def streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous cluster maintenance end-to-end (round-9): documents
     replay as 4 REAL micro-batches through
@@ -463,6 +505,77 @@ WITH RECURSIVE docs_half AS (
 )
 SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
 FROM reach GROUP BY node
+"""
+
+
+def dedup_clusters_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION on the persisted cluster map (round-10): cluster HALF
+    the corpus, persist the component-bucketed map, expire every 16th
+    doc via ``rewrite_cluster_map`` (storage shed — survivors keep
+    their grouping and their labels, even labels naming expired docs),
+    and read the pruned map back. The oracle clusters the same half
+    corpus in full (recursive-CTE closure — expired docs still
+    participate in connectivity and in the min-label) and then filters
+    to the keep set: exactly the prune contract, so hash-equality pins
+    both the row shed and the label freeze."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.dedup import (
+        read_cluster_map,
+        rewrite_cluster_map,
+        write_cluster_map,
+    )
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") % 2 == 0
+    )
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.8
+    )
+    assign = connected_components(
+        d.select("doc_id"), pairs,
+        node_col="doc_id", src_col="id_a", dst_col="id_b",
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_cprune_")
+    try:
+        cmap = root + "/cmap"
+        write_cluster_map(assign, cmap, n_buckets=16)
+        keep = d.filter(F.col("doc_id") % 16 != 0).select("doc_id")
+        rewrite_cluster_map(spark, cmap, keep)
+        return (
+            read_cluster_map(spark, cmap)
+            .select("doc_id", "component")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+# Same closure as the streaming twin (retargeted at the half corpus),
+# with the keep-set filter applied AFTER the closure — labels come from
+# the FULL half-corpus connectivity, exactly like the pruned map's.
+DEDUP_CLUSTERS_PRUNED_SQL = f"""
+WITH RECURSIVE docs_half AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    {DEDUP_JACCARD_SQL.replace("FROM documents", "FROM docs_half")}
+  ) p
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM docs_half
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+FROM reach WHERE node % 16 <> 0 GROUP BY node
 """
 
 
@@ -2190,6 +2303,12 @@ QUERIES = {
     ),
     "dedup_jaccard_incremental": QuerySpec(
         dedup_jaccard_incremental, DEDUP_JACCARD_INCREMENTAL_SQL
+    ),
+    "dedup_clusters_pruned": QuerySpec(
+        dedup_clusters_pruned, DEDUP_CLUSTERS_PRUNED_SQL
+    ),
+    "dedup_jaccard_pruned": QuerySpec(
+        dedup_jaccard_pruned, DEDUP_JACCARD_PRUNED_SQL
     ),
     "text_scrub": QuerySpec(text_scrub, TEXT_SCRUB_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
