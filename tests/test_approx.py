@@ -335,3 +335,66 @@ def test_ivf_index_staleness_audit(spark, tmp_path):
     )
     reset = ivf_index_staleness(spark, rebuilt, train_mod=1)
     assert reset["staleness_ratio"] < drifted["staleness_ratio"]
+
+
+def test_semdedup_keep_lowest_within_cell(spark):
+    """Two clean 2-cluster groups: md5 init picks one seed per cluster
+    (md5('1') < md5('2') < md5('0') < md5('3')), Lloyd separates them,
+    and within each cell the higher-id near-dup drops."""
+    from ue_big_data_project_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in semdedup(
+        df, threshold=0.4, n_centroids=2, train_mod=1
+    ).collect()}
+    assert {i for i, r in out.items() if r.kept == 1} == {0, 2}
+    assert out[0].cell == out[1].cell
+    assert out[2].cell == out[3].cell
+    assert out[0].cell != out[2].cell
+    spark.catalog.clearCache()
+
+
+def test_semdedup_matches_within_cell_brute_force(spark, sf_dir):
+    """Contract on real data: dropped ⟺ a lower-id SAME-CELL mate sits
+    at rounded cosine ≥ τ — replayed in pure Python with the identical
+    fold order and portable round."""
+    import math
+
+    from ue_big_data_project_spark.operators.similarity import semdedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = semdedup(e, threshold=0.4).collect()
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.select("vec_id", "embedding").collect()
+    }
+
+    def cos6(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        c = dot / (na * nb) if na * nb > 0 else 0.0
+        return math.floor(c * 1e6 + 0.5) / 1e6
+
+    cells: dict[int, list[int]] = {}
+    for r in got:
+        cells.setdefault(r.cell, []).append(r.vec_id)
+    expected_drop = set()
+    for members in cells.values():
+        members.sort()
+        for i, hi in enumerate(members):
+            for lo in members[:i]:
+                if cos6(vecs[lo], vecs[hi]) >= 0.4:
+                    expected_drop.add(hi)
+                    break
+    assert {r.vec_id for r in got if r.kept == 0} == expected_drop
+    assert len(got) == len(vecs)  # every item reported exactly once
+    spark.catalog.clearCache()

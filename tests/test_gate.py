@@ -49,6 +49,20 @@ PROXIED = {
     # semantics pinned by tests/test_incremental_dedup.py::test_rewrite_*.
     "dedup_clusters_pruned": "dedup_clusters_incremental",
     "dedup_jaccard_pruned": "dedup_jaccard_incremental",
+    # Round-10-new, post-re-freeze: span-level substring dedup — same
+    # gram-inverted-index family as the in-gate Jaccard probe entry;
+    # strip semantics pinned by tests/test_span_dedup.py and the local
+    # DuckDB hash (md5 of the reconstructed stripped text).
+    "dedup_span_ngrams": "dedup_jaccard_incremental",
+    # SemDeDup cell-scoped semantic pruning — same quantizer/assignment
+    # family as the in-gate IVF probe entries; kept/dropped contract
+    # pinned by tests/test_approx.py::test_semdedup_* and the local
+    # DuckDB hash (shared Lloyd-chain oracle).
+    "dedup_semantic_prune": "knn_cosine_ivf_probe",
+    # Deterministic training-shard export manifest — md5 hash-bucket +
+    # one-shuffle window/agg family; anchored by the in-gate windowed
+    # kit (same window-then-aggregate shape) and locally hash-checked.
+    "pipeline_training_shards": "window_rank_kit",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -424,6 +424,21 @@ SHUFFLE_BUDGETS = {
     # test_rewrite_* equivalence tests.
     "dedup_clusters_pruned": 0,
     "dedup_jaccard_pruned": 0,
+    # Span-level substring dedup: gram-keyed df agg (2: distinct-expand
+    # partial + gram agg), doc window key, covered-position distinct,
+    # strip reassembly agg. The dup-gram → occurrence join and the
+    # covered anti join broadcast at fixture stats; the corpus never
+    # pays more than the gram key + the doc key.
+    "dedup_span_ngrams": 5,
+    # SemDeDup: quantizer trains driver-side (bounded sample, charged
+    # at call time), assignment is the broadcast-centroid Arrow scan
+    # (zero shuffle); the live plan pays only the within-cell pair
+    # stage — drop-id distinct + the kept-flag join key. The cell
+    # self-join broadcasts at fixture stats.
+    "dedup_semantic_prune": 2,
+    # Deterministic training-shard manifest: the position window and
+    # the manifest agg share the ONE shard-key exchange.
+    "pipeline_training_shards": 1,
 }
 
 

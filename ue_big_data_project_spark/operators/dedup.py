@@ -1176,3 +1176,192 @@ def jaccard_index_staleness(spark, path: str) -> dict:
         # zero-division guard.
         "staleness_ratio": float(frozen_e + 1) / (fresh_e + 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# Span-level (substring) dedup — duplicated n-token SPANS inside docs
+# ---------------------------------------------------------------------------
+# The fourth dedup granularity: exact/minhash/jaccard/simhash score WHOLE
+# documents, but web corpora mostly repeat at the sub-document level
+# (boilerplate headers, quoted passages, mirrored paragraphs). Span dedup
+# finds every n-token window that also occurs in another document, merges
+# overlapping windows into maximal duplicated spans, and can strip those
+# spans out, keeping the document's unique remainder — the suffix-array
+# substring dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+# Language Models Better"), re-expressed as a positional n-gram join so it
+# runs as bounded-key shuffles instead of a distributed suffix array.
+#
+# Scale shape (100 TB): the only corpus-sized shuffles key on the GRAM
+# (inverted-index join, the dedup-family discipline — never all pairs) and
+# on the doc id (one window + one agg, same partitioning). Gram strings
+# ride the shuffle verbatim so the DuckDB oracle can replay the join
+# byte-for-byte; a production deployment would hash them to 64-bit first
+# (xxhash64(gram)) and cut shuffle bytes ~5× — same plan, one projection
+# swap, exactly the md5-vs-xxhash tradeoff documented in the module header.
+
+
+def span_gram_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, n_tokens, pos, gram): positional n-token windows.
+
+    ``pos`` is the 0-based index of the window's first token in the
+    normalized token stream; a doc with fewer than ``n`` tokens emits no
+    rows. One row per window position — unlike :func:`shingle_rows`,
+    which set-dedups, positions here are the unit of coverage.
+    """
+    words = tokens(text_col)
+    sized = _spread(df).select(
+        F.col(id_col), words.alias("_words"), F.size(words).alias("n_tokens")
+    )
+    # sequence() DESCENDS when start > stop, so guard short docs to an
+    # empty gram list instead of a phantom descending index walk.
+    grams = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice("_words", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return sized.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+
+
+def duplicated_span_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, pos, n_tokens) — window positions whose gram occurs in at
+    least ``min_docs`` distinct documents. The building block both the
+    stats and the strip path consume; cached because both traverse it
+    (small: only duplicated positions survive the semi join)."""
+    occ = span_gram_rows(df, id_col, text_col, n)
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    # Inverted-index semi join: occ is scanned twice (df discovery +
+    # hit join) — two codegen scans beat caching the full exploded gram
+    # table, which is the one corpus-sized intermediate here.
+    return occ.join(dup, "gram").select(id_col, "pos", "n_tokens")
+
+
+def span_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+    hits: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal duplicated spans: (id, span_start, span_end, n_tokens).
+
+    Gaps-and-islands over the duplicated window positions: window
+    [q, q+n) merges into the island of its predecessor [p, p+n) iff
+    q − p ≤ n (overlap or exact adjacency — contiguous duplicated text
+    is ONE span). ``span_end`` is exclusive. Both the window and the
+    per-island agg partition on the doc id — one shuffle, reused.
+    """
+    from pyspark.sql import Window
+
+    if hits is None:
+        hits = duplicated_span_positions(df, id_col, text_col, n, min_docs)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    is_new = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)
+    ).otherwise(F.lit(1))  # lag NULL (first row) → otherwise → new island
+    return (
+        hits.withColumn("_new", is_new)
+        .withColumn("_island", F.sum("_new").over(w))
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .drop("_island")
+    )
+
+
+def span_dedup_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document span-dedup report + stripped text, affected docs only.
+
+    Output: id, ``n_dup_spans``, ``dup_tokens`` (tokens covered by ≥1
+    duplicated window), ``n_tokens``, ``dup_frac`` (4-dp portable
+    round), ``kept_tokens``, ``clean_text`` (the doc with every
+    duplicated span removed, single-space re-joined; '' when the whole
+    doc is duplicated — dup_frac 1.0). ``dup_tokens + kept_tokens ==
+    n_tokens`` by construction.
+
+    The strip is positional: token index t survives iff no duplicated
+    window [p, p+n) covers it. Reconstruction collects one doc's kept
+    tokens into an array (bounded by the document length — the same
+    per-doc bound every text operator here carries), sorts by position,
+    and re-joins. Downstream: filter ``dup_frac`` against a corpus
+    threshold to drop boilerplate-heavy docs, or swap ``text`` for
+    ``clean_text`` to keep their unique remainder.
+    """
+    hits = duplicated_span_positions(
+        df, id_col, text_col, n, min_docs
+    ).cache()
+    stats = (
+        span_duplicate_spans(df, id_col, text_col, n, min_docs, hits=hits)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            pround(F.col("dup_tokens") / F.col("n_tokens"), 4),
+        )
+    )
+    covered = hits.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("_tokpos"),
+    ).distinct()
+    tokrows = _spread(df).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_tokpos", "_word")
+    )
+    clean = (
+        tokrows.join(covered, [id_col, "_tokpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_tokpos", "_word"))),
+                    lambda s: s["_word"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return stats.join(clean, id_col, "left").select(
+        id_col,
+        "n_dup_spans",
+        "dup_tokens",
+        "n_tokens",
+        "dup_frac",
+        F.coalesce("kept_tokens", F.lit(0).cast("long")).alias("kept_tokens"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

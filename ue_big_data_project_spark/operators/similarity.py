@@ -1698,3 +1698,85 @@ def ivf_pq_knn(
         F.col(query_id), F.col(item_id), score.alias("cosine_sim")
     )
     return _rank_topk(scored, query_id, item_id, k)
+
+
+def semdedup(
+    items: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    kmeans_iters: int = 2,
+    train_mod: int = 4,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    score_scale: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
+    cells — per item: (id, ``cell``, ``kept``).
+
+    Cluster the corpus with the deterministic Lloyd quantizer
+    (:func:`kmeans_centroids` — md5 init, decimal-exact sums, fully
+    SQL-replayable), tag every item with its nearest cell, then pair
+    items ONLY within a cell: an item is dropped (``kept`` = 0) when a
+    lower-id cell-mate sits within ``threshold`` rounded cosine. The
+    keep-lowest rule makes the decision order-free and deterministic —
+    no greedy scan order to reproduce.
+
+    This is the SCALE path for embedding near-dedup: the global
+    block-matrix join (:func:`cosine_pairs`) pays O(N²·dim/B) shuffle
+    bytes no matter how sparse the duplicates; cell-scoped pairing pays
+    Σ|cell|² — with n_centroids grown ~√N (SemDeDup used 50k cells for
+    LAION), cells stay bounded and the pair stage is ~linear. The only
+    corpus shuffle is the self-join on ``cell``; assignment broadcasts
+    the bounded centroid table and never shuffles. A pathological
+    giant cell can front this with the tile pruner (compose
+    ``cosine_pairs`` per cell) without changing the kept/dropped
+    contract — the rounded-cosine test is identical.
+
+    Semantic vs lexical: MinHash/Jaccard spans catch COPIES; embedding
+    cells catch paraphrases and template families whose token overlap
+    is low. Pipelines run both (SemDeDup drops 50%+ of LAION with
+    negligible loss; §LLM-pipeline north star).
+    """
+    centroids = kmeans_centroids(
+        items,
+        n_centroids=n_centroids,
+        iters=kmeans_iters,
+        item_id=item_id,
+        item_vec=item_vec,
+        train_mod=train_mod,
+        score_scale=score_scale,
+    )
+    tagged = (
+        _assign_clusters(
+            items, centroids, item_vec, item_id, nprobe=1,
+            score_scale=score_scale,
+        )
+        .withColumnRenamed("cent_id", "cell")
+        .cache()  # feeds both pair sides + the kept-flag epilogue
+    )
+    a = tagged.select(
+        "cell", F.col(item_id).alias("_ida"), F.col(item_vec).alias("_va")
+    )
+    b = tagged.select(
+        "cell", F.col(item_id).alias("_idb"), F.col(item_vec).alias("_vb")
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            pround(cosine(F.col("_va"), F.col("_vb")), score_scale)
+            >= threshold
+        )
+        .select(F.col("_idb").alias(item_id))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        tagged.select(item_id, "cell")
+        .join(drops, item_id, "left")
+        .select(
+            F.col(item_id),
+            F.col("cell"),
+            F.col("_drop").isNull().cast("int").alias("kept"),
+        )
+    )

@@ -536,3 +536,100 @@ def scrub_boilerplate_lines(
         )
         .withColumnRenamed(id_col, "doc_id")
     )
+
+
+# Prime modulus for the order fingerprint: 2^31 − 1. Every term is
+# reduced mod P before multiplying, so products stay < P² ≈ 4.6e18
+# (inside int64); the final sum goes through DECIMAL(38,0) so even a
+# 1e11-document shard cannot overflow the accumulator in either engine.
+FP_PRIME = 2_147_483_647
+
+
+def training_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle → per-shard training-export manifest.
+
+    The last mile of a training-data pipeline: the corpus must reach
+    the trainer in a reproducible pseudo-random order, cut into shards,
+    with a manifest the loader can verify. Both decisions hash the id
+    (``md5``), so they are independent of partitioning, cluster size,
+    and engine — rerunning on 10 or 10 000 executors produces the SAME
+    shards in the SAME order:
+
+    - ``shard`` = :func:`hash_bucket`\\(id, shards) — the first 12 md5
+      hex digits mod ``shards``.
+    - within-shard order = (md5(id), id) ascending — the "global
+      shuffle" readers consume sequentially.
+    - ``order_fp`` pins that order END-TO-END without collecting a
+      shard anywhere: position-weighted hash
+      ``Σ ((pos mod P)·(h mod P) mod P) mod P`` with ``pos`` =
+      row_number in shard order, ``h`` = the 48-bit md5 prefix, P =
+      ``FP_PRIME``. Any swap, drop, or duplicate changes it; it is
+      computed with one window + one agg on the shard key (the same
+      single shuffle), so the manifest costs O(corpus) scan, O(shards)
+      output at any scale.
+
+    Output: ``(shard, n_docs, total_chars, order_fp)``.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    h = F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.col(size_col).alias("_size"),
+        key.alias("_key"),
+        h.alias("_h"),
+        F.pmod(h, F.lit(shards)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    pos = F.row_number().over(w).cast("long")
+    term = (
+        F.pmod(pos, F.lit(FP_PRIME)) * F.pmod(F.col("_h"), F.lit(FP_PRIME))
+    ) % FP_PRIME
+    return (
+        base.withColumn("_term", term)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_size").cast("long").alias("total_chars"),
+            (F.sum(F.col("_term").cast("decimal(38,0)")) % FP_PRIME)
+            .cast("long")
+            .alias("order_fp"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    shards: int = 8,
+) -> None:
+    """Materialize the :func:`training_shards` layout: hive-partitioned
+    by ``shard``, every FILE internally sorted by the shuffle order
+    (md5(id), id). A shard directory may hold several files (tasks are
+    not forced 1:1 onto shards — that would serialize the write);
+    readers merge files by the ``_key`` column, which is persisted
+    precisely so the merge is a file-local sort-merge, not a re-hash.
+    The manifest's ``order_fp`` verifies the result end-to-end."""
+    key = F.md5(F.col(id_col).cast("string"))
+    (
+        df.withColumn("_key", key)
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.substring(F.col("_key"), 1, 12), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(shards),
+            ),
+        )
+        .repartition(shards, "shard")
+        .sortWithinPartitions("shard", "_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -340,6 +340,21 @@ BENCH_EXTRA = (
     # restricted to surviving endpoints with ≥1 probe endpoint).
     "dedup_clusters_pruned",
     "dedup_jaccard_pruned",
+    # Round-10-new: SPAN-level substring dedup (Lee et al. 2022) — the
+    # fourth dedup granularity (whole-doc exact/minhash/jaccard/simhash
+    # → sub-document spans): duplicated 5-token windows merged into
+    # maximal spans, stripped, and hash-pinned via md5 of the
+    # reconstructed remainder.
+    "dedup_span_ngrams",
+    # Round-10-new: SemDeDup (Abbas et al. 2023) — semantic near-dup
+    # pruning scoped to deterministic k-means cells (paraphrase-level
+    # duplicates lexical dedup cannot see); oracle = the shared
+    # Lloyd-chain replay + within-cell lowest-id-wins pruning.
+    "dedup_semantic_prune",
+    # Round-10-new: deterministic global shuffle + training-shard
+    # manifest (the export last-mile) — md5 shard/order, distributed
+    # position-weighted order fingerprint, one shard-key shuffle.
+    "pipeline_training_shards",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -579,6 +579,102 @@ FROM reach WHERE node % 16 <> 0 GROUP BY node
 """
 
 
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) dedup — the Lee et al. 2022 granularity:
+    find every 5-token window that also occurs in another document,
+    merge overlaps into maximal duplicated spans, and STRIP them,
+    keeping each document's unique remainder
+    (operators.dedup.span_dedup_docs). Per affected doc: span count,
+    covered-token count/fraction, and md5 of the reconstructed
+    stripped text — the hash pins the exact byte-level removal, not
+    just the counts. Doc-level dedup (exact/minhash/jaccard) cannot
+    see these: a boilerplate header shared by thousands of otherwise
+    unique pages never pushes whole-doc Jaccard over threshold."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = DD.span_dedup_docs(d, "doc_id", "text", n=5, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_tokens",
+        "n_tokens",
+        "dup_frac",
+        "kept_tokens",
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+# Positional 5-gram windows via LOCKSTEP unnest of parallel pos/gram
+# lists (DuckDB 1.0 binds struct_pack-of-an-outer-slice inside a lambda
+# to the wrong overload, so no struct walk). Islands: window [q,q+5)
+# merges with predecessor [p,p+5) iff q−p ≤ 5 (overlap or adjacency);
+# lag NULL → new island, mirroring the Spark F.when branch exactly.
+DEDUP_SPAN_SQL = f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+grams AS (
+  SELECT doc_id, len(words) AS n_tokens,
+         unnest(CASE WHEN len(words) >= 5
+                THEN range(0, len(words) - 4) ELSE [] END) AS pos,
+         unnest(CASE WHEN len(words) >= 5
+                THEN list_transform(range(1, len(words) - 3),
+                     i -> array_to_string(words[i:i+4], ' '))
+                ELSE [] END) AS gram
+  FROM toks
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos, g.n_tokens FROM grams g JOIN dup USING (gram)
+),
+brk AS (
+  SELECT doc_id, pos, n_tokens,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= 5 THEN 0 ELSE 1 END AS is_new
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos, n_tokens,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e,
+         max(n_tokens) AS n_tokens
+  FROM isl GROUP BY 1, 2
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+         max(n_tokens) AS n_tokens,
+         {sql_round("sum(e - s) * 1.0 / max(n_tokens)", 4)} AS dup_frac
+  FROM spans GROUP BY doc_id
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS tokpos FROM hits
+),
+tokrows AS (
+  SELECT doc_id, unnest(range(0, len(words))) AS tokpos,
+         unnest(words) AS word
+  FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.tokpos, t.word
+  FROM tokrows t ANTI JOIN covered c
+    ON t.doc_id = c.doc_id AND t.tokpos = c.tokpos
+),
+clean AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(word, ' ' ORDER BY tokpos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_dup_spans, s.dup_tokens, s.n_tokens, s.dup_frac,
+       coalesce(c.kept_tokens, 0) AS kept_tokens,
+       md5(coalesce(c.clean_text, '')) AS clean_fp
+FROM stats s LEFT JOIN clean c ON s.doc_id = c.doc_id
+"""
+
+
 def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: email/URL redaction with placeholder tokens +
     per-doc counts; md5 of the scrubbed text proves the exact redacted
@@ -1143,17 +1239,18 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {knn_k}
 KNN_PQ_SQL = _pq_sql()
 
 
-def _ivf_sql(
+def _lloyd_chain_sql(
     n_centroids: int = 16,
     iters: int = 2,
-    nprobe: int = 2,
-    k: int = 5,
     train_mod: int = 4,
-) -> str:
-    """DuckDB replay of kmeans_centroids + ivf_knn: the Lloyd loop is
+) -> list[str]:
+    """The shared DuckDB replay of ``kmeans_centroids``: the Lloyd loop
     UNROLLED as one CTE chain per iteration (assign → decimal sums →
     rebuild → empty-cell coalesce), bit-equal to the Spark plan because
-    every step is decimal-exact or rounded at a fixed scale."""
+    every step is decimal-exact or rounded at a fixed scale. Returns
+    the CTE-prefix parts; the final centroid table is ``c{iters}``.
+    Consumed by both the IVF oracle (`_ivf_sql`) and the SemDeDup
+    oracle (`_semdedup_sql`)."""
     parts = [
         f"""
 WITH train AS (
@@ -1200,6 +1297,19 @@ c{it + 1} AS (
   FROM c{it} c LEFT JOIN n{it} n ON c.cent_id = n.cent_id
 )"""
         )
+    return parts
+
+
+def _ivf_sql(
+    n_centroids: int = 16,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 5,
+    train_mod: int = 4,
+) -> str:
+    """DuckDB replay of kmeans_centroids + ivf_knn (Lloyd chain from
+    :func:`_lloyd_chain_sql` + tag/probe/score/rank tail)."""
+    parts = _lloyd_chain_sql(n_centroids, iters, train_mod)
     cent = f"c{iters}"
     parts.append(
         f""",
@@ -1249,6 +1359,63 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
 
 
 KNN_IVF_SQL = _ivf_sql()
+
+
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pruning scoped
+    to k-means cells (operators.similarity.semdedup) — cluster with the
+    deterministic Lloyd quantizer (16 cells, 2 iterations, 1-in-4
+    training sample), pair items only WITHIN a cell, drop any item with
+    a lower-id cell-mate at rounded cosine ≥ 0.4. Per item: cell +
+    kept flag. The cell scoping is what scales: Σ|cell|² pair work vs
+    the global block join's O(N²/B) — and it catches paraphrase-level
+    duplicates that lexical (token-overlap) dedup cannot see."""
+    from ue_big_data_project_spark.operators.similarity import semdedup
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return semdedup(e, threshold=0.4)
+
+
+def _semdedup_sql(
+    n_centroids: int = 16,
+    iters: int = 2,
+    train_mod: int = 4,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB replay of :func:`dedup_semantic_prune`: the shared Lloyd
+    chain, the nearest-cell tag, then within-cell lowest-id-wins
+    pruning at the same rounded-cosine threshold."""
+    parts = _lloyd_chain_sql(n_centroids, iters, train_mod)
+    cent = f"c{iters}"
+    parts.append(
+        f""",
+item_sc AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {_cos_sql("e.embedding", "c.cent_vec")} AS cent_sim
+  FROM embeddings e, {cent} c
+),
+tagged AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id ASC) AS rn
+    FROM item_sc
+  ) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM tagged a JOIN tagged b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cos_sql("a.embedding", "b.embedding")} >= {threshold}
+)
+SELECT t.vec_id, t.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM tagged t LEFT JOIN drops d ON t.vec_id = d.vec_id
+"""
+    )
+    return "".join(parts)
+
+
+DEDUP_SEMANTIC_PRUNE_SQL = _semdedup_sql()
 
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1539,6 +1706,51 @@ def _hash_mod_sql(buckets: int) -> str:
         )
         + f") % {buckets}"
     )
+
+
+def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard manifest for training
+    export (pipelines.training_shards): shard and within-shard order
+    both hash the doc id (md5), so the layout is identical on any
+    cluster size or engine; ``order_fp`` (position-weighted hash mod
+    2^31−1, computed distributed — one window + one agg on the shard
+    key) pins the exact document ORDER per shard, not just membership."""
+    from ue_big_data_project_spark.pipelines import training_shards
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return training_shards(d, shards=8)
+
+
+# h = the 48-bit md5 prefix as bigint (the pre-mod value hash_bucket
+# reduces); the strpos hex decode is the engine-portable idiom used by
+# every md5-derived integer in this file.
+_HEX12 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1)"
+        f" * {16 ** (11 - k)}"
+        for k in range(12)
+    )
+    + ")"
+)
+PIPELINE_TRAINING_SHARDS_SQL = f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS key,
+         {_HEX12} AS h,
+         {_hash_mod_sql(8)} AS shard
+  FROM documents
+), p AS (
+  SELECT shard, n_chars, h,
+         row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+  FROM b
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(CAST(sum(((pos % 2147483647) * (h % 2147483647)) % 2147483647)
+                 AS DECIMAL(38,0)) % 2147483647 AS BIGINT) AS order_fp
+FROM p GROUP BY shard
+"""
 
 
 _HASH100 = _hash_mod_sql(100)
@@ -2286,6 +2498,9 @@ QUERIES = {
     "pipeline_upsert_corpus": QuerySpec(
         pipeline_upsert_corpus, PIPELINE_UPSERT_SQL
     ),
+    "pipeline_training_shards": QuerySpec(
+        pipeline_training_shards, PIPELINE_TRAINING_SHARDS_SQL
+    ),
     "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": QuerySpec(dedup_incremental, DEDUP_INCREMENTAL_SQL),
@@ -2309,6 +2524,10 @@ QUERIES = {
     ),
     "dedup_jaccard_pruned": QuerySpec(
         dedup_jaccard_pruned, DEDUP_JACCARD_PRUNED_SQL
+    ),
+    "dedup_span_ngrams": QuerySpec(dedup_span_ngrams, DEDUP_SPAN_SQL),
+    "dedup_semantic_prune": QuerySpec(
+        dedup_semantic_prune, DEDUP_SEMANTIC_PRUNE_SQL
     ),
     "text_scrub": QuerySpec(text_scrub, TEXT_SCRUB_SQL),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL),
