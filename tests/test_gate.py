@@ -63,6 +63,15 @@ PROXIED = {
     # one-shuffle window/agg family; anchored by the in-gate windowed
     # kit (same window-then-aggregate shape) and locally hash-checked.
     "pipeline_training_shards": "window_rank_kit",
+    # Winnowing fingerprints (per-doc zero-shuffle array-HOF selection)
+    # + shared-fingerprint pairs — same gram-hash inverted-index dedup
+    # family as the in-gate Jaccard probe entry; selection semantics
+    # pinned by tests/test_winnow.py and the local DuckDB hash.
+    "text_winnow": "dedup_jaccard_incremental",
+    "dedup_winnow_pairs": "dedup_jaccard_incremental",
+    # Temperature-flattened domain mixing — same deterministic
+    # md5-threshold sampling family as the in-gate weighted sample.
+    "pipeline_temperature_mix": "pipeline_weighted_sample",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -439,6 +439,14 @@ SHUFFLE_BUDGETS = {
     # Deterministic training-shard manifest: the position window and
     # the manifest agg share the ONE shard-key exchange.
     "pipeline_training_shards": 1,
+    # Winnowing per-doc fingerprints: pure array HOFs — ZERO shuffles.
+    "text_winnow": 0,
+    # Winnow pairs: (doc,hash) distinct + the df-cap window on the hash
+    # key (which the self-join reuses) + the pair-count agg.
+    "dedup_winnow_pairs": 3,
+    # Temperature mix: domain count agg, the 1-row global max, the
+    # keep-pass domain agg (+ its partial); the rate table broadcasts.
+    "pipeline_temperature_mix": 4,
 }
 
 

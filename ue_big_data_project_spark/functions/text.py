@@ -221,3 +221,96 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, shingled).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def gram_hashes(text: Column | str, k: int = 4) -> Column:
+    """POSITIONAL k-gram hash sequence: ``array<long>`` where element i
+    is the 32-bit hash of tokens ``i..i+k-1`` (1-based, order kept, NOT
+    distinct — winnowing needs the positional sequence, unlike the
+    order-free sets :func:`word_shingles` feeds to MinHash).
+
+    Same CSE-safe shifted-slice construction as :func:`word_shingles`;
+    docs with fewer than k tokens hash to an empty sequence (the slice
+    width clamps to 0).
+    """
+    toks = tokens(text)
+    width = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, width) for j in range(k)])
+    grams = F.transform(
+        zipped,
+        lambda z: F.concat_ws(" ", *[z[str(j)] for j in range(k)]),
+    )
+    return F.transform(grams, _hash32)
+
+
+def winnow_select(hs: Column, w: int = 5) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003) over a positional hash sequence.
+
+    For every window of ``w`` consecutive k-gram hashes, select the
+    minimum hash — rightmost position on ties — and return the DISTINCT
+    selected ``array<struct<h:long, p:int>>`` (hash, 1-based gram
+    position). Guarantee: two documents sharing a token substring of at
+    least ``w + k - 1`` tokens share at least one selected hash, while
+    only ~``2/(w+1)`` of grams are kept — the standard robust local
+    fingerprint for substring-level near-dup detection (a denser, local
+    complement to the whole-document :func:`rolling_fingerprint`).
+
+    Pure higher-order array functions — per-document, zero shuffles,
+    embarrassingly parallel at 100 TB. Windows are materialized as ``w``
+    shifted slices zipped together (CSE-safe, see :func:`word_shingles`),
+    so the rightmost-min scan is a fixed w-way ``least`` + CASE chain per
+    window, never an O(n·w) re-hash. Sequences shorter than ``w`` (but
+    non-empty) winnow to their single global rightmost-min; empty
+    sequences to ``[]``.
+    """
+    n = F.size(hs)
+    # Full windows: starts 1..n-w+1 (the n >= w branch).
+    swidth = n - (w - 1)
+    zipw = F.arrays_zip(*[F.slice(hs, j + 1, swidth) for j in range(w)])
+
+    def pick(z: Column, i: Column) -> Column:
+        cells = [z[str(j)] for j in range(w)]
+        mh = F.least(*cells)
+        case = F.when(cells[w - 1] == mh, F.lit(w - 1))
+        for j in range(w - 2, -1, -1):
+            case = case.when(cells[j] == mh, F.lit(j))
+        return F.struct(
+            mh.alias("h"), (i + 1 + case).cast("int").alias("p")
+        )
+
+    full = F.transform(zipw, pick)
+    # Short docs (1 <= n < w): one global window, rightmost min. The
+    # ascending aggregate keeps the LAST element attaining the running
+    # min (x.h <= acc.h), i.e. the rightmost tie.
+    hp = F.zip_with(
+        hs,
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda h, p: F.struct(h.alias("h"), p.cast("int").alias("p")),
+    )
+    init = F.struct(
+        F.lit(1 << 33).cast("long").alias("h"),
+        F.lit(0).cast("int").alias("p"),
+    )
+    best = F.aggregate(
+        hp, init, lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc)
+    )
+    empty = F.array().cast("array<struct<h:bigint,p:int>>")
+    return F.array_distinct(
+        F.when(n >= w, full).when(n >= 1, F.array(best)).otherwise(empty)
+    )
+
+
+def winnow_digest(fps: Column) -> Column:
+    """Order-invariant digest of selected fingerprints:
+    ``Σ h·p mod (2⁶¹−1)`` with a RUNNING mod in the aggregate lambda, so
+    the BIGINT accumulator stays exact for ANY document size (each step
+    is < 2⁶¹ + 2⁶³⁻¹·ε; the oracle's HUGEINT sum-then-mod agrees because
+    ((a mod m) + b) mod m == (a + b) mod m)."""
+    return F.aggregate(
+        fps,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(
+            acc + x["h"] * x["p"].cast("long"), F.lit(ROLL_MOD)
+        ),
+    )

@@ -416,6 +416,70 @@ def simhash_pairs(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by shared WINNOWING fingerprints (Schleimer et al.,
+    SIGMOD 2003) — substring-level evidence, the MOSS scheme.
+
+    Winnowing guarantees any shared token run of ≥ ``w + k - 1`` tokens
+    shares a selected hash, while keeping only ~2/(w+1) of grams — so the
+    inverted-index join below is over a sequence ~3× sparser than the
+    full gram postings ``span_gram_rows`` builds, with a detection
+    guarantee the order-free MinHash bands can't give. Pipeline: per-doc
+    selection (zero shuffles, pure array HOFs in
+    ``functions.text.winnow_select``) → distinct (doc, hash) →
+    stop-fingerprint cap (hashes in > ``max_df`` docs are boilerplate,
+    dropped BEFORE the self-join, bounding the per-key fan-out at scale)
+    → hash equi-join → pairs sharing ≥ ``min_shared`` hashes. Never
+    all-pairs; every shuffle key is a fingerprint hash or a doc-id pair.
+    """
+    from pyspark.sql import Window
+
+    from ue_big_data_project_spark.functions.text import (
+        gram_hashes,
+        winnow_select,
+    )
+
+    fps = (
+        df.select(
+            F.col(id_col),
+            F.explode(winnow_select(gram_hashes(text_col, k=k), w=w)).alias(
+                "f"
+            ),
+        )
+        .select(id_col, F.col("f.h").alias("h"))
+        .distinct()
+    )
+    # df-cap as a WINDOW over the hash key (not a groupBy + join-back):
+    # one exchange on h, which the self-join below then reuses. Cached
+    # because ``keep`` feeds both sides of the self-join (see module
+    # docstring on cache lifetime).
+    keep = (
+        fps.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+        .cache()
+    )
+    a = keep.select(F.col(id_col).alias("id_a"), "h")
+    b = keep.select(F.col(id_col).alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: a NEW batch against the persisted corpus index.
 # A training corpus is not deduped once — every crawl increment must be

@@ -152,6 +152,62 @@ def stratified_sample(
     return df.filter(b < rate)
 
 
+def temperature_mix(
+    df: DataFrame, domain_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Temperature-flattened domain mixing at T = 2 — the standard
+    multilingual/multi-domain rebalance (sampling mass ∝ share^(1/T),
+    mBERT/XLM-R style): unlike :func:`stratified_sample`, the keep rates
+    are DERIVED from the corpus itself, so the mix tracks the data.
+
+    Rates are normalized to the LARGEST domain (kept in full, it defines
+    the budget): ``rate_d = sqrt(n_d / n_max)`` — smaller domains keep a
+    proportionally larger share, flattening the distribution toward
+    uniform. T = 2 is deliberate: IEEE divide and sqrt are correctly
+    rounded in every engine, so the double ``rate`` — and therefore the
+    integer keep threshold ``floor(rate · 2³²)`` — is bit-identical in
+    Spark and any oracle engine, where a ``pow(n, 1/T)``/``exp·ln`` chain
+    would be libm-dependent. A document's fate is ``md5('mix:'‖id)`` vs
+    the threshold: reproducible across runs, engines, and cluster sizes.
+
+    Returns one row per domain: ``n_total``, ``n_kept``, and the applied
+    ``target_permille`` = floor(rate·1000). Two shuffles on the domain
+    key (the count pass, then the keep pass); the per-domain rate table
+    is broadcast back — never a driver collect.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_total"))
+    # 1-row global max — broadcast cross join, bounded by construction.
+    mx = counts.agg(F.max("n_total").alias("mx"))
+    rate = F.sqrt(F.col("n_total").cast("double") / F.col("mx"))
+    rated = counts.crossJoin(F.broadcast(mx)).select(
+        domain_col,
+        "n_total",
+        F.floor(rate * F.lit(4294967296.0)).alias("thr"),
+        F.floor(rate * F.lit(1000.0)).cast("int").alias("target_permille"),
+    )
+    k = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(F.col(domain_col), k.alias("_mixk"))
+        .join(F.broadcast(rated), domain_col)
+        .groupBy(domain_col)
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.sum(
+                F.when(F.col("_mixk") < F.col("thr"), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.max("target_permille").alias("target_permille"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

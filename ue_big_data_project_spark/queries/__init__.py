@@ -355,6 +355,16 @@ BENCH_EXTRA = (
     # manifest (the export last-mile) — md5 shard/order, distributed
     # position-weighted order fingerprint, one shard-key shuffle.
     "pipeline_training_shards",
+    # Round-10-new: WINNOWING (Schleimer et al., SIGMOD 2003) — the
+    # MOSS robust local fingerprint: per-doc selection is zero-shuffle
+    # array HOFs; pairs = sparse inverted-index join over selected
+    # hashes with a stop-fingerprint cap.
+    "text_winnow",
+    "dedup_winnow_pairs",
+    # Round-10-new: temperature-flattened domain mixing at T=2 (rates
+    # DERIVED from corpus counts — sqrt keeps the threshold
+    # bit-identical cross-engine, unlike a libm pow).
+    "pipeline_temperature_mix",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

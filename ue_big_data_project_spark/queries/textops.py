@@ -1467,6 +1467,121 @@ FROM t
 """
 
 
+def _hex8_sql(md5_expr: str) -> str:
+    """First-8-hex-digits → uint32 over an arbitrary md5-string SQL
+    expression — the DuckDB twin of ``functions.text._hash32``."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({md5_expr}, {k + 1}, 1))"
+            f" - 1) * {16 ** (7 - k)}"
+            for k in range(8)
+        )
+        + ")"
+    )
+
+
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WINNOWING fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS scheme): min 4-gram hash per 5-gram window,
+    rightmost on ties. Selected-set size + a positional digest pin the
+    exact selection against the oracle's window-function replay. The
+    whole computation is per-row array HOFs — ZERO shuffles, the
+    100 TB-embarrassingly-parallel complement to the global
+    ``text_fingerprint`` rolling hash (winnowing survives local edits:
+    only windows touching an edit change their selection)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = d.select(
+        "doc_id", TX.gram_hashes("text", k=4).alias("hs")
+    ).select(
+        "doc_id",
+        F.size("hs").cast("int").alias("n_grams"),
+        TX.winnow_select(F.col("hs"), w=5).alias("fps"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("int").alias("n_fp"),
+        TX.winnow_digest(F.col("fps")).alias("fp_digest"),
+    )
+
+
+# Shared winnowing replay: positional 4-gram hashes → per-window min
+# (rightmost tie via the max(pos) join-back) → distinct selections.
+_WINNOW_CTE = f"""g0 AS (
+  SELECT doc_id, {_WORDS} AS words, len({_WORDS}) AS n_words FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(range(1, greatest(n_words - 3, 0) + 1)) AS pos,
+         words
+  FROM g0
+),
+gh AS (
+  SELECT doc_id, pos,
+    {_hex8_sql("md5(array_to_string(list_slice(words, pos, pos + 3), ' '))")}
+      AS h
+  FROM grams
+),
+wmin AS (
+  SELECT doc_id, pos AS s,
+         min(h) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh,
+         max(pos) OVER (PARTITION BY doc_id) AS n_grams
+  FROM gh
+),
+starts AS (SELECT * FROM wmin WHERE s <= greatest(1, n_grams - 4)),
+sel AS (
+  SELECT st.doc_id, st.s, st.mh, max(g.pos) AS sel_pos
+  FROM starts st
+  JOIN gh g ON g.doc_id = st.doc_id
+           AND g.pos BETWEEN st.s AND st.s + 4 AND g.h = st.mh
+  GROUP BY st.doc_id, st.s, st.mh
+)"""
+
+TEXT_WINNOW_SQL = f"""
+WITH {_WINNOW_CTE},
+fps AS (SELECT DISTINCT doc_id, mh AS h, sel_pos AS p FROM sel),
+agg AS (
+  SELECT doc_id, count(*) AS n_fp,
+         CAST(sum(h * p) % {TX.ROLL_MOD} AS BIGINT) AS fp_digest
+  FROM fps GROUP BY doc_id
+)
+SELECT g0.doc_id,
+       CAST(greatest(n_words - 3, 0) AS INTEGER) AS n_grams,
+       CAST(coalesce(a.n_fp, 0) AS INTEGER) AS n_fp,
+       CAST(coalesce(a.fp_digest, 0) AS BIGINT) AS fp_digest
+FROM g0 LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs by shared winnowing fingerprints
+    (operators.dedup.winnow_pairs): ≥ 2 shared selected hashes, hashes
+    in > 50 docs dropped as boilerplate before the self-join. On this
+    corpus the threshold sits in a measured gap — unrelated docs share
+    ≤ 1 fingerprint, true near-dups ≥ 6 — so it separates cleanly."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return DD.winnow_pairs(
+        d, "doc_id", "text", k=4, w=5, min_shared=2, max_df=50
+    )
+
+
+DEDUP_WINNOW_PAIRS_SQL = f"""
+WITH {_WINNOW_CTE},
+fps AS (SELECT DISTINCT doc_id, mh AS h FROM sel),
+df AS (SELECT h, count(*) AS ndocs FROM fps GROUP BY h),
+keep AS (
+  SELECT f.doc_id, f.h FROM fps f JOIN df USING (h) WHERE ndocs <= 50
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean token surprisal (nats/token) under an add-0.5
     smoothed unigram LM trained on the corpus itself
@@ -1808,6 +1923,48 @@ ranked AS (
   FROM keyed
 )
 SELECT doc_id, n_chars, wkey, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixing at T = 2
+    (pipelines.temperature_mix): keep rates DERIVED from corpus counts,
+    ``rate = sqrt(n_lang / n_max)`` — the mBERT/XLM-R rebalance that
+    upweights low-resource languages. sqrt/divide are IEEE-correctly-
+    rounded, so the integer keep threshold is bit-identical cross-engine
+    (a pow/exp·ln temperature would be libm-dependent). Per-doc fate =
+    md5('mix:'‖doc_id) vs floor(rate·2³²)."""
+    from ue_big_data_project_spark.pipelines import temperature_mix
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return temperature_mix(d, "lang")
+
+
+PIPELINE_TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM documents
+  GROUP BY lang
+),
+mx AS (SELECT max(n_total) AS mx FROM counts),
+rated AS (
+  SELECT lang, n_total,
+    CAST(floor(sqrt(CAST(n_total AS DOUBLE) / mx) * 4294967296.0)
+         AS BIGINT) AS thr,
+    CAST(floor(sqrt(CAST(n_total AS DOUBLE) / mx) * 1000.0)
+         AS INTEGER) AS target_permille
+  FROM counts CROSS JOIN mx
+),
+scored AS (
+  SELECT lang,
+    {_hex8_sql("md5('mix:' || CAST(doc_id AS VARCHAR))")} AS k
+  FROM documents
+)
+SELECT r.lang, r.n_total,
+       CAST(sum(CASE WHEN s.k < r.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       r.target_permille
+FROM scored s JOIN rated r USING (lang)
+GROUP BY r.lang, r.n_total, r.target_permille
 """
 
 
@@ -2534,6 +2691,13 @@ QUERIES = {
     "text_langid": QuerySpec(text_langid, TEXT_LANGID_SQL),
     "text_tokens": QuerySpec(text_tokens, TEXT_TOKENS_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_winnow": QuerySpec(text_winnow, TEXT_WINNOW_SQL),
+    "dedup_winnow_pairs": QuerySpec(
+        dedup_winnow_pairs, DEDUP_WINNOW_PAIRS_SQL
+    ),
+    "pipeline_temperature_mix": QuerySpec(
+        pipeline_temperature_mix, PIPELINE_TEMPERATURE_MIX_SQL
+    ),
     "text_nlp_kit": QuerySpec(text_nlp_kit, TEXT_NLP_KIT_SQL),
     "text_surprisal": QuerySpec(text_surprisal, TEXT_SURPRISAL_SQL),
     "text_source_kl": QuerySpec(text_source_kl, TEXT_SOURCE_KL_SQL),
