@@ -447,13 +447,23 @@ def winnow_pairs(
         winnow_select,
     )
 
+    # The cache below is a PLAN BARRIER, not (only) a reuse cache:
+    # Generate (explode) is not CollapseProject-protected, so without it
+    # the optimizer folds both staged projections into the generator
+    # input — winnow_select references its hs input ~14 times (slices,
+    # sizes, branch guards), HOF expressions are interpreted (no codegen
+    # CSE), and the collapsed plan re-tokenizes + re-hashes every
+    # document once per reference (measured: md5 ×29 / regexp ×232 in
+    # the optimized plan, 18.7 s vs 1.8 s on 5k docs). Cached rows are
+    # one struct array per document — O(selected fingerprints), ~3×
+    # smaller than the gram sequence.
+    fp_rows = (
+        df.select(F.col(id_col), gram_hashes(text_col, k=k).alias("hs"))
+        .select(F.col(id_col), winnow_select(F.col("hs"), w=w).alias("fps"))
+        .cache()
+    )
     fps = (
-        df.select(
-            F.col(id_col),
-            F.explode(winnow_select(gram_hashes(text_col, k=k), w=w)).alias(
-                "f"
-            ),
-        )
+        fp_rows.select(id_col, F.explode("fps").alias("f"))
         .select(id_col, F.col("f.h").alias("h"))
         .distinct()
     )
