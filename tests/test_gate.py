@@ -69,6 +69,11 @@ PROXIED = {
     # pinned by tests/test_winnow.py and the local DuckDB hash.
     "text_winnow": "dedup_jaccard_incremental",
     "dedup_winnow_pairs": "dedup_jaccard_incremental",
+    # Persisted winnow fingerprint index + one-sided probe — same
+    # bucket-sharded index/probe family as the in-gate Jaccard probe
+    # entry; append == rebuild pinned by
+    # tests/test_winnow.py::test_winnow_index_append_equals_rebuild.
+    "dedup_winnow_incremental": "dedup_jaccard_incremental",
     # Temperature-flattened domain mixing — same deterministic
     # md5-threshold sampling family as the in-gate weighted sample.
     "pipeline_temperature_mix": "pipeline_weighted_sample",

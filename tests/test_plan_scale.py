@@ -444,6 +444,10 @@ SHUFFLE_BUDGETS = {
     # Winnow pairs: (doc,hash) distinct + the df-cap window on the hash
     # key (which the self-join reuses) + the pair-count agg.
     "dedup_winnow_pairs": 3,
+    # Truncated-return shape (probe result is localCheckpoint-
+    # materialized at call time, like the retention twins); probe
+    # mechanics pinned by test_winnow_index_append_equals_rebuild.
+    "dedup_winnow_incremental": 0,
     # Temperature mix: domain count agg, the 1-row global max, the
     # keep-pass domain agg (+ its partial); the rate table broadcasts.
     "pipeline_temperature_mix": 4,

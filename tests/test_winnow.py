@@ -141,6 +141,44 @@ def test_winnow_pairs_stop_fingerprint_cap(spark):
     assert n == 0
 
 
+def test_winnow_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending an increment to the persisted winnow index must be
+    row-for-row identical to rebuilding the index from scratch on the
+    union — the df DELTA rows aggregate on read, so there is no frozen
+    state to drift."""
+    from ue_big_data_project_spark.operators.dedup import (
+        append_winnow_index,
+        winnow_probe_index,
+        write_winnow_index,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    from pyspark.sql import functions as F
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    part_a = d.filter(F.col("doc_id") % 4 == 0)
+    part_b = d.filter(F.col("doc_id") % 4 == 2)
+    probe = d.filter(F.col("doc_id") % 4 == 1)
+
+    inc = str(tmp_path / "widx_inc")
+    write_winnow_index(part_a, inc)
+    append_winnow_index(spark, inc, part_b)
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_probe_index(spark, inc, probe).collect()
+    }
+
+    full = str(tmp_path / "widx_full")
+    write_winnow_index(part_a.unionByName(part_b), full)
+    want = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_probe_index(spark, full, probe).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == want
+    assert want  # non-vacuous on the fixture corpus
+
+
 def test_temperature_mix_rates(spark):
     rows = [(i, "en") for i in range(400)]
     rows += [(1000 + i, "fr") for i in range(100)]

@@ -416,6 +416,43 @@ def simhash_pairs(
     )
 
 
+def _winnow_fp_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> tuple[DataFrame, DataFrame]:
+    """Distinct selected ``(id, h)`` winnowing fingerprint rows, plus
+    the cached per-doc staging frame (callers unpersist it, or rely on
+    the documented clearCache lifecycle).
+
+    The cache is a PLAN BARRIER, not (only) a reuse cache: Generate
+    (explode) is not CollapseProject-protected, so without it the
+    optimizer folds both staged projections into the generator input —
+    winnow_select references its hs input ~14 times (slices, sizes,
+    branch guards), HOF expressions are interpreted (no codegen CSE),
+    and the collapsed plan re-tokenizes + re-hashes every document once
+    per reference (measured: md5 ×29 in the optimized plan, 18.7 s vs
+    1.8 s on 5k docs). Cached rows are one struct array per document —
+    O(selected fingerprints), ~3× smaller than the gram sequence.
+    """
+    from ue_big_data_project_spark.functions.text import (
+        gram_hashes,
+        winnow_select,
+    )
+
+    fp_rows = (
+        df.select(F.col(id_col), gram_hashes(text_col, k=k).alias("hs"))
+        .select(
+            F.col(id_col), winnow_select(F.col("hs"), w=w).alias("fps")
+        )
+        .cache()
+    )
+    fps = (
+        fp_rows.select(id_col, F.explode("fps").alias("f"))
+        .select(id_col, F.col("f.h").alias("h"))
+        .distinct()
+    )
+    return fps, fp_rows
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str,
@@ -442,31 +479,7 @@ def winnow_pairs(
     """
     from pyspark.sql import Window
 
-    from ue_big_data_project_spark.functions.text import (
-        gram_hashes,
-        winnow_select,
-    )
-
-    # The cache below is a PLAN BARRIER, not (only) a reuse cache:
-    # Generate (explode) is not CollapseProject-protected, so without it
-    # the optimizer folds both staged projections into the generator
-    # input — winnow_select references its hs input ~14 times (slices,
-    # sizes, branch guards), HOF expressions are interpreted (no codegen
-    # CSE), and the collapsed plan re-tokenizes + re-hashes every
-    # document once per reference (measured: md5 ×29 / regexp ×232 in
-    # the optimized plan, 18.7 s vs 1.8 s on 5k docs). Cached rows are
-    # one struct array per document — O(selected fingerprints), ~3×
-    # smaller than the gram sequence.
-    fp_rows = (
-        df.select(F.col(id_col), gram_hashes(text_col, k=k).alias("hs"))
-        .select(F.col(id_col), winnow_select(F.col("hs"), w=w).alias("fps"))
-        .cache()
-    )
-    fps = (
-        fp_rows.select(id_col, F.explode("fps").alias("f"))
-        .select(id_col, F.col("f.h").alias("h"))
-        .distinct()
-    )
+    fps, _ = _winnow_fp_rows(df, id_col, text_col, k, w)
     # df-cap as a WINDOW over the hash key (not a groupBy + join-back):
     # one exchange on h, which the self-join below then reuses. Cached
     # because ``keep`` feeds both sides of the self-join (see module
@@ -488,6 +501,184 @@ def winnow_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def write_winnow_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 50,
+    n_buckets: int = 16,
+) -> str:
+    """Persist the corpus side of the winnowing pair search: distinct
+    selected ``(id, h)`` fingerprint rows hash-partitioned by
+    ``_hbucket = pmod(h, n_buckets)`` (probes read only the buckets
+    their hashes fall in — the Jaccard/BM25 index layout), plus
+    per-hash document-frequency DELTA rows in the same sharding,
+    aggregated on read. ``<path>_stats`` carries the constants.
+
+    Unlike the Jaccard index there is NOTHING to freeze: the
+    stop-fingerprint cap needs TRUE total df, and delta rows give it
+    exactly at any append depth — ``append_winnow_index`` appends its
+    increment's counts and never rewrites (or even reads) existing
+    rows, so probe == full rebuild row-for-row forever, with no
+    staleness/selectivity decay to audit.
+    """
+    spark = df.sparkSession
+    root = path.rstrip("/")
+    fps, fp_rows = _winnow_fp_rows(df, id_col, text_col, k, w)
+    try:
+        bucket = F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
+        (
+            fps.withColumn("_hbucket", bucket)
+            .repartition(n_buckets, "_hbucket")
+            .write.mode("overwrite")
+            .partitionBy("_hbucket")
+            .parquet(root)
+        )
+        freq = fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        (
+            freq.withColumn("_hbucket", bucket)
+            .repartition(n_buckets, "_hbucket")
+            .write.mode("overwrite")
+            .partitionBy("_hbucket")
+            .parquet(root + "_freq")
+        )
+        spark.createDataFrame(
+            [(id_col, k, w, min_shared, max_df, n_buckets)],
+            "id_col string, k int, w int, min_shared int, "
+            "max_df int, n_buckets int",
+        ).write.mode("overwrite").parquet(root + "_stats")
+        return root
+    finally:
+        fp_rows.unpersist()
+
+
+def append_winnow_index(
+    spark, path: str, new_docs: DataFrame, text_col: str = "text"
+) -> None:
+    """Append an increment to a :func:`write_winnow_index` layout:
+    fingerprint the increment ONLY and append its ``(id, h)`` rows and
+    its per-hash df DELTA rows into the existing bucket partitions —
+    O(increment), no corpus scan, no rewrite. Because df aggregates on
+    read, the cap stays exact (no frozen-order drift)."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col, k, w = meta["id_col"], int(meta["k"]), int(meta["w"])
+    n_buckets = int(meta["n_buckets"])
+    fps, fp_rows = _winnow_fp_rows(new_docs, id_col, text_col, k, w)
+    try:
+        bucket = F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
+        (
+            fps.withColumn("_hbucket", bucket)
+            .repartition("_hbucket")
+            .write.mode("append")
+            .partitionBy("_hbucket")
+            .parquet(root)
+        )
+        freq = fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        (
+            freq.withColumn("_hbucket", bucket)
+            .repartition("_hbucket")
+            .write.mode("append")
+            .partitionBy("_hbucket")
+            .parquet(root + "_freq")
+        )
+    finally:
+        fp_rows.unpersist()
+
+
+def winnow_probe_index(
+    spark, path: str, new_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One-sided winnowing pair search: every pair ``(id_a, id_b,
+    n_shared >= min_shared)`` with AT LEAST ONE endpoint in
+    ``new_docs`` — probe-vs-index plus probe-vs-probe — without
+    re-fingerprinting the corpus. Results are EXACTLY the full
+    :func:`winnow_pairs` output over (indexed ∪ probe) restricted to
+    probe-incident pairs (equivalence-tested): the stop-fingerprint cap
+    uses index df (delta-summed) + probe df = true union-corpus df.
+
+    Scale shape: the probe reads only the ``_hbucket`` partitions its
+    hashes fall in (bounded bucket-id collect); index rows are
+    semi-joined to the probe's hash set BEFORE pairing, so the join
+    fan-out is probe-hash-incident and per-hash ≤ max_df — never
+    corpus × corpus. ``new_docs`` ids must be disjoint from indexed
+    ids (same contract as :func:`jaccard_probe_index`)."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col, k, w = meta["id_col"], int(meta["k"]), int(meta["w"])
+    min_shared, max_df = int(meta["min_shared"]), int(meta["max_df"])
+    n_buckets = int(meta["n_buckets"])
+    fps, fp_rows = _winnow_fp_rows(new_docs, id_col, text_col, k, w)
+    probe = fps.localCheckpoint(eager=True)  # feeds hashes, df, pairing
+    fp_rows.unpersist()
+    buckets = sorted(
+        r.b
+        for r in probe.select(
+            F.pmod(F.col("h"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    probe_h = probe.select("h").distinct()
+    # Probe-incident index rows only: the equi-join to the probe's hash
+    # set bounds everything downstream.
+    idx_rows = (
+        spark.read.parquet(root)
+        .filter(F.col("_hbucket").isin(buckets))
+        .join(probe_h, "h")
+        .select(id_col, "h")
+    )
+    idx_df = (
+        spark.read.parquet(root + "_freq")
+        .filter(F.col("_hbucket").isin(buckets))
+        .join(probe_h, "h")
+        .groupBy("h")
+        .agg(F.sum("_df").alias("_df"))
+    )
+    probe_df = probe.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    ok = (
+        idx_df.unionByName(probe_df)
+        .groupBy("h")
+        .agg(F.sum("_df").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("h")
+    )
+    # Cached: feeds both sides of the pair self-join (same lifecycle
+    # note as winnow_pairs — callers clearCache once materialized).
+    rows = (
+        probe.withColumn("_probe", F.lit(1))
+        .unionByName(idx_rows.withColumn("_probe", F.lit(0)))
+        .join(ok, "h")
+        .cache()
+    )
+    a = rows.select(
+        F.col(id_col).alias("id_a"), "h", F.col("_probe").alias("_pa")
+    )
+    b = rows.select(
+        F.col(id_col).alias("id_b"), "h", F.col("_probe").alias("_pb")
+    )
+    out = (
+        a.join(b, "h")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_pa") + F.col("_pb") >= 1)
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    # Materialize before returning (jaccard_probe_index precedent): the
+    # result must not lazily re-read index files a caller may have
+    # already expired/removed; O(qualifying pairs) rows.
+    out = out.localCheckpoint(eager=True)
+    rows.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -361,6 +361,11 @@ BENCH_EXTRA = (
     # hashes with a stop-fingerprint cap.
     "text_winnow",
     "dedup_winnow_pairs",
+    # Round-10-new: the FOURTH persisted-index family — bucket-sharded
+    # winnow fingerprint index with df DELTA rows (aggregate-on-read:
+    # nothing frozen, no staleness audit needed), one-sided probe ==
+    # full rebuild row-for-row (oracle CTE scoped to the union corpus).
+    "dedup_winnow_incremental",
     # Round-10-new: temperature-flattened domain mixing at T=2 (rates
     # DERIVED from corpus counts — sqrt keeps the threshold
     # bit-identical cross-engine, unlike a libm pow).

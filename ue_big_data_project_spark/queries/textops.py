@@ -1508,8 +1508,15 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared winnowing replay: positional 4-gram hashes → per-window min
 # (rightmost tie via the max(pos) join-back) → distinct selections.
-_WINNOW_CTE = f"""g0 AS (
-  SELECT doc_id, {_WORDS} AS words, len({_WORDS}) AS n_words FROM documents
+# Parameterized by a membership predicate because the pair query's
+# stop-fingerprint cap is CORPUS-DEPENDENT: an incremental oracle must
+# scope the df computation to its (index ∪ probe) corpus, not filter
+# the full-corpus pair output (the pairwise-Jaccard trick would be
+# wrong here).
+def _winnow_cte_sql(where: str = "TRUE") -> str:
+    return f"""g0 AS (
+  SELECT doc_id, {_WORDS} AS words, len({_WORDS}) AS n_words
+  FROM documents WHERE {where}
 ),
 grams AS (
   SELECT doc_id, unnest(range(1, greatest(n_words - 3, 0) + 1)) AS pos,
@@ -1538,6 +1545,9 @@ sel AS (
            AND g.pos BETWEEN st.s AND st.s + 4 AND g.h = st.mh
   GROUP BY st.doc_id, st.s, st.mh
 )"""
+
+
+_WINNOW_CTE = _winnow_cte_sql()
 
 TEXT_WINNOW_SQL = f"""
 WITH {_WINNOW_CTE},
@@ -1577,6 +1587,54 @@ keep AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def dedup_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided winnowing pair search — the FOURTH persisted-index
+    family (band screen / Jaccard verify / BM25 terms / winnow
+    substrings): HALF the corpus persists as a bucket-sharded
+    fingerprint index with per-hash df DELTA rows (aggregated on read —
+    nothing to freeze, so no staleness audit is ever needed, unlike the
+    frozen-order Jaccard index); a disjoint quarter probes it for every
+    probe-incident pair WITHOUT re-fingerprinting the corpus. The
+    oracle recomputes the full-batch pair SQL with its CTEs SCOPED to
+    the (index ∪ probe) corpus — the stop-fingerprint cap is
+    corpus-dependent, so membership-filtering full-corpus pair output
+    (the pairwise-Jaccard trick) would be wrong here."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.dedup import (
+        winnow_probe_index,
+        write_winnow_index,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 4 == 1)
+    root = _tf.mkdtemp(prefix="spark_graft_widx_")
+    try:
+        idx = root + "/widx"
+        write_winnow_index(old, idx)
+        return winnow_probe_index(spark, idx, new)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+DEDUP_WINNOW_INCREMENTAL_SQL = f"""
+WITH {_winnow_cte_sql("doc_id % 2 = 0 OR doc_id % 4 = 1")},
+fps AS (SELECT DISTINCT doc_id, mh AS h FROM sel),
+df AS (SELECT h, count(*) AS ndocs FROM fps GROUP BY h),
+keep AS (
+  SELECT f.doc_id, f.h FROM fps f JOIN df USING (h) WHERE ndocs <= 50
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+WHERE a.doc_id % 4 = 1 OR b.doc_id % 4 = 1
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """
@@ -2694,6 +2752,9 @@ QUERIES = {
     "text_winnow": QuerySpec(text_winnow, TEXT_WINNOW_SQL),
     "dedup_winnow_pairs": QuerySpec(
         dedup_winnow_pairs, DEDUP_WINNOW_PAIRS_SQL
+    ),
+    "dedup_winnow_incremental": QuerySpec(
+        dedup_winnow_incremental, DEDUP_WINNOW_INCREMENTAL_SQL
     ),
     "pipeline_temperature_mix": QuerySpec(
         pipeline_temperature_mix, PIPELINE_TEMPERATURE_MIX_SQL
