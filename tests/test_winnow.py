@@ -179,6 +179,57 @@ def test_winnow_index_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert want  # non-vacuous on the fixture corpus
 
 
+def test_winnow_index_rewrite_prunes_and_compacts(spark, sf_dir, tmp_path):
+    """rewrite_winnow_index == a fresh index on the kept docs: the
+    post-prune probe matches a from-scratch build row-for-row, and the
+    freq table is compacted back to one row per hash (the df deltas an
+    append history accumulates are folded in)."""
+    from ue_big_data_project_spark.operators.dedup import (
+        append_winnow_index,
+        rewrite_winnow_index,
+        winnow_probe_index,
+        write_winnow_index,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    from pyspark.sql import functions as F
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    part_a = d.filter(F.col("doc_id") % 4 == 0)
+    part_b = d.filter(F.col("doc_id") % 4 == 2)
+    probe = d.filter(F.col("doc_id") % 4 == 1)
+    kept = (
+        part_a.unionByName(part_b)
+        .filter(F.col("doc_id") % 16 != 0)
+        .select("doc_id")
+    )
+
+    idx = str(tmp_path / "widx_prune")
+    write_winnow_index(part_a, idx)
+    append_winnow_index(spark, idx, part_b)  # leaves df DELTA rows
+    n = rewrite_winnow_index(spark, idx, kept)
+    assert n > 0
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_probe_index(spark, idx, probe).collect()
+    }
+
+    fresh = str(tmp_path / "widx_fresh")
+    write_winnow_index(
+        part_a.unionByName(part_b).join(kept, "doc_id", "left_semi"),
+        fresh,
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_probe_index(spark, fresh, probe).collect()
+    }
+    assert got == want
+    # compaction: one df row per hash after the rewrite
+    freq = spark.read.parquet(idx + "_freq")
+    assert freq.count() == freq.select("h").distinct().count()
+    spark.catalog.clearCache()
+
+
 def test_temperature_mix_rates(spark):
     rows = [(i, "en") for i in range(400)]
     rows += [(1000 + i, "fr") for i in range(100)]

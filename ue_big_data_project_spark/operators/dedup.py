@@ -681,6 +681,51 @@ def winnow_probe_index(
     return out
 
 
+def rewrite_winnow_index(spark, path: str, keep_docs: DataFrame) -> int:
+    """RETENTION for the winnow fingerprint index: drop fingerprint
+    rows of documents not in ``keep_docs`` and RECOMPUTE the df table
+    from the survivors, rewriting both sharded layouts in place. Unlike
+    :func:`rewrite_jaccard_index` (which must leave its frozen order
+    untouched), there is no frozen state here — df is true corpus df,
+    so the prune recomputes it exactly and doubles as COMPACTION of the
+    append-deltas (the freq table returns to one row per hash, bounding
+    the aggregate-on-read cost over a long append history).
+
+    Post-prune probe == a fresh :func:`write_winnow_index` on the kept
+    documents, row-for-row (test-pinned). Returns the surviving
+    fingerprint-row count."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col, n_buckets = meta["id_col"], int(meta["n_buckets"])
+    keep = keep_docs.select(
+        F.col(keep_docs.columns[0]).alias(id_col)
+    ).distinct()
+    fps = (
+        spark.read.parquet(root)
+        .join(keep, id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n = fps.count()
+    (
+        fps.repartition(n_buckets, "_hbucket")
+        .write.mode("overwrite")
+        .partitionBy("_hbucket")
+        .parquet(root)
+    )
+    freq = (
+        fps.groupBy("h", "_hbucket")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint(eager=True)
+    )
+    (
+        freq.repartition(n_buckets, "_hbucket")
+        .write.mode("overwrite")
+        .partitionBy("_hbucket")
+        .parquet(root + "_freq")
+    )
+    return n
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: a NEW batch against the persisted corpus index.
 # A training corpus is not deduped once — every crawl increment must be
