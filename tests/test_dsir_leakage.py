@@ -1,0 +1,311 @@
+"""DSIR importance resampling + near-dup-aware leakage split.
+
+Three independent evidence layers for the two wave-5 pipeline ops (the
+Spark-vs-DuckDB hash check rides test_oracle automatically):
+
+- a pure-Python replay of the DSIR estimator (hashlib md5, Decimal
+  half-up accumulation — no Spark, no DuckDB) on a constructed corpus;
+- the statistical property the estimator exists for: target-domain
+  documents outscore background documents when the domains differ;
+- the leakage CONTRACT: cluster-hash splitting never separates a
+  near-dup pair, on a corpus engineered so id-hash splitting provably
+  does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.pipelines import (
+    DSIR_BUCKETS,
+    dsir_logweights,
+    dsir_sample,
+    leakage_split,
+    split_assign,
+)
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+def _feats(text: str) -> list[str]:
+    w = _norm(text).split(" ")
+    return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+
+def _bucket(f: str) -> int:
+    return (
+        int(hashlib.md5(("f:" + f).encode()).hexdigest()[:8], 16)
+        % DSIR_BUCKETS
+    )
+
+
+def _r(x: float, dp: int) -> Decimal:
+    return Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+    )
+
+
+def _py_dsir(corpus: list[tuple[int, str, bool]], alpha=1.0) -> dict:
+    """Reference replay of dsir_logweights: (id, text, is_target) →
+    {id: logw}, Decimal half-up at the same 9/6 dp points."""
+    c_t: dict[int, int] = {}
+    c_r: dict[int, int] = {}
+    for _id, text, tgt in corpus:
+        for f in _feats(text):
+            b = _bucket(f)
+            c_r[b] = c_r.get(b, 0) + 1
+            if tgt:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_t = sum(c_t.values())
+    n_r = sum(c_r.values())
+    lr = {
+        b: _r(
+            math.log((c_t.get(b, 0) + alpha) / (n_t + alpha * DSIR_BUCKETS))
+            - math.log((c_r[b] + alpha) / (n_r + alpha * DSIR_BUCKETS)),
+            9,
+        )
+        for b in c_r
+    }
+    out = {}
+    for _id, text, _tgt in corpus:
+        acc = Decimal(0)
+        for f in _feats(text):
+            acc += lr[_bucket(f)]
+        out[_id] = float(_r(float(acc), 6))
+    return out
+
+
+_TARGET_DOCS = [
+    "the encyclopedia article cites peer reviewed sources",
+    "reference article with citations and a bibliography",
+    "the article summarizes peer reviewed research sources",
+]
+_RAW_DOCS = [
+    "click here to win a free prize now",
+    "buy cheap deals online free shipping today",
+    "subscribe now for exclusive deals and offers",
+    "one weird trick doctors hate click now",
+    "the encyclopedia article cites peer reviewed sources too",
+]
+
+
+def _corpus(spark):
+    rows = [
+        (i, t, True) for i, t in enumerate(_TARGET_DOCS)
+    ] + [
+        (100 + i, t, False) for i, t in enumerate(_RAW_DOCS)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    return rows, df
+
+
+def test_dsir_logweights_match_python_reference(spark):
+    rows, df = _corpus(spark)
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_logweights(
+            df, F.col("doc_id") < 100
+        ).collect()
+    }
+    want = _py_dsir(rows)
+    assert got == pytest.approx(want, abs=1.5e-6)
+
+
+def test_dsir_separates_target_from_background(spark):
+    """The estimator's reason to exist: with distinct vocabularies,
+    every target doc outscores every background doc — and the
+    near-copy of a target doc planted in the background outscores the
+    true background (content, not the label, drives the weight)."""
+    rows, df = _corpus(spark)
+    lw = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_logweights(df, F.col("doc_id") < 100).collect()
+    }
+    target = [lw[i] for i, _, t in rows if t]
+    lookalike = lw[104]  # background row that mirrors a target doc
+    background = [lw[100 + i] for i in range(4)]
+    assert min(target) > max(background)
+    assert lookalike > max(background)
+
+
+def test_dsir_sample_is_deterministic_topk(spark):
+    _, df = _corpus(spark)
+    a = dsir_sample(df, F.col("doc_id") < 100, k=4).collect()
+    b = dsir_sample(df, F.col("doc_id") < 100, k=4).collect()
+    assert a == b
+    assert len(a) == 4
+    keys = [r["gkey"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+
+
+def _hash100(value) -> int:
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:12], 16) % 100
+
+
+def _twin_ids():
+    """Two ids whose id-hash buckets land in DIFFERENT splits (one
+    train ≥20, one val <10) — so split_assign provably separates their
+    near-identical documents and leakage_split provably must not."""
+    train_id = next(i for i in range(1, 500) if _hash100(i) >= 20)
+    val_id = next(
+        i for i in range(1, 500) if _hash100(i) < 10 and i != train_id
+    )
+    return train_id, val_id
+
+
+def test_leakage_split_keeps_near_dups_together(spark):
+    from ue_big_data_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    a, b = _twin_ids()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (a, base),
+            (b, base + " mu"),
+            (900, "totally different words about spark shuffles here"),
+            (901, "yet another unrelated document mentioning joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.7
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {
+        (min(a, b), max(a, b))
+    }
+
+    # The id-hash split separates the twins (engineered via _twin_ids).
+    id_split = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs, val_pct=10, test_pct=10).collect()
+    }
+    assert id_split[a] != id_split[b]
+
+    # The cluster-hash split cannot: both twins ride one component.
+    s = leakage_split(docs.select("doc_id"), pairs)
+    rows = {r["doc_id"]: r for r in s.collect()}
+    assert rows[a]["component"] == rows[b]["component"]
+    assert rows[a]["split"] == rows[b]["split"]
+    # Split is a pure function of component across the whole corpus.
+    per_comp = (
+        s.groupBy("component")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_comp)
+    # Singletons keep their own component and some split.
+    assert rows[900]["component"] == 900
+    assert rows[901]["component"] == 901
+
+
+def test_dsir_frozen_model_scores_match_inline_fit(spark, tmp_path):
+    """Scoring the fit corpus itself against the persisted frozen model
+    reproduces the inline estimator exactly — the persisted artifact
+    changes WHERE the distributions live, never a number."""
+    from ue_big_data_project_spark.pipelines import (
+        dsir_score_increment,
+        write_dsir_model,
+    )
+
+    _, df = _corpus(spark)
+    model = str(tmp_path / "model")
+    write_dsir_model(df, F.col("doc_id") < 100, model)
+    frozen = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_score_increment(spark, model, df).collect()
+    }
+    inline = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_logweights(df, F.col("doc_id") < 100).collect()
+    }
+    assert frozen == inline
+
+
+def test_dsir_unseen_bucket_takes_smoothed_zero_ratio(spark, tmp_path):
+    """An increment whose vocabulary the fit never saw still scores —
+    every feature takes the smoothed zero-count ratio, which is a
+    CONSTANT per occurrence (ln(n_r + αB) − ln(n_t + αB))."""
+    from ue_big_data_project_spark.pipelines import (
+        DSIR_BUCKETS,
+        dsir_score_increment,
+        write_dsir_model,
+    )
+
+    rows, df = _corpus(spark)
+    model = str(tmp_path / "model")
+    write_dsir_model(df, F.col("doc_id") < 100, model)
+    inc = spark.createDataFrame(
+        [(500, "zzzq xxqj qqvv")], ["doc_id", "text"]
+    )
+    got = dsir_score_increment(spark, model, inc).collect()[0]["logw"]
+    # Python replay with the FROZEN counts: a fitted bucket keeps its
+    # ratio (the 1024-bucket space can collide even for fake words —
+    # that's the estimator's hashing smoothing, not an error); a truly
+    # unseen bucket takes the smoothed zero-count constant.
+    c_t: dict[int, int] = {}
+    c_r: dict[int, int] = {}
+    for _id, text, tgt in rows:
+        for f in _feats(text):
+            b = _bucket(f)
+            c_r[b] = c_r.get(b, 0) + 1
+            if tgt:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    acc = Decimal(0)
+    for f in _feats("zzzq xxqj qqvv"):  # 3 unigrams + 2 bigrams
+        b = _bucket(f)
+        acc += _r(
+            math.log((c_t.get(b, 0) + 1.0) / (n_t + DSIR_BUCKETS))
+            - math.log((c_r.get(b, 0) + 1.0) / (n_r + DSIR_BUCKETS)),
+            9,
+        )
+    assert got == pytest.approx(float(_r(float(acc), 6)), abs=2e-6)
+    # At least one of the fake features must actually be unseen, or
+    # the test stops exercising the left-join/coalesce path.
+    assert any(_bucket(f) not in c_r for f in _feats("zzzq xxqj qqvv"))
+
+
+def test_dsir_model_staleness_audit(spark, tmp_path):
+    """Fresh model ≈ 0 total variation against its own fit corpus;
+    drift (disjoint vocabulary flooding in) drives it up; a re-fit
+    resets it — the rebuild-on-measured-drift loop the IVF and Jaccard
+    indexes follow."""
+    from ue_big_data_project_spark.pipelines import (
+        dsir_model_staleness,
+        write_dsir_model,
+    )
+
+    _, df = _corpus(spark)
+    model = str(tmp_path / "model")
+    write_dsir_model(df, F.col("doc_id") < 100, model)
+    fresh = dsir_model_staleness(spark, model, df)
+    assert fresh["tv"] == pytest.approx(0.0, abs=1e-12)
+
+    drifted = df.unionByName(
+        spark.createDataFrame(
+            [
+                (200 + i, f"qqx{i} wwy{i} zzk{i} qqx{i} wwy{i}")
+                for i in range(30)
+            ],
+            ["doc_id", "text"],
+        )
+    )
+    stale = dsir_model_staleness(spark, model, drifted)
+    assert stale["tv"] > 0.3
+
+    from ue_big_data_project_spark.pipelines import write_dsir_model as W
+
+    W(drifted, F.col("doc_id") < 100, model)
+    refit = dsir_model_staleness(spark, model, drifted)
+    assert refit["tv"] == pytest.approx(0.0, abs=1e-12)

@@ -77,6 +77,20 @@ PROXIED = {
     # Temperature-flattened domain mixing — same deterministic
     # md5-threshold sampling family as the in-gate weighted sample.
     "pipeline_temperature_mix": "pipeline_weighted_sample",
+    # DSIR importance resampling — same deterministic md5-keyed
+    # weighted top-k sampling family as the in-gate weighted sample
+    # (Gumbel-top-k == A-ES with logit keys); the estimator itself is
+    # replayed in pure Python by tests/test_dsir_leakage.py.
+    "pipeline_dsir_sample": "pipeline_weighted_sample",
+    # Frozen persisted DSIR model + O(increment) scoring — same
+    # persisted-index/probe family as the in-gate Jaccard probe entry;
+    # frozen == inline equivalence pinned in tests/test_dsir_leakage.py.
+    "pipeline_dsir_incremental": "dedup_jaccard_incremental",
+    # Cluster-hash train/val/test split — same pair-graph
+    # connected-components family as the in-gate cluster closer; the
+    # never-separates-a-pair contract is pinned by
+    # tests/test_dsir_leakage.py on an id-hash-separable twin corpus.
+    "pipeline_leakage_split": "dedup_clusters",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

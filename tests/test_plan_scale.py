@@ -451,6 +451,22 @@ SHUFFLE_BUDGETS = {
     # Temperature mix: domain count agg, the 1-row global max, the
     # keep-pass domain agg (+ its partial); the rate table broadcasts.
     "pipeline_temperature_mix": 4,
+    # DSIR: feature-bucket count agg (≤1024 rows out regardless of
+    # corpus size), the 1-row totals agg, the per-doc decimal sum, and
+    # the k-row rank window; the log-ratio table broadcasts and the
+    # global top-k is TakeOrderedAndProject.
+    "pipeline_dsir_sample": 4,
+    # Truncated-return shape (top-20 scored against the tempdir model
+    # is localCheckpoint-materialized before the dir vanishes, like the
+    # probe/retention twins); frozen-model scoring mechanics pinned by
+    # tests/test_dsir_leakage.py::test_dsir_frozen_model_scores_match_
+    # inline_fit and the unseen-bucket coalesce test.
+    "pipeline_dsir_incremental": 0,
+    # Leakage split: the CC label join back over the node set plus the
+    # two-stage per-split countDistinct accounting; the CC iterations
+    # themselves are charged at operator-call time (checkpointed, the
+    # dedup_clusters convention) and pinned by tests/test_graph.py.
+    "pipeline_leakage_split": 4,
 }
 
 

@@ -689,3 +689,349 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023): pick raw-corpus documents that look like a small target domain
+# by importance weights over HASHED n-gram bag-of-words features. The
+# public method behind "train on Pile-but-Wikipedia-like" mixes; here it
+# is a pure DataFrame pipeline (no model, no UDF) whose every number is
+# cross-engine deterministic (md5 feature hashing, decimal log-ratio
+# sums), so the selection itself is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+# Feature-hash space. 10⁴ buckets is the paper's working size; any
+# bucketing keeps the estimator consistent (hash collisions only smooth
+# the two distributions the same way). Kept small here so the broadcast
+# log-ratio table is trivially bounded: the table is ≤ DSIR_BUCKETS rows
+# REGARDLESS of corpus size — that invariant is what makes the scoring
+# join broadcast-safe at 100 TB.
+DSIR_BUCKETS = 1024
+
+
+def _dsir_features(
+    df: DataFrame, id_col: str, text_col: str, extra: list[str]
+) -> DataFrame:
+    """Exploded hashed unigram+bigram feature rows ``(id, *extra, _b)``.
+
+    One row per feature OCCURRENCE (bag-of-words with multiplicity, the
+    paper's estimator). Bucket = first-8-md5-hex of the feature string
+    mod :data:`DSIR_BUCKETS` — the same engine-portable hash discipline
+    as ``functions.text._hash32``.
+    """
+    words = F.split(TX.normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in extra], words.alias("_w")
+    )
+    bigrams = F.transform(
+        F.slice(
+            F.col("_w"), 1, F.greatest(F.size("_w") - 1, F.lit(0))
+        ),
+        lambda x, i: F.concat(
+            x, F.lit(" "), F.element_at(F.col("_w"), i + F.lit(2))
+        ),
+    )
+    feats = base.select(
+        id_col,
+        *extra,
+        F.explode(F.concat(F.col("_w"), bigrams)).alias("_f"),
+    )
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("f:"), F.col("_f"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(DSIR_BUCKETS),
+    )
+    return feats.select(id_col, *extra, b.alias("_b"))
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR log importance weight ``(id, logw)``:
+    ``logw(d) = Σ_{f ∈ d} [ln p_target(bucket(f)) − ln p_raw(bucket(f))]``
+    over hashed unigram+bigram occurrences, with add-``alpha`` smoothing
+    on both categorical distributions. ``is_target`` marks the
+    target-domain rows INSIDE ``docs`` (the paper fits p_target on a
+    small clean set and p_raw on the whole crawl — one corpus pass
+    serves both via a conditional aggregate).
+
+    Scale shape: one feature-bucket shuffle with map-side partial
+    aggregation (the count table is ≤ :data:`DSIR_BUCKETS` rows no
+    matter the corpus), the log-ratio table broadcasts, and the per-doc
+    sum is the only other shuffle. Determinism: each bucket's log ratio
+    rounds to 9 dp, per-doc sums accumulate as DECIMAL(22,9) (order-
+    free), and the result rounds to 6 dp — the BM25/KL discipline.
+    """
+    feats = _dsir_features(
+        docs.withColumn("_t", is_target.cast("int")),
+        id_col,
+        text_col,
+        ["_t"],
+    )
+    counts = feats.groupBy("_b").agg(
+        F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
+    )
+    totals = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * DSIR_BUCKETS)
+    lr = pround(
+        F.log((F.col("c_t") + a) / (F.col("n_t") + ab))
+        - F.log((F.col("c_r") + a) / (F.col("n_r") + ab)),
+        9,
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "_b", lr.alias("_lr")
+    )
+    return (
+        feats.drop("_t")
+        .join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            pround(
+                F.sum(F.col("_lr").cast("decimal(22,9)")).cast("double"),
+                6,
+            ).alias("logw")
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    is_target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR selection: top-``k`` documents by Gumbel-perturbed log
+    importance weight — exactly sampling WITHOUT replacement from the
+    softmax of the importance weights (the Gumbel-top-k trick, the
+    paper's resampling step made deterministic): ``gkey = logw +
+    Gumbel(md5-uniform of the id)``, global top-k.
+
+    The draw is auditable (a pure function of the document id, same
+    discipline as :func:`weighted_sample`) and the global top-k plans
+    as ``TakeOrderedAndProject`` — per-partition heaps, one k-row
+    merge, never a full sort.
+    """
+    lw = dsir_logweights(docs, is_target, id_col, text_col, alpha)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsir:"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    g = pround(-F.log(-F.log(u)), 9)
+    keyed = lw.withColumn("gkey", pround(F.col("logw") + g, 6))
+    return keyed.orderBy(
+        F.col("gkey").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def leakage_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: assign by CLUSTER, not by
+    document — ``(id, component, split)`` where ``component`` is the
+    connected component of the near-dup pair graph and ``split`` hashes
+    the COMPONENT id. Two near-duplicates therefore can never land in
+    different splits, the leakage :func:`split_assign` (id-hash) cannot
+    rule out: with per-id hashing, a train document's near-twin lands
+    in val/test at the background duplicate rate, silently inflating
+    eval numbers (the failure GPT-3's dedup post-mortem and The Pile's
+    decontamination both call out).
+
+    The split stays stable under corpus growth exactly when the cluster
+    structure does: new members of an existing cluster inherit its
+    (unchanged) component id; merging two clusters re-draws the merged
+    cluster's split — unavoidable under ANY cluster-constant scheme,
+    bounded to the merged clusters only.
+
+    Scale: the pair-graph CC is the engine's flagship distributed path
+    (``operators.graph.connected_components``); the split itself is a
+    pure map-side hash of the component id.
+    """
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        docs.select(id_col),
+        pairs,
+        node_col=id_col,
+        src_col=src_col,
+        dst_col=dst_col,
+    )
+    b = hash_bucket(F.col("component"), 100)
+    return comp.withColumn(
+        "split",
+        F.when(b < val_pct, F.lit("val"))
+        .when(b < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def write_dsir_model(
+    docs: DataFrame,
+    is_target: Column,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> str:
+    """Persist the DSIR importance model — the ≤ :data:`DSIR_BUCKETS`
+    per-bucket count table ``(b, c_t, c_r)`` plus a ``<path>_stats``
+    constants sidecar — so later crawl increments score in O(increment)
+    (:func:`dsir_score_increment`) without ever re-scanning the corpus
+    the model was fit on. The model is TINY by construction (the bucket
+    table never exceeds the hash space regardless of corpus size): the
+    persisted artifact is kilobytes at 100 TB, and every consumer
+    broadcasts it.
+
+    The frozen-state pattern of ``write_jaccard_index`` / the IVF
+    quantizer: the distributions freeze at fit time, drift is a
+    measurable re-fit decision (:func:`dsir_model_staleness`), and —
+    unlike those two — freezing costs no correctness OR recall: scores
+    are only ever defined relative to a reference distribution pair.
+    """
+    feats = _dsir_features(
+        docs.withColumn("_t", is_target.cast("int")),
+        id_col,
+        text_col,
+        ["_t"],
+    )
+    counts = feats.groupBy("_b").agg(
+        F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
+    )
+    root = path.rstrip("/")
+    counts.coalesce(1).write.mode("overwrite").parquet(root)
+    docs.sparkSession.createDataFrame(
+        [(float(alpha), DSIR_BUCKETS, id_col)],
+        "alpha double, n_buckets int, id_col string",
+    ).write.mode("overwrite").parquet(root + "_stats")
+    return root
+
+
+def _dsir_ratio_table(spark, root: str):
+    """(ratio DataFrame ``(_b, _lr)``, alpha, id_col) from a persisted
+    model — smoothing covers buckets the fit corpus never produced, so
+    the table is complete over the hash space via a left join at score
+    time (absent bucket ⇒ c_t = c_r = 0)."""
+    meta = spark.read.parquet(root + "_stats").first()
+    alpha = float(meta["alpha"])
+    counts = spark.read.parquet(root)
+    totals = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    a = F.lit(alpha)
+    ab = F.lit(alpha * DSIR_BUCKETS)
+    lr = pround(
+        F.log((F.col("c_t") + a) / (F.col("n_t") + ab))
+        - F.log((F.col("c_r") + a) / (F.col("n_r") + ab)),
+        9,
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        lr.alias("_lr"),
+        # log ratio for a bucket UNSEEN at fit time (c_t = c_r = 0):
+        # constant, attached to every row so the scorer needs no second
+        # read of the stats.
+        pround(
+            F.log(a / (F.col("n_t") + ab)) - F.log(a / (F.col("n_r") + ab)),
+            9,
+        ).alias("_lr0"),
+    )
+    return ratio, alpha, meta["id_col"]
+
+
+def dsir_score_increment(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a crawl increment ``(id, logw)`` against the FROZEN
+    persisted model — O(increment): tokenize the increment only, left
+    join the broadcast ratio table (buckets unseen at fit time take the
+    smoothed zero-count ratio), per-doc decimal sum. The corpus the
+    model was fit on is never touched."""
+    ratio, _, id_col = _dsir_ratio_table(spark, path.rstrip("/"))
+    lr0 = ratio.select("_lr0").first()["_lr0"]
+    feats = _dsir_features(new_docs, id_col, text_col, [])
+    return (
+        feats.join(F.broadcast(ratio.select("_b", "_lr")), "_b", "left")
+        .select(
+            id_col,
+            F.coalesce("_lr", F.lit(lr0)).alias("_lr"),
+        )
+        .groupBy(id_col)
+        .agg(
+            pround(
+                F.sum(F.col("_lr").cast("decimal(22,9)")).cast("double"),
+                6,
+            ).alias("logw")
+        )
+    )
+
+
+def dsir_model_staleness(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+) -> dict:
+    """Measured re-fit decision for a frozen DSIR model (the
+    ``ivf_index_staleness`` / ``jaccard_index_staleness`` symmetry):
+    total-variation distance between the model's frozen RAW bucket
+    distribution and the current corpus's — ``tv = ½ Σ_b |p_frozen(b) −
+    p_now(b)| ∈ [0, 1]``. Near 0: the reference distribution still
+    matches reality and re-fitting buys nothing. Large: importance
+    scores are ratios against a corpus that no longer exists — re-fit
+    (one corpus pass; the model is kilobytes). One bounded pass over
+    the current corpus; both bucket tables are ≤ :data:`DSIR_BUCKETS`
+    rows and the arithmetic happens driver-side on those rows."""
+    root = path.rstrip("/")
+    _, _, id_col = _dsir_ratio_table(spark, root)
+    frozen = {
+        r["_b"]: r["c_r"] for r in spark.read.parquet(root).collect()
+    }
+    now = {
+        r["_b"]: r["n"]
+        for r in _dsir_features(docs, id_col, text_col, [])
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_f = sum(frozen.values()) or 1
+    n_c = sum(now.values()) or 1
+    tv = 0.5 * sum(
+        abs(frozen.get(b, 0) / n_f - now.get(b, 0) / n_c)
+        for b in set(frozen) | set(now)
+    )
+    return {
+        "tv": tv,
+        "n_frozen_feats": n_f,
+        "n_current_feats": n_c,
+        "n_frozen_buckets": len(frozen),
+        "n_current_buckets": len(now),
+    }

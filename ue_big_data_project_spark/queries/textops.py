@@ -2680,6 +2680,245 @@ FROM r WHERE rn = 1 AND NOT del
 """
 
 
+def pipeline_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023) — over the crawl corpus: sources src1–src3 play the
+    small clean TARGET domain, every document scores a hashed
+    unigram+bigram importance weight ``ln p_target − ln p_raw``
+    (``pipelines.dsir_logweights``), and the selection is the
+    Gumbel-top-20 resample (``pipelines.dsir_sample``) — sampling
+    without replacement from the softmax of the weights, made
+    deterministic by md5-seeded Gumbel noise so the draw itself is
+    oracle-checkable. Plan: one ≤1024-row bucket count (map-side
+    partial agg), broadcast log-ratio join, one per-doc sum,
+    TakeOrderedAndProject top-k."""
+    from ue_big_data_project_spark.pipelines import dsir_sample
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    s = dsir_sample(
+        d, F.col("source").isin("src1", "src2", "src3"), k=20
+    )
+    w = Window.orderBy(F.col("gkey").desc(), F.col("doc_id").asc())
+    return s.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+_DSIR_B = 1024
+_DSIR_LR = sql_round(
+    f"ln((c_t + 1.0) / (n_t + {float(_DSIR_B)}))"
+    f" - ln((c_r + 1.0) / (n_r + {float(_DSIR_B)}))",
+    9,
+)
+_DSIR_GUMBEL = sql_round(
+    "-ln(-ln((("
+    + _hex8_sql("md5('dsir:' || CAST(doc_id AS VARCHAR))")
+    + ") + 0.5) / 4294967296.0))",
+    9,
+)
+PIPELINE_DSIR_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END AS t,
+         {_WORDS} AS words
+  FROM documents
+), feats AS (
+  SELECT doc_id, t,
+         unnest(list_concat(words, list_transform(
+           range(1, greatest(len(words), 1)),
+           i -> words[i] || ' ' || words[i + 1]
+         ))) AS f
+  FROM base
+), bf AS (
+  SELECT doc_id, t, ({_hex8_sql("md5('f:' || f)")}) % {_DSIR_B} AS b
+  FROM feats
+), counts AS (
+  SELECT b, CAST(sum(t) AS BIGINT) AS c_t, CAST(count(*) AS BIGINT) AS c_r
+  FROM bf GROUP BY b
+), tot AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r
+  FROM counts
+), ratio AS (
+  SELECT b, {_DSIR_LR} AS lr FROM counts CROSS JOIN tot
+), perdoc AS (
+  SELECT doc_id,
+         {sql_round("CAST(sum(CAST(lr AS DECIMAL(22,9))) AS DOUBLE)", 6)}
+           AS logw
+  FROM bf JOIN ratio USING (b) GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, logw, {sql_round(f"logw + {_DSIR_GUMBEL}", 6)} AS gkey
+  FROM perdoc
+), ranked AS (
+  SELECT doc_id, logw, gkey,
+         CAST(row_number() OVER (ORDER BY gkey DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM keyed
+)
+SELECT doc_id, logw, gkey, rank FROM ranked WHERE rank <= 20
+"""
+
+
+def pipeline_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR (the persisted-model complement of
+    ``pipeline_dsir_sample``): fit the importance model on ¾ of the
+    corpus (``pipelines.write_dsir_model`` — a ≤1024-row count table +
+    stats sidecar), then score the remaining quarter against the FROZEN
+    model in O(increment) (``pipelines.dsir_score_increment``) — the
+    steady-state shape of DSIR over a rolling crawl, where the
+    reference distributions are fit once and every arriving increment
+    scores without re-scanning the fit corpus. Buckets the fit never
+    produced take the smoothed zero-count ratio (left join +
+    coalesce). Output: the increment's top-20 by frozen-model score."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.pipelines import (
+        dsir_score_increment,
+        write_dsir_model,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.filter(F.col("doc_id") % 4 != 0)
+    inc = d.filter(F.col("doc_id") % 4 == 0)
+    root = _tf.mkdtemp(prefix="spark_graft_dsir_")
+    try:
+        model = root + "/model"
+        write_dsir_model(
+            base, F.col("source").isin("src1", "src2", "src3"), model
+        )
+        scored = dsir_score_increment(spark, model, inc)
+        # Materialize before the tempdir vanishes (probe-index rule).
+        scored = scored.orderBy(
+            F.col("logw").desc(), F.col("doc_id").asc()
+        ).limit(20)
+        w = Window.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+_DSIR_LR0 = sql_round(
+    f"ln(1.0 / (n_t + {float(_DSIR_B)})) - ln(1.0 / (n_r + {float(_DSIR_B)}))",
+    9,
+)
+PIPELINE_DSIR_INCREMENTAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END AS t,
+         {_WORDS} AS words
+  FROM documents
+), feats AS (
+  SELECT doc_id, t,
+         unnest(list_concat(words, list_transform(
+           range(1, greatest(len(words), 1)),
+           i -> words[i] || ' ' || words[i + 1]
+         ))) AS f
+  FROM base
+), bf AS (
+  SELECT doc_id, t, ({_hex8_sql("md5('f:' || f)")}) % {_DSIR_B} AS b
+  FROM feats
+), counts AS (
+  SELECT b, CAST(sum(t) AS BIGINT) AS c_t, CAST(count(*) AS BIGINT) AS c_r
+  FROM bf WHERE doc_id % 4 <> 0 GROUP BY b
+), tot AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r
+  FROM counts
+), ratio AS (
+  SELECT b, {_DSIR_LR} AS lr FROM counts CROSS JOIN tot
+), perdoc AS (
+  SELECT doc_id,
+         {sql_round(
+             "CAST(sum(CAST(coalesce(lr, " + _DSIR_LR0 + ") AS DECIMAL(22,9))) AS DOUBLE)",
+             6,
+         )} AS logw
+  FROM bf LEFT JOIN ratio USING (b) CROSS JOIN tot
+  WHERE doc_id % 4 = 0 GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, logw,
+         CAST(row_number() OVER (ORDER BY logw DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM perdoc
+)
+SELECT doc_id, logw, rank FROM ranked WHERE rank <= 20
+"""
+
+
+def pipeline_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (``pipelines.leakage_split``):
+    split by CLUSTER of the exact-Jaccard ≥ 0.8 pair graph, not by
+    document id, so a train document's near-twin can never land in
+    val/test — the eval-leakage mode an id-hash split
+    (``pipeline_split``) admits at the background duplicate rate.
+    Output: per-split doc/cluster accounting (the co-clustered surplus
+    is exactly the docs whose twin dictated their split)."""
+    from ue_big_data_project_spark.pipelines import leakage_split
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.8
+    )
+    s = leakage_split(d.select("doc_id"), pairs)
+    n = F.count(F.lit(1))
+    return s.groupBy("split").agg(
+        n.alias("n_docs"),
+        F.countDistinct("component").alias("n_clusters"),
+        (n - F.countDistinct("component")).alias("n_coclustered"),
+        F.min("component").alias("min_component"),
+        F.max("component").alias("max_component"),
+    )
+
+
+def _hash100_sql(expr: str) -> str:
+    """DuckDB twin of ``pipelines.hash_bucket(expr, 100)`` over an
+    arbitrary string SQL expression (``_hash_mod_sql`` is fixed to
+    doc_id)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {k + 1}, 1))"
+            f" - 1) * {16 ** (11 - k)}"
+            for k in range(12)
+        )
+        + ") % 100"
+    )
+
+
+PIPELINE_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({DEDUP_JACCARD_SQL}) p
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+), comp AS (
+  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+  FROM reach GROUP BY node
+), assigned AS (
+  SELECT doc_id, component,
+         CASE WHEN h < 10 THEN 'val'
+              WHEN h < 20 THEN 'test'
+              ELSE 'train' END AS split
+  FROM (
+    SELECT doc_id, component,
+           {_hash100_sql("CAST(component AS VARCHAR)")} AS h
+    FROM comp
+  )
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+       CAST(count(*) - count(DISTINCT component) AS BIGINT)
+         AS n_coclustered,
+       min(component) AS min_component,
+       max(component) AS max_component
+FROM assigned GROUP BY split
+"""
+
+
 QUERIES = {
     "pipeline_prep_documents": QuerySpec(
         pipeline_prep_documents, PIPELINE_PREP_SQL
@@ -2715,6 +2954,15 @@ QUERIES = {
     ),
     "pipeline_training_shards": QuerySpec(
         pipeline_training_shards, PIPELINE_TRAINING_SHARDS_SQL
+    ),
+    "pipeline_dsir_sample": QuerySpec(
+        pipeline_dsir_sample, PIPELINE_DSIR_SQL
+    ),
+    "pipeline_dsir_incremental": QuerySpec(
+        pipeline_dsir_incremental, PIPELINE_DSIR_INCREMENTAL_SQL
+    ),
+    "pipeline_leakage_split": QuerySpec(
+        pipeline_leakage_split, PIPELINE_LEAKAGE_SPLIT_SQL
     ),
     "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
