@@ -309,3 +309,81 @@ def test_dsir_model_staleness_audit(spark, tmp_path):
     W(drifted, F.col("doc_id") < 100, model)
     refit = dsir_model_staleness(spark, model, drifted)
     assert refit["tv"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_dsir_score_stream_equals_one_shot_and_replays_safely(
+    spark, tmp_path
+):
+    """Stream == batch: draining documents through dsir_score_stream in
+    micro-batches produces exactly the one-shot dsir_score_increment
+    table; re-running a batch's ingest (at-least-once replay) rewrites
+    identical bytes (pure function of frozen model + batch rows, no
+    ledger needed); expire_batches prunes old score partitions."""
+    import os
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.pipelines import (
+        dsir_score_increment,
+        write_dsir_model,
+    )
+    from ue_big_data_project_spark.sources import expire_batches
+
+    _, df = _corpus(spark)
+    model = str(tmp_path / "model")
+    write_dsir_model(df, F.col("doc_id") < 100, model)
+
+    inc = spark.createDataFrame(
+        [(300 + i, t) for i, t in enumerate(_RAW_DOCS + _TARGET_DOCS)],
+        ["doc_id", "text"],
+    )
+    batches = [str(tmp_path / f"b{i}") for i in range(3)]
+    for i, b in enumerate(batches):
+        inc.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(b)
+
+    scores = str(tmp_path / "scores")
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    for i, b in enumerate(batches):
+        part = [f for f in os.listdir(b) if f.endswith(".parquet")][0]
+        os.symlink(os.path.join(b, part), f"{stage}/b{i}.parquet")
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = ST.dsir_score_stream(sdf, model, scores)
+    ST.run_until_drained(q)
+
+    got = {
+        (r["doc_id"], r["logw"])
+        for r in ST.read_dsir_scores(spark, scores).collect()
+    }
+    want = {
+        (r["doc_id"], r["logw"])
+        for r in dsir_score_increment(spark, model, inc).collect()
+    }
+    assert got == want and len(got) == inc.count()
+
+    # Replay a committed batch by hand: identical bytes land (same
+    # rows), nothing duplicates.
+    parts = sorted(
+        p for p in os.listdir(scores) if p.startswith("batch_id=")
+    )
+    assert len(parts) >= 2
+    b0 = spark.read.parquet(os.path.join(scores, parts[0]))
+    rescored = dsir_score_increment(
+        spark, model, inc.join(b0.select("doc_id"), "doc_id", "left_semi")
+    )
+    rescored.write.mode("overwrite").parquet(
+        os.path.join(scores, parts[0])
+    )
+    assert {
+        (r["doc_id"], r["logw"])
+        for r in ST.read_dsir_scores(spark, scores).collect()
+    } == want
+
+    # Retention rides the batch_id layout for free.
+    dropped = expire_batches(spark, scores, keep_last=1)
+    assert dropped and len(
+        [p for p in os.listdir(scores) if p.startswith("batch_id=")]
+    ) == 1

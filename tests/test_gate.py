@@ -86,6 +86,11 @@ PROXIED = {
     # persisted-index/probe family as the in-gate Jaccard probe entry;
     # frozen == inline equivalence pinned in tests/test_dsir_leakage.py.
     "pipeline_dsir_incremental": "dedup_jaccard_incremental",
+    # Streaming frozen-model scoring sink — same per-batch persisted-
+    # artifact drain family as the in-gate streaming cluster sink;
+    # stream == one-shot + replay-determinism pinned in
+    # tests/test_dsir_leakage.py.
+    "streaming_dsir_scores": "streaming_dedup_clusters",
     # Cluster-hash train/val/test split — same pair-graph
     # connected-components family as the in-gate cluster closer; the
     # never-separates-a-pair contract is pinned by

@@ -462,6 +462,10 @@ SHUFFLE_BUDGETS = {
     # tests/test_dsir_leakage.py::test_dsir_frozen_model_scores_match_
     # inline_fit and the unseen-bucket coalesce test.
     "pipeline_dsir_incremental": 0,
+    # Same truncated-return shape via the streaming sink drain; stream
+    # == one-shot equivalence and no-ledger replay safety pinned by
+    # tests/test_dsir_leakage.py::test_dsir_score_stream_*.
+    "streaming_dsir_scores": 0,
     # Leakage split: the CC label join back over the node set plus the
     # two-stage per-split countDistinct accounting; the CC iterations
     # themselves are charged at operator-call time (checkpointed, the

@@ -2844,6 +2844,78 @@ SELECT doc_id, logw, rank FROM ranked WHERE rank <= 20
 """
 
 
+def streaming_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous DSIR scoring end-to-end: the model fits once on ¾ of
+    the corpus, then the remaining quarter arrives as 3 REAL
+    micro-batches through ``streaming.dsir_score_stream`` — each batch
+    scores against the frozen model and lands in its own ``batch_id=N``
+    partition (deterministic overwrite = replay-safe with no ledger,
+    the HLL-sink class). The oracle is ``pipeline_dsir_incremental``'s
+    SQL VERBATIM: scores are per-document pure functions of the frozen
+    model, so batching must be invisible — the streamed score table's
+    top-20 hashes identically to the one-shot increment scoring."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.pipelines import write_dsir_model
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.filter(F.col("doc_id") % 4 != 0)
+    inc = d.filter(F.col("doc_id") % 4 == 0)
+    root = _tf.mkdtemp(prefix="spark_graft_dsirstream_")
+    try:
+        model = _os.path.join(root, "model")
+        write_dsir_model(
+            base, F.col("source").isin("src1", "src2", "src3"), model
+        )
+        stage = _os.path.join(root, "stage")
+        _os.makedirs(stage)
+        now = _time.time()
+        for i in range(3):
+            bdir = _os.path.join(root, f"b{i}")
+            (
+                inc.filter((F.col("doc_id") / 4) % 3 == i)
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.parquet(bdir)
+            )
+            part = [
+                f for f in _os.listdir(bdir) if f.endswith(".parquet")
+            ][0]
+            dst = _os.path.join(stage, f"b{i}.parquet")
+            _os.symlink(_os.path.join(bdir, part), dst)
+            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+        sdf = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = ST.dsir_score_stream(
+                sdf, model, _os.path.join(root, "scores")
+            )
+            ST.run_until_drained(q)
+        finally:
+            spark.conf.set(key, prev)
+        scored = ST.read_dsir_scores(spark, _os.path.join(root, "scores"))
+        scored = scored.orderBy(
+            F.col("logw").desc(), F.col("doc_id").asc()
+        ).limit(20)
+        w = Window.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def pipeline_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware train/val/test split (``pipelines.leakage_split``):
     split by CLUSTER of the exact-Jaccard ≥ 0.8 pair graph, not by
@@ -2960,6 +3032,9 @@ QUERIES = {
     ),
     "pipeline_dsir_incremental": QuerySpec(
         pipeline_dsir_incremental, PIPELINE_DSIR_INCREMENTAL_SQL
+    ),
+    "streaming_dsir_scores": QuerySpec(
+        streaming_dsir_scores, PIPELINE_DSIR_INCREMENTAL_SQL
     ),
     "pipeline_leakage_split": QuerySpec(
         pipeline_leakage_split, PIPELINE_LEAKAGE_SPLIT_SQL

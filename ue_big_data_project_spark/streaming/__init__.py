@@ -1122,6 +1122,53 @@ def read_cms_rollup(spark: SparkSession, counters_path: str) -> DataFrame:
     )
 
 
+def dsir_score_stream(
+    sdf: DataFrame,
+    model_path: str,
+    scores_path: str,
+) -> StreamingQuery:
+    """Continuous DSIR scoring: each micro-batch of arriving documents
+    scores against the FROZEN persisted importance model
+    (``pipelines.dsir_score_increment`` — the ≤1024-row ratio table
+    broadcasts; the fit corpus is never touched) and lands in the
+    batch's own ``batch_id=N`` partition of a scores sidecar. This is
+    the crawl-frontier deployment of DSIR: the model is fit once on the
+    reference corpora, then every arriving shard gets its importance
+    weight the moment it lands — the selection itself (threshold or
+    Gumbel-top-k over ``read_dsir_scores``) stays a cheap downstream
+    read of the O(docs-seen) score table.
+
+    Crash-safety with NO ledger (the :func:`hll_ingest_stream` class):
+    a batch's scores are a pure function of (frozen model, batch rows),
+    and the write is a deterministic overwrite of the batch's own
+    partition — at-least-once replay rewrites identical bytes. The
+    ``batch_id=N`` layout makes retention free
+    (``sources.expire_batches``); model refresh is a re-fit +
+    re-point, audited by ``pipelines.dsir_model_staleness``.
+    """
+    from ue_big_data_project_spark.pipelines import dsir_score_increment
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        scored = dsir_score_increment(
+            batch_df.sparkSession, model_path, batch_df
+        )
+        scored.write.mode("overwrite").parquet(
+            os.path.join(scores_path, f"batch_id={batch_id}")
+        )
+
+    return sdf.writeStream.outputMode("append").foreachBatch(ingest).start()
+
+
+def read_dsir_scores(spark: SparkSession, scores_path: str) -> DataFrame:
+    """Every scored document from a sidecar maintained by
+    :func:`dsir_score_stream` — ``(id, logw)``, batch partition column
+    dropped. O(docs scored) rows; the ingested text never re-reads."""
+    out = spark.read.parquet(scores_path)
+    if "batch_id" in out.columns:
+        out = out.drop("batch_id")
+    return out
+
+
 # Keep at most this many loose marker files before folding the
 # contiguous prefix into the watermark. Low enough that the per-batch
 # ledger scan stays O(1)-ish forever; high enough that compaction work
