@@ -387,3 +387,48 @@ def test_dsir_score_stream_equals_one_shot_and_replays_safely(
     assert dropped and len(
         [p for p in os.listdir(scores) if p.startswith("batch_id=")]
     ) == 1
+
+
+def test_dsir_model_records_and_validates_params(spark, tmp_path):
+    """The model records its constants as column metadata on the count
+    table (one artifact — no counts/params crash window) and scoring
+    validates recorded == running bucket count instead of silently
+    hashing features into the wrong ratio space (the cms_lookup
+    recorded-params discipline)."""
+    from ue_big_data_project_spark.pipelines import (
+        dsir_score_increment,
+        write_dsir_model,
+    )
+
+    _, df = _corpus(spark)
+    model = str(tmp_path / "model")
+    write_dsir_model(df, F.col("doc_id") < 100, model)
+    md = spark.read.parquet(model).schema["_b"].metadata
+    assert md["dsir_alpha"] == 1.0
+    assert md["dsir_n_buckets"] == DSIR_BUCKETS
+    assert md["dsir_id_col"] == "doc_id"
+
+    # A counts-shaped table WITHOUT recorded params must refuse.
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(model).select(
+        F.col("_b").alias("_b", metadata={}), "c_t", "c_r"
+    ).write.parquet(bare)
+    with pytest.raises(ValueError, match="not a write_dsir_model"):
+        dsir_score_increment(spark, bare, df)
+
+    # A model recorded under a different bucket count must refuse.
+    wrong = str(tmp_path / "wrong")
+    spark.read.parquet(model).select(
+        F.col("_b").alias(
+            "_b",
+            metadata={
+                "dsir_alpha": 1.0,
+                "dsir_n_buckets": DSIR_BUCKETS * 2,
+                "dsir_id_col": "doc_id",
+            },
+        ),
+        "c_t",
+        "c_r",
+    ).write.parquet(wrong)
+    with pytest.raises(ValueError, match="re-fit the model"):
+        dsir_score_increment(spark, wrong, df)

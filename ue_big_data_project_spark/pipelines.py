@@ -900,8 +900,11 @@ def write_dsir_model(
     alpha: float = 1.0,
 ) -> str:
     """Persist the DSIR importance model — the ≤ :data:`DSIR_BUCKETS`
-    per-bucket count table ``(b, c_t, c_r)`` plus a ``<path>_stats``
-    constants sidecar — so later crawl increments score in O(increment)
+    per-bucket count table ``(b, c_t, c_r)`` with the constants
+    (alpha, bucket count, id column) recorded as column metadata ON the
+    table (one artifact — no counts/params crash window; the
+    cms_counters discipline) — so later crawl increments score in
+    O(increment)
     (:func:`dsir_score_increment`) without ever re-scanning the corpus
     the model was fit on. The model is TINY by construction (the bucket
     table never exceeds the hash space regardless of corpus size): the
@@ -924,11 +927,20 @@ def write_dsir_model(
         F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
     )
     root = path.rstrip("/")
-    counts.coalesce(1).write.mode("overwrite").parquet(root)
-    docs.sparkSession.createDataFrame(
-        [(float(alpha), DSIR_BUCKETS, id_col)],
-        "alpha double, n_buckets int, id_col string",
-    ).write.mode("overwrite").parquet(root + "_stats")
+    # Params ride as COLUMN METADATA on the count table itself (the
+    # cms_counters discipline) — ONE artifact, so no crash window can
+    # leave counts and constants mutually inconsistent the way a
+    # counts-dir + params-sidecar pair could (a re-fit with a changed
+    # alpha that dies between the two writes would otherwise silently
+    # mis-score forever).
+    meta = {
+        "dsir_alpha": float(alpha),
+        "dsir_n_buckets": DSIR_BUCKETS,
+        "dsir_id_col": id_col,
+    }
+    counts.select(
+        F.col("_b").alias("_b", metadata=meta), "c_t", "c_r"
+    ).coalesce(1).write.mode("overwrite").parquet(root)
     return root
 
 
@@ -936,10 +948,28 @@ def _dsir_ratio_table(spark, root: str):
     """(ratio DataFrame ``(_b, _lr)``, alpha, id_col) from a persisted
     model — smoothing covers buckets the fit corpus never produced, so
     the table is complete over the hash space via a left join at score
-    time (absent bucket ⇒ c_t = c_r = 0)."""
-    meta = spark.read.parquet(root + "_stats").first()
-    alpha = float(meta["alpha"])
+    time (absent bucket ⇒ c_t = c_r = 0).
+
+    Recorded-params guard (the cms_lookup discipline): scoring hashes
+    features with the RUNNING code's :data:`DSIR_BUCKETS`; a model
+    recorded under a different bucket count would silently assign
+    features to the wrong ratios, so declared ≠ recorded raises
+    driver-side instead of returning plausible wrong scores."""
     counts = spark.read.parquet(root)
+    md = counts.schema["_b"].metadata
+    if not md or "dsir_alpha" not in md:
+        raise ValueError(
+            f"{root} is not a write_dsir_model artifact (no recorded "
+            "dsir params on the _b column)"
+        )
+    alpha = float(md["dsir_alpha"])
+    recorded = int(md["dsir_n_buckets"])
+    if recorded != DSIR_BUCKETS:
+        raise ValueError(
+            f"model at {root} recorded n_buckets={recorded} but this "
+            f"build hashes features into DSIR_BUCKETS={DSIR_BUCKETS}; "
+            "re-fit the model (scores would be meaningless)"
+        )
     totals = counts.agg(
         F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
     )
@@ -961,7 +991,7 @@ def _dsir_ratio_table(spark, root: str):
             9,
         ).alias("_lr0"),
     )
-    return ratio, alpha, meta["id_col"]
+    return ratio, alpha, str(md["dsir_id_col"])
 
 
 def dsir_score_increment(

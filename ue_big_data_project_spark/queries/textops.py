@@ -2759,8 +2759,8 @@ SELECT doc_id, logw, gkey, rank FROM ranked WHERE rank <= 20
 def pipeline_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DSIR (the persisted-model complement of
     ``pipeline_dsir_sample``): fit the importance model on ¾ of the
-    corpus (``pipelines.write_dsir_model`` — a ≤1024-row count table +
-    stats sidecar), then score the remaining quarter against the FROZEN
+    corpus (``pipelines.write_dsir_model`` — a ≤1024-row count table with
+    recorded params), then score the remaining quarter against the FROZEN
     model in O(increment) (``pipelines.dsir_score_increment``) — the
     steady-state shape of DSIR over a rolling crawl, where the
     reference distributions are fit once and every arriving increment
