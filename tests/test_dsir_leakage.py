@@ -432,3 +432,42 @@ def test_dsir_model_records_and_validates_params(spark, tmp_path):
     ).write.parquet(wrong)
     with pytest.raises(ValueError, match="re-fit the model"):
         dsir_score_increment(spark, wrong, df)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_words = st.sampled_from(
+    "spark join shuffle agg scan row table value part batch key".split()
+)
+_docs = st.lists(
+    st.lists(_words, min_size=1, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_docs, n_target=st.integers(min_value=1, max_value=3))
+def test_dsir_logweights_match_reference_on_random_corpora(
+    spark, texts, n_target
+):
+    """Property form of the fixed-corpus replay: on arbitrary random
+    corpora and target splits, the distributed estimator equals the
+    pure-Python md5/Decimal reference to the 6-dp rounding contract."""
+    n_target = min(n_target, max(1, len(texts) - 1))
+    rows = [(i, t, i < n_target) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_logweights(
+            df, F.col("doc_id") < n_target
+        ).collect()
+    }
+    assert got == pytest.approx(_py_dsir(rows), abs=1.5e-6)
