@@ -96,6 +96,11 @@ PROXIED = {
     # never-separates-a-pair contract is pinned by
     # tests/test_dsir_leakage.py on an id-hash-separable twin corpus.
     "pipeline_leakage_split": "dedup_clusters",
+    # Image resize through the real BMP codec path — same Arrow
+    # mapInPandas decode family as the in-gate real-codec entries; the
+    # transform itself (half-pixel nearest) is replayed index-by-index
+    # and PIL-interop-gated in tests/test_multimodal.py.
+    "multimodal_resize": "multimodal_png",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -759,3 +759,69 @@ def test_jpeg_progressive_pil_interop():
     ours = MM.decode_jpeg_pixels(buf.getvalue())
     assert ours.shape == tile.shape
     assert np.abs(ours.astype(int) - tile.astype(int)).mean() < 8
+
+
+def test_resize_pixels_nearest_properties():
+    """Nearest resize: identity at the same size, exact pixel-repeat on
+    integer upscales (half-pixel centers make each source pixel own a
+    contiguous k×k output block), and pure-integer index math replayed
+    by hand."""
+    import numpy as np
+
+    px = MM.synth_bmp_pixels(4242)
+    h, w = px.shape[:2]
+    assert np.array_equal(MM.resize_pixels(px, w, h, "nearest"), px)
+
+    up = MM.resize_pixels(px, w * 3, h * 2, "nearest")
+    assert np.array_equal(up, np.repeat(np.repeat(px, 2, 0), 3, 1))
+
+    out = MM.resize_pixels(px, 16, 8, "nearest")
+    for i in range(8):
+        for j in range(16):
+            sy = ((2 * i + 1) * h) // 16
+            sx = ((2 * j + 1) * w) // 32
+            assert np.array_equal(out[i, j], px[sy, sx])
+
+
+def test_resize_pixels_bilinear_reproduces_linear_gradients():
+    """Bilinear on a linear field returns the field sampled at the
+    output grid (interpolation is exact for degree-1 signals) — r = x
+    and g = y gradients stay gradients, and a constant channel stays
+    constant; downscale then identity-upscale keeps dtype and shape."""
+    import numpy as np
+
+    px = MM.synth_bmp_pixels(7)
+    h, w = px.shape[:2]
+    out_w, out_h = 2 * w, 2 * h
+    out = MM.resize_pixels(px, out_w, out_h, "bilinear")
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    exp_r = np.rint(np.broadcast_to(fx[None, :], (out_h, out_w)))
+    exp_g = np.rint(np.broadcast_to(fy[:, None], (out_h, out_w)))
+    assert np.array_equal(out[:, :, 0], exp_r.astype(np.uint8))
+    assert np.array_equal(out[:, :, 1], exp_g.astype(np.uint8))
+    assert np.all(out[:, :, 2] == px[0, 0, 2])
+    assert out.dtype == px.dtype
+
+    with pytest.raises(ValueError, match="unknown resize method"):
+        MM.resize_pixels(px, 4, 4, "lanczos")
+    with pytest.raises(ValueError, match="non-positive"):
+        MM.resize_pixels(px, 0, 4)
+
+
+def test_resize_matches_pil_nearest():
+    """Import-gated interop: PIL's NEAREST uses the same half-pixel
+    convention, so the rasters must agree exactly. Skips where PIL is
+    absent."""
+    import numpy as np
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    px = MM.synth_bmp_pixels(99)
+    ours = MM.resize_pixels(px, 16, 8, "nearest")
+    theirs = np.asarray(
+        PIL_Image.fromarray(px, mode="RGB").resize(
+            (16, 8), PIL_Image.NEAREST
+        )
+    )
+    assert np.array_equal(ours, theirs)

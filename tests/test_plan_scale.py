@@ -292,6 +292,8 @@ SHUFFLE_BUDGETS = {
     "events_resample": 2,           # bucket agg + per-type ffill window
     "window_rank_kit": 1,           # one WindowExec pass, one key exchange
     "sql_text_nation_revenue": 1,   # SQL text plans like the DataFrame twin
+    "multimodal_resize": 1,         # ids-only repartition; decode +
+                                    # resize + digest all in-partition
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

@@ -281,8 +281,61 @@ FROM vals GROUP BY doc_id, frame_idx
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the real codec path — the thumbnail /
+    model-input normalization step of a multimodal ingest pipeline:
+    every document's genuine BMP container decodes in the Arrow
+    workers and resizes to a fixed 16×8 raster with half-pixel-centered
+    NEAREST sampling (``operators/multimodal.resize_pixels`` — pure
+    integer index arithmetic, so the transform is bit-reproducible in
+    any engine). The hashed row carries per-channel sums AND a
+    position-weighted digest of the flattened resized bytes, so the
+    oracle pins the exact output raster, not just its totals. Bilinear
+    rides the same operator (float path), equivalence- and
+    gradient-pinned in tests/test_multimodal.py."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return MM.resize_features(
+        MM.attach_bmp(ids), out_w=16, out_h=8, method="nearest"
+    )
+
+
+# Source raster (synth_bmp_pixels): w = 8 + doc_id % 23, h = 4 + doc_id
+# % 11, r = x, g = y, b = doc_id % 251. Nearest with half-pixel centers:
+# output (i, j) samples sx = ((2j+1)·w) // 32, sy = ((2i+1)·h) // 16 —
+# closed-form, replayed pixel-by-pixel over the 8×16 output grid.
+MULTIMODAL_RESIZE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 23 AS BIGINT) AS w,
+         CAST(4 + doc_id % 11 AS BIGINT) AS h,
+         CAST(doc_id % 251 AS BIGINT) AS b
+  FROM documents
+), px AS (
+  SELECT doc_id, i, j,
+         ((2 * j + 1) * w) // 32 AS sx,
+         ((2 * i + 1) * h) // 16 AS sy,
+         b
+  FROM base, range(0, 8) t1(i), range(0, 16) t2(j)
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS out_w,
+       CAST(8 AS INTEGER) AS out_h,
+       CAST(sum(sx) AS BIGINT) AS sum_r,
+       CAST(sum(sy) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum(
+         ((i * 16 + j) * 3 + 1) * sx
+         + ((i * 16 + j) * 3 + 2) * sy
+         + ((i * 16 + j) * 3 + 3) * b
+       ) AS BIGINT) AS pos_digest
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
