@@ -825,3 +825,32 @@ def test_resize_matches_pil_nearest():
         )
     )
     assert np.array_equal(ours, theirs)
+
+
+def test_decode_pixels_dispatch_and_cross_container_resize():
+    """decode_pixels dispatches on magic bytes, and a resize is
+    container-independent: the same raster shipped as BMP and as PNG
+    (lossless) resizes to identical bytes; grayscale JPEG decodes to a
+    rank-3 raster and resizes; unknown containers refuse."""
+    import numpy as np
+
+    px = MM.synth_bmp_pixels(31337)
+    via_bmp = MM.resize_pixels(
+        MM.decode_pixels(MM.encode_bmp(px)), 16, 8, "nearest"
+    )
+    via_png = MM.resize_pixels(
+        MM.decode_pixels(MM.encode_png(px)), 16, 8, "nearest"
+    )
+    assert np.array_equal(via_bmp, via_png)
+    assert np.array_equal(via_bmp, MM.resize_pixels(px, 16, 8, "nearest"))
+
+    gray = (
+        np.arange(64, dtype=np.uint8).reshape(8, 8) // 8 * 16 + 64
+    )
+    jp = MM.decode_pixels(MM.encode_jpeg_baseline(gray))
+    assert jp.ndim == 3 and jp.shape[2] == 1
+    rz = MM.resize_pixels(jp, 4, 4, "bilinear")
+    assert rz.shape == (4, 4, 1)
+
+    with pytest.raises(ValueError, match="unsupported image container"):
+        MM.decode_pixels(b"RIFF....WAVE not an image")

@@ -393,6 +393,22 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
     return arr if h_signed < 0 else arr[::-1]
 
 
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """Container-agnostic pixel decode, dispatched on magic bytes —
+    BMP, PNG, or baseline/progressive JPEG → (h, w, C) uint8 (1-plane
+    grayscale JPEG gains a channel axis so every raster downstream is
+    rank-3). The decode half of :func:`resize_features`; raises
+    ``ValueError`` for containers with no pixel decoder."""
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png_pixels(payload)
+    if payload[:2] == JPEG_SOI:
+        arr = decode_jpeg_pixels(payload)
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    raise ValueError("unsupported image container for pixel decode")
+
+
 def resize_pixels(
     arr: np.ndarray, out_w: int, out_h: int, method: str = "nearest"
 ) -> np.ndarray:
@@ -454,7 +470,8 @@ RESIZE_FEATURES_SCHEMA = T.StructType(
 def resize_features(
     df: DataFrame, out_w: int, out_h: int, method: str = "nearest"
 ) -> DataFrame:
-    """Decode + RESIZE every BMP payload to a fixed raster inside the
+    """Decode + RESIZE every image payload (BMP/PNG/JPEG, dispatched
+    on magic bytes) to a fixed raster inside the
     Arrow workers and emit per-channel sums plus a position-weighted
     digest ``Σ (k+1)·v_k`` over the flattened resized RGB bytes — the
     digest pins the exact per-position pixel values (a transposed or
@@ -471,10 +488,13 @@ def resize_features(
             digests = []
             for p in pdf["payload"]:
                 r = resize_pixels(
-                    decode_bmp_pixels(bytes(p)), out_w, out_h, method
+                    decode_pixels(bytes(p)), out_w, out_h, method
                 )
                 flat = r.reshape(-1).astype(np.int64)
-                sums.append(r.astype(np.int64).sum(axis=(0, 1)))
+                sv = r.astype(np.int64).sum(axis=(0, 1))
+                # Grayscale (1-plane JPEG): the gray sum fills all
+                # three channel columns, as an RGB copy of it would.
+                sums.append(np.repeat(sv, 3) if sv.size == 1 else sv)
                 digests.append(
                     int(((np.arange(flat.size) + 1) * flat).sum())
                 )
@@ -636,13 +656,14 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> dict:
-    """Parse a PNG container: signature, CRC-verified chunk walk,
-    DEFLATE inflate of the concatenated IDAT stream, and scanline
-    unfiltering for all five filter types. Raises ``ValueError`` on
-    malformed input; bit depths ≠ 8, color types ≠ truecolor, and
-    Adam7 interlacing are rejected explicitly (not silently
-    mis-decoded)."""
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Full PNG decode to the (h, w, 3) uint8 RGB raster: signature,
+    CRC-verified chunk walk, DEFLATE inflate of the concatenated IDAT
+    stream, and scanline unfiltering for all five filter types. Raises
+    ``ValueError`` on malformed input; bit depths ≠ 8, color types ≠
+    truecolor, and Adam7 interlacing are rejected explicitly (not
+    silently mis-decoded). :func:`decode_png` wraps this for the
+    summary dict; :func:`resize_pixels` consumers take the raster."""
     if len(payload) < 8 or payload[:8] != PNG_SIG:
         raise ValueError("not a PNG container")
     off = 8
@@ -724,11 +745,19 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"bad filter byte {t}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    sums = out.reshape(h, w, bpp).astype(np.int64).sum(axis=(0, 1))
+    return out.reshape(h, w, bpp)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Summary-dict form of :func:`decode_png_pixels` (dimensions +
+    exact per-channel sums) — what the feature queries hash."""
+    arr = decode_png_pixels(payload)
+    h, w = arr.shape[:2]
+    sums = arr.astype(np.int64).sum(axis=(0, 1))
     return {
         "width": int(w),
         "height": int(h),
-        "bit_depth": int(depth),
+        "bit_depth": 8,
         "n_pixels": int(w) * int(h),
         "sum_r": int(sums[0]),
         "sum_g": int(sums[1]),
