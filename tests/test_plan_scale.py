@@ -294,6 +294,7 @@ SHUFFLE_BUDGETS = {
     "sql_text_nation_revenue": 1,   # SQL text plans like the DataFrame twin
     "multimodal_resize": 1,         # ids-only repartition; decode +
                                     # resize + digest all in-partition
+    "multimodal_wav_resample": 1,   # same shape on the audio axis
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

@@ -224,6 +224,117 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def decode_wav_samples(payload: bytes) -> np.ndarray:
+    """The decoded PCM itself, (n_samples, n_channels) int16 — the
+    sample-level entry point :func:`resample_audio` consumers build on
+    (:func:`decode_wav` returns the summary dict the feature queries
+    hash). Shares the full validation path."""
+    rec = decode_wav(payload)  # container validation
+    n_ch = rec["n_channels"]
+    fmt = data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, off)
+        if cid == b"data":
+            data = payload[off + 8 : off + 8 + csize]
+        off += 8 + csize + (csize & 1)
+    x = np.frombuffer(
+        data[: len(data) - len(data) % (2 * n_ch)], dtype="<i2"
+    )
+    return x.reshape(-1, n_ch)
+
+
+def resample_audio(
+    samples: np.ndarray, out_n: int, method: str = "nearest"
+) -> np.ndarray:
+    """Resample (n, C) PCM to ``out_n`` frames with the same
+    half-sample-centered grid as :func:`resize_pixels` (output frame k
+    samples source position (k + ½)·n/out_n − ½) — the sample-rate
+    conversion step of an audio ingest pipeline. ``nearest`` is pure
+    integer arithmetic (floor(((2k+1)·n)/(2·out_n)) — engine-exact,
+    what the oracle-paired query uses); ``linear`` interpolates in
+    float64 and rounds half-to-even back to the input dtype, exact on
+    linear ramps (test-pinned). Vectorized; runs inside Arrow workers.
+    """
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n = samples.shape[0]
+    if out_n <= 0 or n <= 0:
+        raise ValueError("non-positive sample counts")
+    if method == "nearest":
+        si = ((2 * np.arange(out_n, dtype=np.int64) + 1) * n) // (
+            2 * out_n
+        )
+        return samples[si]
+    if method == "linear":
+        f = np.clip(
+            (np.arange(out_n, dtype=np.float64) + 0.5) * n / out_n - 0.5,
+            0.0,
+            n - 1.0,
+        )
+        i0 = np.floor(f).astype(np.int64)
+        i1 = np.minimum(i0 + 1, n - 1)
+        w = (f - i0)[:, None]
+        a = samples.astype(np.float64)
+        return np.rint(a[i0] * (1 - w) + a[i1] * w).astype(samples.dtype)
+    raise ValueError(f"unknown resample method {method!r}")
+
+
+AUDIO_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_n", T.IntegerType()),
+        T.StructField("sum_s", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("pos_digest", T.LongType()),
+    ]
+)
+
+
+def audio_resample_features(
+    df: DataFrame, out_n: int, method: str = "nearest"
+) -> DataFrame:
+    """Decode + RESAMPLE every WAV payload to a fixed frame count
+    inside the Arrow workers and emit the sample sum, absolute sum,
+    and a position-weighted digest ``Σ (k+1)·s_k`` over the flattened
+    resampled PCM — the digest pins the exact per-position samples, so
+    the oracle hash-checks the audio TRANSFORM itself (the
+    :func:`resize_features` discipline on the audio axis). Payload
+    bytes never shuffle or collect."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                r = resample_audio(
+                    decode_wav_samples(bytes(p)), out_n, method
+                ).reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(r.sum()),
+                        int(np.abs(r).sum()),
+                        int(((np.arange(r.size) + 1) * r).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "out_n": pd.Series([out_n] * len(pdf), dtype="int32"),
+                    "sum_s": pd.Series([t[0] for t in rows], dtype="int64"),
+                    "sum_abs": pd.Series(
+                        [t[1] for t in rows], dtype="int64"
+                    ),
+                    "pos_digest": pd.Series(
+                        [t[2] for t in rows], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        gen, AUDIO_RESAMPLE_SCHEMA
+    )
+
+
 def synth_wav(doc_id: int) -> bytes:
     """Deterministic PCM16 square-wave fixture for ``doc_id``: length,
     amplitude, and period derive arithmetically from the id, so every

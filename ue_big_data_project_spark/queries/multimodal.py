@@ -333,9 +333,58 @@ FROM px GROUP BY doc_id
 """
 
 
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLE through the real codec path — the sample-rate
+    conversion step of an audio ingest pipeline, the audio twin of
+    ``multimodal_resize``: every document's genuine PCM16 WAV decodes
+    in the Arrow workers and resamples to a fixed 256 frames with
+    half-sample-centered NEAREST picks
+    (``operators/multimodal.resample_audio`` — pure integer index
+    arithmetic). The hashed row carries the sample sum, |sample| sum,
+    and a position-weighted digest, so the oracle replays the exact
+    resampled waveform frame-by-frame from the square-wave fixture's
+    closed form. Linear interpolation rides the same operator (float
+    path), ramp-exactness-pinned in tests/test_multimodal.py."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return MM.audio_resample_features(
+        MM.attach_wav(ids), out_n=256, method="nearest"
+    )
+
+
+# Fixture square wave (synth_wav): n = 160 + (doc_id % 64)·4, amp =
+# 1000 + (doc_id % 7)·100, s_i = ±amp by (i // period) % 2 with period
+# = 2 + doc_id % 14. Nearest with half-sample centers: output frame k
+# picks si = ((2k+1)·n) // 512 — replayed frame-by-frame.
+MULTIMODAL_WAV_RESAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(160 + (doc_id % 64) * 4 AS BIGINT) AS n,
+         CAST(1000 + (doc_id % 7) * 100 AS BIGINT) AS amp,
+         CAST(2 + doc_id % 14 AS BIGINT) AS period
+  FROM documents
+), fr AS (
+  SELECT doc_id,
+         CASE WHEN ((((2 * k + 1) * n) // 512) // period) % 2 = 0
+              THEN amp ELSE -amp END AS s,
+         k, amp
+  FROM base, range(0, 256) t(k)
+)
+SELECT doc_id,
+       CAST(256 AS INTEGER) AS out_n,
+       CAST(sum(s) AS BIGINT) AS sum_s,
+       CAST(sum(amp) AS BIGINT) AS sum_abs,
+       CAST(sum((k + 1) * s) AS BIGINT) AS pos_digest
+FROM fr GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "multimodal_wav_resample": QuerySpec(
+        multimodal_wav_resample, MULTIMODAL_WAV_RESAMPLE_SQL
+    ),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
