@@ -87,6 +87,11 @@ def main() -> None:
         )
     )
     args = ap.parse_args()
+    if args.copies < 2:
+        ap.error(
+            "--copies must be >= 2 (with 1 copy both timing arms "
+            "collapse onto the same key and every ratio reads 1.0)"
+        )
 
     spark = get_spark(app_name="dsir-scale-check")
     d = load_tables(spark, args.sf_dir, ("documents",))["documents"]

@@ -471,3 +471,25 @@ def test_dsir_logweights_match_reference_on_random_corpora(
         ).collect()
     }
     assert got == pytest.approx(_py_dsir(rows), abs=1.5e-6)
+
+
+def test_dsir_scorer_rejects_empty_model_and_wrong_paths(spark, tmp_path):
+    """Clear driver-side errors instead of opaque crashes: an empty
+    model (zero count rows), a parquet that is not a model at all (no
+    _b column — the wrong-directory mixup), and a counts table without
+    recorded params all refuse with named ValueErrors."""
+    from ue_big_data_project_spark.pipelines import (
+        dsir_score_increment,
+        write_dsir_model,
+    )
+
+    _, df = _corpus(spark)
+    empty = str(tmp_path / "empty")
+    write_dsir_model(df.filter("doc_id < 0"), F.col("doc_id") < 100, empty)
+    with pytest.raises(ValueError, match="empty"):
+        dsir_score_increment(spark, empty, df)
+
+    notmodel = str(tmp_path / "notmodel")
+    df.write.parquet(notmodel)
+    with pytest.raises(ValueError, match="no _b column"):
+        dsir_score_increment(spark, notmodel, df)

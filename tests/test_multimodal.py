@@ -890,3 +890,15 @@ def test_resample_audio_linear_is_exact_on_ramps():
         MM.resample_audio(ramp, 10, "sinc")
     with pytest.raises(ValueError, match="non-positive"):
         MM.resample_audio(ramp, 0)
+
+
+def test_resample_audio_empty_signal_yields_empty():
+    """A zero-sample WAV is VALID (decode_wav accepts it); the resample
+    is empty rather than fabricated silence or a task-killing error."""
+    import numpy as np
+
+    empty = MM.encode_wav_pcm16(np.array([], dtype=np.int64), 8000)
+    s = MM.decode_wav_samples(empty)
+    assert s.shape[0] == 0
+    out = MM.resample_audio(s, 256, "nearest")
+    assert out.shape[0] == 0

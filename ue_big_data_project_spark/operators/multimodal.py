@@ -231,11 +231,13 @@ def decode_wav_samples(payload: bytes) -> np.ndarray:
     hash). Shares the full validation path."""
     rec = decode_wav(payload)  # container validation
     n_ch = rec["n_channels"]
-    fmt = data = None
+    data = None
     off = 12
     while off + 8 <= len(payload):
         cid, csize = struct.unpack_from("<4sI", payload, off)
         if cid == b"data":
+            # Same last-chunk-wins walk as decode_wav, which already
+            # rejected truncated chunks for this payload.
             data = payload[off + 8 : off + 8 + csize]
         off += 8 + csize + (csize & 1)
     x = np.frombuffer(
@@ -259,8 +261,15 @@ def resample_audio(
     if samples.ndim == 1:
         samples = samples[:, None]
     n = samples.shape[0]
-    if out_n <= 0 or n <= 0:
+    if out_n <= 0:
         raise ValueError("non-positive sample counts")
+    if n == 0:
+        # A zero-sample signal is VALID WAV (decode_wav accepts it);
+        # there is nothing to sample, so the resample is empty too —
+        # fabricating out_n silent frames would invent data, and
+        # raising would kill a whole Arrow task for one degenerate
+        # document.
+        return samples[:0]
     if method == "nearest":
         si = ((2 * np.arange(out_n, dtype=np.int64) + 1) * n) // (
             2 * out_n
@@ -306,11 +315,15 @@ def audio_resample_features(
         for pdf in batches:
             rows = []
             for p in pdf["payload"]:
-                r = resample_audio(
+                rs = resample_audio(
                     decode_wav_samples(bytes(p)), out_n, method
-                ).reshape(-1).astype(np.int64)
+                )
+                r = rs.reshape(-1).astype(np.int64)
                 rows.append(
                     (
+                        # Actual frame count: 0 for a (valid)
+                        # zero-sample payload, out_n otherwise.
+                        int(rs.shape[0]),
                         int(r.sum()),
                         int(np.abs(r).sum()),
                         int(((np.arange(r.size) + 1) * r).sum()),
@@ -319,13 +332,13 @@ def audio_resample_features(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "out_n": pd.Series([out_n] * len(pdf), dtype="int32"),
-                    "sum_s": pd.Series([t[0] for t in rows], dtype="int64"),
+                    "out_n": pd.Series([t[0] for t in rows], dtype="int32"),
+                    "sum_s": pd.Series([t[1] for t in rows], dtype="int64"),
                     "sum_abs": pd.Series(
-                        [t[1] for t in rows], dtype="int64"
+                        [t[2] for t in rows], dtype="int64"
                     ),
                     "pos_digest": pd.Series(
-                        [t[2] for t in rows], dtype="int64"
+                        [t[3] for t in rows], dtype="int64"
                     ),
                 }
             )

@@ -748,6 +748,72 @@ def _dsir_features(
     return feats.select(id_col, *extra, b.alias("_b"))
 
 
+def _dsir_counts(
+    docs: DataFrame, is_target: Column, id_col: str, text_col: str
+) -> DataFrame:
+    """The ≤ :data:`DSIR_BUCKETS`-row per-bucket count table
+    ``(_b, c_t, c_r)`` — ONE corpus pass serves both distributions via
+    a conditional aggregate. The single definition the inline
+    estimator, the persisted model, and the staleness audit all share
+    (divergence here would silently split their numbers)."""
+    feats = _dsir_features(
+        docs.withColumn("_t", is_target.cast("int")),
+        id_col,
+        text_col,
+        ["_t"],
+    )
+    return feats.groupBy("_b").agg(
+        F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
+    )
+
+
+def _dsir_ratio(counts: DataFrame, alpha: float) -> DataFrame:
+    """Smoothed log-ratio table ``(_b, _lr, _lr0)`` from a count table:
+    ``_lr`` per fitted bucket, ``_lr0`` the constant for buckets the
+    fit never produced (c_t = c_r = 0) so scorers need no second read.
+    Rounded to 9 dp — the determinism point every consumer shares."""
+    totals = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * DSIR_BUCKETS)
+    lr = pround(
+        F.log((F.col("c_t") + a) / (F.col("n_t") + ab))
+        - F.log((F.col("c_r") + a) / (F.col("n_r") + ab)),
+        9,
+    )
+    lr0 = pround(
+        F.log(a / (F.col("n_t") + ab)) - F.log(a / (F.col("n_r") + ab)),
+        9,
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "_b", lr.alias("_lr"), lr0.alias("_lr0")
+    )
+
+
+def _dsir_score(
+    docs: DataFrame,
+    ratio: DataFrame,
+    lr0: float,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-doc decimal sum of (broadcast-joined) bucket log ratios;
+    buckets absent from ``ratio`` take ``lr0``."""
+    feats = _dsir_features(docs, id_col, text_col, [])
+    return (
+        feats.join(F.broadcast(ratio.select("_b", "_lr")), "_b", "left")
+        .select(id_col, F.coalesce("_lr", F.lit(lr0)).alias("_lr"))
+        .groupBy(id_col)
+        .agg(
+            pround(
+                F.sum(F.col("_lr").cast("decimal(22,9)")).cast("double"),
+                6,
+            ).alias("logw")
+        )
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     is_target: Column,
@@ -770,38 +836,11 @@ def dsir_logweights(
     rounds to 9 dp, per-doc sums accumulate as DECIMAL(22,9) (order-
     free), and the result rounds to 6 dp — the BM25/KL discipline.
     """
-    feats = _dsir_features(
-        docs.withColumn("_t", is_target.cast("int")),
-        id_col,
-        text_col,
-        ["_t"],
-    )
-    counts = feats.groupBy("_b").agg(
-        F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
-    )
-    totals = counts.agg(
-        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
-    )
-    a = F.lit(float(alpha))
-    ab = F.lit(float(alpha) * DSIR_BUCKETS)
-    lr = pround(
-        F.log((F.col("c_t") + a) / (F.col("n_t") + ab))
-        - F.log((F.col("c_r") + a) / (F.col("n_r") + ab)),
-        9,
-    )
-    ratio = counts.crossJoin(F.broadcast(totals)).select(
-        "_b", lr.alias("_lr")
-    )
-    return (
-        feats.drop("_t")
-        .join(F.broadcast(ratio), "_b")
-        .groupBy(id_col)
-        .agg(
-            pround(
-                F.sum(F.col("_lr").cast("decimal(22,9)")).cast("double"),
-                6,
-            ).alias("logw")
-        )
+    counts = _dsir_counts(docs, is_target, id_col, text_col)
+    # lr0 is irrelevant here: every scored feature's bucket is in the
+    # count table by construction (same corpus fit both sides).
+    return _dsir_score(
+        docs, _dsir_ratio(counts, alpha), 0.0, id_col, text_col
     )
 
 
@@ -917,15 +956,7 @@ def write_dsir_model(
     unlike those two — freezing costs no correctness OR recall: scores
     are only ever defined relative to a reference distribution pair.
     """
-    feats = _dsir_features(
-        docs.withColumn("_t", is_target.cast("int")),
-        id_col,
-        text_col,
-        ["_t"],
-    )
-    counts = feats.groupBy("_b").agg(
-        F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
-    )
+    counts = _dsir_counts(docs, is_target, id_col, text_col)
     root = path.rstrip("/")
     # Params ride as COLUMN METADATA on the count table itself (the
     # cms_counters discipline) — ONE artifact, so no crash window can
@@ -944,25 +975,24 @@ def write_dsir_model(
     return root
 
 
-def _dsir_ratio_table(spark, root: str):
-    """(ratio DataFrame ``(_b, _lr)``, alpha, id_col) from a persisted
-    model — smoothing covers buckets the fit corpus never produced, so
-    the table is complete over the hash space via a left join at score
-    time (absent bucket ⇒ c_t = c_r = 0).
-
-    Recorded-params guard (the cms_lookup discipline): scoring hashes
-    features with the RUNNING code's :data:`DSIR_BUCKETS`; a model
-    recorded under a different bucket count would silently assign
-    features to the wrong ratios, so declared ≠ recorded raises
-    driver-side instead of returning plausible wrong scores."""
+def _dsir_read_model(spark, root: str):
+    """(counts DataFrame, alpha, id_col) from a persisted model, with
+    the recorded-params guard (the cms_lookup discipline): scoring
+    hashes features with the RUNNING code's :data:`DSIR_BUCKETS`, so a
+    table that is not a model, carries no recorded params, or was
+    recorded under a different bucket count raises driver-side instead
+    of silently assigning features to the wrong ratios."""
     counts = spark.read.parquet(root)
+    if "_b" not in counts.columns:
+        raise ValueError(
+            f"{root} is not a write_dsir_model artifact (no _b column)"
+        )
     md = counts.schema["_b"].metadata
     if not md or "dsir_alpha" not in md:
         raise ValueError(
             f"{root} is not a write_dsir_model artifact (no recorded "
             "dsir params on the _b column)"
         )
-    alpha = float(md["dsir_alpha"])
     recorded = int(md["dsir_n_buckets"])
     if recorded != DSIR_BUCKETS:
         raise ValueError(
@@ -970,28 +1000,26 @@ def _dsir_ratio_table(spark, root: str):
             f"build hashes features into DSIR_BUCKETS={DSIR_BUCKETS}; "
             "re-fit the model (scores would be meaningless)"
         )
-    totals = counts.agg(
-        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
-    )
-    a = F.lit(alpha)
-    ab = F.lit(alpha * DSIR_BUCKETS)
-    lr = pround(
-        F.log((F.col("c_t") + a) / (F.col("n_t") + ab))
-        - F.log((F.col("c_r") + a) / (F.col("n_r") + ab)),
-        9,
-    )
-    ratio = counts.crossJoin(F.broadcast(totals)).select(
-        "_b",
-        lr.alias("_lr"),
-        # log ratio for a bucket UNSEEN at fit time (c_t = c_r = 0):
-        # constant, attached to every row so the scorer needs no second
-        # read of the stats.
-        pround(
-            F.log(a / (F.col("n_t") + ab)) - F.log(a / (F.col("n_r") + ab)),
-            9,
-        ).alias("_lr0"),
-    )
-    return ratio, alpha, str(md["dsir_id_col"])
+    return counts, float(md["dsir_alpha"]), str(md["dsir_id_col"])
+
+
+def dsir_scorer(spark, path: str):
+    """One-time scoring handle ``(ratio, lr0, id_col)`` for a frozen
+    persisted model: reads + validates the artifact ONCE, materializes
+    the ≤ :data:`DSIR_BUCKETS`-row ratio table (localCheckpoint, so
+    repeat consumers — every micro-batch of a stream — never re-read
+    the parquet), and resolves the unseen-bucket constant. Raises on an
+    EMPTY model (zero count rows): every score would be the meaningless
+    all-unseen constant."""
+    counts, alpha, id_col = _dsir_read_model(spark, path.rstrip("/"))
+    ratio = _dsir_ratio(counts, alpha).localCheckpoint(eager=True)
+    row = ratio.select("_lr0").first()
+    if row is None:
+        raise ValueError(
+            f"model at {path} is empty (zero count rows) — fit it on a "
+            "non-empty corpus"
+        )
+    return ratio.select("_b", "_lr"), float(row["_lr0"]), id_col
 
 
 def dsir_score_increment(
@@ -1004,24 +1032,11 @@ def dsir_score_increment(
     persisted model — O(increment): tokenize the increment only, left
     join the broadcast ratio table (buckets unseen at fit time take the
     smoothed zero-count ratio), per-doc decimal sum. The corpus the
-    model was fit on is never touched."""
-    ratio, _, id_col = _dsir_ratio_table(spark, path.rstrip("/"))
-    lr0 = ratio.select("_lr0").first()["_lr0"]
-    feats = _dsir_features(new_docs, id_col, text_col, [])
-    return (
-        feats.join(F.broadcast(ratio.select("_b", "_lr")), "_b", "left")
-        .select(
-            id_col,
-            F.coalesce("_lr", F.lit(lr0)).alias("_lr"),
-        )
-        .groupBy(id_col)
-        .agg(
-            pround(
-                F.sum(F.col("_lr").cast("decimal(22,9)")).cast("double"),
-                6,
-            ).alias("logw")
-        )
-    )
+    model was fit on is never touched. Looping callers (the streaming
+    sink) hold a :func:`dsir_scorer` handle instead, so the artifact
+    reads once."""
+    ratio, lr0, id_col = dsir_scorer(spark, path)
+    return _dsir_score(new_docs, ratio, lr0, id_col, text_col)
 
 
 def dsir_model_staleness(
@@ -1040,11 +1055,8 @@ def dsir_model_staleness(
     (one corpus pass; the model is kilobytes). One bounded pass over
     the current corpus; both bucket tables are ≤ :data:`DSIR_BUCKETS`
     rows and the arithmetic happens driver-side on those rows."""
-    root = path.rstrip("/")
-    _, _, id_col = _dsir_ratio_table(spark, root)
-    frozen = {
-        r["_b"]: r["c_r"] for r in spark.read.parquet(root).collect()
-    }
+    counts, _, id_col = _dsir_read_model(spark, path.rstrip("/"))
+    frozen = {r["_b"]: r["c_r"] for r in counts.collect()}
     now = {
         r["_b"]: r["n"]
         for r in _dsir_features(docs, id_col, text_col, [])

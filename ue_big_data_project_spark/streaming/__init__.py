@@ -1146,12 +1146,17 @@ def dsir_score_stream(
     (``sources.expire_batches``); model refresh is a re-fit +
     re-point, audited by ``pipelines.dsir_model_staleness``.
     """
-    from ue_big_data_project_spark.pipelines import dsir_score_increment
+    from ue_big_data_project_spark.pipelines import _dsir_score, dsir_scorer
+
+    # The model is FROZEN: read + validate + materialize the ratio
+    # table ONCE at stream setup (a dsir_score_increment call per batch
+    # would re-read the artifact and re-run the lr0 lookup job on every
+    # micro-batch of the hot path). The ≤1024-row checkpointed table is
+    # captured by the closure and broadcast-joined per batch.
+    ratio, lr0, id_col = dsir_scorer(sdf.sparkSession, model_path)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        scored = dsir_score_increment(
-            batch_df.sparkSession, model_path, batch_df
-        )
+        scored = _dsir_score(batch_df, ratio, lr0, id_col, "text")
         scored.write.mode("overwrite").parquet(
             os.path.join(scores_path, f"batch_id={batch_id}")
         )
