@@ -105,6 +105,10 @@ PROXIED = {
     # axis; frame-by-frame index replay + ramp-exact linear pinned in
     # tests/test_multimodal.py.
     "multimodal_wav_resample": "multimodal_png",
+    # Per-frame video thumbnails (demux → decode → resize composed) —
+    # same mp4 demux family as the in-gate frame/keyframe entries;
+    # thumbnail == direct frame resize pinned in tests/test_mp4.py.
+    "multimodal_video_thumbs": "multimodal_mp4_frames",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

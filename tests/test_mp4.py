@@ -523,3 +523,34 @@ def test_pyav_decodes_emitted_keyframe():
     assert frames, "emitted keyframe bytes must decode standalone"
     arr = frames[0].to_ndarray(format="rgb24")
     assert arr.shape == (48, 64, 3)
+
+
+def test_mp4_thumbnails_match_direct_frame_resize(spark):
+    """mp4_thumbnail_features == resize_pixels over the synthesized
+    frame rasters, per kept frame — the composed demux→decode→resize
+    chain adds nothing and loses nothing."""
+    import numpy as np
+
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    ids = spark.createDataFrame([(3,), (12,), (45,)], "doc_id long")
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["sum_luma"], r["pos_digest"])
+        for r in MM.mp4_thumbnail_features(
+            MM.attach_mp4(ids), every=2, out_w=8, out_h=8
+        ).collect()
+    }
+    want = {}
+    for doc_id in (3, 12, 45):
+        for fi in range(0, 1 + doc_id % 8, 2):
+            px = MM.synth_mp4_frame_pixels(doc_id, fi)[:, :, None]
+            r = (
+                MM.resize_pixels(px, 8, 8, "nearest")
+                .reshape(-1)
+                .astype(np.int64)
+            )
+            want[(doc_id, fi)] = (
+                int(r.sum()),
+                int(((np.arange(r.size) + 1) * r).sum()),
+            )
+    assert got == want

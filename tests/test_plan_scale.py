@@ -295,6 +295,9 @@ SHUFFLE_BUDGETS = {
     "multimodal_resize": 1,         # ids-only repartition; decode +
                                     # resize + digest all in-partition
     "multimodal_wav_resample": 1,   # same shape on the audio axis
+    "multimodal_video_thumbs": 1,   # demux + decode + thumbnail all
+                                    # in-partition after the ids-only
+                                    # repartition
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

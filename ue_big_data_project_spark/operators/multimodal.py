@@ -2915,6 +2915,81 @@ MP4_FRAMES_SCHEMA = T.StructType(
 )
 
 
+MP4_THUMBS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("pts_ms", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("sum_luma", T.LongType()),
+        T.StructField("pos_digest", T.LongType()),
+    ]
+)
+
+
+def mp4_thumbnail_features(
+    df: DataFrame, every: int = 1, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """The video THUMBNAIL-GRID pipeline in one Arrow pass: demux each
+    MP4's sample table, seek every ``every``-th frame (skipped frames
+    never touched), decode it (native MJPEG), and resize it to a fixed
+    ``out_w × out_h`` preview with integer-exact nearest sampling
+    (:func:`resize_pixels`) — frame-sample ∘ decode ∘ resize composed
+    inside the partition that read the bytes. Emits the resized luma
+    sum and the position-weighted digest per kept frame, so the oracle
+    pins the exact thumbnail rasters. O(kept frames) work per video
+    regardless of its length."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in MP4_THUMBS_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, pts_ms, sample in mp4_frames(
+                    bytes(payload), every=every
+                ):
+                    arr = decode_jpeg_pixels(sample)
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    r = (
+                        resize_pixels(arr, out_w, out_h, "nearest")
+                        .reshape(-1)
+                        .astype(np.int64)
+                    )
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(fi)
+                    rows["pts_ms"].append(pts_ms)
+                    rows["out_w"].append(out_w)
+                    rows["out_h"].append(out_h)
+                    rows["sum_luma"].append(int(r.sum()))
+                    rows["pos_digest"].append(
+                        int(((np.arange(r.size) + 1) * r).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(
+                        rows["frame_idx"], dtype="int32"
+                    ),
+                    "pts_ms": pd.Series(rows["pts_ms"], dtype="int64"),
+                    "out_w": pd.Series(rows["out_w"], dtype="int32"),
+                    "out_h": pd.Series(rows["out_h"], dtype="int32"),
+                    "sum_luma": pd.Series(
+                        rows["sum_luma"], dtype="int64"
+                    ),
+                    "pos_digest": pd.Series(
+                        rows["pos_digest"], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        gen, MP4_THUMBS_SCHEMA
+    )
+
+
 def synth_mp4_frame_pixels(doc_id: int, frame_idx: int) -> np.ndarray:
     """Per-frame block-constant raster: the :func:`synth_jpeg_pixels`
     scheme with the frame index folded in (v advances by 22 per frame

@@ -379,11 +379,64 @@ FROM fr GROUP BY doc_id
 """
 
 
+def multimodal_video_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video thumbnail-grid pipeline — frame-sample ∘ decode ∘
+    resize composed in one Arrow pass
+    (``operators/multimodal.mp4_thumbnail_features``): every 2nd frame
+    of each real MP4 container demuxes, decodes (native MJPEG), and
+    resizes to a fixed 8×8 preview with integer-exact nearest
+    sampling. The hashed rows carry per-thumbnail luma sums and
+    position-weighted digests, so the oracle replays every thumbnail
+    raster pixel-by-pixel from the block-constant fixture's closed
+    form — a cross-engine check of the full demux→decode→transform
+    chain."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return MM.mp4_thumbnail_features(
+        MM.attach_mp4(ids), every=2, out_w=8, out_h=8
+    )
+
+
+# Fixture frames are block-constant (synth_mp4_frame_pixels): src dims
+# (8bw × 8bh), block (bx, by) of frame fi holds v = 128 + 2*(((doc_id +
+# 11·fi + 3·bx + 5·by) % 50) − 25). Nearest 8×8 thumbnail: output (i, j)
+# samples sy = ((2i+1)·bh) // 2, sx = ((2j+1)·bw) // 2, block = (sx//8,
+# sy//8) — replayed per output pixel.
+MULTIMODAL_VIDEO_THUMBS_SQL = """
+WITH sampled AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, 1 + doc_id % 8, 2)) AS INTEGER) AS frame_idx,
+         CAST(1 + doc_id % 5 AS BIGINT) AS bw,
+         CAST(1 + doc_id % 3 AS BIGINT) AS bh
+  FROM documents
+), px AS (
+  SELECT doc_id, frame_idx,
+         i, j,
+         128 + 2 * (((doc_id
+                      + 11 * frame_idx
+                      + 3 * ((((2 * j + 1) * bw) // 2) // 8)
+                      + 5 * ((((2 * i + 1) * bh) // 2) // 8)) % 50) - 25)
+           AS v
+  FROM sampled, range(0, 8) t1(i), range(0, 8) t2(j)
+)
+SELECT doc_id, frame_idx,
+       CAST(40 * frame_idx AS BIGINT) AS pts_ms,
+       CAST(8 AS INTEGER) AS out_w,
+       CAST(8 AS INTEGER) AS out_h,
+       CAST(sum(v) AS BIGINT) AS sum_luma,
+       CAST(sum((i * 8 + j + 1) * v) AS BIGINT) AS pos_digest
+FROM px GROUP BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_wav_resample": QuerySpec(
         multimodal_wav_resample, MULTIMODAL_WAV_RESAMPLE_SQL
+    ),
+    "multimodal_video_thumbs": QuerySpec(
+        multimodal_video_thumbs, MULTIMODAL_VIDEO_THUMBS_SQL
     ),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
