@@ -109,6 +109,11 @@ PROXIED = {
     # same mp4 demux family as the in-gate frame/keyframe entries;
     # thumbnail == direct frame resize pinned in tests/test_mp4.py.
     "multimodal_video_thumbs": "multimodal_mp4_frames",
+    # Perceptual-hash image dedup — the codec path is the in-gate
+    # real-codec family (decode + Arrow hash); the dup-group window
+    # shape is the in-gate window kit; dHash semantics (brightness
+    # invariance, pure-Python replay) pinned in tests/test_multimodal.
+    "dedup_image_dhash": "multimodal_png",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -902,3 +902,26 @@ def test_resample_audio_empty_signal_yields_empty():
     assert s.shape[0] == 0
     out = MM.resample_audio(s, 256, "nearest")
     assert out.shape[0] == 0
+
+
+def test_dhash_is_brightness_invariant_and_replayable():
+    """dHash ignores uniform brightness shifts (gradient SIGNS, not
+    values), distinguishes differently-shaped gradients, and replays
+    in pure Python from the resize + grayscale definition."""
+    import numpy as np
+
+    px = MM.synth_bmp_pixels(1234)
+    base = MM.dhash_pixels(px)
+    brighter = np.clip(px.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    assert MM.dhash_pixels(brighter) == base
+    # Horizontal flip reverses every gradient sign -> different hash.
+    assert MM.dhash_pixels(px[:, ::-1]) != base
+
+    r = MM.resize_pixels(px, 9, 8, "nearest").astype(np.int64)
+    gray = r.sum(axis=2) // 3
+    val = 0
+    for i in range(8):
+        for j in range(8):
+            if gray[i, j + 1] > gray[i, j]:
+                val |= 1 << (i * 8 + j)
+    assert base == (val >> 32, val & 0xFFFFFFFF)

@@ -298,6 +298,8 @@ SHUFFLE_BUDGETS = {
     "multimodal_video_thumbs": 1,   # demux + decode + thumbnail all
                                     # in-partition after the ids-only
                                     # repartition
+    "dedup_image_dhash": 2,         # ids-only repartition + the one
+                                    # dup-group window on the hash key
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

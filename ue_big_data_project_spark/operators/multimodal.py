@@ -2915,6 +2915,61 @@ MP4_FRAMES_SCHEMA = T.StructType(
 )
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+    ]
+)
+
+
+def dhash_pixels(arr: np.ndarray) -> tuple[int, int]:
+    """Difference hash (dHash, the standard perceptual image
+    fingerprint): resize to 9×8 with integer-exact nearest sampling,
+    reduce to integer grayscale ``(r + g + b) // 3``, and set bit
+    ``i·8 + j`` when ``gray[i, j+1] > gray[i, j]`` — 64 bits of
+    horizontal-gradient signs, robust to uniform brightness shifts and
+    rescaling by construction. Returned as two 32-bit halves (hi, lo)
+    so the value rides BIGINT columns in any engine without unsigned
+    overflow. Every step is integer arithmetic, so the hash is
+    bit-reproducible cross-engine (the oracle replays it)."""
+    r = resize_pixels(arr, 9, 8, "nearest").astype(np.int64)
+    gray = r.sum(axis=2) // r.shape[2] if r.ndim == 3 else r
+    bits = (gray[:, 1:] > gray[:, :-1]).reshape(-1)
+    val = 0
+    for k, b in enumerate(bits):
+        if b:
+            val |= 1 << k
+    return val >> 32, val & 0xFFFFFFFF
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Per-image dHash over (doc_id, payload) rows — decode (any
+    supported container via :func:`decode_pixels`) + hash inside the
+    Arrow workers; payload bytes never shuffle. Group or band the
+    64-bit output for exact or near-duplicate image dedup (identical
+    hash = perceptually identical; small Hamming distance = near-dup,
+    the SimHash pigeonhole machinery applies unchanged)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hi, lo = [], []
+            for p in pdf["payload"]:
+                h, lw = dhash_pixels(decode_pixels(bytes(p)))
+                hi.append(h)
+                lo.append(lw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash_hi": pd.Series(hi, dtype="int64"),
+                    "dhash_lo": pd.Series(lo, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(gen, DHASH_SCHEMA)
+
+
 MP4_THUMBS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

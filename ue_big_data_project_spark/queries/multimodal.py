@@ -11,6 +11,7 @@ with ``hashlib``; DuckDB reproduces the results from the text column.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ue_big_data_project_spark.operators import multimodal as MM
 from ue_big_data_project_spark.queries import QuerySpec
@@ -379,6 +380,70 @@ FROM fr GROUP BY doc_id
 """
 
 
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE-level dedup by perceptual hash: every document's real BMP
+    container decodes and dHashes in the Arrow workers
+    (``operators/multimodal.image_dhash`` — 9×8 integer-exact nearest
+    resize → integer grayscale → 64 horizontal-gradient sign bits,
+    robust to uniform brightness shifts by construction), then one
+    window over the hash key yields the duplicate-group size and the
+    canonical keeper — the image twin of ``dedup_exact``'s
+    fingerprint-groupBy, with the SimHash banding machinery available
+    unchanged for near-dup Hamming search. The oracle replays the
+    hash bit-by-bit from the fixture's closed-form rasters."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    h = MM.image_dhash(MM.attach_bmp(ids))
+    w = W.partitionBy("dhash_hi", "dhash_lo")
+    return h.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.count(F.lit(1)).over(w).alias("n_same"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+# Fixture raster (synth_bmp_pixels): r = x, g = y, b = doc_id % 251.
+# dHash replay: 9-wide nearest resize gives column sample sx(j) =
+# ((2j+1)·w) // 18 and row sample sy(i) = ((2i+1)·h) // 16; gray =
+# (sx + sy + b) // 3; bit i·8+j set iff gray(i, j+1) > gray(i, j).
+MULTIMODAL_DHASH_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 23 AS BIGINT) AS w,
+         CAST(4 + doc_id % 11 AS BIGINT) AS h,
+         CAST(doc_id % 251 AS BIGINT) AS b
+  FROM documents
+), bits AS (
+  SELECT doc_id, i, j,
+         CASE WHEN ((((2 * (j + 1) + 1) * w) // 18)
+                    + (((2 * i + 1) * h) // 16) + b) // 3
+                 > ((((2 * j + 1) * w) // 18)
+                    + (((2 * i + 1) * h) // 16) + b) // 3
+              THEN 1 ELSE 0 END AS bit
+  FROM base, range(0, 8) t1(i), range(0, 8) t2(j)
+), hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN i * 8 + j >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j - 32))
+                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+         CAST(sum(CASE WHEN i * 8 + j < 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j))
+                       ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, dhash_hi, dhash_lo,
+       CAST(count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS BIGINT)
+         AS n_same,
+       doc_id = min(doc_id) OVER (PARTITION BY dhash_hi, dhash_lo)
+         AS keep
+FROM hashes
+"""
+
+
 def multimodal_video_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video thumbnail-grid pipeline — frame-sample ∘ decode ∘
     resize composed in one Arrow pass
@@ -438,6 +503,7 @@ QUERIES = {
     "multimodal_video_thumbs": QuerySpec(
         multimodal_video_thumbs, MULTIMODAL_VIDEO_THUMBS_SQL
     ),
+    "dedup_image_dhash": QuerySpec(dedup_image_dhash, MULTIMODAL_DHASH_SQL),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
