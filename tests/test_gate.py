@@ -114,6 +114,10 @@ PROXIED = {
     # shape is the in-gate window kit; dHash semantics (brightness
     # invariance, pure-Python replay) pinned in tests/test_multimodal.
     "dedup_image_dhash": "multimodal_png",
+    # Banded Hamming near-dup pairs over dHash — pigeonhole banding is
+    # the in-gate SimHash/banding dedup family; losslessness is proven
+    # by the brute-force oracle hash (a missed pair mismatches).
+    "dedup_image_neardup": "dedup_clusters",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -925,3 +925,20 @@ def test_dhash_is_brightness_invariant_and_replayable():
             if gray[i, j + 1] > gray[i, j]:
                 val |= 1 << (i * 8 + j)
     assert base == (val >> 32, val & 0xFFFFFFFF)
+
+
+def test_dhash_neardup_banding_guard_and_shape(spark):
+    """Parameter guard (pigeonhole over 4 bands holds only to Hamming
+    3) and output shape: pairs are ordered, Hamming-bounded, and never
+    include exact duplicates."""
+    from ue_big_data_project_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    h = MM.image_dhash(MM.attach_bmp(d.limit(60).select("doc_id")))
+    with pytest.raises(ValueError, match="1 <= max_hamming <= 3"):
+        MM.dhash_neardup_pairs(h, max_hamming=4)
+    rows = MM.dhash_neardup_pairs(h, max_hamming=2).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(1 <= r["hamming"] <= 2 for r in rows)

@@ -300,6 +300,8 @@ SHUFFLE_BUDGETS = {
                                     # repartition
     "dedup_image_dhash": 2,         # ids-only repartition + the one
                                     # dup-group window on the hash key
+    "dedup_image_neardup": 3,       # ids repartition + band-key join +
+                                    # the multi-band pair distinct
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

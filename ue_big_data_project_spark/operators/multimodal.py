@@ -2970,6 +2970,85 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(gen, DHASH_SCHEMA)
 
 
+def dhash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """NEAR-duplicate image pairs from an :func:`image_dhash` table via
+    SimHash-style pigeonhole banding: the 64 bits split into 4 bands of
+    16; a pair within Hamming distance ``max_hamming`` ≤ 3 differs in
+    at most ``max_hamming`` bands, so at least one band matches exactly
+    and a band-key equi-join finds EVERY qualifying pair (lossless —
+    the brute-force oracle is the proof). Candidates are verified with
+    ``bit_count(xor)`` and exact-duplicate pairs (Hamming 0) are
+    EXCLUDED — identical hashes are the group-dedup op's job
+    (:func:`image_dhash` + a hash-key window); this op exists for the
+    perceptually-close-but-not-identical tail.
+
+    Scale shape: never all-pairs — the join keys on (band_idx,
+    band_value), so candidate fan-out is bounded per band bucket; at
+    corpus scale add a band-frequency cap (the winnow/Jaccard
+    stop-fingerprint discipline) for pathological constant bands.
+    """
+    if not 1 <= max_hamming <= 3:
+        raise ValueError("pigeonhole over 4 bands needs 1 <= max_hamming <= 3")
+    b = hashes.select(
+        F.col(id_col),
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"),
+                    F.shiftright("dhash_hi", 16).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    (F.col("dhash_hi").bitwiseAND(F.lit(0xFFFF))).alias(
+                        "bv"
+                    ),
+                ),
+                F.struct(
+                    F.lit(2).alias("bi"),
+                    F.shiftright("dhash_lo", 16).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("bi"),
+                    (F.col("dhash_lo").bitwiseAND(F.lit(0xFFFF))).alias(
+                        "bv"
+                    ),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "dhash_hi", "dhash_lo", "band.bi", "band.bv")
+    left = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col("dhash_hi").alias("_ha"),
+        F.col("dhash_lo").alias("_la"),
+        "bi",
+        "bv",
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col("dhash_hi").alias("_hb"),
+        F.col("dhash_lo").alias("_lb"),
+        "bi",
+        "bv",
+    )
+    ham = (
+        F.expr("bit_count(_ha ^ _hb)") + F.expr("bit_count(_la ^ _lb)")
+    ).cast("int")
+    return (
+        left.join(right, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_la", "_hb", "_lb")
+        .distinct()  # a pair may share several bands
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
+        )
+    )
+
+
 MP4_THUMBS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

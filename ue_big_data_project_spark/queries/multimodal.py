@@ -410,8 +410,8 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dHash replay: 9-wide nearest resize gives column sample sx(j) =
 # ((2j+1)·w) // 18 and row sample sy(i) = ((2i+1)·h) // 16; gray =
 # (sx + sy + b) // 3; bit i·8+j set iff gray(i, j+1) > gray(i, j).
-MULTIMODAL_DHASH_SQL = """
-WITH base AS (
+# Shared by the group-dedup and the banded near-dup oracles.
+_DHASH_CTES = """base AS (
   SELECT doc_id,
          CAST(8 + doc_id % 23 AS BIGINT) AS w,
          CAST(4 + doc_id % 11 AS BIGINT) AS h,
@@ -434,13 +434,43 @@ WITH base AS (
                        THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j))
                        ELSE 0 END) AS BIGINT) AS dhash_lo
   FROM bits GROUP BY doc_id
-)
+)"""
+
+MULTIMODAL_DHASH_SQL = f"""
+WITH {_DHASH_CTES}
 SELECT doc_id, dhash_hi, dhash_lo,
        CAST(count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS BIGINT)
          AS n_same,
        doc_id = min(doc_id) OVER (PARTITION BY dhash_hi, dhash_lo)
          AS keep
 FROM hashes
+"""
+
+
+def dedup_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs (1 ≤ Hamming ≤ 2 over the 64-bit
+    dHash) via SimHash-style pigeonhole banding
+    (``operators/multimodal.dhash_neardup_pairs``): 4 bands of 16 bits,
+    band-key equi-join, bit_count(xor) verify — never all-pairs. The
+    oracle brute-forces every pair from the closed-form hashes, so the
+    hash-equality IS the losslessness proof for the banding (a missed
+    pair mismatches). Exact-duplicate pairs (Hamming 0) are excluded —
+    that's ``dedup_image_dhash``'s group op."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    h = MM.image_dhash(MM.attach_bmp(ids))
+    return MM.dhash_neardup_pairs(h, max_hamming=2)
+
+
+MULTIMODAL_NEARDUP_SQL = f"""
+WITH {_DHASH_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+            + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER)
+         AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+      + bit_count(xor(a.dhash_lo, b.dhash_lo)) BETWEEN 1 AND 2
 """
 
 
@@ -504,6 +534,9 @@ QUERIES = {
         multimodal_video_thumbs, MULTIMODAL_VIDEO_THUMBS_SQL
     ),
     "dedup_image_dhash": QuerySpec(dedup_image_dhash, MULTIMODAL_DHASH_SQL),
+    "dedup_image_neardup": QuerySpec(
+        dedup_image_neardup, MULTIMODAL_NEARDUP_SQL
+    ),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
     "multimodal_frames": QuerySpec(multimodal_frames, MULTIMODAL_FRAMES_SQL),
