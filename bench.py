@@ -185,19 +185,20 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # Round-10 rotation continuity (round-9 verdict task 1): report the
-    # sum over the NEW gate-50 next to the sum over the round-9 gate-50.
-    # Both sets are fully contained in the (unchanged) bench set, so
-    # both sums come from this run's live medians and the r9 perf series
-    # (r9-set sum 94.1 s builder / 120.4 s driver in BENCH_r09.json)
-    # stays directly comparable.
-    from ue_big_data_project_spark.queries import GATE_ORDER, GATE_ORDER_R9
+    # Round-11 rotation continuity (round-10 verdict task 1): report the
+    # sum over the NEW gate-50 next to the sum over the round-10
+    # gate-50. Both sets are fully contained in the bench set (which
+    # only grew this round), so both sums come from this run's live
+    # medians and the r10 perf series (r10-set sum 95.2 s builder /
+    # 200.8 s driver-on-a-contended-box in BENCH_r10.json) stays
+    # directly comparable.
+    from ue_big_data_project_spark.queries import GATE_ORDER, GATE_ORDER_R10
 
     gate_sum = round(
         sum(timings[n] for n in GATE_ORDER if n in timings), 3
     )
-    gate_r9_sum = round(
-        sum(timings[n] for n in GATE_ORDER_R9 if n in timings), 3
+    gate_r10_sum = round(
+        sum(timings[n] for n in GATE_ORDER_R10 if n in timings), 3
     )
 
     # The driver records only the LAST 2000 BYTES of stdout; round 4's
@@ -214,7 +215,7 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": passes,
         "gate50_sum": gate_sum,
-        "gate50_r9_sum": gate_r9_sum,
+        "gate50_r10_sum": gate_r10_sum,
     }
     if sentinel_samples:
         flat = [s for p in sentinel_samples for s in p]
@@ -251,7 +252,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": passes,
                 "gate50_sum": gate_sum,
-                "gate50_r9_sum": gate_r9_sum,
+                "gate50_r10_sum": gate_r10_sum,
                 "bench_n": len(timings),
                 # Truncation must be detectable from stdout ALONE
                 # (round-5 advice): a reader who sees dropped > 0 knows

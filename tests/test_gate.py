@@ -39,85 +39,12 @@ PROXIED = {
     # As-of family anchor after asof_first_ship rotated out: the
     # streaming as-of twin runs the same operator contract.
     "asof_bucketed_prev_click": "streaming_asof_join",
-    # (The 3 round-9-new entries that were proxied here post-re-freeze —
-    # incremental cluster maintenance, the streaming cluster sink, the
-    # Jaccard probe index — rotated INTO the gate in round 10 and face
-    # the driver's hash directly, per the round-9 verdict's task 1.)
-    # Round-10-new, post-re-freeze: the RETENTION paths — prune the
-    # persisted cluster map / Jaccard index to a keep set; same
-    # artifact families as the in-gate incremental entries, prune
-    # semantics pinned by tests/test_incremental_dedup.py::test_rewrite_*.
-    "dedup_clusters_pruned": "dedup_clusters_incremental",
-    "dedup_jaccard_pruned": "dedup_jaccard_incremental",
-    # Round-10-new, post-re-freeze: span-level substring dedup — same
-    # gram-inverted-index family as the in-gate Jaccard probe entry;
-    # strip semantics pinned by tests/test_span_dedup.py and the local
-    # DuckDB hash (md5 of the reconstructed stripped text).
-    "dedup_span_ngrams": "dedup_jaccard_incremental",
-    # SemDeDup cell-scoped semantic pruning — same quantizer/assignment
-    # family as the in-gate IVF probe entries; kept/dropped contract
-    # pinned by tests/test_approx.py::test_semdedup_* and the local
-    # DuckDB hash (shared Lloyd-chain oracle).
-    "dedup_semantic_prune": "knn_cosine_ivf_probe",
-    # Deterministic training-shard export manifest — md5 hash-bucket +
-    # one-shuffle window/agg family; anchored by the in-gate windowed
-    # kit (same window-then-aggregate shape) and locally hash-checked.
-    "pipeline_training_shards": "window_rank_kit",
-    # Winnowing fingerprints (per-doc zero-shuffle array-HOF selection)
-    # + shared-fingerprint pairs — same gram-hash inverted-index dedup
-    # family as the in-gate Jaccard probe entry; selection semantics
-    # pinned by tests/test_winnow.py and the local DuckDB hash.
-    "text_winnow": "dedup_jaccard_incremental",
-    "dedup_winnow_pairs": "dedup_jaccard_incremental",
-    # Persisted winnow fingerprint index + one-sided probe — same
-    # bucket-sharded index/probe family as the in-gate Jaccard probe
-    # entry; append == rebuild pinned by
-    # tests/test_winnow.py::test_winnow_index_append_equals_rebuild.
-    "dedup_winnow_incremental": "dedup_jaccard_incremental",
-    # Temperature-flattened domain mixing — same deterministic
-    # md5-threshold sampling family as the in-gate weighted sample.
-    "pipeline_temperature_mix": "pipeline_weighted_sample",
-    # DSIR importance resampling — same deterministic md5-keyed
-    # weighted top-k sampling family as the in-gate weighted sample
-    # (Gumbel-top-k == A-ES with logit keys); the estimator itself is
-    # replayed in pure Python by tests/test_dsir_leakage.py.
-    "pipeline_dsir_sample": "pipeline_weighted_sample",
-    # Frozen persisted DSIR model + O(increment) scoring — same
-    # persisted-index/probe family as the in-gate Jaccard probe entry;
-    # frozen == inline equivalence pinned in tests/test_dsir_leakage.py.
-    "pipeline_dsir_incremental": "dedup_jaccard_incremental",
-    # Streaming frozen-model scoring sink — same per-batch persisted-
-    # artifact drain family as the in-gate streaming cluster sink;
-    # stream == one-shot + replay-determinism pinned in
-    # tests/test_dsir_leakage.py.
-    "streaming_dsir_scores": "streaming_dedup_clusters",
-    # Cluster-hash train/val/test split — same pair-graph
-    # connected-components family as the in-gate cluster closer; the
-    # never-separates-a-pair contract is pinned by
-    # tests/test_dsir_leakage.py on an id-hash-separable twin corpus.
-    "pipeline_leakage_split": "dedup_clusters",
-    # Image resize through the real BMP codec path — same Arrow
-    # mapInPandas decode family as the in-gate real-codec entries; the
-    # transform itself (half-pixel nearest) is replayed index-by-index
-    # and PIL-interop-gated in tests/test_multimodal.py.
-    "multimodal_resize": "multimodal_png",
-    # Audio resample — the same Arrow transform family on the audio
-    # axis; frame-by-frame index replay + ramp-exact linear pinned in
-    # tests/test_multimodal.py.
-    "multimodal_wav_resample": "multimodal_png",
-    # Per-frame video thumbnails (demux → decode → resize composed) —
-    # same mp4 demux family as the in-gate frame/keyframe entries;
-    # thumbnail == direct frame resize pinned in tests/test_mp4.py.
-    "multimodal_video_thumbs": "multimodal_mp4_frames",
-    # Perceptual-hash image dedup — the codec path is the in-gate
-    # real-codec family (decode + Arrow hash); the dup-group window
-    # shape is the in-gate window kit; dHash semantics (brightness
-    # invariance, pure-Python replay) pinned in tests/test_multimodal.
-    "dedup_image_dhash": "multimodal_png",
-    # Banded Hamming near-dup pairs over dHash — pigeonhole banding is
-    # the in-gate SimHash/banding dedup family; losslessness is proven
-    # by the brute-force oracle hash (a missed pair mismatches).
-    "dedup_image_neardup": "dedup_clusters",
+    # (The 18-entry round-10-new pool that was proxied here post-
+    # re-freeze — the retention prunes, span dedup, SemDeDup, training
+    # shards, the winnowing trio, temperature mix, the DSIR trio, the
+    # leakage split, resize/resample, video thumbnails, and the image
+    # dHash pair — rotated INTO the gate in round 11 and faces the
+    # driver's hash directly, per the round-10 verdict's task 1.)
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -227,8 +154,32 @@ ROTATED_OUT = {
     # benched every round (BENCH_EXTRA) and full-registry
     # pytest-oracle-gated:
     "streaming_incremental_rollup": "streaming_tumbling_window",  # windowed rollup family
-    "knn_cosine_ivf_indexed": "knn_cosine_ivf_probe",  # IVF build (probe/append twins in gate)
+    "knn_cosine_ivf_indexed": "knn_cosine_ivf_probe",  # IVF build (probe twin in gate)
     "sql_text_nation_revenue": "scan_filter_agg_kit",  # grouped-agg family (spark.sql entry)
+    # Rotated out in ROUND 11 (the r7 cohort ≥4 consecutive driver-green
+    # rounds r7–r10, the r8 sketch cohort r8–r10, the keyframe twin
+    # r9–r10) in the rotation that put the 18-entry never-hashed
+    # round-10 pool in front of the driver's hash (round-10 verdict
+    # task 1). All stay benched every round (BENCH_EXTRA) and
+    # full-registry pytest-oracle-gated:
+    "text_bm25_search": "text_bm25_appended",  # BM25 inverted-index family
+    "text_bm25_indexed": "text_bm25_appended",  # persisted BM25 index build
+    "text_bm25_probe": "text_bm25_appended",  # pruned postings probe (appended probes too)
+    "text_hybrid_search": "text_bm25_appended",  # BM25 + cosine rerank composite
+    "text_surprisal": "text_repetition",  # per-doc text metric family
+    "text_source_kl": "text_repetition",  # per-doc/source text metric family
+    "text_heavy_hitters": "streaming_cms_tokens",  # CMS-dispatch heavy hitters
+    "events_props_variant": "ref_q1_plane_bus_wait",  # parse/scalar family (from_json twin)
+    "graph_pagerank_nations": "graph_triangle_parts",  # iterative graph op family
+    "knn_cosine_ivf_appended": "knn_cosine_ivf_probe",  # IVF append composite (probe in gate)
+    "sketch_hll_parts_per_flag": "sketch_hll_cube",  # grouped HLL family
+    "sketch_kmv_custkeys": "sketch_hll_cube",  # distinct-count sketch family
+    "sketch_kmv_overlap": "sketch_hll_cube",  # mergeable distinct-sketch family
+    "sketch_cms_tokens": "streaming_cms_tokens",  # CMS batch twin of the in-gate drain
+    "sketch_hll_merged_modes": "sketch_hll_cube",  # sketch-merge family
+    "sketch_qhist_token_mass": "sketch_qhist_prices",  # quantile-histogram family
+    "streaming_hll_distinct": "streaming_cms_tokens",  # streaming sketch-rollup drain
+    "multimodal_mp4_keyframes": "multimodal_mp4_frames",  # ISO-BMFF demux family (stss path pytest-pinned)
 }
 
 
@@ -237,22 +188,23 @@ def test_gate_within_driver_cap():
     assert len(set(GATE_ORDER)) == len(GATE_ORDER)
 
 
-def test_gate_is_frozen_at_round10_set():
+def test_gate_is_frozen_at_round11_set():
     """The gate froze at the round-5 set for rounds 6–7; rounds 8, 9,
-    and 10 each ran a verdict-mandated rotation (r8: 13 round-7-new in,
-    13/13 green; r9: 7 round-8-new in, 7/7 green; r10: the 3
-    round-9-new incremental-dedup entries in, 3 multi-round-green
-    entries out to BENCH_EXTRA, bench reports BOTH gate-50 sums for
-    series continuity) and RE-FROZE after each. Editing GATE_ORDER
-    again is a deliberate act that requires updating this pin (and
-    accepting a delta-baseline reset)."""
+    10, and 11 each ran a verdict-mandated rotation (r8: 13 round-7-new
+    in, 13/13 green; r9: 7 round-8-new in, 7/7 green; r10: 3
+    round-9-new in, 3/3 green; r11: the full 18-entry never-hashed
+    round-10 pool in, 18 multi-round-green entries out to BENCH_EXTRA,
+    bench reports BOTH gate-50 sums for series continuity) and RE-FROZE
+    after each. Editing GATE_ORDER again is a deliberate act that
+    requires updating this pin (and accepting a delta-baseline
+    reset)."""
     import hashlib
 
     frozen = hashlib.sha256("\n".join(GATE_ORDER).encode()).hexdigest()
     assert len(GATE_ORDER) == 50
     assert frozen == (
-        "1686bb4c98b5547b2f17ee18a1ef43a5aa02651ade33d69e13537f62dc96e252"
-    ), "GATE_ORDER changed — the gate re-froze at the round-10 set"
+        "3bafe23ff807045d2b35c5b8a3080ed04a27fc7ec3015330d4f1c6ea0208cdfe"
+    ), "GATE_ORDER changed — the gate re-froze at the round-11 set"
 
 
 def test_gate_is_registry_subset():
@@ -280,16 +232,31 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r09 covered the rest of the registry; the 3
-    # round-9-new entries the driver has never hashed (the round-10
-    # rotation pool the round-9 verdict named in task 1) must lead the
+    # CORRECTNESS_r01-r10 covered the rest of the registry; the 18
+    # round-10-new entries the driver has never hashed (the round-11
+    # rotation pool the round-10 verdict named in task 1) must lead the
     # gate. Once these hash green, every registry entry is cumulatively
     # driver-verified again.
-    never_hashed = GATE_ORDER[:3]
+    never_hashed = GATE_ORDER[:18]
     assert set(never_hashed) == {
-        "dedup_clusters_incremental",
-        "streaming_dedup_clusters",
-        "dedup_jaccard_incremental",
+        "dedup_clusters_pruned",
+        "dedup_jaccard_pruned",
+        "dedup_span_ngrams",
+        "dedup_semantic_prune",
+        "pipeline_training_shards",
+        "text_winnow",
+        "dedup_winnow_pairs",
+        "dedup_winnow_incremental",
+        "pipeline_temperature_mix",
+        "pipeline_dsir_sample",
+        "pipeline_dsir_incremental",
+        "streaming_dsir_scores",
+        "pipeline_leakage_split",
+        "multimodal_resize",
+        "multimodal_wav_resample",
+        "multimodal_video_thumbs",
+        "dedup_image_dhash",
+        "dedup_image_neardup",
     }
 
 
@@ -309,7 +276,7 @@ def test_bench_stdout_line_fits_driver_tail():
             "sf": 0.1,
             "runs_per_query": 3,
             "gate50_sum": 99999.999,
-            "gate50_r9_sum": 99999.999,
+            "gate50_r10_sum": 99999.999,
             "bench_n": 99,
             "dropped": 50,
             "full": "bench_full.json",

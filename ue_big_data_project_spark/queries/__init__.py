@@ -61,20 +61,28 @@ def all_queries() -> dict[str, QuerySpec]:
 # 13 ≥4-round-green entries out to BENCH_EXTRA). ROUND 9 repeated that
 # precedent on the round-8 verdict's mandate (7 round-8-new in, all 7
 # hashed green — CORRECTNESS_r09 — 7 ≥5-round-green out). ROUND 10
-# repeats it once more on the round-9 verdict's mandate (task 1): the 3
-# round-9-new incremental-dedup queries, which have only local
-# pytest-oracle evidence, swap IN to face the driver's independent
-# sf0.01 hash, and 3 multi-round-green entries (streaming_incremental_
-# rollup green r3–r9, knn_cosine_ivf_indexed and sql_text_nation_revenue
-# green r4–r9, each with an in-gate family anchor) swap OUT into
-# BENCH_EXTRA. The bench SET is unchanged (gate ∪ BENCH_EXTRA is
-# identical to round 9's), and bench.py reports the r9-gate-50 and
-# r10-gate-50 dict sums side by side this round so the perf series
-# stays comparable; the gate re-freezes at this set from round 11. All
-# rotated-out entries stay in all_queries(), the pytest oracle gate
-# (tests/test_oracle.py, which always hash-checks the FULL registry
-# against DuckDB), and the bench set. tests/test_gate.py pins the new
-# set — editing GATE_ORDER again is a test failure, not a rotation.
+# repeated it on the round-9 verdict's mandate (3 round-9-new
+# incremental-dedup entries in — all 3 hashed green, CORRECTNESS_r10 —
+# 3 multi-round-green entries out). ROUND 11 performs the rotation the
+# round-10 verdict mandated (task 1): the ENTIRE 18-entry never-hashed
+# pool — the 15 entries the verdict names (retention prunes, span
+# dedup, SemDeDup, training shards, winnowing ×3, temperature mix,
+# DSIR ×3, leakage split, resize, resample) plus the 3 it queued for
+# "the same or next rotation" (video thumbnails, image dHash, banded
+# image near-dup) — swaps IN to face the driver's independent sf0.01
+# hash, and 18 multi-round-green entries (the four BM25 probe/search
+# shapes, surprisal/KL, the variant parse twin, pagerank, the appended
+# IVF composite, six sketch twins, the streaming HLL drain, heavy
+# hitters, and the keyframe demux twin — each with an in-gate family
+# anchor) swap OUT into BENCH_EXTRA. The bench SET grows by the 9
+# in-rotating entries that were registry-only before (117 → 126);
+# bench.py reports the r10-gate-50 and r11-gate-50 dict sums side by
+# side this round so the perf series stays comparable; the gate
+# re-freezes at this set from round 12. All rotated-out entries stay
+# in all_queries(), the pytest oracle gate (tests/test_oracle.py,
+# which always hash-checks the FULL registry against DuckDB), and the
+# bench set. tests/test_gate.py pins the new set — editing GATE_ORDER
+# again is a test failure, not a rotation.
 #
 # Every registry entry OUTSIDE the gate maps to an in-gate family
 # anchor; the authoritative (test-enforced) mappings live in
@@ -82,60 +90,68 @@ def all_queries() -> dict[str, QuerySpec]:
 # additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–10).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed: run first (round-9-new; round-10 rotation,
-    # round-9 verdict task 1). The engine's flagship incremental-dedup
-    # paths — the component-bucketed persisted cluster map absorbing an
-    # increment via contracted-graph CC, the streaming cluster-
-    # maintenance sink, and the frozen-order exact-Jaccard probe index —
-    # face the driver's independent sf0.01 hash for the first time. ----
+    # -- never driver-hashed: run first (round-10-new; round-11
+    # rotation, round-10 verdict task 1). The round-10 LLM-pipeline
+    # buildout — retention rewrites, span-level substring dedup,
+    # SemDeDup, training-shard export, the winnowing family, DSIR
+    # importance resampling, the leakage-aware split, temperature
+    # mixing, the real-codec resize/resample transforms, video
+    # thumbnails, and perceptual-hash image dedup — faces the driver's
+    # independent sf0.01 hash for the first time. -----------------------
+    "dedup_clusters_pruned",
+    "dedup_jaccard_pruned",
+    "dedup_span_ngrams",
+    "dedup_semantic_prune",
+    "pipeline_training_shards",
+    "text_winnow",
+    "dedup_winnow_pairs",
+    "dedup_winnow_incremental",
+    "pipeline_temperature_mix",
+    "pipeline_dsir_sample",
+    "pipeline_dsir_incremental",
+    "streaming_dsir_scores",
+    "pipeline_leakage_split",
+    "multimodal_resize",
+    "multimodal_wav_resample",
+    "multimodal_video_thumbs",
+    "dedup_image_dhash",
+    "dedup_image_neardup",
+    # -- first hashed (green) in round 10 --------------------------------
     "dedup_clusters_incremental",
     "streaming_dedup_clusters",
     "dedup_jaccard_incremental",
     # -- first hashed (green) in round 9 ---------------------------------
+    # (multimodal_mp4_keyframes rotated out in ROUND 11 — see
+    # _ROTATED_OUT_R11 below.)
     "cdc_merge_into",
     "streaming_cdc_merge",
     "streaming_cdc_merge_bucketed",
     "sketch_hll_cube",
     "sketch_join_size",
     "streaming_cms_tokens",
-    "multimodal_mp4_keyframes",
     # -- first hashed (green) in round 8 ---------------------------------
-    "sketch_hll_parts_per_flag",
-    "sketch_kmv_custkeys",
-    "sketch_kmv_overlap",
-    "sketch_cms_tokens",
-    "sketch_hll_merged_modes",
+    # (six sketch twins, the streaming HLL drain, and the CMS heavy
+    # hitters rotated out in ROUND 11 — see _ROTATED_OUT_R11 below.)
     "sketch_qhist_prices",
-    "sketch_qhist_token_mass",
-    "streaming_hll_distinct",
-    "text_heavy_hitters",
     "text_bm25_appended",
     "multimodal_mp4_frames",
     "pipeline_quantile_trim",
     "join_auto_strategy",
     # -- first hashed (green) in round 7 ---------------------------------
-    "text_bm25_search",
-    "text_bm25_indexed",
-    "text_hybrid_search",
-    "graph_pagerank_nations",
+    # (the bm25 search/indexed/probe/hybrid shapes, pagerank, the
+    # appended-IVF composite, the variant parse twin, and the
+    # surprisal/KL text metrics rotated out in ROUND 11 — see
+    # _ROTATED_OUT_R11 below.)
     "graph_triangle_parts",
     "cdc_scd2_history",
-    "knn_cosine_ivf_appended",
     "multimodal_png",
     "events_cube",
-    "events_props_variant",
     "events_ewma",
     "pipeline_weighted_sample",
     "window_rank_kit",
     "multimodal_jpeg",
-    "text_surprisal",
-    "text_source_kl",
     "knn_cosine_ivf_probe",
-    "text_bm25_probe",
     # -- first hashed (green) in round 4 ---------------------------------
-    # (knn_cosine_ivf_indexed, sql_text_nation_revenue, and the round-3
-    # streaming_incremental_rollup rotated out in ROUND 10 — see
-    # _ROTATED_OUT_R10 below.)
     "text_repetition",
     "bloom_pruned_join",
     "streaming_asof_join",
@@ -149,16 +165,20 @@ GATE_ORDER = (
     "dedup_clusters",
 )
 
-# The round-9 gate set, kept verbatim so bench.py can report the
+# The round-10 gate set, kept verbatim so bench.py can report the
 # old-gate-50 sum NEXT TO the new-gate-50 sum this round — the perf
-# series (r9-set sum 94.1 s builder / 120.4 s driver in BENCH_r09.json)
-# stays directly comparable across the rotation (round-9 verdict
-# task 1: "record BOTH bench sums"). Every entry is still benched
-# (gate ∪ BENCH_EXTRA is unchanged), so the sum is computed from live
-# medians, not replayed. (The round-8 set's crossover sums were
-# recorded in BENCH_r09.json — gate50_r8_sum 85.9 s builder / 100.9 s
-# driver vs r8's 86.1 — so the r8-set series is already closed.)
-GATE_ORDER_R9 = (
+# series (r10-set sum 95.2 s builder / 200.8 s driver-on-a-contended-
+# box in BENCH_r10.json) stays directly comparable across the rotation
+# (round-10 verdict task 1: "record BOTH bench sums"). Every entry is
+# still benched (the bench set only GROWS this round), so the sum is
+# computed from live medians, not replayed. (The round-9 set's
+# crossover sums were recorded in BENCH_r10.json — gate50_r9_sum
+# 95.2 s builder / 200.8 s driver vs r9's 94.1 — so the r9-set series
+# is already closed.)
+GATE_ORDER_R10 = (
+    "dedup_clusters_incremental",
+    "streaming_dedup_clusters",
+    "dedup_jaccard_incremental",
     "cdc_merge_into",
     "streaming_cdc_merge",
     "streaming_cdc_merge_bucketed",
@@ -197,13 +217,10 @@ GATE_ORDER_R9 = (
     "text_source_kl",
     "knn_cosine_ivf_probe",
     "text_bm25_probe",
-    "knn_cosine_ivf_indexed",
     "text_repetition",
     "bloom_pruned_join",
     "streaming_asof_join",
     "q2_min_cost_supplier",
-    "sql_text_nation_revenue",
-    "streaming_incremental_rollup",
     "ref_q1_plane_bus_wait",
     "scan_filter_agg_kit",
     "streaming_sessionize",
@@ -266,6 +283,39 @@ _ROTATED_OUT_R10 = (
     "streaming_incremental_rollup",
     "knn_cosine_ivf_indexed",
     "sql_text_nation_revenue",
+)
+
+# Rotated out of the gate in ROUND 11 (the bm25/surprisal/KL/variant/
+# pagerank/appended-IVF cohort driver-green r7–r10, the sketch cohort
+# r8–r10, the keyframe demux twin r9–r10) to hand their slots to the
+# 18-entry never-hashed round-10 pool — the rotation the round-10
+# verdict mandated (task 1), following the r8/r9/r10 precedent. All
+# stay benched every round (appended to BENCH_EXTRA below) and
+# hash-checked by the full pytest oracle gate; their operator families
+# keep in-gate anchors (tests/test_gate.py maps each: the BM25 shapes
+# anchor on text_bm25_appended, the sketch twins on sketch_hll_cube /
+# streaming_cms_tokens / sketch_qhist_prices, the IVF composite on
+# knn_cosine_ivf_probe, the text metrics on text_repetition, the
+# keyframe demux on multimodal_mp4_frames).
+_ROTATED_OUT_R11 = (
+    "text_bm25_search",
+    "text_bm25_indexed",
+    "text_bm25_probe",
+    "text_hybrid_search",
+    "text_surprisal",
+    "text_source_kl",
+    "text_heavy_hitters",
+    "events_props_variant",
+    "graph_pagerank_nations",
+    "knn_cosine_ivf_appended",
+    "sketch_hll_parts_per_flag",
+    "sketch_kmv_custkeys",
+    "sketch_kmv_overlap",
+    "sketch_cms_tokens",
+    "sketch_hll_merged_modes",
+    "sketch_qhist_token_mass",
+    "streaming_hll_distinct",
+    "multimodal_mp4_keyframes",
 )
 
 # Rotated out of the gate in earlier rounds (driver-green) — but still
@@ -331,45 +381,14 @@ BENCH_EXTRA = (
     # round-9-new incremental-dedup queries (which moved OUT of this
     # tuple and INTO the gate — the bench set is unchanged).
     *_ROTATED_OUT_R10,
-    # Round-10-new (gate frozen at the round-10 set, so driver evidence
-    # arrives via the local pytest oracle + the in-gate incremental
-    # anchors): RETENTION paths — the cluster map pruned to a keep set
-    # (oracle = full closure over the half corpus, filtered AFTER the
-    # closure, pinning both the row shed and the label freeze) and the
-    # Jaccard probe index pruned then probed (oracle = full pair SQL
-    # restricted to surviving endpoints with ≥1 probe endpoint).
-    "dedup_clusters_pruned",
-    "dedup_jaccard_pruned",
-    # Round-10-new: SPAN-level substring dedup (Lee et al. 2022) — the
-    # fourth dedup granularity (whole-doc exact/minhash/jaccard/simhash
-    # → sub-document spans): duplicated 5-token windows merged into
-    # maximal spans, stripped, and hash-pinned via md5 of the
-    # reconstructed remainder.
-    "dedup_span_ngrams",
-    # Round-10-new: SemDeDup (Abbas et al. 2023) — semantic near-dup
-    # pruning scoped to deterministic k-means cells (paraphrase-level
-    # duplicates lexical dedup cannot see); oracle = the shared
-    # Lloyd-chain replay + within-cell lowest-id-wins pruning.
-    "dedup_semantic_prune",
-    # Round-10-new: deterministic global shuffle + training-shard
-    # manifest (the export last-mile) — md5 shard/order, distributed
-    # position-weighted order fingerprint, one shard-key shuffle.
-    "pipeline_training_shards",
-    # Round-10-new: WINNOWING (Schleimer et al., SIGMOD 2003) — the
-    # MOSS robust local fingerprint: per-doc selection is zero-shuffle
-    # array HOFs; pairs = sparse inverted-index join over selected
-    # hashes with a stop-fingerprint cap.
-    "text_winnow",
-    "dedup_winnow_pairs",
-    # Round-10-new: the FOURTH persisted-index family — bucket-sharded
-    # winnow fingerprint index with df DELTA rows (aggregate-on-read:
-    # nothing frozen, no staleness audit needed), one-sided probe ==
-    # full rebuild row-for-row (oracle CTE scoped to the union corpus).
-    "dedup_winnow_incremental",
-    # Round-10-new: temperature-flattened domain mixing at T=2 (rates
-    # DERIVED from corpus counts — sqrt keeps the threshold
-    # bit-identical cross-engine, unlike a libm pow).
-    "pipeline_temperature_mix",
+    # Rotated out in ROUND 11 (see _ROTATED_OUT_R11 above): the 18
+    # multi-round-green entries whose gate slots went to the 18-entry
+    # never-hashed round-10 pool (the 9 of those that sat in this tuple
+    # moved INTO the gate; the other 9 — the DSIR family, the leakage
+    # split, resize/resample, video thumbnails, and the image dHash
+    # pair — were registry-only before, so the bench set grows 117 →
+    # 126 this round).
+    *_ROTATED_OUT_R11,
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -596,7 +596,9 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_dup_spans",
         "dup_tokens",
-        "n_tokens",
+        # long, matching DuckDB len() — F.size is int32, and strict
+        # dtype-sensitive comparisons (the verify-skill sim) flag it.
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         "dup_frac",
         "kept_tokens",
         F.md5("clean_text").alias("clean_fp"),
