@@ -22,6 +22,15 @@ contention (round 2 recorded 23.8 s for a query that re-measured at
 again) rather than back-to-back per query, so a contention burst lands
 on different queries in different passes instead of poisoning all three
 samples of one query.
+
+Two churn defenses (round-10 verdict task 2): at least min(runs, 3)
+passes ALWAYS run (a 2-sample median is a mean — BENCH_r10's corruption
+mode), and every query whose plan crosses into Python workers gets a
+no-op ``mapInPandas`` pool warm immediately before its timed sample, so
+the recorded number measures the operator instead of Python worker
+respawn after long JVM-only suite stretches. Each run's full result
+also lands in a dated ``bench_runs/bench_full_<utc>.json`` so a
+contaminated official run can be cross-examined later.
 """
 
 from __future__ import annotations
@@ -36,6 +45,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ue_big_data_project_spark import get_spark
 from ue_big_data_project_spark.queries import bench_queries
+
+# Plan-node markers for a query that crosses into Python workers. On a
+# shared box, the 32-process Python worker pool decays while long
+# JVM-only stretches of the suite run, so the next pandas-UDF query
+# re-pays partial worker spawn — round-10's driver run recorded
+# multimodal_jpeg at 22.2 s for a query that isolates at 1.2 s (the
+# controlled probe in COVERAGE.md: cold 5.5 s / warm 1.3 s / 90 s-idle
+# 2.7 s). Queries whose plans show these nodes get a no-op worker-pool
+# warm immediately before each timed sample (round-10 verdict task 2).
+_PY_PLAN_NODES = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+)
+
+# Entries whose Python stages are invisible in the RETURNED plan (they
+# run inside fn() behind a localCheckpoint barrier, a persisted-index
+# fixture, or a streaming drain), so plan inspection under-detects
+# them. Prefix match; keep in sync with the operator modules that call
+# mapInPandas/pandas_udf (similarity, asof, sessions, multimodal,
+# streaming).
+_PY_HIDDEN_PREFIXES = (
+    "knn_",
+    "dedup_semantic",
+    "dedup_embedding",
+    "streaming_",
+    "multimodal_",
+    "dedup_image_",
+    "dedup_video_",
+)
+
+
+def _plan_uses_python(df) -> bool:
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return True  # assume the worst: a spurious warm costs ~0.5 s
+    return any(marker in plan for marker in _PY_PLAN_NODES)
+
+
+def warm_python_workers(spark) -> None:
+    """No-op mapInPandas across one task per core: respawns any
+    reclaimed Python workers so the next pandas-UDF sample measures
+    the operator, not worker spawn. ~0.5 s warm, ~6 s when the pool is
+    actually cold — exactly the 5.5 s the churn signature added to
+    round-10's recorded numbers."""
+    n = spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, n).mapInPandas(
+        lambda batches: batches, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
 
 def isolate(name: str) -> None:
@@ -65,8 +127,13 @@ def isolate(name: str) -> None:
     spark = get_spark(app_name=f"bench-isolate-{name}")
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     spark.createDataFrame([(1, "w")], "a int, b string").count()
-    if name in ("knn_cosine_ivf_probe", "text_bm25_probe"):
-        # Same contract as the suite: probe twins time ONLY the probe.
+    if name in (
+        "knn_cosine_ivf_probe",
+        "text_bm25_probe",
+        "knn_cosine_ivf_appended",
+    ):
+        # Same contract as the suite: probe/append twins time ONLY the
+        # operator, not their session-scoped index fixture.
         from ue_big_data_project_spark.queries.textops import (
             warm_session_indexes,
         )
@@ -75,6 +142,7 @@ def isolate(name: str) -> None:
     samples: list[float] = []
     for _ in range(runs):
         spark.catalog.clearCache()
+        warm_python_workers(spark)
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -118,10 +186,15 @@ def main() -> None:
 
     warm_session_indexes(spark, sf_dir)
 
-    # Wall-clock budget: the FIRST pass always completes (every query
-    # gets a number); later passes start only while under budget, so a
-    # caller with a hard timeout still gets a full result line.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+    # Wall-clock budget: the FIRST min(runs, 3) passes always complete
+    # (a median of 2 samples is a mean — one contention burst poisons
+    # the recorded number, which is exactly what corrupted BENCH_r10;
+    # round-10 verdict task 2 pins runs/query ≥ 3); extra passes
+    # beyond 3 start only while under budget, so a caller with a hard
+    # timeout still gets a full result line. Default raised 600 → 900
+    # for the same reason: the set outgrew 600 s on a contended box.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    min_passes = min(runs, 3)
     started = time.perf_counter()
 
     queries = sorted(bench_queries().items())
@@ -155,8 +228,17 @@ def main() -> None:
 
     mid = len(queries) // 2
     passes = 0
+    # name → does this query cross into Python workers? Learned from
+    # the executed plan after each query's FIRST sample (plus the
+    # hidden-stage prefix list): pass 1 runs unwarmed for
+    # plan-detected entries, passes 2+ warm the pool immediately
+    # before the timed sample, and the ≥3-pass median discards the
+    # single possibly-churned pass-1 sample.
+    uses_python: dict[str, bool] = {
+        name: name.startswith(_PY_HIDDEN_PREFIXES) for name, _ in queries
+    }
     for r in range(runs):
-        if r > 0 and time.perf_counter() - started > budget:
+        if r >= min_passes and time.perf_counter() - started > budget:
             break
         pass_sentinel = [time_sentinel()] if sentinel_spec else []
         for i, (name, spec) in enumerate(queries):
@@ -165,10 +247,14 @@ def main() -> None:
             # Each query measured from a clean cache state — intermediate
             # caches are per-query implementation details, not shared state.
             spark.catalog.clearCache()
+            if uses_python[name]:
+                warm_python_workers(spark)
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
+            if r == 0 and not uses_python[name]:
+                uses_python[name] = _plan_uses_python(df)
         if sentinel_spec:
             pass_sentinel.append(time_sentinel())
             sentinel_samples.append(pass_sentinel)
@@ -227,10 +313,23 @@ def main() -> None:
             # box; >1.5 means suite numbers drifted under contention.
             "drift": round(max(flat) / max(min(flat), 1e-9), 2),
         }
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "bench_full.json")
     with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    # bench_full.json is a single mutable artifact — round 10's driver
+    # run (contended box) overwrote the builder's recorded clean-box
+    # series, which then survived only as COVERAGE.md prose. Every
+    # pass ALSO lands in a dated file under bench_runs/ so a
+    # contaminated run can be cross-examined later (round-10 verdict
+    # "What's wrong" #3).
+    runs_dir = os.path.join(here, "bench_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%d-%H%M%S", time.gmtime())
+    with open(
+        os.path.join(runs_dir, f"bench_full_{stamp}.json"), "w"
+    ) as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps(full), file=sys.stderr)

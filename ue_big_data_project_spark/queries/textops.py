@@ -952,7 +952,17 @@ def knn_cosine_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, appended into their cell directories, no retrain. The
     appended index must answer exactly like a one-shot build against
     the same centroids, so the oracle is the same IVF SQL replay as
-    knn_cosine_ivf / knn_cosine_ivf_indexed."""
+    knn_cosine_ivf / knn_cosine_ivf_indexed.
+
+    The quantizer-train + even-half base build is a session-scoped
+    FIXTURE (built once per process via ``_session_index``, the probe
+    twins' discipline): a timed run pays only a filesystem copy of the
+    small base index plus the operator under measurement — the
+    O(increment) append and the pruned probe. Round-10 bench triage
+    showed the old self-contained shape (full k-means + base build per
+    sample) paid heavy small-file metadata IO per sample, amplifying
+    box jitter ~3× without measuring anything the build entries
+    (knn_cosine_ivf / knn_cosine_ivf_indexed) don't already cover."""
     import shutil as _sh
     import tempfile as _tf
 
@@ -962,13 +972,22 @@ def knn_cosine_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+    def _build_base(p: str) -> None:
+        cents = kmeans_centroids(e, n_centroids=16, iters=2)
+        build_ivf_index(
+            e.filter(F.col("vec_id") % 2 == 0), p, centroids=cents
+        )
+
+    base = _session_index("ivf_inc_base", sf_dir, _build_base)
     root = _tf.mkdtemp(prefix="spark_graft_ivf_inc_")
     idx = root + "/ivf"
     try:
-        cents = kmeans_centroids(e, n_centroids=16, iters=2)
-        build_ivf_index(
-            e.filter(F.col("vec_id") % 2 == 0), idx, centroids=cents
-        )
+        # Appends mutate the index in place, so each run works on a
+        # fresh clone of the frozen base (a few MB of parquet —
+        # filesystem copy, no Spark job).
+        _sh.copytree(base, idx)
+        _sh.copytree(base + "_centroids", idx + "_centroids")
         ivf_index_append(spark, idx, e.filter(F.col("vec_id") % 2 == 1))
         queries = e.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"),
@@ -1020,11 +1039,26 @@ def warm_session_indexes(spark: SparkSession, sf_dir: str) -> None:
         build_text_index,
     )
 
+    from ue_big_data_project_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     _session_index(
         "ivf",
         sf_dir,
         lambda p: build_ivf_index(e, p, n_centroids=16, kmeans_iters=2),
+    )
+    # The appended-IVF entry's frozen base (quantizer trained on the
+    # full corpus + even-half index) — see knn_cosine_ivf_appended.
+    _session_index(
+        "ivf_inc_base",
+        sf_dir,
+        lambda p: build_ivf_index(
+            e.filter(F.col("vec_id") % 2 == 0),
+            p,
+            centroids=kmeans_centroids(e, n_centroids=16, iters=2),
+        ),
     )
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     _session_index(
