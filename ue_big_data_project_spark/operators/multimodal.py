@@ -179,12 +179,16 @@ def encode_wav_pcm16(
     return header + data
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Parse a RIFF/WAVE container: walk the chunk list, read ``fmt ``
-    and ``data``, decode PCM16 with numpy. Raises ``ValueError`` on a
-    malformed container (bad magic, truncated chunk, non-PCM, missing
-    chunks) — a real decoder, not a fixture-shaped fake: any PCM16 WAV
-    from any producer decodes here."""
+def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """ONE RIFF/WAVE chunk walk — (sample_rate, n_channels, (n, C)
+    int16 PCM). The shared primitive under :func:`decode_wav` and
+    :func:`decode_wav_samples` (the :func:`decode_png_pixels`
+    layering): validation and the chunk walk live in exactly one
+    place, and neither public view decodes the payload twice. Raises
+    ``ValueError`` on a malformed container (bad magic, truncated
+    chunk, non-PCM, missing chunks) — a real decoder, not a
+    fixture-shaped fake: any PCM16 WAV from any producer decodes
+    here."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     fmt = data = None
@@ -199,7 +203,7 @@ def decode_wav(payload: bytes) -> dict:
                 raise ValueError("fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
-            data = body
+            data = body  # last chunk wins
         off += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
@@ -209,14 +213,21 @@ def decode_wav(payload: bytes) -> dict:
     if n_channels < 1 or block_align != 2 * n_channels:
         raise ValueError("inconsistent channel layout")
     x = np.frombuffer(data[: len(data) - len(data) % block_align], dtype="<i2")
-    n_samples = len(x) // n_channels
-    xf = x.astype(np.float64)
-    peak = int(np.max(np.abs(xf))) if len(x) else 0
-    rms = int(np.floor(np.sqrt(np.mean(xf * xf)))) if len(x) else 0
+    return int(sample_rate), int(n_channels), x.reshape(-1, n_channels)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Summary-dict view of :func:`_parse_wav` (the feature queries
+    hash these fields) — decodes the PCM once and reduces it."""
+    sample_rate, n_channels, samples = _parse_wav(payload)
+    n_samples = samples.shape[0]
+    xf = samples.reshape(-1).astype(np.float64)
+    peak = int(np.max(np.abs(xf))) if xf.size else 0
+    rms = int(np.floor(np.sqrt(np.mean(xf * xf)))) if xf.size else 0
     return {
-        "sample_rate": int(sample_rate),
-        "n_channels": int(n_channels),
-        "bits_per_sample": int(bits),
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits_per_sample": 16,  # _parse_wav rejects everything else
         "n_samples": int(n_samples),
         "duration_us": int(n_samples * 1_000_000 // sample_rate),
         "peak_amplitude": peak,
@@ -227,23 +238,9 @@ def decode_wav(payload: bytes) -> dict:
 def decode_wav_samples(payload: bytes) -> np.ndarray:
     """The decoded PCM itself, (n_samples, n_channels) int16 — the
     sample-level entry point :func:`resample_audio` consumers build on
-    (:func:`decode_wav` returns the summary dict the feature queries
-    hash). Shares the full validation path."""
-    rec = decode_wav(payload)  # container validation
-    n_ch = rec["n_channels"]
-    data = None
-    off = 12
-    while off + 8 <= len(payload):
-        cid, csize = struct.unpack_from("<4sI", payload, off)
-        if cid == b"data":
-            # Same last-chunk-wins walk as decode_wav, which already
-            # rejected truncated chunks for this payload.
-            data = payload[off + 8 : off + 8 + csize]
-        off += 8 + csize + (csize & 1)
-    x = np.frombuffer(
-        data[: len(data) - len(data) % (2 * n_ch)], dtype="<i2"
-    )
-    return x.reshape(-1, n_ch)
+    (:func:`decode_wav` reduces the same array to the summary dict the
+    feature queries hash). Shares :func:`_parse_wav`'s single walk."""
+    return _parse_wav(payload)[2]
 
 
 def resample_audio(
@@ -451,11 +448,34 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> dict:
-    """Parse a BMP container: file header, DIB header, 24bpp BI_RGB
+    """Summary-dict view of :func:`decode_bmp_pixels` (the feature
+    queries hash these fields): decodes the raster once and reduces it
+    — the :func:`decode_png` ∘ :func:`decode_png_pixels` layering, so
+    the header walk and validation live in exactly one place."""
+    arr = decode_bmp_pixels(payload)
+    h, w = arr.shape[:2]
+    sums = arr.astype(np.int64).sum(axis=(0, 1))
+    return {
+        "width": int(w),
+        "height": int(h),
+        # decode_bmp_pixels rejects everything but 24bpp BI_RGB.
+        "bits_per_pixel": 24,
+        "n_pixels": int(w) * int(h),
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+    }
+
+
+def decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """Parse a BMP container — file header, DIB header, 24bpp BI_RGB
     pixel array with per-row padding stripped and bottom-up (or, for
-    negative biHeight, top-down) row order honored. Raises ``ValueError``
+    negative biHeight, top-down) row order honored — and return the
+    raster, (h, w, 3) uint8 RGB in raster order. Raises ``ValueError``
     on malformed/unsupported input — a real decoder: any uncompressed
-    24-bit BMP from any producer decodes here."""
+    24-bit BMP from any producer decodes here. This is the PRIMITIVE
+    :func:`resize_pixels` and any feature-extraction UDF build on;
+    :func:`decode_bmp` derives its summary dict from the array."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP container")
     _, _, _, _, pix_off = struct.unpack_from("<2sIHHI", payload, 0)
@@ -483,38 +503,7 @@ def decode_bmp(payload: bytes) -> dict:
         .reshape(h, row_size)[:, : 3 * w]
         .reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     )
-    if not top_down:
-        arr = arr[::-1]  # bottom-up rows -> raster order
-    sums = arr.astype(np.int64).sum(axis=(0, 1))
-    return {
-        "width": int(w),
-        "height": int(h),
-        "bits_per_pixel": int(bpp),
-        "n_pixels": int(w) * int(h),
-        "sum_r": int(sums[0]),
-        "sum_g": int(sums[1]),
-        "sum_b": int(sums[2]),
-    }
-
-
-def decode_bmp_pixels(payload: bytes) -> np.ndarray:
-    """The decoded raster itself, (h, w, 3) uint8 RGB in raster order —
-    the pixel-level entry point :func:`resize_pixels` and any
-    feature-extraction UDF build on (:func:`decode_bmp` returns the
-    summary dict the feature queries hash)."""
-    rec = decode_bmp(payload)  # full validation path
-    w, h = rec["width"], rec["height"]
-    _, _, _, _, pix_off = struct.unpack_from("<2sIHHI", payload, 0)
-    _, _, h_signed = struct.unpack_from("<Iii", payload, 14)
-    row_size = (3 * w + 3) & ~3
-    arr = (
-        np.frombuffer(
-            payload, dtype=np.uint8, count=row_size * h, offset=pix_off
-        )
-        .reshape(h, row_size)[:, : 3 * w]
-        .reshape(h, w, 3)[:, :, ::-1]
-    )
-    return arr if h_signed < 0 else arr[::-1]
+    return arr if top_down else arr[::-1]  # bottom-up rows -> raster order
 
 
 def decode_pixels(payload: bytes) -> np.ndarray:
@@ -604,6 +593,16 @@ def resize_features(
     decode. The thumbnail/model-input normalization step of a
     multimodal ingest pipeline: payload bytes never shuffle or collect,
     work is partition-parallel, output is O(docs) small rows.
+
+    Channel conventions for GRAYSCALE inputs (only reachable via
+    1-plane JPEG; the oracle-paired BMP query never hits this branch):
+    the single gray sum fills all three ``sum_*`` columns, as an
+    RGB-replicated copy of the image would — but ``pos_digest`` is
+    computed over the NATIVE 1-channel flattened raster (position k =
+    pixel k, not 3k/3k+1/3k+2 replicas), so a gray image and its
+    explicit RGB replica agree on the sums and deliberately DIFFER on
+    the digest: the digest identifies the stored raster, the sums
+    normalize it for channel-agnostic aggregation.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
