@@ -45,6 +45,17 @@ PROXIED = {
     # leakage split, resize/resample, video thumbnails, and the image
     # dHash pair — rotated INTO the gate in round 11 and faces the
     # driver's hash directly, per the round-10 verdict's task 1.)
+    # Round-11-new, post-re-freeze: the audio perceptual fingerprint
+    # (Haitsma–Kalker band-energy sign bits) — the audio twin of the
+    # IN-GATE image dHash group op; fingerprint semantics (volume
+    # invariance, pure-Python replay, degenerate-input behavior)
+    # pinned in tests/test_multimodal.py and the local DuckDB hash.
+    "multimodal_audio_fp": "dedup_image_dhash",
+    # Banded Hamming near-dup pairs over the audio fingerprint — the
+    # SAME dhash_neardup_pairs operator (fp columns) as the in-gate
+    # image near-dup entry; losslessness proven by the brute-force
+    # oracle hash on the audio axis too.
+    "dedup_audio_neardup": "dedup_image_neardup",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

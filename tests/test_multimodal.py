@@ -942,3 +942,87 @@ def test_dhash_neardup_banding_guard_and_shape(spark):
     rows = MM.dhash_neardup_pairs(h, max_hamming=2).collect()
     assert all(r["id_a"] < r["id_b"] for r in rows)
     assert all(1 <= r["hamming"] <= 2 for r in rows)
+
+
+def test_audio_fp_is_volume_invariant_and_replayable():
+    """The Haitsma-Kalker fingerprint ignores volume scaling (band
+    ENERGY differences scale by c^2, signs preserved), distinguishes
+    different waveforms, collapses to all-zero bits on a constant-|s|
+    square wave (every band energy equal -- why the sawtooth fixture
+    exists), and replays in pure Python from the definition."""
+    import numpy as np
+
+    saw = MM.decode_wav_samples(MM.synth_wav_saw(1234))
+    base = MM.audio_fp_bits(saw)
+    assert base != (0, 0)
+    # Volume scaling (including fractional-but-exact /2 of the *4
+    # fixture samples) preserves every energy-difference sign.
+    assert MM.audio_fp_bits(saw * 2) == base
+    assert MM.audio_fp_bits(saw // 2) == base
+    # A different waveform (phase-shifted far) hashes differently.
+    other = MM.decode_wav_samples(MM.synth_wav_saw(1235))
+    assert MM.audio_fp_bits(other) != base
+    # Square wave: |s| constant -> all band energies equal -> zero fp.
+    sq = MM.decode_wav_samples(MM.synth_wav(77))
+    assert MM.audio_fp_bits(sq) == (0, 0)
+    # Zero-sample (valid) WAV fingerprints as all-zero too.
+    empty = MM.decode_wav_samples(
+        MM.encode_wav_pcm16(np.array([], dtype=np.int64), 8000)
+    )
+    assert MM.audio_fp_bits(empty) == (0, 0)
+    # Stereo mixdown: duplicating the mono signal into two channels
+    # leaves the integer mean -- and the fingerprint -- unchanged.
+    stereo = np.repeat(saw, 2, axis=1)
+    assert MM.audio_fp_bits(stereo) == base
+
+    # Pure-Python replay of the definition.
+    r = (
+        MM.resample_audio(saw, MM.AUDIO_FP_SAMPLES, "nearest")
+        .reshape(-1)
+        .astype(np.int64)
+    )
+    e = [
+        [
+            int(
+                (r[f * 36 + m * 4 : f * 36 + m * 4 + 4] ** 2).sum()
+            )
+            for m in range(9)
+        ]
+        for f in range(9)
+    ]
+    val = 0
+    for f in range(1, 9):
+        for m in range(8):
+            if (e[f][m] - e[f][m + 1]) - (e[f - 1][m] - e[f - 1][m + 1]) > 0:
+                val |= 1 << ((f - 1) * 8 + m)
+    assert base == (val >> 32, val & 0xFFFFFFFF)
+
+
+def test_audio_neardup_banding_is_lossless_vs_brute_force(spark):
+    """The 4x16 pigeonhole banding over the audio fingerprint finds
+    EVERY Hamming 1..2 pair a brute-force scan finds (and nothing
+    else) -- the same losslessness contract the image oracle proves,
+    checked here directly against an in-process all-pairs sweep."""
+    from itertools import combinations
+
+    from ue_big_data_project_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    h = MM.audio_fingerprint(MM.attach_wav_saw(d.select("doc_id")))
+    fps = {
+        r["doc_id"]: (r["fp_hi"] << 32) | r["fp_lo"]
+        for r in h.collect()
+    }
+    want = set()
+    for a, b in combinations(sorted(fps), 2):
+        ham = bin(fps[a] ^ fps[b]).count("1")
+        if 1 <= ham <= 2:
+            want.add((a, b, ham))
+    rows = MM.dhash_neardup_pairs(
+        h, max_hamming=2, hi_col="fp_hi", lo_col="fp_lo"
+    ).collect()
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in rows}
+    assert got == want
+    assert want  # the fixture must actually exercise the band join

@@ -302,6 +302,11 @@ SHUFFLE_BUDGETS = {
                                     # dup-group window on the hash key
     "dedup_image_neardup": 3,       # ids repartition + band-key join +
                                     # the multi-band pair distinct
+    "multimodal_audio_fp": 2,       # the dHash-group shape on the
+                                    # audio axis: ids repartition +
+                                    # dup-group window
+    "dedup_audio_neardup": 3,       # same banding operator as the
+                                    # image pairs, fp columns
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

@@ -2969,8 +2969,132 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(gen, DHASH_SCHEMA)
 
 
+AUDIO_FP_FRAMES = 9  # time frames after the fixed-grid resample
+AUDIO_FP_BANDS = 9  # sub-bands per frame (8 band-pair columns)
+AUDIO_FP_BAND_LEN = 4  # samples per sub-band
+AUDIO_FP_SAMPLES = AUDIO_FP_FRAMES * AUDIO_FP_BANDS * AUDIO_FP_BAND_LEN
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp_hi", T.LongType()),
+        T.StructField("fp_lo", T.LongType()),
+    ]
+)
+
+
+def audio_fp_bits(samples: np.ndarray) -> tuple[int, int]:
+    """Haitsma–Kalker-style audio fingerprint (ISMIR 2002), the audio
+    twin of :func:`dhash_pixels`: normalize the PCM to a fixed
+    324-sample grid (integer-exact nearest resample — the length
+    normalization that makes fingerprints comparable across
+    durations/sample rates), split into 9 frames × 9 time-domain
+    sub-bands of 4 samples, take integer band ENERGIES ``E[f, m] =
+    Σ s²``, and set bit ``(f−1)·8 + m`` when the energy difference is
+    rising in both band and time:
+
+        (E[f, m] − E[f, m+1]) − (E[f−1, m] − E[f−1, m+1]) > 0
+
+    — the paper's sign-of-double-difference bit rule, with contiguous
+    time-domain sub-bands standing in for its Fourier filterbank and
+    non-overlapping frames for its 31/32-overlap hop so every step
+    stays INTEGER arithmetic (bit-reproducible cross-engine; the
+    oracle replays the hash bit-by-bit). Volume-invariant by
+    construction: scaling the signal scales every energy by c², which
+    preserves every difference's sign. Multichannel input is
+    integer-mixed to mono (``Σ channels // C``) first. A zero-sample
+    (but valid) WAV fingerprints as all-zero bits — every energy is
+    an empty sum. Returned as two 32-bit halves so the value rides
+    BIGINT columns in any engine without unsigned overflow."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, c = samples.shape
+    if n == 0:
+        return 0, 0
+    mono = samples.astype(np.int64).sum(axis=1) // c
+    r = (
+        resample_audio(mono[:, None], AUDIO_FP_SAMPLES, "nearest")
+        .reshape(-1)
+        .astype(np.int64)
+    )
+    e = (r * r).reshape(
+        AUDIO_FP_FRAMES, AUDIO_FP_BANDS, AUDIO_FP_BAND_LEN
+    ).sum(axis=2)
+    d = e[:, :-1] - e[:, 1:]
+    bits = (d[1:] - d[:-1] > 0).reshape(-1)
+    val = 0
+    for k, b in enumerate(bits):
+        if b:
+            val |= 1 << k
+    return val >> 32, val & 0xFFFFFFFF
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Per-clip perceptual fingerprint over (doc_id, payload) WAV rows
+    — decode + :func:`audio_fp_bits` inside the Arrow workers; payload
+    bytes never shuffle. Group the 64-bit output for exact
+    perceptual dedup or band it for near-dup Hamming search — the
+    :func:`image_dhash` machinery applies unchanged."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hi, lo = [], []
+            for p in pdf["payload"]:
+                h, lw = audio_fp_bits(decode_wav_samples(bytes(p)))
+                hi.append(h)
+                lo.append(lw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fp_hi": pd.Series(hi, dtype="int64"),
+                    "fp_lo": pd.Series(lo, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(gen, AUDIO_FP_SCHEMA)
+
+
+def synth_wav_saw(doc_id: int) -> bytes:
+    """Deterministic PCM16 sawtooth fixture for ``doc_id`` — the
+    fingerprint-bearing companion to :func:`synth_wav` (whose square
+    wave has CONSTANT |sample|, so all band energies coincide and
+    every energy-sign fingerprint collapses to zero): sample i is
+    ``(((i·p + q) mod 512) − 256)·4`` with slope, phase, and length
+    derived arithmetically from the id, so band energies differ and
+    the oracle replays :func:`audio_fp_bits` closed-form while the
+    bytes are a REAL WAV container."""
+    n = 288 + (doc_id % 7) * 36
+    p = 3 + (doc_id % 8)
+    q = doc_id % 512
+    i = np.arange(n, dtype=np.int64)
+    samples = (((i * p + q) % 512) - 256) * 4
+    return encode_wav_pcm16(samples, WAV_SAMPLE_RATE)
+
+
+def attach_wav_saw(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload) with :func:`synth_wav_saw` containers
+    built per row inside the Arrow workers — :func:`attach_wav`'s
+    shape with the fingerprint-bearing waveform."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synth_wav_saw(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
 def dhash_neardup_pairs(
-    hashes: DataFrame, max_hamming: int = 2, id_col: str = "doc_id"
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
 ) -> DataFrame:
     """NEAR-duplicate image pairs from an :func:`image_dhash` table via
     SimHash-style pigeonhole banding: the 64 bits split into 4 bands of
@@ -2992,44 +3116,44 @@ def dhash_neardup_pairs(
         raise ValueError("pigeonhole over 4 bands needs 1 <= max_hamming <= 3")
     b = hashes.select(
         F.col(id_col),
-        "dhash_hi",
-        "dhash_lo",
+        hi_col,
+        lo_col,
         F.explode(
             F.array(
                 F.struct(
                     F.lit(0).alias("bi"),
-                    F.shiftright("dhash_hi", 16).alias("bv"),
+                    F.shiftright(hi_col, 16).alias("bv"),
                 ),
                 F.struct(
                     F.lit(1).alias("bi"),
-                    (F.col("dhash_hi").bitwiseAND(F.lit(0xFFFF))).alias(
+                    (F.col(hi_col).bitwiseAND(F.lit(0xFFFF))).alias(
                         "bv"
                     ),
                 ),
                 F.struct(
                     F.lit(2).alias("bi"),
-                    F.shiftright("dhash_lo", 16).alias("bv"),
+                    F.shiftright(lo_col, 16).alias("bv"),
                 ),
                 F.struct(
                     F.lit(3).alias("bi"),
-                    (F.col("dhash_lo").bitwiseAND(F.lit(0xFFFF))).alias(
+                    (F.col(lo_col).bitwiseAND(F.lit(0xFFFF))).alias(
                         "bv"
                     ),
                 ),
             )
         ).alias("band"),
-    ).select(id_col, "dhash_hi", "dhash_lo", "band.bi", "band.bv")
+    ).select(id_col, hi_col, lo_col, "band.bi", "band.bv")
     left = b.select(
         F.col(id_col).alias("id_a"),
-        F.col("dhash_hi").alias("_ha"),
-        F.col("dhash_lo").alias("_la"),
+        F.col(hi_col).alias("_ha"),
+        F.col(lo_col).alias("_la"),
         "bi",
         "bv",
     )
     right = b.select(
         F.col(id_col).alias("id_b"),
-        F.col("dhash_hi").alias("_hb"),
-        F.col("dhash_lo").alias("_lb"),
+        F.col(hi_col).alias("_hb"),
+        F.col(lo_col).alias("_lb"),
         "bi",
         "bv",
     )

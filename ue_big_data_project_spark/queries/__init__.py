@@ -389,6 +389,14 @@ BENCH_EXTRA = (
     # pair — were registry-only before, so the bench set grows 117 →
     # 126 this round).
     *_ROTATED_OUT_R11,
+    # Round-11-new (gate re-frozen at the round-11 set, so driver
+    # evidence arrives via the local pytest oracle + the in-gate image
+    # dHash/near-dup family anchors): the audio perceptual fingerprint
+    # (Haitsma–Kalker band-energy sign bits over the sawtooth fixture,
+    # group-dedup window) and its banded Hamming near-dup pairs
+    # (lossless vs the brute-force oracle, the image precedent).
+    "multimodal_audio_fp",
+    "dedup_audio_neardup",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

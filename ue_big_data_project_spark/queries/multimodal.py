@@ -474,6 +474,117 @@ WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
 """
 
 
+def multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-level perceptual dedup — the audio twin of
+    ``dedup_image_dhash``: every document's real WAV container decodes
+    and fingerprints in the Arrow workers
+    (``operators/multimodal.audio_fp_bits`` — Haitsma–Kalker ISMIR
+    2002: fixed 324-sample grid → 9 frames × 9 integer band energies →
+    64 sign-of-double-difference bits, volume-invariant by
+    construction), then one window over the fingerprint yields the
+    duplicate-group size and canonical keeper. The fixture is the
+    sawtooth companion (``attach_wav_saw``) — the square-wave fixture's
+    constant |sample| makes every band energy equal, which is exactly
+    the degenerate input an energy-sign fingerprint must NOT be
+    demonstrated on. The oracle replays the hash bit-by-bit from the
+    closed-form waveform."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    h = MM.audio_fingerprint(MM.attach_wav_saw(ids))
+    w = W.partitionBy("fp_hi", "fp_lo")
+    return h.select(
+        "doc_id",
+        "fp_hi",
+        "fp_lo",
+        F.count(F.lit(1)).over(w).alias("n_same"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+# Fixture waveform (synth_wav_saw): n = 288 + (d%7)·36 samples, sample
+# i = (((i·p + q) mod 512) − 256)·4 with p = 3 + d%8, q = d%512.
+# Fingerprint replay: resample index si(k) = ((2k+1)·n) // 648 for
+# k ∈ [0, 324); band energy E(f, m) = Σ s(si)² over the 4-sample
+# sub-band; bit (f−1)·8+m set iff the band-energy difference is rising
+# in both band and time. Shared by the group-dedup and banded near-dup
+# oracles.
+_AUDIO_FP_CTES = """base AS (
+  SELECT doc_id,
+         CAST(288 + (doc_id % 7) * 36 AS BIGINT) AS n,
+         CAST(3 + doc_id % 8 AS BIGINT) AS p,
+         CAST(doc_id % 512 AS BIGINT) AS q
+  FROM documents
+), en AS (
+  SELECT doc_id, k // 36 AS f, (k % 36) // 4 AS m, sum(s * s) AS e
+  FROM (
+    SELECT doc_id, k,
+           ((((((2 * k + 1) * n) // 648) * p + q) % 512) - 256) * 4 AS s
+    FROM base, range(0, 324) t(k)
+  )
+  GROUP BY doc_id, k // 36, (k % 36) // 4
+), dd AS (
+  SELECT doc_id, f, m,
+         e - lead(e) OVER (PARTITION BY doc_id, f ORDER BY m) AS d
+  FROM en
+), bits AS (
+  SELECT doc_id, f, m,
+         CASE WHEN d - lag(d) OVER (PARTITION BY doc_id, m ORDER BY f)
+                   > 0 THEN 1 ELSE 0 END AS bit
+  FROM dd WHERE m <= 7
+  QUALIFY f >= 1
+), fps AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN (f - 1) * 8 + m >= 32
+                       THEN bit * (CAST(1 AS BIGINT)
+                                   << ((f - 1) * 8 + m - 32))
+                       ELSE 0 END) AS BIGINT) AS fp_hi,
+         CAST(sum(CASE WHEN (f - 1) * 8 + m < 32
+                       THEN bit * (CAST(1 AS BIGINT) << ((f - 1) * 8 + m))
+                       ELSE 0 END) AS BIGINT) AS fp_lo
+  FROM bits GROUP BY doc_id
+)"""
+
+MULTIMODAL_AUDIO_FP_SQL = f"""
+WITH {_AUDIO_FP_CTES}
+SELECT doc_id, fp_hi, fp_lo,
+       CAST(count(*) OVER (PARTITION BY fp_hi, fp_lo) AS BIGINT)
+         AS n_same,
+       doc_id = min(doc_id) OVER (PARTITION BY fp_hi, fp_lo) AS keep
+FROM fps
+"""
+
+
+def dedup_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate audio pairs (1 ≤ Hamming ≤ 2 over the 64-bit
+    Haitsma–Kalker fingerprint) via the SAME pigeonhole banding
+    operator as the image path
+    (``operators/multimodal.dhash_neardup_pairs`` with the fp
+    columns): 4 bands of 16 bits, band-key equi-join, bit_count(xor)
+    verify — never all-pairs. The oracle brute-forces every pair from
+    the closed-form fingerprints, so the hash equality IS the
+    losslessness proof for the banding on the audio axis; exact dups
+    (Hamming 0) are ``multimodal_audio_fp``'s group op."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    h = MM.audio_fingerprint(MM.attach_wav_saw(ids))
+    return MM.dhash_neardup_pairs(
+        h, max_hamming=2, hi_col="fp_hi", lo_col="fp_lo"
+    )
+
+
+MULTIMODAL_AUDIO_NEARDUP_SQL = f"""
+WITH {_AUDIO_FP_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+            + bit_count(xor(a.fp_lo, b.fp_lo)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+      + bit_count(xor(a.fp_lo, b.fp_lo)) BETWEEN 1 AND 2
+"""
+
+
 def multimodal_video_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video thumbnail-grid pipeline — frame-sample ∘ decode ∘
     resize composed in one Arrow pass
@@ -536,6 +647,12 @@ QUERIES = {
     "dedup_image_dhash": QuerySpec(dedup_image_dhash, MULTIMODAL_DHASH_SQL),
     "dedup_image_neardup": QuerySpec(
         dedup_image_neardup, MULTIMODAL_NEARDUP_SQL
+    ),
+    "multimodal_audio_fp": QuerySpec(
+        multimodal_audio_fp, MULTIMODAL_AUDIO_FP_SQL
+    ),
+    "dedup_audio_neardup": QuerySpec(
+        dedup_audio_neardup, MULTIMODAL_AUDIO_NEARDUP_SQL
     ),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
