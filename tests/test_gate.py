@@ -56,6 +56,13 @@ PROXIED = {
     # image near-dup entry; losslessness proven by the brute-force
     # oracle hash on the audio axis too.
     "dedup_audio_neardup": "dedup_image_neardup",
+    # Round-11-new: video-level near-dup pairs — the demux→decode→
+    # thumbnail codec path is the IN-GATE multimodal_video_thumbs
+    # entry verbatim; the signature-key pair join + containment
+    # threshold anchors on the in-gate image near-dup pair shape.
+    # Brute-force oracle (pair sweep over replayed thumbnails) MATCH
+    # at both SFs; containment semantics pinned in tests/test_mp4.py.
+    "dedup_video_neardup": "dedup_image_neardup",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

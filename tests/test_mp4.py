@@ -554,3 +554,51 @@ def test_mp4_thumbnails_match_direct_frame_resize(spark):
                 int(((np.arange(r.size) + 1) * r).sum()),
             )
     assert got == want
+
+
+def test_video_neardup_containment_semantics(spark):
+    """video_neardup_pairs on a hand-built signature table: the
+    threshold is containment of the SMALLER video (an embedded clip
+    pairs with its longer cut), duplicate frame signatures within one
+    video collapse (DISTINCT sigs), the integer threshold is exact at
+    the boundary, and match_frac is matched/min."""
+    import ue_big_data_project_spark.operators.multimodal as MM
+
+    rows = [
+        # video 1: sigs {a, b, c, d}; video 2 = {a, b} (contained);
+        # video 3 = {c} (1/1 contained via c); video 4 = {e, f, g, h}
+        # shares only d's... nothing with 1 except none -> no pair.
+        (1, 10, 100), (1, 11, 110), (1, 12, 120), (1, 13, 130),
+        (2, 10, 100), (2, 11, 110), (2, 10, 100),  # dup frame collapses
+        (3, 12, 120),
+        (4, 20, 200), (4, 21, 210), (4, 22, 220), (4, 23, 230),
+        # video 5: {a, e} -- shares 1 of 2 with video 1 => exactly 1/2,
+        # boundary INCLUDED; shares 1 of 2 with video 4 (e) too.
+        (5, 10, 100), (5, 20, 200),
+    ]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, sum_luma long, pos_digest long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_sig_a"],
+            r["n_sig_b"],
+            r["matched"],
+            r["match_frac"],
+        )
+        for r in MM.video_neardup_pairs(sigs).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (1, 5), (2, 5), (4, 5)}
+    assert got[(1, 2)] == (4, 2, 2, 1.0)  # fully contained clip
+    assert got[(1, 3)] == (4, 1, 1, 1.0)
+    assert got[(1, 5)] == (4, 2, 1, 0.5)  # boundary: 2*1 >= min(4,2)
+    assert got[(2, 5)] == (2, 2, 1, 0.5)  # 2-vs-2 sharing one sig
+    assert got[(4, 5)] == (4, 2, 1, 0.5)
+    # Tighten the threshold to 2/3: the boundary pairs drop out.
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in MM.video_neardup_pairs(
+            sigs, min_frac_num=2, min_frac_den=3
+        ).collect()
+    }
+    assert strict == {(1, 2), (1, 3)}

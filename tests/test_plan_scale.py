@@ -307,6 +307,11 @@ SHUFFLE_BUDGETS = {
                                     # dup-group window
     "dedup_audio_neardup": 3,       # same banding operator as the
                                     # image pairs, fp columns
+    "dedup_video_neardup": 5,       # ids repartition + cached distinct
+                                    # sig table (plan barrier: decode
+                                    # runs ONCE) + size agg + sig-key
+                                    # join + pair-count agg; size joins
+                                    # broadcast
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

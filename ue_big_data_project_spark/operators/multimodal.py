@@ -3410,3 +3410,89 @@ def mp4_keyframe_samples(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(gen, MP4_KEYFRAMES_SCHEMA)
+
+
+def video_neardup_pairs(
+    frame_sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_cols: tuple[str, ...] = ("sum_luma", "pos_digest"),
+    min_frac_num: int = 1,
+    min_frac_den: int = 2,
+) -> DataFrame:
+    """VIDEO-level near-duplicate pairs from a per-frame signature
+    table — the last modality without a dedup operator of its own
+    (text has span/minhash/jaccard/simhash/winnow, images dHash, audio
+    the Haitsma–Kalker fingerprint). Input is any (id, *sig_cols) frame
+    table — e.g. :func:`mp4_thumbnail_features` rows (frame-sample ∘
+    decode ∘ resize), with the signature columns identifying a frame's
+    visual content. Two videos pair when the fraction of the SMALLER
+    video's distinct frame signatures shared by the other reaches
+    ``min_frac_num/min_frac_den`` (default ½) — containment, not
+    Jaccard, so a clip embedded in a longer cut still pairs. The
+    threshold compares ``matched·den ≥ min(n_a, n_b)·num`` in integers
+    (bit-identical cross-engine); ``match_frac`` rides along as the
+    IEEE double ``matched / min`` for ranking.
+
+    The operator is SIGNATURE-AGNOSTIC: at production scale the
+    natural signature is each frame thumbnail's dHash
+    (:func:`dhash_pixels` — tolerant of re-encoding), banded via
+    :func:`dhash_neardup_pairs` if per-frame Hamming slack is needed;
+    the oracle-paired query uses the thumbnail raster digest because
+    the synthetic fixture's block-constant frames are
+    gradient-degenerate (a 1-block frame has NO horizontal gradients,
+    so its dHash is 0 and the hash space collapses — measured: 72
+    distinct dHashes vs 750 distinct digests over the same 500-doc
+    fixture).
+
+    Scale shape: candidates come from an equi-join on the signature
+    key (never all-pairs — fan-out bounded per signature bucket); the
+    distinct/size aggs and the pair count group shuffle on the
+    signature and pair keys only, frame rasters and payloads never
+    shuffle. At corpus scale cap pathological constant signatures
+    (black frames, slates) with a signature-frequency window — the
+    winnow/Jaccard stop-fingerprint discipline.
+    """
+    sig = list(sig_cols)
+    # CACHE the distinct signature table: it feeds the size agg AND
+    # both join sides, and without the plan barrier each consumer
+    # re-runs the upstream demux→decode→thumbnail pipeline (the
+    # dedup_winnow_pairs precedent — measured here: 11 exchanges and
+    # 3× the Arrow decode work vs 6 exchanges with the barrier). The
+    # cached table is O(distinct frame signatures) small rows — frame
+    # rasters and payloads are already gone.
+    sigs = frame_sigs.select(id_col, *sig).distinct().cache()
+    sizes = sigs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sig"))
+    left = sigs.select(F.col(id_col).alias("id_a"), *sig)
+    right = sigs.select(F.col(id_col).alias("id_b"), *sig)
+    matched = (
+        left.join(right, sig)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_sig").alias("n_sig_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_sig").alias("n_sig_b")
+    )
+    least = F.least("n_sig_a", "n_sig_b")
+    return (
+        matched.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("matched") * F.lit(min_frac_den)
+            >= least * F.lit(min_frac_num)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_sig_a",
+            "n_sig_b",
+            "matched",
+            (
+                F.col("matched").cast("double")
+                / least.cast("double")
+            ).alias("match_frac"),
+        )
+    )

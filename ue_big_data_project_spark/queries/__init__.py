@@ -397,6 +397,11 @@ BENCH_EXTRA = (
     # (lossless vs the brute-force oracle, the image precedent).
     "multimodal_audio_fp",
     "dedup_audio_neardup",
+    # Round-11-new: video-level near-dup — per-frame thumbnail
+    # signatures (demux ∘ decode ∘ resize, the in-gate video-thumbs
+    # path) joined on the signature key with a ½-containment
+    # threshold; brute-force oracle proves the join loses nothing.
+    "dedup_video_neardup",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -635,6 +635,78 @@ FROM px GROUP BY doc_id, frame_idx
 """
 
 
+def dedup_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-level near-dup dedup — the existing pieces composed
+    end-to-end: every real MP4 container demuxes, decodes (native
+    MJPEG), and thumbnails per frame in one Arrow pass
+    (``operators/multimodal.mp4_thumbnail_features``), then
+    ``video_neardup_pairs`` joins videos on shared frame signatures
+    and keeps pairs where ≥½ of the smaller video's distinct frames
+    appear in the other (containment — an embedded clip still pairs).
+    The frame signature here is the thumbnail raster digest (the
+    fixture's block-constant frames are gradient-degenerate, so a
+    dHash signature collapses — see the operator docstring); the
+    oracle replays every thumbnail pixel-by-pixel and brute-forces the
+    pair set, proving the signature join loses nothing."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    thumbs = MM.mp4_thumbnail_features(
+        MM.attach_mp4(ids), every=1, out_w=8, out_h=8
+    )
+    return MM.video_neardup_pairs(
+        thumbs, sig_cols=("sum_luma", "pos_digest")
+    )
+
+
+# Same closed-form thumbnail replay as MULTIMODAL_VIDEO_THUMBS_SQL but
+# over EVERY frame (every=1), reduced to per-frame signatures, then the
+# brute-force containment pair sweep the Spark signature join must
+# reproduce exactly.
+MULTIMODAL_VIDEO_NEARDUP_SQL = """
+WITH sampled AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, 1 + doc_id % 8)) AS INTEGER) AS frame_idx,
+         CAST(1 + doc_id % 5 AS BIGINT) AS bw,
+         CAST(1 + doc_id % 3 AS BIGINT) AS bh
+  FROM documents
+), px AS (
+  SELECT doc_id, frame_idx, i, j,
+         128 + 2 * (((doc_id
+                      + 11 * frame_idx
+                      + 3 * ((((2 * j + 1) * bw) // 2) // 8)
+                      + 5 * ((((2 * i + 1) * bh) // 2) // 8)) % 50) - 25)
+           AS v
+  FROM sampled, range(0, 8) t1(i), range(0, 8) t2(j)
+), sig AS (
+  SELECT doc_id, frame_idx,
+         CAST(sum(v) AS BIGINT) AS sum_luma,
+         CAST(sum((i * 8 + j + 1) * v) AS BIGINT) AS pos_digest
+  FROM px GROUP BY doc_id, frame_idx
+), sigs AS (
+  SELECT DISTINCT doc_id, sum_luma, pos_digest FROM sig
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sig FROM sigs GROUP BY doc_id
+), m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS matched
+  FROM sigs a
+  JOIN sigs b ON a.sum_luma = b.sum_luma
+             AND a.pos_digest = b.pos_digest
+             AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(sa.n_sig AS BIGINT) AS n_sig_a,
+       CAST(sb.n_sig AS BIGINT) AS n_sig_b,
+       CAST(matched AS BIGINT) AS matched,
+       CAST(matched AS DOUBLE) / CAST(least(sa.n_sig, sb.n_sig) AS DOUBLE)
+         AS match_frac
+FROM m
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 2 * matched >= least(sa.n_sig, sb.n_sig)
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL),
@@ -653,6 +725,9 @@ QUERIES = {
     ),
     "dedup_audio_neardup": QuerySpec(
         dedup_audio_neardup, MULTIMODAL_AUDIO_NEARDUP_SQL
+    ),
+    "dedup_video_neardup": QuerySpec(
+        dedup_video_neardup, MULTIMODAL_VIDEO_NEARDUP_SQL
     ),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
