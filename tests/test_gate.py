@@ -63,6 +63,14 @@ PROXIED = {
     # Brute-force oracle (pair sweep over replayed thumbnails) MATCH
     # at both SFs; containment semantics pinned in tests/test_mp4.py.
     "dedup_video_neardup": "dedup_image_neardup",
+    # Round-11-new: the winnow family's streaming drain — the streamed
+    # index must answer the probe EXACTLY like the in-gate one-shot
+    # build (same oracle SQL verbatim), so dedup_winnow_incremental is
+    # the natural anchor; the per-batch crash-safe drain shape is the
+    # in-gate streaming_dedup_clusters family. Stream == one-shot +
+    # replay-no-op + rewrite-retires-layout pinned in
+    # tests/test_winnow.py.
+    "streaming_winnow_index": "dedup_winnow_incremental",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

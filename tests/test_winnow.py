@@ -249,3 +249,163 @@ def test_temperature_mix_rates(spark):
     # binomial noise of the target (these fixtures give 3-sigma ~ 0.15)
     assert abs(out["fr"]["n_kept"] / 100 - 0.5) < 0.2
     assert abs(out["zh"]["n_kept"] / 25 - 0.25) < 0.3
+
+
+def _stage_winnow_batches(spark, docs, root, n_batches=3):
+    """Write `docs` as n_batches single-file parquet batches with
+    strictly increasing mtimes (the maxFilesPerTrigger=1 replay
+    staging used by the streaming registry entries)."""
+    import os
+    import time
+
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    now = time.time()
+    for i in range(n_batches):
+        bdir = os.path.join(root, f"b{i}")
+        (
+            docs.filter(F.col("doc_id") % n_batches == i)
+            .select("doc_id", "text")
+            .coalesce(1)
+            .write.parquet(bdir)
+        )
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"b{i}.parquet")
+        os.symlink(os.path.join(bdir, part), dst)
+        os.utime(dst, (now + i, now + i), follow_symlinks=False)
+    return stage
+
+
+def _drain_winnow_stream(spark, stage, idx, ledger):
+    from ue_big_data_project_spark import streaming as ST
+
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = ST.winnow_ingest_stream(sdf, index_path=idx, ledger_dir=ledger)
+    ST.run_until_drained(q)
+
+
+def test_winnow_stream_equals_one_shot_and_replays_safely(
+    spark, sf_dir, tmp_path
+):
+    """The STREAMED winnow index answers a probe exactly like a
+    one-shot write_winnow_index build of the same corpus (df
+    aggregates on read, so per-batch delta rows are invisible), and a
+    full replay of the drained stream against the same ledger is a
+    no-op (idempotence: batch ids re-commit nothing, the index bytes
+    answer identically)."""
+    import os
+
+    from ue_big_data_project_spark.operators.dedup import (
+        winnow_probe_index,
+        write_winnow_index,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    probe = d.filter(F.col("doc_id") % 4 == 1)
+
+    root = str(tmp_path / "winstream")
+    os.makedirs(root)
+    stage = _stage_winnow_batches(spark, corpus, root)
+    idx = os.path.join(root, "widx")
+    ledger = os.path.join(root, "_ledger")
+    _drain_winnow_stream(spark, stage, idx, ledger)
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_probe_index(spark, idx, probe).collect()
+    }
+
+    flat = str(tmp_path / "widx_oneshot")
+    write_winnow_index(corpus, flat)
+    want = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_probe_index(spark, flat, probe).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == want
+    assert want  # non-vacuous
+
+    # Replay: a fresh query over the same stage + ledger restarts at
+    # batch 0; the ledger skips every committed id, so the index is
+    # byte-stable and the probe unchanged.
+    before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs_ in os.walk(idx)
+        for f in fs_
+        if f.endswith(".parquet")
+    )
+    _drain_winnow_stream(spark, stage, idx, ledger)
+    after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs_ in os.walk(idx)
+        for f in fs_
+        if f.endswith(".parquet")
+    )
+    assert before == after
+    replay = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_probe_index(spark, idx, probe).collect()
+    }
+    spark.catalog.clearCache()
+    assert replay == want
+
+
+def test_winnow_stream_append_guard_and_rewrite_retires_layout(
+    spark, sf_dir, tmp_path
+):
+    """Flat appends onto a stream-ingested layout are rejected
+    (conflicting partition schemes would brick reads), and
+    rewrite_winnow_index compacts the streamed index into the
+    canonical flat layout — after which flat appends work and the
+    probe matches a fresh build on the kept docs."""
+    import os
+
+    import pytest
+
+    from ue_big_data_project_spark.operators.dedup import (
+        append_winnow_index,
+        rewrite_winnow_index,
+        winnow_probe_index,
+        write_winnow_index,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    probe = d.filter(F.col("doc_id") % 4 == 1)
+    late = d.filter(F.col("doc_id") % 4 == 3)
+
+    root = str(tmp_path / "winstream2")
+    os.makedirs(root)
+    stage = _stage_winnow_batches(spark, corpus, root)
+    idx = os.path.join(root, "widx")
+    _drain_winnow_stream(spark, stage, idx, os.path.join(root, "_ledger"))
+
+    with pytest.raises(ValueError, match="stream-ingested"):
+        append_winnow_index(spark, idx, late)
+
+    kept = corpus.filter(F.col("doc_id") % 16 != 0).select("doc_id")
+    n = rewrite_winnow_index(spark, idx, kept)
+    assert n > 0
+    assert "batch_id" not in spark.read.parquet(idx).columns
+    # Retired to the flat layout: appends work again.
+    append_winnow_index(spark, idx, late)
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_probe_index(spark, idx, probe).collect()
+    }
+    fresh = str(tmp_path / "widx_fresh2")
+    write_winnow_index(
+        corpus.join(kept, "doc_id", "left_semi").unionByName(late), fresh
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_probe_index(spark, fresh, probe).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == want

@@ -570,6 +570,20 @@ def append_winnow_index(
     meta = spark.read.parquet(root + "_stats").first()
     id_col, k, w = meta["id_col"], int(meta["k"]), int(meta["w"])
     n_buckets = int(meta["n_buckets"])
+    if "batch_id" in spark.read.parquet(root).columns:
+        # The ivf_index_append guard, same hazard: a STREAM-ingested
+        # layout (streaming.winnow_ingest_stream writes
+        # batch_id=N/_hbucket=M) with flat _hbucket=M dirs appended
+        # next to it gives conflicting partition schemas and bricks
+        # every subsequent read. Route increments through the stream,
+        # or rewrite_winnow_index first (it compacts to the flat
+        # layout).
+        raise ValueError(
+            f"{root} uses the stream-ingested batch_id=N/_hbucket=M "
+            "layout; a flat append would conflict with it — ingest "
+            "increments through winnow_ingest_stream, or compact with "
+            "rewrite_winnow_index first"
+        )
     fps, fp_rows = _winnow_fp_rows(new_docs, id_col, text_col, k, w)
     try:
         bucket = F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
@@ -693,7 +707,15 @@ def rewrite_winnow_index(spark, path: str, keep_docs: DataFrame) -> int:
 
     Post-prune probe == a fresh :func:`write_winnow_index` on the kept
     documents, row-for-row (test-pinned). Returns the surviving
-    fingerprint-row count."""
+    fingerprint-row count.
+
+    Accepts BOTH layouts: the flat ``_hbucket=M`` sharding and the
+    stream-ingested ``batch_id=N/_hbucket=M`` one
+    (``streaming.winnow_ingest_stream``) — the rewrite always emits
+    the canonical flat layout, so it doubles as the COMPACTION that
+    retires a streamed index into an ``append_winnow_index``-able
+    artifact (the overwrite drops the old batch directories with the
+    rest of the previous layout)."""
     root = path.rstrip("/")
     meta = spark.read.parquet(root + "_stats").first()
     id_col, n_buckets = meta["id_col"], int(meta["n_buckets"])
@@ -703,6 +725,7 @@ def rewrite_winnow_index(spark, path: str, keep_docs: DataFrame) -> int:
     fps = (
         spark.read.parquet(root)
         .join(keep, id_col, "left_semi")
+        .select(id_col, "h", "_hbucket")  # drop batch_id if streamed
         .localCheckpoint(eager=True)
     )
     n = fps.count()

@@ -402,6 +402,11 @@ BENCH_EXTRA = (
     # path) joined on the signature key with a ½-containment
     # threshold; brute-force oracle proves the join loses nothing.
     "dedup_video_neardup",
+    # Round-11-new: the winnow family's streaming drain — 3 real
+    # micro-batches into the bucket-sharded fingerprint index, then a
+    # probe that must answer byte-for-byte like the one-shot build
+    # (dedup_winnow_incremental's oracle SQL verbatim).
+    "streaming_winnow_index",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -1676,6 +1676,77 @@ HAVING count(*) >= 2
 """
 
 
+def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous winnow-index maintenance end-to-end — the streaming
+    drain for the fourth persisted-index family: the even half of the
+    corpus replays as 3 REAL micro-batches through
+    ``streaming.winnow_ingest_stream`` (each batch fingerprints ONLY
+    itself and lands its (id, h) rows + df delta rows in its own
+    crash-safe ``batch_id=N`` partition of the bucket sharding), then
+    a disjoint quarter probes the STREAMED index. The oracle is
+    ``dedup_winnow_incremental``'s union-corpus pair SQL VERBATIM —
+    because df aggregates on read, batching must be invisible: the
+    streamed index has to answer byte-for-byte like the one-shot
+    ``write_winnow_index`` build the incremental entry uses."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators.dedup import (
+        winnow_probe_index,
+    )
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 4 == 1)
+    root = _tf.mkdtemp(prefix="spark_graft_winstream_")
+    try:
+        stage = _os.path.join(root, "stage")
+        _os.makedirs(stage)
+        now = _time.time()
+        for i in range(3):
+            bdir = _os.path.join(root, f"b{i}")
+            (
+                old.filter((F.col("doc_id") / 2) % 3 == i)
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.parquet(bdir)
+            )
+            part = [
+                f for f in _os.listdir(bdir) if f.endswith(".parquet")
+            ][0]
+            dst = _os.path.join(stage, f"b{i}.parquet")
+            _os.symlink(_os.path.join(bdir, part), dst)
+            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+        sdf = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        # Right-size per-batch shuffles for the bounded replay (the
+        # cluster-stream precedent); production streams size this to
+        # real batch width.
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = ST.winnow_ingest_stream(
+                sdf,
+                index_path=_os.path.join(root, "widx"),
+                ledger_dir=_os.path.join(root, "_ledger"),
+            )
+            ST.run_until_drained(q)
+        finally:
+            spark.conf.set(key, prev)
+        return winnow_probe_index(
+            spark, _os.path.join(root, "widx"), new
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean token surprisal (nats/token) under an add-0.5
     smoothed unigram LM trained on the corpus itself
@@ -3114,6 +3185,12 @@ QUERIES = {
     ),
     "dedup_winnow_incremental": QuerySpec(
         dedup_winnow_incremental, DEDUP_WINNOW_INCREMENTAL_SQL
+    ),
+    # The streamed index must answer exactly like the one-shot build —
+    # same oracle SQL verbatim (batching is invisible by construction:
+    # df aggregates on read).
+    "streaming_winnow_index": QuerySpec(
+        streaming_winnow_index, DEDUP_WINNOW_INCREMENTAL_SQL
     ),
     "pipeline_temperature_mix": QuerySpec(
         pipeline_temperature_mix, PIPELINE_TEMPERATURE_MIX_SQL

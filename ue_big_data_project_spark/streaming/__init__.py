@@ -893,6 +893,85 @@ def cluster_ingest_stream(
     return idempotent_foreach_batch(sdf, apply, ledger_dir)
 
 
+def winnow_ingest_stream(
+    sdf: DataFrame,
+    index_path: str,
+    ledger_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 50,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Continuous maintenance of the winnow fingerprint index — the
+    streaming drain the fourth persisted-index family was missing
+    (dedup bands, clusters, IVF, HLL, qhist, CMS, and DSIR all have
+    one): each micro-batch of documents is winnow-fingerprinted
+    (``dedup._winnow_fp_rows`` — per-doc zero-shuffle array HOFs) and
+    its ``(id, h)`` rows plus per-hash df DELTA rows land in the
+    index's bucket sharding, after which ``dedup.winnow_probe_index``
+    answers against the streamed index exactly as against a one-shot
+    :func:`~ue_big_data_project_spark.operators.dedup.write_winnow_index`
+    build of the same corpus (df aggregates on read, so batch deltas
+    are invisible by construction — nothing frozen, nothing to audit).
+
+    Crash/replay safety (the :func:`ivf_ingest_stream` layout): each
+    batch OVERWRITES its own ``batch_id=N`` partition in both the row
+    and freq layouts — a replayed or half-committed batch converges to
+    the same bytes — and the ledger commits last. The stats sidecar is
+    written once at bootstrap (deterministic, so a replayed bootstrap
+    is byte-identical). Flat ``append_winnow_index`` calls on a
+    streamed layout are rejected (conflicting partition schemes would
+    brick reads); RETENTION is
+    ``dedup.rewrite_winnow_index(keep_docs)``, which prunes + compacts
+    ANY layout back to the canonical flat sharding — run it when
+    retiring or checkpointing the stream, exactly like compacting a
+    long append history."""
+    from ue_big_data_project_spark.operators.dedup import _winnow_fp_rows
+
+    root = index_path.rstrip("/")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        fps, fp_rows = _winnow_fp_rows(batch_df, id_col, text_col, k, w)
+        try:
+            bucket = F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
+            # ONE fingerprint job feeds both artifacts (row + freq
+            # writes would otherwise each re-run the distinct shuffle).
+            rows = fps.withColumn("_hbucket", bucket).localCheckpoint(
+                eager=True
+            )
+            (
+                rows.repartition("_hbucket")
+                .write.mode("overwrite")
+                .partitionBy("_hbucket")
+                .parquet(os.path.join(root, f"batch_id={batch_id}"))
+            )
+            freq = rows.groupBy("h", "_hbucket").agg(
+                F.count(F.lit(1)).alias("_df")
+            )
+            (
+                freq.repartition("_hbucket")
+                .write.mode("overwrite")
+                .partitionBy("_hbucket")
+                .parquet(
+                    os.path.join(root + "_freq", f"batch_id={batch_id}")
+                )
+            )
+            if not fs.exists(root + "_stats"):
+                sp.createDataFrame(
+                    [(id_col, k, w, min_shared, max_df, n_buckets)],
+                    "id_col string, k int, w int, min_shared int, "
+                    "max_df int, n_buckets int",
+                ).write.mode("overwrite").parquet(root + "_stats")
+        finally:
+            fp_rows.unpersist()
+
+    return idempotent_foreach_batch(sdf, apply, ledger_dir)
+
+
 def ivf_ingest_stream(
     sdf: DataFrame,
     index_path: str,
