@@ -71,6 +71,12 @@ PROXIED = {
     # replay-no-op + rewrite-retires-layout pinned in
     # tests/test_winnow.py.
     "streaming_winnow_index": "dedup_winnow_incremental",
+    # Round-11-new: subword (BPE) token accounting — per-doc text
+    # metric family (the in-gate text_repetition shape: one pass, no
+    # shuffle); encode semantics pinned three ways in tests/test_bpe.py
+    # (sequential == oracle replace-chain == classical priority loop)
+    # and the frozen merge table is provenance-pinned to the trainer.
+    "text_bpe_tokens": "text_repetition",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

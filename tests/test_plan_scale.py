@@ -283,6 +283,8 @@ SHUFFLE_BUDGETS = {
     "bloom_pruned_join": 2,         # agg + sort exchange; dim broadcasts
     "pipeline_scrub_boilerplate": 3,  # line df + freq join + reassembly
     "text_repetition": 0,           # pure per-row array fold
+    "text_bpe_tokens": 0,           # one Arrow pass, merge table is a
+                                    # closure constant, nothing shuffles
     "multimodal_bmp": 0,            # mapInPandas scan, bytes never move
     "multimodal_video_frames": 0,   # frame explode stays in-partition
     # Mid-round-4 additions.

@@ -407,6 +407,10 @@ BENCH_EXTRA = (
     # probe that must answer byte-for-byte like the one-shot build
     # (dedup_winnow_incremental's oracle SQL verbatim).
     "streaming_winnow_index",
+    # Round-11-new: subword token accounting — deterministic BPE encode
+    # against the frozen provenance-pinned merge table, one zero-shuffle
+    # Arrow pass; oracle = nested replace chain per word.
+    "text_bpe_tokens",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

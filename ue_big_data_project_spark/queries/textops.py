@@ -1747,6 +1747,87 @@ def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(root, ignore_errors=True)
 
 
+# Frozen 24-rule BPE merge table: the byte-identical output of
+# operators.bpe.bpe_train_merges(documents @ sf0.001, n_merges=24)
+# (provenance pinned by tests/test_bpe.py::test_merge_table_provenance
+# — retraining must reproduce this table exactly). Frozen-artifact
+# discipline: the table is versioned WITH the code because token
+# budgets computed against different merge tables are not comparable;
+# retrain deliberately, never implicitly.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("o", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("s", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("m", "er"),
+    ("a", "t"),
+    ("a", "n"),
+    ("c", "an"),
+    ("s", "can"),
+    ("c", "o"),
+    ("co", "lu"),
+    ("colu", "m"),
+    ("colum", "n"),
+    ("d", "ow"),
+    ("in", "dow"),
+    ("w", "indow"),
+    ("d", "er"),
+    ("or", "der"),
+    ("or", "t"),
+    ("s", "ort"),
+)
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBWORD token accounting (operators/bpe.bpe_token_counts): every
+    document's whitespace words encode against the frozen BPE_MERGES
+    table inside one Arrow pass — zero shuffles, per-batch word
+    memoization — yielding the per-document word / BPE-token /
+    character counts a training pipeline budgets with (packing a 4k
+    context window by WORD count mis-fills it by the corpus's subword
+    fan-out). The oracle replays the encode per word as a nested
+    string-replace chain over the ``(sym)(sym)`` wrapped spelling —
+    exactly equivalent to rank-ordered left-to-right non-overlapping
+    merging (the operator's documented semantics), so the counts hash
+    cross-engine."""
+    from ue_big_data_project_spark.operators import bpe as BPE
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return BPE.bpe_token_counts(d, list(BPE_MERGES))
+
+
+def _bpe_sql_chain(expr: str) -> str:
+    for a, b in BPE_MERGES:
+        expr = f"replace({expr}, '({a})({b})', '({a}{b})')"
+    return expr
+
+
+# Wrap every char as (c), then apply the merge chain (computed outside
+# the f-string: expression parts cannot carry the \1 backref).
+_BPE_WRAPPED = _bpe_sql_chain("regexp_replace(word, '(.)', '(\\1)', 'g')")
+
+TEXT_BPE_TOKENS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+w AS (SELECT doc_id, len(words) AS n_words, unnest(words) AS word
+      FROM toks),
+enc AS (
+  SELECT doc_id, n_words, length(word) AS wlen,
+         {_BPE_WRAPPED} AS s
+  FROM w
+)
+SELECT doc_id,
+       CAST(any_value(n_words) AS BIGINT) AS n_words,
+       CAST(sum(length(s) - length(replace(s, '(', ''))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(sum(wlen) AS BIGINT) AS n_chars
+FROM enc GROUP BY doc_id
+"""
+
+
 def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean token surprisal (nats/token) under an add-0.5
     smoothed unigram LM trained on the corpus itself
@@ -3192,6 +3273,7 @@ QUERIES = {
     "streaming_winnow_index": QuerySpec(
         streaming_winnow_index, DEDUP_WINNOW_INCREMENTAL_SQL
     ),
+    "text_bpe_tokens": QuerySpec(text_bpe_tokens, TEXT_BPE_TOKENS_SQL),
     "pipeline_temperature_mix": QuerySpec(
         pipeline_temperature_mix, PIPELINE_TEMPERATURE_MIX_SQL
     ),
