@@ -87,7 +87,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # Every registry entry OUTSIDE the gate maps to an in-gate family
 # anchor; the authoritative (test-enforced) mappings live in
 # tests/test_gate.py::PROXIED (near-duplicate shapes / post-freeze
-# additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–10).
+# additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–11).
 GATE_CAP = 50
 GATE_ORDER = (
     # -- never driver-hashed: run first (round-10-new; round-11
