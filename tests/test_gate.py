@@ -77,6 +77,10 @@ PROXIED = {
     # (sequential == oracle replace-chain == classical priority loop)
     # and the frozen merge table is provenance-pinned to the trainer.
     "text_bpe_tokens": "text_repetition",
+    # BPE-budgeted sequence packing — the in-gate running-window family
+    # (events_ewma anchors pack_sequences' rotated-out shape already);
+    # the BPE counting leg is text_bpe_tokens' zero-shuffle pass.
+    "pipeline_pack_bpe": "events_ewma",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

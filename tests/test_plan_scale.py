@@ -285,6 +285,9 @@ SHUFFLE_BUDGETS = {
     "text_repetition": 0,           # pure per-row array fold
     "text_bpe_tokens": 0,           # one Arrow pass, merge table is a
                                     # closure constant, nothing shuffles
+    "pipeline_pack_bpe": 1,         # the BPE pass is shuffle-free, so
+                                    # packing keeps its single
+                                    # stream-key exchange
     "multimodal_bmp": 0,            # mapInPandas scan, bytes never move
     "multimodal_video_frames": 0,   # frame explode stays in-partition
     # Mid-round-4 additions.

@@ -411,6 +411,9 @@ BENCH_EXTRA = (
     # against the frozen provenance-pinned merge table, one zero-shuffle
     # Arrow pass; oracle = nested replace chain per word.
     "text_bpe_tokens",
+    # Round-11-new: packing budgeted in SUBWORD tokens — bpe_token_counts
+    # composed into pack_sequences' one-shuffle concat-and-chunk layout.
+    "pipeline_pack_bpe",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

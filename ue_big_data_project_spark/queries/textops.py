@@ -2289,6 +2289,59 @@ FROM r
 """
 
 
+def pipeline_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted in SUBWORD tokens — the composition
+    that makes the BPE accounting load-bearing: per-document counts
+    from ``operators/bpe.bpe_token_counts`` (one zero-shuffle Arrow
+    pass against the frozen merge table) feed
+    ``pipelines.pack_sequences``' 512-token concat-and-chunk layout
+    (one stream-key shuffle + in-stream running window). Word-budgeted
+    packing mis-fills a context window by the corpus's subword
+    fan-out; this entry pins the ACTUAL layout a trainer would read,
+    end-to-end and cross-engine (the oracle replays encode + packing
+    in one SQL chain)."""
+    from ue_big_data_project_spark.operators import bpe as BPE
+    from ue_big_data_project_spark.pipelines import pack_sequences
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counted = BPE.bpe_token_counts(d, list(BPE_MERGES)).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return pack_sequences(
+        counted, id_col="doc_id", token_col="n_tokens", budget=512, writers=8
+    )
+
+
+PIPELINE_PACK_BPE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+w AS (SELECT doc_id, unnest(words) AS word FROM toks),
+enc AS (
+  SELECT doc_id, {_BPE_WRAPPED} AS s
+  FROM w
+), cnt AS (
+  SELECT doc_id,
+         CAST(sum(length(s) - length(replace(s, '(', ''))) AS BIGINT)
+           AS n_tokens
+  FROM enc GROUP BY doc_id
+), t AS (
+  SELECT doc_id, n_tokens, {_hash_mod_sql(8)} AS stream FROM cnt
+), r AS (
+  SELECT doc_id, n_tokens, stream,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY stream ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS run
+  FROM t
+)
+SELECT doc_id, n_tokens, stream,
+       (run - n_tokens) // 512 AS pack_id,
+       n_tokens > 0 AND (run - 1) // 512 > (run - n_tokens) // 512
+         AS straddles,
+       n_tokens > 512 AS oversize
+FROM r
+"""
+
+
 def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping passage chunking (64-token chunks, 8-token overlap,
     stride 56): the pretokenization step between documents and packing
@@ -3274,6 +3327,7 @@ QUERIES = {
         streaming_winnow_index, DEDUP_WINNOW_INCREMENTAL_SQL
     ),
     "text_bpe_tokens": QuerySpec(text_bpe_tokens, TEXT_BPE_TOKENS_SQL),
+    "pipeline_pack_bpe": QuerySpec(pipeline_pack_bpe, PIPELINE_PACK_BPE_SQL),
     "pipeline_temperature_mix": QuerySpec(
         pipeline_temperature_mix, PIPELINE_TEMPERATURE_MIX_SQL
     ),
