@@ -81,6 +81,13 @@ PROXIED = {
     # (events_ewma anchors pack_sequences' rotated-out shape already);
     # the BPE counting leg is text_bpe_tokens' zero-shuffle pass.
     "pipeline_pack_bpe": "events_ewma",
+    # Round-11-new: the persisted fingerprint band index (the 5th
+    # persisted family) — probe/append shapes anchor on the in-gate
+    # banded near-dup entries (same pigeonhole machinery, brute-force
+    # probe-incident oracles); index/probe/append equivalence pinned
+    # in tests/test_multimodal.py::test_fp_index_*.
+    "dedup_image_fp_incremental": "dedup_image_neardup",
+    "dedup_audio_fp_incremental": "dedup_image_neardup",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

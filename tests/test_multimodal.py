@@ -1026,3 +1026,64 @@ def test_audio_neardup_banding_is_lossless_vs_brute_force(spark):
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in rows}
     assert got == want
     assert want  # the fixture must actually exercise the band join
+
+
+def test_fp_index_probe_equals_neardup_restriction_and_append(
+    spark, tmp_path
+):
+    """The persisted fingerprint index answers a one-sided probe
+    EXACTLY like dhash_neardup_pairs over the union corpus restricted
+    to probe-incident pairs, and an O(increment) append leaves the
+    index answering like a fresh build of the larger union — banding
+    is stateless, so nothing drifts. Runs on the audio fingerprint
+    columns to pin the index's column-name generality too."""
+    from ue_big_data_project_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ].select("doc_id")
+    old = MM.audio_fingerprint(
+        MM.attach_wav_saw(d.filter("doc_id % 2 = 0"))
+    )
+    probe = MM.audio_fingerprint(
+        MM.attach_wav_saw(d.filter("doc_id % 4 = 1"))
+    )
+    late = MM.audio_fingerprint(
+        MM.attach_wav_saw(d.filter("doc_id % 4 = 3"))
+    )
+
+    idx = str(tmp_path / "fpidx")
+    MM.write_fp_index(old, idx, hi_col="fp_hi", lo_col="fp_lo")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.fp_probe_index(spark, idx, probe).collect()
+    }
+    union = old.unionByName(probe)
+    probe_ids = {r["doc_id"] for r in probe.select("doc_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.dhash_neardup_pairs(
+            union, max_hamming=2, hi_col="fp_hi", lo_col="fp_lo"
+        ).collect()
+        if r["id_a"] in probe_ids or r["id_b"] in probe_ids
+    }
+    assert got == want
+    assert want  # non-vacuous on the fixture
+
+    # Append the late quarter; the probe must now also see late-vs-probe
+    # pairs — exactly the fresh-build answer on the bigger union.
+    MM.fp_index_append(spark, idx, late)
+    got2 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.fp_probe_index(spark, idx, probe).collect()
+    }
+    fresh = str(tmp_path / "fpidx_fresh")
+    MM.write_fp_index(
+        old.unionByName(late), fresh, hi_col="fp_hi", lo_col="fp_lo"
+    )
+    want2 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.fp_probe_index(spark, fresh, probe).collect()
+    }
+    assert got2 == want2
+    assert want2 > got or want2 != got  # the append changed the answer

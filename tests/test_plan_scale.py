@@ -317,6 +317,14 @@ SHUFFLE_BUDGETS = {
                                     # runs ONCE) + size agg + sig-key
                                     # join + pair-count agg; size joins
                                     # broadcast
+    "dedup_image_fp_incremental": 0,  # the probe materializes via an
+                                    # eager localCheckpoint (results
+                                    # must not lazily re-read expirable
+                                    # index files), so the returned
+                                    # plan is the truncated checkpoint
+                                    # scan — pinning that nothing is
+                                    # recomputed downstream
+    "dedup_audio_fp_incremental": 0,  # same contract on the audio axis
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

@@ -3089,32 +3089,19 @@ def attach_wav_saw(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
 
 
-def dhash_neardup_pairs(
+def fp_band_rows(
     hashes: DataFrame,
-    max_hamming: int = 2,
     id_col: str = "doc_id",
     hi_col: str = "dhash_hi",
     lo_col: str = "dhash_lo",
 ) -> DataFrame:
-    """NEAR-duplicate image pairs from an :func:`image_dhash` table via
-    SimHash-style pigeonhole banding: the 64 bits split into 4 bands of
-    16; a pair within Hamming distance ``max_hamming`` ≤ 3 differs in
-    at most ``max_hamming`` bands, so at least one band matches exactly
-    and a band-key equi-join finds EVERY qualifying pair (lossless —
-    the brute-force oracle is the proof). Candidates are verified with
-    ``bit_count(xor)`` and exact-duplicate pairs (Hamming 0) are
-    EXCLUDED — identical hashes are the group-dedup op's job
-    (:func:`image_dhash` + a hash-key window); this op exists for the
-    perceptually-close-but-not-identical tail.
-
-    Scale shape: never all-pairs — the join keys on (band_idx,
-    band_value), so candidate fan-out is bounded per band bucket; at
-    corpus scale add a band-frequency cap (the winnow/Jaccard
-    stop-fingerprint discipline) for pathological constant bands.
-    """
-    if not 1 <= max_hamming <= 3:
-        raise ValueError("pigeonhole over 4 bands needs 1 <= max_hamming <= 3")
-    b = hashes.select(
+    """Explode a 64-bit fingerprint table (two BIGINT halves — image
+    dHash or the audio Haitsma–Kalker bits) into its 4×16-bit
+    pigeonhole band rows ``(id, hi, lo, bi, bv)`` — the shared
+    banding under :func:`dhash_neardup_pairs` and the persisted
+    fingerprint index (:func:`write_fp_index`). Zero shuffles: a
+    4-way explode per row."""
+    return hashes.select(
         F.col(id_col),
         hi_col,
         lo_col,
@@ -3143,6 +3130,34 @@ def dhash_neardup_pairs(
             )
         ).alias("band"),
     ).select(id_col, hi_col, lo_col, "band.bi", "band.bv")
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+) -> DataFrame:
+    """NEAR-duplicate image pairs from an :func:`image_dhash` table via
+    SimHash-style pigeonhole banding: the 64 bits split into 4 bands of
+    16; a pair within Hamming distance ``max_hamming`` ≤ 3 differs in
+    at most ``max_hamming`` bands, so at least one band matches exactly
+    and a band-key equi-join finds EVERY qualifying pair (lossless —
+    the brute-force oracle is the proof). Candidates are verified with
+    ``bit_count(xor)`` and exact-duplicate pairs (Hamming 0) are
+    EXCLUDED — identical hashes are the group-dedup op's job
+    (:func:`image_dhash` + a hash-key window); this op exists for the
+    perceptually-close-but-not-identical tail.
+
+    Scale shape: never all-pairs — the join keys on (band_idx,
+    band_value), so candidate fan-out is bounded per band bucket; at
+    corpus scale add a band-frequency cap (the winnow/Jaccard
+    stop-fingerprint discipline) for pathological constant bands.
+    """
+    if not 1 <= max_hamming <= 3:
+        raise ValueError("pigeonhole over 4 bands needs 1 <= max_hamming <= 3")
+    b = fp_band_rows(hashes, id_col=id_col, hi_col=hi_col, lo_col=lo_col)
     left = b.select(
         F.col(id_col).alias("id_a"),
         F.col(hi_col).alias("_ha"),
@@ -3496,3 +3511,168 @@ def video_neardup_pairs(
             ).alias("match_frac"),
         )
     )
+
+
+def write_fp_index(
+    hashes: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+    max_hamming: int = 2,
+    n_buckets: int = 16,
+) -> str:
+    """Persist the corpus side of the media near-dup screen — the
+    FIFTH persisted-index family (dedup bands / Jaccard / BM25 terms /
+    winnow substrings / IVF cells), covering the modalities the text
+    indexes cannot: 64-bit perceptual fingerprints (image dHash, the
+    audio Haitsma–Kalker bits — anything :func:`fp_band_rows` bands)
+    written as ``(id, hi, lo, bi, bv)`` band rows hash-partitioned by
+    ``_bucket = pmod(bv, n_buckets)``, constants in ``<path>_stats``.
+
+    Like the winnow index there is NOTHING frozen: banding is a pure
+    function of each fingerprint, so appends are O(increment) row
+    writes (:func:`fp_index_append`) with no drift to audit, and
+    :func:`fp_probe_index` answers exactly like banding the union
+    corpus at once (equivalence-tested). At corpus scale add a
+    band-frequency cap for pathological constant bands (black frames,
+    silence) — the winnow stop-fingerprint discipline."""
+    spark = hashes.sparkSession
+    root = path.rstrip("/")
+    rows = fp_band_rows(hashes, id_col, hi_col, lo_col).select(
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("hi"),
+        F.col(lo_col).alias("lo"),
+        "bi",
+        "bv",
+    )
+    bucket = F.pmod(F.col("bv"), F.lit(n_buckets)).cast("int")
+    (
+        rows.withColumn("_bucket", bucket)
+        .repartition(n_buckets, "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(root)
+    )
+    spark.createDataFrame(
+        [(id_col, hi_col, lo_col, max_hamming, n_buckets)],
+        "id_col string, hi_col string, lo_col string, "
+        "max_hamming int, n_buckets int",
+    ).write.mode("overwrite").parquet(root + "_stats")
+    return root
+
+
+def fp_index_append(spark, path: str, new_hashes: DataFrame) -> None:
+    """Append an increment's fingerprints to a :func:`write_fp_index`
+    layout — band the increment ONLY and append its rows into the
+    existing bucket partitions. O(increment): existing rows are never
+    read or rewritten, and because banding is stateless the appended
+    index answers :func:`fp_probe_index` exactly like a fresh build of
+    the union (test-pinned). New ids must be disjoint from indexed
+    ids (the jaccard/winnow probe contract)."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col, n_buckets = meta["id_col"], int(meta["n_buckets"])
+    hi_col, lo_col = meta["hi_col"], meta["lo_col"]
+    rows = fp_band_rows(new_hashes, id_col, hi_col, lo_col).select(
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("hi"),
+        F.col(lo_col).alias("lo"),
+        "bi",
+        "bv",
+    )
+    (
+        rows.withColumn(
+            "_bucket", F.pmod(F.col("bv"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition("_bucket")
+        .write.mode("append")
+        .partitionBy("_bucket")
+        .parquet(root)
+    )
+
+
+def fp_probe_index(
+    spark, path: str, new_hashes: DataFrame
+) -> DataFrame:
+    """One-sided media near-dup screen: every pair ``(id_a, id_b,
+    1 ≤ hamming ≤ max_hamming)`` with AT LEAST ONE endpoint in
+    ``new_hashes`` — probe-vs-index plus probe-vs-probe — without
+    re-fingerprinting (or even reading most of) the corpus. Results
+    are EXACTLY :func:`dhash_neardup_pairs` over (indexed ∪ probe)
+    restricted to probe-incident pairs (equivalence-tested; the
+    pigeonhole is lossless for Hamming ≤ 3, so nothing is missed).
+
+    Scale shape: the probe reads only the ``_bucket`` partitions its
+    band values fall in (bounded bucket-id collect), and index rows
+    are equi-joined to the probe's (bi, bv) set — join fan-out is
+    probe-band-incident, never corpus × corpus."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col = meta["id_col"]
+    hi_col, lo_col = meta["hi_col"], meta["lo_col"]
+    max_hamming, n_buckets = int(meta["max_hamming"]), int(meta["n_buckets"])
+    probe = (
+        fp_band_rows(new_hashes, id_col, hi_col, lo_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(hi_col).alias("hi"),
+            F.col(lo_col).alias("lo"),
+            "bi",
+            "bv",
+        )
+        .localCheckpoint(eager=True)  # feeds buckets, join, in-probe
+    )
+    buckets = sorted(
+        r.b
+        for r in probe.select(
+            F.pmod(F.col("bv"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    idx = (
+        spark.read.parquet(root)
+        .filter(F.col("_bucket").isin(buckets))
+        .join(probe.select("bi", "bv").distinct(), ["bi", "bv"])
+        .select("id", "hi", "lo", "bi", "bv")
+    )
+    rows = probe.withColumn("_probe", F.lit(1)).unionByName(
+        idx.withColumn("_probe", F.lit(0))
+    )
+    a = rows.select(
+        F.col("id").alias("id_a"),
+        F.col("hi").alias("_ha"),
+        F.col("lo").alias("_la"),
+        F.col("_probe").alias("_pa"),
+        "bi",
+        "bv",
+    )
+    b = rows.select(
+        F.col("id").alias("id_b"),
+        F.col("hi").alias("_hb"),
+        F.col("lo").alias("_lb"),
+        F.col("_probe").alias("_pb"),
+        "bi",
+        "bv",
+    )
+    ham = (
+        F.expr("bit_count(_ha ^ _hb)") + F.expr("bit_count(_la ^ _lb)")
+    ).cast("int")
+    out = (
+        a.join(b, ["bi", "bv"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_pa") + F.col("_pb") >= 1)
+        )
+        .select("id_a", "id_b", "_ha", "_la", "_hb", "_lb")
+        .distinct()  # a pair may share several bands
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
+        )
+    )
+    # Materialize before returning (the jaccard/winnow probe
+    # precedent): the result must not lazily re-read index files a
+    # caller may have already expired; O(qualifying pairs) rows.
+    return out.localCheckpoint(eager=True)

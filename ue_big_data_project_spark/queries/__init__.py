@@ -414,6 +414,12 @@ BENCH_EXTRA = (
     # Round-11-new: packing budgeted in SUBWORD tokens — bpe_token_counts
     # composed into pack_sequences' one-shuffle concat-and-chunk layout.
     "pipeline_pack_bpe",
+    # Round-11-new: the persisted fingerprint band index — the media
+    # modalities' incremental near-dup screen (index half the corpus's
+    # fingerprints, probe each increment; O(increment) appends,
+    # nothing frozen).
+    "dedup_image_fp_incremental",
+    "dedup_audio_fp_incremental",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

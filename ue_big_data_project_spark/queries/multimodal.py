@@ -474,6 +474,77 @@ WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
 """
 
 
+def dedup_image_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL image near-dup screen — the FIFTH persisted-index
+    family applied to the image axis: half the corpus's dHashes
+    persist as a bucket-sharded band-row index
+    (``operators/multimodal.write_fp_index``; banding is stateless, so
+    nothing is frozen and appends are O(increment)); a disjoint
+    quarter probes it (``fp_probe_index``) for every probe-incident
+    pair with 1 ≤ Hamming ≤ 2 — the batch-vs-everything-ingested
+    screen a crawl pipeline runs per increment, without
+    re-fingerprinting the corpus. The oracle brute-forces the pair
+    sweep from the closed-form hashes restricted to (index ∪ probe)
+    endpoints with ≥ 1 probe endpoint — losslessness of the banded
+    probe, per row."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    old = MM.image_dhash(MM.attach_bmp(ids.filter(F.col("doc_id") % 2 == 0)))
+    new = MM.image_dhash(MM.attach_bmp(ids.filter(F.col("doc_id") % 4 == 1)))
+    root = _tf.mkdtemp(prefix="spark_graft_fpidx_")
+    try:
+        idx = root + "/fpidx"
+        MM.write_fp_index(old, idx)
+        return MM.fp_probe_index(spark, idx, new)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+MULTIMODAL_FP_INCREMENTAL_SQL = f"""
+WITH {_DHASH_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+            + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER)
+         AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE (a.doc_id % 2 = 0 OR a.doc_id % 4 = 1)
+  AND (b.doc_id % 2 = 0 OR b.doc_id % 4 = 1)
+  AND (a.doc_id % 4 = 1 OR b.doc_id % 4 = 1)
+  AND bit_count(xor(a.dhash_hi, b.dhash_hi))
+      + bit_count(xor(a.dhash_lo, b.dhash_lo)) BETWEEN 1 AND 2
+"""
+
+
+def dedup_audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same persisted fingerprint index on the AUDIO axis — the
+    Haitsma–Kalker bits ride the identical band-row layout (the stats
+    sidecar records the fp column names), so one index family screens
+    every 64-bit perceptual fingerprint modality. Index = even docs,
+    probe = the odd quarter; oracle = brute-force probe-incident
+    sweep over the closed-form fingerprints."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    old = MM.audio_fingerprint(
+        MM.attach_wav_saw(ids.filter(F.col("doc_id") % 2 == 0))
+    )
+    new = MM.audio_fingerprint(
+        MM.attach_wav_saw(ids.filter(F.col("doc_id") % 4 == 1))
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_afpidx_")
+    try:
+        idx = root + "/fpidx"
+        MM.write_fp_index(old, idx, hi_col="fp_hi", lo_col="fp_lo")
+        return MM.fp_probe_index(spark, idx, new)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO-level perceptual dedup — the audio twin of
     ``dedup_image_dhash``: every document's real WAV container decodes
@@ -581,6 +652,19 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             + bit_count(xor(a.fp_lo, b.fp_lo)) AS INTEGER) AS hamming
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+      + bit_count(xor(a.fp_lo, b.fp_lo)) BETWEEN 1 AND 2
+"""
+
+MULTIMODAL_AUDIO_FP_INCREMENTAL_SQL = f"""
+WITH {_AUDIO_FP_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+            + bit_count(xor(a.fp_lo, b.fp_lo)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE (a.doc_id % 2 = 0 OR a.doc_id % 4 = 1)
+  AND (b.doc_id % 2 = 0 OR b.doc_id % 4 = 1)
+  AND (a.doc_id % 4 = 1 OR b.doc_id % 4 = 1)
+  AND bit_count(xor(a.fp_hi, b.fp_hi))
       + bit_count(xor(a.fp_lo, b.fp_lo)) BETWEEN 1 AND 2
 """
 
@@ -728,6 +812,12 @@ QUERIES = {
     ),
     "dedup_video_neardup": QuerySpec(
         dedup_video_neardup, MULTIMODAL_VIDEO_NEARDUP_SQL
+    ),
+    "dedup_image_fp_incremental": QuerySpec(
+        dedup_image_fp_incremental, MULTIMODAL_FP_INCREMENTAL_SQL
+    ),
+    "dedup_audio_fp_incremental": QuerySpec(
+        dedup_audio_fp_incremental, MULTIMODAL_AUDIO_FP_INCREMENTAL_SQL
     ),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
