@@ -88,6 +88,10 @@ PROXIED = {
     # in tests/test_multimodal.py::test_fp_index_*.
     "dedup_image_fp_incremental": "dedup_image_neardup",
     "dedup_audio_fp_incremental": "dedup_image_neardup",
+    # The fp-index streaming drain — streamed index must answer like
+    # the one-shot build (same oracle verbatim); per-batch crash-safe
+    # drain shape is the in-gate streaming_dedup_clusters family.
+    "streaming_fp_index": "dedup_image_neardup",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -1087,3 +1087,107 @@ def test_fp_index_probe_equals_neardup_restriction_and_append(
     }
     assert got2 == want2
     assert want2 > got or want2 != got  # the append changed the answer
+
+
+def test_fp_stream_equals_one_shot_guard_and_rewrite(spark, tmp_path):
+    """The STREAMED fingerprint index answers a probe exactly like a
+    one-shot write_fp_index build; a full replay against the same
+    ledger is byte-stable; flat appends onto the streamed layout are
+    rejected; rewrite_fp_index prunes + compacts back to the flat
+    appendable layout."""
+    import os
+    import time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ].select("doc_id")
+    corpus_ids = d.filter("doc_id % 2 = 0")
+    probe = MM.image_dhash(MM.attach_bmp(d.filter("doc_id % 4 = 1")))
+    late = MM.image_dhash(MM.attach_bmp(d.filter("doc_id % 4 = 3")))
+
+    root = str(tmp_path / "fpstream")
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    now = time.time()
+    for i in range(2):
+        bdir = os.path.join(root, f"b{i}")
+        corpus_ids.filter(f"doc_id % 4 = {2 * i}").coalesce(1).write.parquet(
+            bdir
+        )
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"b{i}.parquet")
+        os.symlink(os.path.join(bdir, part), dst)
+        os.utime(dst, (now + i, now + i), follow_symlinks=False)
+
+    idx = os.path.join(root, "fpidx")
+    ledger = os.path.join(root, "_ledger")
+
+    def drain():
+        sdf = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = ST.fp_ingest_stream(
+            sdf,
+            index_path=idx,
+            ledger_dir=ledger,
+            fingerprint=lambda bdf: MM.image_dhash(MM.attach_bmp(bdf)),
+        )
+        ST.run_until_drained(q)
+
+    drain()
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.fp_probe_index(spark, idx, probe).collect()
+    }
+    flat = str(tmp_path / "fpidx_oneshot")
+    MM.write_fp_index(MM.image_dhash(MM.attach_bmp(corpus_ids)), flat)
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.fp_probe_index(spark, flat, probe).collect()
+    }
+    assert got == want
+    assert want
+
+    # Replay: ledger skips committed batch ids, index bytes unchanged.
+    before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(idx)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    drain()
+    after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(idx)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    assert before == after
+
+    with pytest.raises(ValueError, match="stream-ingested"):
+        MM.fp_index_append(spark, idx, late)
+
+    kept = corpus_ids.filter("doc_id % 16 != 0")
+    n = MM.rewrite_fp_index(spark, idx, kept)
+    assert n > 0
+    assert "batch_id" not in spark.read.parquet(idx).columns
+    MM.fp_index_append(spark, idx, late)  # flat layout again
+    got2 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.fp_probe_index(spark, idx, probe).collect()
+    }
+    fresh = str(tmp_path / "fpidx_fresh")
+    MM.write_fp_index(
+        MM.image_dhash(MM.attach_bmp(corpus_ids.join(kept.select("doc_id"), "doc_id", "left_semi"))).unionByName(late),
+        fresh,
+    )
+    want2 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.fp_probe_index(spark, fresh, probe).collect()
+    }
+    assert got2 == want2

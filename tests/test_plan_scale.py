@@ -325,6 +325,9 @@ SHUFFLE_BUDGETS = {
                                     # scan — pinning that nothing is
                                     # recomputed downstream
     "dedup_audio_fp_incremental": 0,  # same contract on the audio axis
+    "streaming_fp_index": 0,        # probe returns the checkpoint scan
+                                    # (per-batch work happens in the
+                                    # drained stream)
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

@@ -3574,6 +3574,16 @@ def fp_index_append(spark, path: str, new_hashes: DataFrame) -> None:
     meta = spark.read.parquet(root + "_stats").first()
     id_col, n_buckets = meta["id_col"], int(meta["n_buckets"])
     hi_col, lo_col = meta["hi_col"], meta["lo_col"]
+    if "batch_id" in spark.read.parquet(root).columns:
+        # The winnow/ivf append guard, same hazard: flat _bucket=M dirs
+        # appended next to a stream's batch_id=N/_bucket=M partitions
+        # give conflicting partition schemas and brick reads.
+        raise ValueError(
+            f"{root} uses the stream-ingested batch_id=N/_bucket=M "
+            "layout; a flat append would conflict with it — ingest "
+            "increments through fp_ingest_stream, or compact with "
+            "rewrite_fp_index first"
+        )
     rows = fp_band_rows(new_hashes, id_col, hi_col, lo_col).select(
         F.col(id_col).alias("id"),
         F.col(hi_col).alias("hi"),
@@ -3676,3 +3686,36 @@ def fp_probe_index(
     # precedent): the result must not lazily re-read index files a
     # caller may have already expired; O(qualifying pairs) rows.
     return out.localCheckpoint(eager=True)
+
+
+def rewrite_fp_index(spark, path: str, keep_docs: DataFrame) -> int:
+    """RETENTION for the fingerprint band index: drop band rows of
+    documents not in ``keep_docs``, rewriting the sharded layout in
+    place. Banding is stateless (no df table, nothing frozen), so the
+    prune is exact by construction; like
+    :func:`~ue_big_data_project_spark.operators.dedup.rewrite_winnow_index`
+    it accepts BOTH layouts (flat ``_bucket=M`` and the stream-ingested
+    ``batch_id=N/_bucket=M``) and always emits the canonical flat
+    sharding — doubling as the compaction that retires a streamed
+    index into an :func:`fp_index_append`-able artifact. Returns the
+    surviving band-row count."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    n_buckets = int(meta["n_buckets"])
+    keep = keep_docs.select(
+        F.col(keep_docs.columns[0]).alias("id")
+    ).distinct()
+    rows = (
+        spark.read.parquet(root)
+        .join(keep, "id", "left_semi")
+        .select("id", "hi", "lo", "bi", "bv", "_bucket")
+        .localCheckpoint(eager=True)  # drop batch_id if streamed
+    )
+    n = rows.count()
+    (
+        rows.repartition(n_buckets, "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(root)
+    )
+    return n

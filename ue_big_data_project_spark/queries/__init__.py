@@ -420,6 +420,9 @@ BENCH_EXTRA = (
     # nothing frozen).
     "dedup_image_fp_incremental",
     "dedup_audio_fp_incremental",
+    # ... and its streaming drain (3 real micro-batches, probe ==
+    # one-shot oracle verbatim).
+    "streaming_fp_index",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -518,6 +518,75 @@ WHERE (a.doc_id % 2 = 0 OR a.doc_id % 4 = 1)
 """
 
 
+def streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous media-fingerprint index maintenance end-to-end: the
+    even half of the corpus replays as 3 REAL micro-batches through
+    ``streaming.fp_ingest_stream`` — each batch attaches its BMP
+    payloads, dHashes them in the Arrow workers, and lands its band
+    rows in a crash-safe ``batch_id=N`` partition — then the odd
+    quarter probes the STREAMED index. Banding is stateless, so
+    batching must be invisible: the oracle is
+    ``dedup_image_fp_incremental``'s brute-force probe-incident SQL
+    VERBATIM."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    old_ids = d.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    new = MM.image_dhash(
+        MM.attach_bmp(
+            d.repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            ).filter(F.col("doc_id") % 4 == 1)
+        )
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_fpstream_")
+    try:
+        stage = _os.path.join(root, "stage")
+        _os.makedirs(stage)
+        now = _time.time()
+        for i in range(3):
+            bdir = _os.path.join(root, f"b{i}")
+            (
+                old_ids.filter((F.col("doc_id") / 2) % 3 == i)
+                .coalesce(1)
+                .write.parquet(bdir)
+            )
+            part = [
+                f for f in _os.listdir(bdir) if f.endswith(".parquet")
+            ][0]
+            dst = _os.path.join(stage, f"b{i}.parquet")
+            _os.symlink(_os.path.join(bdir, part), dst)
+            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+        sdf = spark.readStream.schema("doc_id long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = ST.fp_ingest_stream(
+                sdf,
+                index_path=_os.path.join(root, "fpidx"),
+                ledger_dir=_os.path.join(root, "_ledger"),
+                fingerprint=lambda bdf: MM.image_dhash(
+                    MM.attach_bmp(bdf)
+                ),
+            )
+            ST.run_until_drained(q)
+        finally:
+            spark.conf.set(key, prev)
+        return MM.fp_probe_index(spark, _os.path.join(root, "fpidx"), new)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def dedup_audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same persisted fingerprint index on the AUDIO axis — the
     Haitsma–Kalker bits ride the identical band-row layout (the stats
@@ -818,6 +887,11 @@ QUERIES = {
     ),
     "dedup_audio_fp_incremental": QuerySpec(
         dedup_audio_fp_incremental, MULTIMODAL_AUDIO_FP_INCREMENTAL_SQL
+    ),
+    # Batching must be invisible (stateless banding): the streamed
+    # index pairs with the one-shot incremental oracle VERBATIM.
+    "streaming_fp_index": QuerySpec(
+        streaming_fp_index, MULTIMODAL_FP_INCREMENTAL_SQL
     ),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),

@@ -972,6 +972,69 @@ def winnow_ingest_stream(
     return idempotent_foreach_batch(sdf, apply, ledger_dir)
 
 
+def fp_ingest_stream(
+    sdf: DataFrame,
+    index_path: str,
+    ledger_dir: str,
+    fingerprint,
+    id_col: str = "doc_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+    max_hamming: int = 2,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Continuous maintenance of the media fingerprint band index —
+    the fifth persisted family's streaming drain: each micro-batch is
+    fingerprinted by the caller-supplied ``fingerprint(batch_df) →
+    (id, hi, lo)`` stage (``multimodal.image_dhash`` over attached
+    payloads, ``audio_fingerprint``, …) and its band rows land in the
+    index's bucket sharding, after which ``fp_probe_index`` screens
+    any increment against everything ingested exactly as against a
+    one-shot :func:`~ue_big_data_project_spark.operators.multimodal.write_fp_index`
+    build (banding is stateless — batching is invisible by
+    construction).
+
+    Crash/replay safety is the :func:`winnow_ingest_stream` contract:
+    each batch OVERWRITES its own ``batch_id=N`` partition, the stats
+    sidecar bootstraps deterministically, the ledger commits last.
+    Flat appends onto the streamed layout are rejected
+    (``fp_index_append`` guard); RETENTION/compaction is
+    ``multimodal.rewrite_fp_index``, which prunes any layout back to
+    the flat sharding."""
+    from ue_big_data_project_spark.operators.multimodal import (
+        fp_band_rows,
+    )
+
+    root = index_path.rstrip("/")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        hashes = fingerprint(batch_df)
+        rows = fp_band_rows(hashes, id_col, hi_col, lo_col).select(
+            F.col(id_col).alias("id"),
+            F.col(hi_col).alias("hi"),
+            F.col(lo_col).alias("lo"),
+            "bi",
+            "bv",
+        ).withColumn(
+            "_bucket", F.pmod(F.col("bv"), F.lit(n_buckets)).cast("int")
+        )
+        (
+            rows.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(root, f"batch_id={batch_id}"))
+        )
+        if not fs.exists(root + "_stats"):
+            sp.createDataFrame(
+                [(id_col, hi_col, lo_col, max_hamming, n_buckets)],
+                "id_col string, hi_col string, lo_col string, "
+                "max_hamming int, n_buckets int",
+            ).write.mode("overwrite").parquet(root + "_stats")
+
+    return idempotent_foreach_batch(sdf, apply, ledger_dir)
+
+
 def ivf_ingest_stream(
     sdf: DataFrame,
     index_path: str,
