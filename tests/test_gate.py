@@ -92,6 +92,11 @@ PROXIED = {
     # the one-shot build (same oracle verbatim); per-batch crash-safe
     # drain shape is the in-gate streaming_dedup_clusters family.
     "streaming_fp_index": "dedup_image_neardup",
+    # The fp-index retention path — prune-then-probe, the in-gate
+    # dedup_clusters_pruned / dedup_jaccard_pruned precedent; the
+    # rewrite contract is also pinned directly in
+    # tests/test_multimodal.py::test_fp_stream_equals_one_shot_*.
+    "dedup_image_fp_pruned": "dedup_clusters_pruned",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -328,6 +328,7 @@ SHUFFLE_BUDGETS = {
     "streaming_fp_index": 0,        # probe returns the checkpoint scan
                                     # (per-batch work happens in the
                                     # drained stream)
+    "dedup_image_fp_pruned": 0,     # same checkpoint-truncated probe
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +

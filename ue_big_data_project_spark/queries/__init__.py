@@ -423,6 +423,8 @@ BENCH_EXTRA = (
     # ... and its streaming drain (3 real micro-batches, probe ==
     # one-shot oracle verbatim).
     "streaming_fp_index",
+    # ... and its retention path (prune to a keep set, probe survivors).
+    "dedup_image_fp_pruned",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

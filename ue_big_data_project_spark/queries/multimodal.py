@@ -518,6 +518,50 @@ WHERE (a.doc_id % 2 = 0 OR a.doc_id % 4 = 1)
 """
 
 
+def dedup_image_fp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION for the fingerprint index — the family's prune path
+    (the `dedup_clusters_pruned` / `dedup_jaccard_pruned` precedent):
+    the even half's dHashes persist, ``rewrite_fp_index`` drops every
+    16th document's rows (compacting to the canonical flat layout),
+    and the odd quarter probes the SURVIVORS. Banding is stateless, so
+    the prune is exact by construction; the oracle is the brute-force
+    pair sweep restricted to surviving endpoints with ≥ 1 probe
+    endpoint."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    evens = ids.filter(F.col("doc_id") % 2 == 0)
+    old = MM.image_dhash(MM.attach_bmp(evens))
+    new = MM.image_dhash(MM.attach_bmp(ids.filter(F.col("doc_id") % 4 == 1)))
+    root = _tf.mkdtemp(prefix="spark_graft_fpprune_")
+    try:
+        idx = root + "/fpidx"
+        MM.write_fp_index(old, idx)
+        MM.rewrite_fp_index(
+            spark, idx, evens.filter(F.col("doc_id") % 16 != 0).select("doc_id")
+        )
+        return MM.fp_probe_index(spark, idx, new)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+MULTIMODAL_FP_PRUNED_SQL = f"""
+WITH {_DHASH_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+            + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER)
+         AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE ((a.doc_id % 2 = 0 AND a.doc_id % 16 != 0) OR a.doc_id % 4 = 1)
+  AND ((b.doc_id % 2 = 0 AND b.doc_id % 16 != 0) OR b.doc_id % 4 = 1)
+  AND (a.doc_id % 4 = 1 OR b.doc_id % 4 = 1)
+  AND bit_count(xor(a.dhash_hi, b.dhash_hi))
+      + bit_count(xor(a.dhash_lo, b.dhash_lo)) BETWEEN 1 AND 2
+"""
+
+
 def streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous media-fingerprint index maintenance end-to-end: the
     even half of the corpus replays as 3 REAL micro-batches through
@@ -892,6 +936,9 @@ QUERIES = {
     # index pairs with the one-shot incremental oracle VERBATIM.
     "streaming_fp_index": QuerySpec(
         streaming_fp_index, MULTIMODAL_FP_INCREMENTAL_SQL
+    ),
+    "dedup_image_fp_pruned": QuerySpec(
+        dedup_image_fp_pruned, MULTIMODAL_FP_PRUNED_SQL
     ),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
