@@ -1191,3 +1191,31 @@ def test_fp_stream_equals_one_shot_guard_and_rewrite(spark, tmp_path):
         for r in MM.fp_probe_index(spark, fresh, probe).collect()
     }
     assert got2 == want2
+
+
+def test_fp_band_stats_flags_hot_bands(spark, tmp_path):
+    """fp_band_stats: shares sum to 1, skew is centered at 1, a
+    deliberately constant band (the degenerate all-zero square-wave
+    fingerprints) dominates as the hottest band, and exactly top_k
+    rows are flagged hot."""
+    from ue_big_data_project_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ].select("doc_id")
+    # Square-wave audio fingerprints are ALL-ZERO (constant |s|), so
+    # every (bi, 0) band is shared by every doc — the pathological
+    # constant-band case the monitor exists to flag.
+    h = MM.audio_fingerprint(MM.attach_wav(d.limit(100)))
+    idx = str(tmp_path / "hotidx")
+    MM.write_fp_index(h, idx, hi_col="fp_hi", lo_col="fp_lo")
+    stats = MM.fp_band_stats(spark, idx, top_k=4).collect()
+    total_share = sum(r["share"] for r in stats)
+    assert abs(total_share - 1.0) < 1e-9
+    mean_skew = sum(r["skew"] for r in stats) / len(stats)
+    assert abs(mean_skew - 1.0) < 1e-9
+    hot = [r for r in stats if r["hot"]]
+    assert len(hot) == 4
+    # the 4 constant bands (bi 0..3, bv 0) hold every doc
+    assert {(r["bi"], r["bv"]) for r in hot} == {(i, 0) for i in range(4)}
+    assert all(r["n_docs"] == 100 for r in hot)

@@ -3719,3 +3719,45 @@ def rewrite_fp_index(spark, path: str, keep_docs: DataFrame) -> int:
         .parquet(root)
     )
     return n
+
+
+def fp_band_stats(spark, path: str, top_k: int = 20) -> DataFrame:
+    """Hot-band monitor for a persisted fingerprint index — the
+    measured basis for the band-frequency cap the probe's scale
+    contract points at: a band value shared by df documents fans out
+    df index rows into EVERY probe that carries it, so pathological
+    constant bands (black frames, digital silence — all-zero gradient
+    or energy signs) show up here as extreme ``skew`` long before a
+    probe gets slow. Layout-agnostic (flat or streamed): one aggregate
+    over the band rows, O(distinct (bi, bv)) output, vectors/payloads
+    never read.
+
+    Columns: bi, bv, n_docs, share (of all band rows), skew (band size
+    / mean band size), hot (band ranks in the ``top_k`` largest —
+    the candidate stop-band set; apply by anti-joining probe band rows
+    against the hot set, the winnow max_df discipline)."""
+    from pyspark.sql import Window as W
+
+    rows = spark.read.parquet(path.rstrip("/")).groupBy("bi", "bv").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = rows.agg(
+        F.sum("n_docs").alias("_total"),
+        F.count(F.lit(1)).alias("_bands"),
+    )
+    ranked = rows.withColumn(
+        "_rk",
+        F.row_number().over(
+            W.orderBy(F.desc("n_docs"), F.asc("bi"), F.asc("bv"))
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        "bi",
+        "bv",
+        "n_docs",
+        (F.col("n_docs") / F.col("_total")).alias("share"),
+        (F.col("n_docs") * F.col("_bands") / F.col("_total")).alias(
+            "skew"
+        ),
+        (F.col("_rk") <= top_k).alias("hot"),
+    )
