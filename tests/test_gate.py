@@ -97,6 +97,10 @@ PROXIED = {
     # rewrite contract is also pinned directly in
     # tests/test_multimodal.py::test_fp_stream_equals_one_shot_*.
     "dedup_image_fp_pruned": "dedup_clusters_pruned",
+    # Image near-dup clustering — banded pairs (0 <= Hamming <= 2) under
+    # the engine's distributed CC; the CC family anchor is the in-gate
+    # text cluster closer, the pair leg the in-gate image near-dup.
+    "dedup_image_clusters": "dedup_clusters",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -3138,6 +3138,7 @@ def dhash_neardup_pairs(
     id_col: str = "doc_id",
     hi_col: str = "dhash_hi",
     lo_col: str = "dhash_lo",
+    min_hamming: int = 1,
 ) -> DataFrame:
     """NEAR-duplicate image pairs from an :func:`image_dhash` table via
     SimHash-style pigeonhole banding: the 64 bits split into 4 bands of
@@ -3146,9 +3147,12 @@ def dhash_neardup_pairs(
     and a band-key equi-join finds EVERY qualifying pair (lossless —
     the brute-force oracle is the proof). Candidates are verified with
     ``bit_count(xor)`` and exact-duplicate pairs (Hamming 0) are
-    EXCLUDED — identical hashes are the group-dedup op's job
-    (:func:`image_dhash` + a hash-key window); this op exists for the
-    perceptually-close-but-not-identical tail.
+    EXCLUDED by default — identical hashes are the group-dedup op's
+    job (:func:`image_dhash` + a hash-key window); this op exists for
+    the perceptually-close-but-not-identical tail. Pass
+    ``min_hamming=0`` to include them — the edge set a
+    connected-components CLUSTERING wants (exact and near dups belong
+    to one cluster).
 
     Scale shape: never all-pairs — the join keys on (band_idx,
     band_value), so candidate fan-out is bounded per band bucket; at
@@ -3182,7 +3186,8 @@ def dhash_neardup_pairs(
         .distinct()  # a pair may share several bands
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(
-            (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
+            (F.col("hamming") >= min_hamming)
+            & (F.col("hamming") <= max_hamming)
         )
     )
 

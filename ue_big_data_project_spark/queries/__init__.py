@@ -425,6 +425,10 @@ BENCH_EXTRA = (
     "streaming_fp_index",
     # ... and its retention path (prune to a keep set, probe survivors).
     "dedup_image_fp_pruned",
+    # Round-11-new: image near-dup CLUSTERING — banded Hamming pairs
+    # (including exact dups) under distributed CC, min-id labels; the
+    # canonical-group composition retention/splits consume.
+    "dedup_image_clusters",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -658,6 +658,57 @@ def dedup_audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(root, ignore_errors=True)
 
 
+def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup CLUSTERING — the composition that turns pairwise
+    Hamming evidence into canonical groups: per-image dHash (Arrow
+    decode), banded pairs at 0 ≤ Hamming ≤ 2 (``min_hamming=0`` —
+    exact and near dups belong to one cluster), and the engine's
+    distributed connected components over them. The cluster id is the
+    component's min doc_id, so downstream retention / leakage-split /
+    keep-one-per-cluster ops reuse the text-dedup machinery unchanged
+    on the image axis. Oracle = brute-force pair sweep under the
+    recursive-CTE closure (the dedup_clusters precedent)."""
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # One decode pass feeds the node set and both pair-join sides.
+    h = MM.image_dhash(MM.attach_bmp(ids)).localCheckpoint(eager=True)
+    pairs = MM.dhash_neardup_pairs(h, max_hamming=2, min_hamming=0)
+    return connected_components(
+        h.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    ).select("doc_id", "component")
+
+
+MULTIMODAL_IMAGE_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_DHASH_CTES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
 def multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO-level perceptual dedup — the audio twin of
     ``dedup_image_dhash``: every document's real WAV container decodes
@@ -939,6 +990,9 @@ QUERIES = {
     ),
     "dedup_image_fp_pruned": QuerySpec(
         dedup_image_fp_pruned, MULTIMODAL_FP_PRUNED_SQL
+    ),
+    "dedup_image_clusters": QuerySpec(
+        dedup_image_clusters, MULTIMODAL_IMAGE_CLUSTERS_SQL
     ),
     "multimodal_png": QuerySpec(multimodal_png, MULTIMODAL_PNG_SQL),
     "multimodal_jpeg": QuerySpec(multimodal_jpeg, MULTIMODAL_JPEG_SQL),
