@@ -329,6 +329,10 @@ SHUFFLE_BUDGETS = {
                                     # (per-batch work happens in the
                                     # drained stream)
     "dedup_image_fp_pruned": 0,     # same checkpoint-truncated probe
+    "dedup_image_clusters": 2,      # final label join + projection; the
+                                    # CC iterations run behind their own
+                                    # checkpoints (convergence-bounded,
+                                    # the dedup_clusters discipline)
     "multimodal_png": 1,            # ids-only repartition for parallelism;
                                     # payloads are built after it
     "multimodal_mp4_frames": 1,     # same ids-only repartition; demux +
