@@ -134,6 +134,43 @@ def main() -> None:
     out["probe_10x_sec"] = walls["10x_probe"]
     out["probe_pairs_1x"] = walls["1x_probe_pairs"]
     out["probe_pairs_10x"] = walls["10x_probe_pairs"]
+
+    # 4. the stop-band cap on a pathologically skewed corpus (the
+    # all-black-thumbnail shape): EVERY fingerprint shares band0=0, so
+    # the uncapped band join fans out C(N, 2) couples in one bucket
+    # while max_band_freq drops that band and pays only the surviving
+    # bands' bounded buckets. Fingerprints built directly (band0
+    # zeroed) so N controls the hot-bucket size exactly.
+    # 20k docs sharing one band -> ~2*10^8 hot-bucket couples uncapped
+    # (the quadratic blow-up the cap exists for); capped work is the
+    # surviving bands' bounded buckets plus one narrow (bi, bv) count.
+    n_skew = 20000
+    skew = spark.range(n_skew).select(
+        F.col("id").alias("doc_id"),
+        # band0 = 0 (hot), band1 spreads over 256 values
+        F.pmod(F.col("id") * 37, F.lit(256)).cast("long").alias("dhash_hi"),
+        # bands 2+3 spread over ~2^20 values
+        (F.col("id") * 2654435761 % F.lit(1 << 20)).cast("long").alias(
+            "dhash_lo"
+        ),
+    ).localCheckpoint(eager=True)
+
+    def pairs_wall(capped):
+        def run():
+            MM.dhash_neardup_pairs(
+                skew,
+                max_hamming=2,
+                max_band_freq=64 if capped else None,
+            ).write.mode("overwrite").format("noop").save()
+
+        return run
+
+    out["skew_n"] = n_skew
+    out["skew_uncapped_sec"], _ = timed(pairs_wall(False), args.runs)
+    out["skew_capped_sec"], _ = timed(pairs_wall(True), args.runs)
+    out["skew_speedup"] = round(
+        out["skew_uncapped_sec"] / max(out["skew_capped_sec"], 1e-9), 2
+    )
     print(json.dumps(out))
 
 

@@ -40,67 +40,12 @@ PROXIED = {
     # streaming as-of twin runs the same operator contract.
     "asof_bucketed_prev_click": "streaming_asof_join",
     # (The 18-entry round-10-new pool that was proxied here post-
-    # re-freeze — the retention prunes, span dedup, SemDeDup, training
-    # shards, the winnowing trio, temperature mix, the DSIR trio, the
-    # leakage split, resize/resample, video thumbnails, and the image
-    # dHash pair — rotated INTO the gate in round 11 and faces the
-    # driver's hash directly, per the round-10 verdict's task 1.)
-    # Round-11-new, post-re-freeze: the audio perceptual fingerprint
-    # (Haitsma–Kalker band-energy sign bits) — the audio twin of the
-    # IN-GATE image dHash group op; fingerprint semantics (volume
-    # invariance, pure-Python replay, degenerate-input behavior)
-    # pinned in tests/test_multimodal.py and the local DuckDB hash.
-    "multimodal_audio_fp": "dedup_image_dhash",
-    # Banded Hamming near-dup pairs over the audio fingerprint — the
-    # SAME dhash_neardup_pairs operator (fp columns) as the in-gate
-    # image near-dup entry; losslessness proven by the brute-force
-    # oracle hash on the audio axis too.
-    "dedup_audio_neardup": "dedup_image_neardup",
-    # Round-11-new: video-level near-dup pairs — the demux→decode→
-    # thumbnail codec path is the IN-GATE multimodal_video_thumbs
-    # entry verbatim; the signature-key pair join + containment
-    # threshold anchors on the in-gate image near-dup pair shape.
-    # Brute-force oracle (pair sweep over replayed thumbnails) MATCH
-    # at both SFs; containment semantics pinned in tests/test_mp4.py.
-    "dedup_video_neardup": "dedup_image_neardup",
-    # Round-11-new: the winnow family's streaming drain — the streamed
-    # index must answer the probe EXACTLY like the in-gate one-shot
-    # build (same oracle SQL verbatim), so dedup_winnow_incremental is
-    # the natural anchor; the per-batch crash-safe drain shape is the
-    # in-gate streaming_dedup_clusters family. Stream == one-shot +
-    # replay-no-op + rewrite-retires-layout pinned in
-    # tests/test_winnow.py.
-    "streaming_winnow_index": "dedup_winnow_incremental",
-    # Round-11-new: subword (BPE) token accounting — per-doc text
-    # metric family (the in-gate text_repetition shape: one pass, no
-    # shuffle); encode semantics pinned three ways in tests/test_bpe.py
-    # (sequential == oracle replace-chain == classical priority loop)
-    # and the frozen merge table is provenance-pinned to the trainer.
-    "text_bpe_tokens": "text_repetition",
-    # BPE-budgeted sequence packing — the in-gate running-window family
-    # (events_ewma anchors pack_sequences' rotated-out shape already);
-    # the BPE counting leg is text_bpe_tokens' zero-shuffle pass.
-    "pipeline_pack_bpe": "events_ewma",
-    # Round-11-new: the persisted fingerprint band index (the 5th
-    # persisted family) — probe/append shapes anchor on the in-gate
-    # banded near-dup entries (same pigeonhole machinery, brute-force
-    # probe-incident oracles); index/probe/append equivalence pinned
-    # in tests/test_multimodal.py::test_fp_index_*.
-    "dedup_image_fp_incremental": "dedup_image_neardup",
-    "dedup_audio_fp_incremental": "dedup_image_neardup",
-    # The fp-index streaming drain — streamed index must answer like
-    # the one-shot build (same oracle verbatim); per-batch crash-safe
-    # drain shape is the in-gate streaming_dedup_clusters family.
-    "streaming_fp_index": "dedup_image_neardup",
-    # The fp-index retention path — prune-then-probe, the in-gate
-    # dedup_clusters_pruned / dedup_jaccard_pruned precedent; the
-    # rewrite contract is also pinned directly in
-    # tests/test_multimodal.py::test_fp_stream_equals_one_shot_*.
-    "dedup_image_fp_pruned": "dedup_clusters_pruned",
-    # Image near-dup clustering — banded pairs (0 <= Hamming <= 2) under
-    # the engine's distributed CC; the CC family anchor is the in-gate
-    # text cluster closer, the pair leg the in-gate image near-dup.
-    "dedup_image_clusters": "dedup_clusters",
+    # re-freeze rotated INTO the gate in round 11, and the 11-entry
+    # round-11-new pool — the audio fp pair, video near-dup, the
+    # persisted media fp band index family, the winnow streaming
+    # drain, image clustering, and the BPE pair — rotated INTO the
+    # gate in round 12; both pools face the driver's hash directly,
+    # per the round-10/round-11 verdicts' task 1.)
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -114,12 +59,12 @@ ROTATED_OUT = {
     "q17_small_quantity_revenue": "q2_min_cost_supplier",  # per-key agg subquery
     "q22_idle_rich_customers": "bloom_pruned_join",  # anti-join + scalar avg
     "outer_join_customer_orders": "join_auto_strategy",  # left-outer
-    "moving_avg_order_price": "events_ewma",  # running window agg
+    "moving_avg_order_price": "pipeline_pack_bpe",  # running window agg (ewma rotated out r12; the packer is the in-gate running-accumulation shape)
     "q16_supplier_variety": "bloom_pruned_join",  # not-in + distinct count
     "events_set_ops": "scan_filter_agg_kit",  # union/intersect/except counts
     "events_percentiles": "sketch_qhist_prices",  # grouped distribution agg
     "events_funnel": "scan_filter_agg_kit",  # conditional step agg
-    "events_dedup_first": "cdc_scd2_history",  # keyed first-occurrence dedup
+    "events_dedup_first": "streaming_cdc_merge_bucketed",  # keyed-version CDC family (scd2 rotated out r12)
     "events_props_json": "ref_q1_plane_bus_wait",  # parse/scalar family
     "text_scrub": "text_repetition",  # regexp scalar family
     "text_stats": "text_repetition",  # per-doc text metrics
@@ -131,7 +76,7 @@ ROTATED_OUT = {
     # never-hashed entries; all still benched via BENCH_EXTRA and
     # pytest-oracle-gated:
     "dedup_exact": "dedup_clusters",  # exact-fingerprint dedup
-    "pipeline_split": "pipeline_weighted_sample",  # hash-split family
+    "pipeline_split": "pipeline_temperature_mix",  # deterministic-hash draw family (weighted_sample rotated out r12)
     "pipeline_corpus_stats": "pipeline_quantile_trim",  # one-pass stats family (profile rotated out r9)
     "events_rollup": "streaming_tumbling_window",  # rollup family
     "q1_pricing_summary": "scan_filter_agg_kit",  # grouped multi-agg
@@ -146,7 +91,7 @@ ROTATED_OUT = {
     # Rotated out mid-round-4 (driver-green r2+r3) to hand slots to
     # TPC-H q2/q4 and the first gating of pipeline_scrub_boilerplate:
     "multimodal_features": "multimodal_jpeg",  # real-codec features twin (wav rotated out r9)
-    "multimodal_frames": "multimodal_mp4_frames",  # real-codec frames twin (BMPV entry rotated out r9)
+    "multimodal_frames": "multimodal_video_thumbs",  # real-codec frames twin (BMPV entry rotated out r9; mp4_frames rotated out r12)
     "knn_cosine_brute": "knn_cosine_ivf_probe",  # cosine top-k family
     "q9_product_profit": "join_auto_strategy",  # multi-join grouped agg
     "interval_overlap_join": "streaming_asof_join",  # interval-predicate join (interval entry rotated out r9)
@@ -158,8 +103,8 @@ ROTATED_OUT = {
     "pipeline_chunk_documents": "text_repetition",  # per-doc text transform (scrub rotated out r9)
     "q11_important_parts": "q2_min_cost_supplier",  # scalar threshold + join-agg
     "pipeline_contamination": "dedup_clusters",  # n-gram overlap family
-    "pipeline_upsert_corpus": "cdc_scd2_history",  # keyed latest-version upsert
-    "pipeline_source_quota": "pipeline_weighted_sample",  # deterministic-hash draw
+    "pipeline_upsert_corpus": "streaming_cdc_merge_bucketed",  # keyed latest-version upsert (scd2 rotated out r12)
+    "pipeline_source_quota": "pipeline_temperature_mix",  # deterministic-hash draw (weighted_sample rotated out r12)
     "ref_q2_affluence": "ref_q1_plane_bus_wait",  # reference scalar/agg family
     "ref_q3_bus_positions": "ref_q1_plane_bus_wait",  # reference array-walk family
     "ref_q4_bike_occupancy": "ref_q1_plane_bus_wait",  # reference agg+sort family
@@ -172,7 +117,7 @@ ROTATED_OUT = {
     "text_langid": "text_repetition",  # standalone twin of the kit column
     "text_tokens": "text_repetition",  # standalone twin of the kit column
     "text_fingerprint": "text_repetition",  # standalone twin of the kit column
-    "events_pivot": "events_cube",  # grouping-sets/pivot expand family
+    "events_pivot": "sketch_hll_cube",  # grouping-sets/pivot Expand family (events_cube rotated out r12; the HLL cube runs the same CUBE shape)
     "q4_order_priority": "bloom_pruned_join",  # semi-join + grouped count
     # Rotated out in ROUND 8 (each >= 4 consecutive driver-green rounds,
     # r1-r7) in the one-time rotation that put the 13 round-7-new
@@ -190,17 +135,17 @@ ROTATED_OUT = {
     "dedup_incremental": "streaming_dedup_clusters",  # ledgered incremental ingest
     "asof_first_ship": "streaming_asof_join",  # as-of join operator
     "window_top1_per_order": "window_rank_kit",  # rank-window family
-    "pipeline_pack_sequences": "events_ewma",  # running-window accumulation
-    "pipeline_stratified_sample": "pipeline_weighted_sample",  # hash-draw sampling
+    "pipeline_pack_sequences": "pipeline_pack_bpe",  # running-window accumulation (the BPE packer IS pack_sequences + subword budget)
+    "pipeline_stratified_sample": "pipeline_temperature_mix",  # hash-draw sampling (weighted_sample rotated out r12)
     # Rotated out in ROUND 9 (each >= 5 consecutive driver-green rounds)
     # in the rotation that put the 7 round-8-new entries in front of the
     # driver's hash (round-8 verdict task 1). All stay benched every
     # round (BENCH_EXTRA) and full-registry pytest-oracle-gated:
     "multimodal_wav": "multimodal_jpeg",  # real-codec decode family
-    "multimodal_bmp": "multimodal_png",  # real-codec decode family
-    "multimodal_video_frames": "multimodal_mp4_frames",  # frame-stream demux family
+    "multimodal_bmp": "multimodal_jpeg",  # real-codec decode family (png twin rotated out r12)
+    "multimodal_video_frames": "multimodal_video_thumbs",  # frame-stream demux family (mp4_frames rotated out r12)
     "pipeline_profile": "pipeline_quantile_trim",  # one-pass column stats family
-    "events_resample": "events_ewma",  # time-bucket resample/running family
+    "events_resample": "pipeline_pack_bpe",  # time-bucket resample/running family (ewma rotated out r12)
     "pipeline_scrub_boilerplate": "text_repetition",  # per-doc text transform family
     "streaming_interval_join": "streaming_asof_join",  # watermarked stream-stream join
     # Rotated out in ROUND 10 (streaming_incremental_rollup ≥7
@@ -226,7 +171,7 @@ ROTATED_OUT = {
     "text_source_kl": "text_repetition",  # per-doc/source text metric family
     "text_heavy_hitters": "streaming_cms_tokens",  # CMS-dispatch heavy hitters
     "events_props_variant": "ref_q1_plane_bus_wait",  # parse/scalar family (from_json twin)
-    "graph_pagerank_nations": "graph_triangle_parts",  # iterative graph op family
+    "graph_pagerank_nations": "dedup_clusters",  # iterative graph family (triangles rotated out r12; distributed CC is the in-gate iterative-graph anchor)
     "knn_cosine_ivf_appended": "knn_cosine_ivf_probe",  # IVF append composite (probe in gate)
     "sketch_hll_parts_per_flag": "sketch_hll_cube",  # grouped HLL family
     "sketch_kmv_custkeys": "sketch_hll_cube",  # distinct-count sketch family
@@ -235,7 +180,24 @@ ROTATED_OUT = {
     "sketch_hll_merged_modes": "sketch_hll_cube",  # sketch-merge family
     "sketch_qhist_token_mass": "sketch_qhist_prices",  # quantile-histogram family
     "streaming_hll_distinct": "streaming_cms_tokens",  # streaming sketch-rollup drain
-    "multimodal_mp4_keyframes": "multimodal_mp4_frames",  # ISO-BMFF demux family (stss path pytest-pinned)
+    "multimodal_mp4_keyframes": "multimodal_video_thumbs",  # ISO-BMFF demux family (stss path pytest-pinned; mp4_frames rotated out r12)
+    # Rotated out in ROUND 12 (the CDC trio and the sketch planner >= 3
+    # consecutive driver-green rounds r9-r11, the jaccard incremental
+    # r10-r11, the rest r7/r8-r11) in the rotation that put the
+    # 11-entry never-hashed round-11 pool in front of the driver's hash
+    # (round-11 verdict task 1). All stay benched every round
+    # (BENCH_EXTRA) and full-registry pytest-oracle-gated:
+    "cdc_merge_into": "streaming_cdc_merge_bucketed",  # MERGE INTO contract (bucketed streaming twin runs the same merge semantics)
+    "streaming_cdc_merge": "streaming_cdc_merge_bucketed",  # streaming MERGE drain (bucketed twin in gate)
+    "cdc_scd2_history": "streaming_cdc_merge_bucketed",  # keyed-version CDC family
+    "sketch_join_size": "join_auto_strategy",  # sketch-driven size estimate (the in-gate planner consumes the same CMS/KMV estimates)
+    "dedup_jaccard_incremental": "dedup_winnow_incremental",  # persisted-band-index O(increment) append family
+    "multimodal_png": "multimodal_jpeg",  # real-codec decode family
+    "graph_triangle_parts": "dedup_clusters",  # iterative graph family (distributed CC in gate)
+    "multimodal_mp4_frames": "multimodal_video_thumbs",  # MP4 demux+decode family (thumbs = demux o decode o resize superset)
+    "events_ewma": "pipeline_pack_bpe",  # running-window accumulation family
+    "pipeline_weighted_sample": "pipeline_temperature_mix",  # deterministic md5-draw sampling family
+    "events_cube": "sketch_hll_cube",  # CUBE grouping-sets Expand family
 }
 
 
@@ -244,23 +206,23 @@ def test_gate_within_driver_cap():
     assert len(set(GATE_ORDER)) == len(GATE_ORDER)
 
 
-def test_gate_is_frozen_at_round11_set():
-    """The gate froze at the round-5 set for rounds 6–7; rounds 8, 9,
-    10, and 11 each ran a verdict-mandated rotation (r8: 13 round-7-new
-    in, 13/13 green; r9: 7 round-8-new in, 7/7 green; r10: 3
-    round-9-new in, 3/3 green; r11: the full 18-entry never-hashed
-    round-10 pool in, 18 multi-round-green entries out to BENCH_EXTRA,
-    bench reports BOTH gate-50 sums for series continuity) and RE-FROZE
-    after each. Editing GATE_ORDER again is a deliberate act that
-    requires updating this pin (and accepting a delta-baseline
-    reset)."""
+def test_gate_is_frozen_at_round12_set():
+    """The gate froze at the round-5 set for rounds 6–7; rounds 8–12
+    each ran a verdict-mandated rotation (r8: 13 round-7-new in, 13/13
+    green; r9: 7 round-8-new in, 7/7 green; r10: 3 round-9-new in, 3/3
+    green; r11: the full 18-entry never-hashed round-10 pool in, 18/18
+    green; r12: the 11-entry never-hashed round-11 pool in, 11
+    multi-round-green entries out to BENCH_EXTRA, bench reports BOTH
+    gate-50 sums for series continuity) and RE-FROZE after each.
+    Editing GATE_ORDER again is a deliberate act that requires updating
+    this pin (and accepting a delta-baseline reset)."""
     import hashlib
 
     frozen = hashlib.sha256("\n".join(GATE_ORDER).encode()).hexdigest()
     assert len(GATE_ORDER) == 50
     assert frozen == (
-        "3bafe23ff807045d2b35c5b8a3080ed04a27fc7ec3015330d4f1c6ea0208cdfe"
-    ), "GATE_ORDER changed — the gate re-froze at the round-11 set"
+        "feac560ea40d1a9081b5e1818bdf2256d6f58650305f00805c83d48208478048"
+    ), "GATE_ORDER changed — the gate re-froze at the round-12 set"
 
 
 def test_gate_is_registry_subset():
@@ -288,31 +250,24 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r10 covered the rest of the registry; the 18
-    # round-10-new entries the driver has never hashed (the round-11
-    # rotation pool the round-10 verdict named in task 1) must lead the
+    # CORRECTNESS_r01-r11 covered the rest of the registry; the 11
+    # round-11-new entries the driver has never hashed (the round-12
+    # rotation pool the round-11 verdict named in task 1) must lead the
     # gate. Once these hash green, every registry entry is cumulatively
     # driver-verified again.
-    never_hashed = GATE_ORDER[:18]
+    never_hashed = GATE_ORDER[:11]
     assert set(never_hashed) == {
-        "dedup_clusters_pruned",
-        "dedup_jaccard_pruned",
-        "dedup_span_ngrams",
-        "dedup_semantic_prune",
-        "pipeline_training_shards",
-        "text_winnow",
-        "dedup_winnow_pairs",
-        "dedup_winnow_incremental",
-        "pipeline_temperature_mix",
-        "pipeline_dsir_sample",
-        "pipeline_dsir_incremental",
-        "streaming_dsir_scores",
-        "pipeline_leakage_split",
-        "multimodal_resize",
-        "multimodal_wav_resample",
-        "multimodal_video_thumbs",
-        "dedup_image_dhash",
-        "dedup_image_neardup",
+        "multimodal_audio_fp",
+        "dedup_audio_neardup",
+        "dedup_audio_fp_incremental",
+        "dedup_video_neardup",
+        "dedup_image_fp_incremental",
+        "dedup_image_fp_pruned",
+        "streaming_fp_index",
+        "streaming_winnow_index",
+        "dedup_image_clusters",
+        "text_bpe_tokens",
+        "pipeline_pack_bpe",
     }
 
 
@@ -332,7 +287,7 @@ def test_bench_stdout_line_fits_driver_tail():
             "sf": 0.1,
             "runs_per_query": 3,
             "gate50_sum": 99999.999,
-            "gate50_r10_sum": 99999.999,
+            "gate50_r11_sum": 99999.999,
             "bench_n": 99,
             "dropped": 50,
             "full": "bench_full.json",

@@ -1219,3 +1219,127 @@ def test_fp_band_stats_flags_hot_bands(spark, tmp_path):
     # the 4 constant bands (bi 0..3, bv 0) hold every doc
     assert {(r["bi"], r["bv"]) for r in hot} == {(i, 0) for i in range(4)}
     assert all(r["n_docs"] == 100 for r in hot)
+
+
+def test_fp_stop_band_cap_bounds_hot_bucket_fanout(spark, tmp_path):
+    """The max_band_freq stop-band cap (round-11 verdict task 2): on a
+    skewed corpus — the all-black-thumbnail shape, every fingerprint
+    sharing a constant band — the UNCAPPED band join fans out
+    quadratically in the hot bucket while the capped plan's fan-out
+    stays bounded at C(cap, 2) per surviving band; recall semantics
+    are exactly the documented trade (a pair is missed IFF its every
+    shared band is hot — pigeonhole: Hamming<=2 pairs share >=2 bands,
+    so a single surviving shared band keeps the pair); and
+    fp_probe_index's bucket-local df count reproduces
+    dhash_neardup_pairs' global capping exactly."""
+    from itertools import combinations
+
+    def mk(b0, b1, b2, b3):
+        hi = (b0 << 16) | b1
+        lo = (b2 << 16) | b3
+        # two's-complement into signed 64-bit halves like the real ops
+        return hi if hi < 1 << 31 else hi - (1 << 32), lo
+
+    rows = []
+    # 40 docs share band0 = 0 (the black-frame constant band, hot at
+    # cap=10); 20 of them ALSO share band1 = 7 (second hot band).
+    # Pair (1000, 1001): differs 1 bit in band2 + 1 bit in band3 ->
+    # Hamming 2; shared bands {0, 1} are BOTH hot -> capped misses it.
+    rows.append((1000, *mk(0, 7, 0x10, 0x20)))
+    rows.append((1001, *mk(0, 7, 0x11, 0x21)))
+    # Pair (2000, 2001): band0 = 0 (hot) + band2 = 0x55 shared (freq 2,
+    # survives); differs 1 bit in band1 and 1 bit in band3 -> Hamming 2
+    # with a surviving shared band -> capped keeps it.
+    rows.append((2000, *mk(0, 100, 0x55, 0x66)))
+    rows.append((2001, *mk(0, 101, 0x55, 0x67)))
+    # Fillers: 18 more docs on the double-hot bands, 18 on band0 only,
+    # with far-apart remaining bands (no accidental near-dups needed --
+    # the brute-force sets below are authoritative either way).
+    for i in range(18):
+        rows.append((3000 + i, *mk(0, 7, 0x1000 + 257 * i, 0x3000 + 511 * i)))
+    for i in range(18):
+        rows.append(
+            (4000 + i, *mk(0, 0x200 + 33 * i, 0x5000 + 129 * i, 0x7000 + 63 * i))
+        )
+    h = spark.createDataFrame(
+        rows, "doc_id long, dhash_hi long, dhash_lo long"
+    )
+
+    def bands(hi, lo):
+        u = ((hi & 0xFFFFFFFF) << 32) | (lo & 0xFFFFFFFF)
+        return [(3 - k, (u >> (16 * k)) & 0xFFFF) for k in range(4)]
+
+    fps = {r[0]: (r[1], r[2]) for r in rows}
+    freq: dict[tuple, int] = {}
+    for hi, lo in fps.values():
+        for bd in bands(hi, lo):
+            freq[bd] = freq.get(bd, 0) + 1
+    cap = 10
+    surviving = {bd for bd, n in freq.items() if n <= cap}
+    assert freq[(0, 0)] == 40 and freq[(1, 7)] == 20  # fixture shape
+
+    def ham(a, b):
+        (ha, la), (hb, lb) = fps[a], fps[b]
+        return bin((ha ^ hb) & 0xFFFFFFFF).count("1") + bin(
+            (la ^ lb) & 0xFFFFFFFF
+        ).count("1")
+
+    want_all = set()
+    want_capped = set()
+    for a, b in combinations(sorted(fps), 2):
+        d = ham(a, b)
+        if 1 <= d <= 2:
+            want_all.add((a, b, d))
+            shared = set(bands(*fps[a])) & set(bands(*fps[b]))
+            if shared & surviving:
+                want_capped.add((a, b, d))
+
+    got_all = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.dhash_neardup_pairs(h, max_hamming=2).collect()
+    }
+    got_capped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.dhash_neardup_pairs(
+            h, max_hamming=2, max_band_freq=cap
+        ).collect()
+    }
+    assert got_all == want_all
+    assert got_capped == want_capped
+    # The designed recall trade, explicitly:
+    assert (1000, 1001, 2) in got_all and (1000, 1001, 2) not in got_capped
+    assert (2000, 2001, 2) in got_capped
+    assert want_capped < want_all
+
+    # Fan-out math this cap exists for: candidate couples the band
+    # join emits = sum over joined bands of C(n_band, 2).
+    def couples(bs):
+        return sum(n * (n - 1) // 2 for bd, n in freq.items() if bd in bs)
+
+    uncapped_fanout = couples(set(freq))
+    capped_fanout = couples(surviving)
+    assert uncapped_fanout >= 40 * 39 // 2  # hot bucket alone: >= 780
+    assert capped_fanout <= cap * (cap - 1) // 2 * len(surviving)
+    assert capped_fanout < 100 < uncapped_fanout
+
+    # Probe-side twin: hotness from the probed buckets' union count
+    # must reproduce the global cap exactly (probe-incident pairs of a
+    # capped union build).
+    old = h.filter("doc_id % 2 = 0")
+    probe = h.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "hotcapidx")
+    MM.write_fp_index(old, idx)
+    got_probe = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.fp_probe_index(
+            spark, idx, probe, max_band_freq=cap
+        ).collect()
+    }
+    probe_ids = {r[0] for r in rows if r[0] % 2 == 1}
+    want_probe = {
+        (a, b, d)
+        for (a, b, d) in want_capped
+        if a in probe_ids or b in probe_ids
+    }
+    assert got_probe == want_probe
+    assert want_probe  # non-vacuous: (2000, 2001) is probe-incident

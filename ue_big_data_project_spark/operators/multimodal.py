@@ -3139,6 +3139,7 @@ def dhash_neardup_pairs(
     hi_col: str = "dhash_hi",
     lo_col: str = "dhash_lo",
     min_hamming: int = 1,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """NEAR-duplicate image pairs from an :func:`image_dhash` table via
     SimHash-style pigeonhole banding: the 64 bits split into 4 bands of
@@ -3155,13 +3156,45 @@ def dhash_neardup_pairs(
     to one cluster).
 
     Scale shape: never all-pairs — the join keys on (band_idx,
-    band_value), so candidate fan-out is bounded per band bucket; at
-    corpus scale add a band-frequency cap (the winnow/Jaccard
-    stop-fingerprint discipline) for pathological constant bands.
+    band_value), so candidate fan-out is bounded per band bucket —
+    UNLESS the corpus has a pathological constant band (black frames:
+    all-zero gradient signs; digital silence: all-zero energy signs),
+    whose bucket goes quadratic. ``max_band_freq`` is the stop-band
+    cap for that case (the winnow/Jaccard ``max_df`` stop-fingerprint
+    discipline): band values shared by MORE than ``max_band_freq``
+    fingerprints are dropped from the join entirely — one extra
+    (bi, bv) count shuffle of narrow key rows plus a broadcast
+    anti-join against the (small by construction) hot set, in exchange
+    for per-bucket fan-out bounded at C(max_band_freq, 2).
+
+    RECALL SEMANTICS of the cap: dropping a band voids the ≤ 3-Hamming
+    losslessness guarantee for exactly those pairs whose EVERY matching
+    band is hot — a pair is still found if at least one of its shared
+    bands survives. Same documented trade the winnow ``max_df`` makes:
+    fingerprints this common are degenerate content (black, silence),
+    and pairs matching ONLY on degenerate bands are near-dups of the
+    degenerate content, not of each other. Default ``None`` = off,
+    fully lossless (the oracle-paired registry entries run uncapped;
+    :func:`fp_band_stats` is the monitor that says when a corpus needs
+    the cap and at what threshold).
     """
     if not 1 <= max_hamming <= 3:
         raise ValueError("pigeonhole over 4 bands needs 1 <= max_hamming <= 3")
     b = fp_band_rows(hashes, id_col=id_col, hi_col=hi_col, lo_col=lo_col)
+    if max_band_freq is not None:
+        hot = (
+            b.groupBy("bi", "bv")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_band_freq)
+            .select("bi", "bv")
+            # Eager materialization: the anti-joined band table feeds
+            # BOTH self-join sides, and without the barrier each branch
+            # re-runs the (bi, bv) count aggregate; the hot set is
+            # bounded (≤ distinct-bands/cap rows) so this is a bounded
+            # collect-sized artifact, not a corpus materialization.
+            .localCheckpoint(eager=True)
+        )
+        b = b.join(F.broadcast(hot), ["bi", "bv"], "left_anti")
     left = b.select(
         F.col(id_col).alias("id_a"),
         F.col(hi_col).alias("_ha"),
@@ -3539,9 +3572,11 @@ def write_fp_index(
     function of each fingerprint, so appends are O(increment) row
     writes (:func:`fp_index_append`) with no drift to audit, and
     :func:`fp_probe_index` answers exactly like banding the union
-    corpus at once (equivalence-tested). At corpus scale add a
-    band-frequency cap for pathological constant bands (black frames,
-    silence) — the winnow stop-fingerprint discipline."""
+    corpus at once (equivalence-tested). For corpora with pathological
+    constant bands (black frames, silence) probe with
+    ``max_band_freq=...`` — the implemented stop-band cap (the winnow
+    stop-fingerprint discipline); :func:`fp_band_stats` tells you
+    when and at what threshold."""
     spark = hashes.sparkSession
     root = path.rstrip("/")
     rows = fp_band_rows(hashes, id_col, hi_col, lo_col).select(
@@ -3608,7 +3643,7 @@ def fp_index_append(spark, path: str, new_hashes: DataFrame) -> None:
 
 
 def fp_probe_index(
-    spark, path: str, new_hashes: DataFrame
+    spark, path: str, new_hashes: DataFrame, max_band_freq: int | None = None
 ) -> DataFrame:
     """One-sided media near-dup screen: every pair ``(id_a, id_b,
     1 ≤ hamming ≤ max_hamming)`` with AT LEAST ONE endpoint in
@@ -3621,7 +3656,20 @@ def fp_probe_index(
     Scale shape: the probe reads only the ``_bucket`` partitions its
     band values fall in (bounded bucket-id collect), and index rows
     are equi-joined to the probe's (bi, bv) set — join fan-out is
-    probe-band-incident, never corpus × corpus."""
+    probe-band-incident, never corpus × corpus — UNLESS the corpus has
+    a pathological constant band (black frames, silence), whose bucket
+    the probe re-pays quadratically on every batch. ``max_band_freq``
+    is the stop-band cap for that case: bands whose (indexed ∪ probe)
+    document frequency exceeds it are dropped from BOTH sides before
+    the join. The count is EXACT and sub-linear to compute here: all
+    rows of a band value live in its one ``pmod(bv)`` bucket, so
+    counting over the probed buckets IS the global count for every
+    probe-incident band — no full index scan. Recall semantics as in
+    :func:`dhash_neardup_pairs`: a pair is missed only if its EVERY
+    shared band is hot (the winnow ``max_df`` trade); default ``None``
+    = off, fully lossless. :func:`fp_band_stats` is the standing
+    monitor that tells an operator when the corpus needs the cap —
+    its ``hot`` column names exactly the bands this parameter drops."""
     root = path.rstrip("/")
     meta = spark.read.parquet(root + "_stats").first()
     id_col = meta["id_col"]
@@ -3655,6 +3703,19 @@ def fp_probe_index(
     rows = probe.withColumn("_probe", F.lit(1)).unionByName(
         idx.withColumn("_probe", F.lit(0))
     )
+    if max_band_freq is not None:
+        # Exact union-side df per probe-incident band from the probed
+        # buckets alone (a band's rows never straddle buckets). Eagerly
+        # materialized: `rows` feeds both self-join sides, and the hot
+        # set is bounded (≤ probe-incident-bands/cap rows).
+        hot = (
+            rows.groupBy("bi", "bv")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_band_freq)
+            .select("bi", "bv")
+            .localCheckpoint(eager=True)
+        )
+        rows = rows.join(F.broadcast(hot), ["bi", "bv"], "left_anti")
     a = rows.select(
         F.col("id").alias("id_a"),
         F.col("hi").alias("_ha"),

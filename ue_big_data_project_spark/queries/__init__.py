@@ -63,41 +63,63 @@ def all_queries() -> dict[str, QuerySpec]:
 # hashed green — CORRECTNESS_r09 — 7 ≥5-round-green out). ROUND 10
 # repeated it on the round-9 verdict's mandate (3 round-9-new
 # incremental-dedup entries in — all 3 hashed green, CORRECTNESS_r10 —
-# 3 multi-round-green entries out). ROUND 11 performs the rotation the
-# round-10 verdict mandated (task 1): the ENTIRE 18-entry never-hashed
-# pool — the 15 entries the verdict names (retention prunes, span
-# dedup, SemDeDup, training shards, winnowing ×3, temperature mix,
-# DSIR ×3, leakage split, resize, resample) plus the 3 it queued for
-# "the same or next rotation" (video thumbnails, image dHash, banded
-# image near-dup) — swaps IN to face the driver's independent sf0.01
-# hash, and 18 multi-round-green entries (the four BM25 probe/search
-# shapes, surprisal/KL, the variant parse twin, pagerank, the appended
-# IVF composite, six sketch twins, the streaming HLL drain, heavy
-# hitters, and the keyframe demux twin — each with an in-gate family
-# anchor) swap OUT into BENCH_EXTRA. The bench SET grows by the 9
-# in-rotating entries that were registry-only before (117 → 126);
-# bench.py reports the r10-gate-50 and r11-gate-50 dict sums side by
-# side this round so the perf series stays comparable; the gate
-# re-freezes at this set from round 12. All rotated-out entries stay
-# in all_queries(), the pytest oracle gate (tests/test_oracle.py,
-# which always hash-checks the FULL registry against DuckDB), and the
-# bench set. tests/test_gate.py pins the new set — editing GATE_ORDER
-# again is a test failure, not a rotation.
+# 3 multi-round-green entries out). ROUND 11 performed the rotation
+# the round-10 verdict mandated (task 1): the ENTIRE 18-entry
+# never-hashed round-10 pool in — all 18 hashed green,
+# CORRECTNESS_r11, 50/50 zero err — and 18 multi-round-green entries
+# out to BENCH_EXTRA. ROUND 12 repeats that precedent on the round-11
+# verdict's mandate (task 1): the 11 round-11-new entries the driver
+# has never hashed — the audio perceptual fingerprint + its banded
+# near-dup, the video near-dup, the persisted media fp band index
+# (image/audio incremental appends, retention prune, streaming
+# drain), the winnow streaming drain, image near-dup clustering, and
+# the BPE token-accounting pair — swap IN to face the driver's
+# independent sf0.01 hash (the round-11 judge pre-verified all 11 at
+# sf0.01 on a vanilla local[8] session: 11/11 exact match, so the
+# residual risk is box-shaped, not semantic), and 11 multi-round-green
+# entries (the three CDC shapes r9–r11, the sketch join-size planner
+# r9–r11, the jaccard incremental r10–r11, the PNG decode twin
+# r7–r11, triangle counting r7–r11, the MP4 frame demux r8–r11, the
+# EWMA running window r7–r11, weighted sampling r7–r11, the events
+# cube r7–r11 — each with an in-gate family anchor mapped in
+# tests/test_gate.py) swap OUT into BENCH_EXTRA. The bench SET is
+# unchanged at 137 (all 11 in-rotators were already benched — round 11
+# registered them into BENCH_EXTRA post-re-freeze), and
+# bench.py reports the r11-gate-50 and r12-gate-50 dict sums side by
+# side this round so the perf series stays comparable. All rotated-out
+# entries stay in all_queries(), the pytest oracle gate
+# (tests/test_oracle.py, which always hash-checks the FULL registry
+# against DuckDB), and the bench set. tests/test_gate.py pins the new
+# set — editing GATE_ORDER again is a test failure, not a rotation.
 #
 # Every registry entry OUTSIDE the gate maps to an in-gate family
 # anchor; the authoritative (test-enforced) mappings live in
 # tests/test_gate.py::PROXIED (near-duplicate shapes / post-freeze
-# additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–11).
+# additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–12).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed: run first (round-10-new; round-11
-    # rotation, round-10 verdict task 1). The round-10 LLM-pipeline
-    # buildout — retention rewrites, span-level substring dedup,
-    # SemDeDup, training-shard export, the winnowing family, DSIR
-    # importance resampling, the leakage-aware split, temperature
-    # mixing, the real-codec resize/resample transforms, video
-    # thumbnails, and perceptual-hash image dedup — faces the driver's
-    # independent sf0.01 hash for the first time. -----------------------
+    # -- never driver-hashed: run first (round-11-new; round-12
+    # rotation, round-11 verdict task 1). The round-11 media-dedup +
+    # subword buildout — the audio perceptual fingerprint and its
+    # banded Hamming near-dup, video-level near-dup, the persisted
+    # media fingerprint band index family (incremental appends for two
+    # modalities, retention prune, streaming drain), the winnow
+    # family's streaming drain, image near-dup clustering under
+    # distributed CC, and BPE subword accounting + BPE-budgeted
+    # packing — faces the driver's independent sf0.01 hash for the
+    # first time. --------------------------------------------------------
+    "multimodal_audio_fp",
+    "dedup_audio_neardup",
+    "dedup_audio_fp_incremental",
+    "dedup_video_neardup",
+    "dedup_image_fp_incremental",
+    "dedup_image_fp_pruned",
+    "streaming_fp_index",
+    "streaming_winnow_index",
+    "dedup_image_clusters",
+    "text_bpe_tokens",
+    "pipeline_pack_bpe",
+    # -- first hashed (green) in round 11 --------------------------------
     "dedup_clusters_pruned",
     "dedup_jaccard_pruned",
     "dedup_span_ngrams",
@@ -117,37 +139,36 @@ GATE_ORDER = (
     "dedup_image_dhash",
     "dedup_image_neardup",
     # -- first hashed (green) in round 10 --------------------------------
+    # (dedup_jaccard_incremental rotated out in ROUND 12 — see
+    # _ROTATED_OUT_R12 below. dedup_clusters_incremental stays in-gate
+    # deliberately: it is the round-11 verdict's perf watch item and
+    # rotating it out mid-watch would hide the series.)
     "dedup_clusters_incremental",
     "streaming_dedup_clusters",
-    "dedup_jaccard_incremental",
     # -- first hashed (green) in round 9 ---------------------------------
-    # (multimodal_mp4_keyframes rotated out in ROUND 11 — see
-    # _ROTATED_OUT_R11 below.)
-    "cdc_merge_into",
-    "streaming_cdc_merge",
+    # (multimodal_mp4_keyframes rotated out in ROUND 11; cdc_merge_into,
+    # streaming_cdc_merge, and sketch_join_size rotated out in ROUND 12
+    # — see _ROTATED_OUT_R11/_R12 below. The bucketed streaming MERGE
+    # stays as the CDC family's in-gate anchor.)
     "streaming_cdc_merge_bucketed",
     "sketch_hll_cube",
-    "sketch_join_size",
     "streaming_cms_tokens",
     # -- first hashed (green) in round 8 ---------------------------------
     # (six sketch twins, the streaming HLL drain, and the CMS heavy
-    # hitters rotated out in ROUND 11 — see _ROTATED_OUT_R11 below.)
+    # hitters rotated out in ROUND 11; multimodal_mp4_frames rotated
+    # out in ROUND 12, anchored on the in-gate video-thumbs demux+decode
+    # composite — see _ROTATED_OUT_R11/_R12 below.)
     "sketch_qhist_prices",
     "text_bm25_appended",
-    "multimodal_mp4_frames",
     "pipeline_quantile_trim",
     "join_auto_strategy",
     # -- first hashed (green) in round 7 ---------------------------------
     # (the bm25 search/indexed/probe/hybrid shapes, pagerank, the
     # appended-IVF composite, the variant parse twin, and the
-    # surprisal/KL text metrics rotated out in ROUND 11 — see
-    # _ROTATED_OUT_R11 below.)
-    "graph_triangle_parts",
-    "cdc_scd2_history",
-    "multimodal_png",
-    "events_cube",
-    "events_ewma",
-    "pipeline_weighted_sample",
+    # surprisal/KL text metrics rotated out in ROUND 11;
+    # graph_triangle_parts, cdc_scd2_history, multimodal_png,
+    # events_cube, events_ewma, and pipeline_weighted_sample rotated
+    # out in ROUND 12 — see _ROTATED_OUT_R11/_R12 below.)
     "window_rank_kit",
     "multimodal_jpeg",
     "knn_cosine_ivf_probe",
@@ -165,17 +186,35 @@ GATE_ORDER = (
     "dedup_clusters",
 )
 
-# The round-10 gate set, kept verbatim so bench.py can report the
+# The round-11 gate set, kept verbatim so bench.py can report the
 # old-gate-50 sum NEXT TO the new-gate-50 sum this round — the perf
-# series (r10-set sum 95.2 s builder / 200.8 s driver-on-a-contended-
-# box in BENCH_r10.json) stays directly comparable across the rotation
-# (round-10 verdict task 1: "record BOTH bench sums"). Every entry is
-# still benched (the bench set only GROWS this round), so the sum is
-# computed from live medians, not replayed. (The round-9 set's
-# crossover sums were recorded in BENCH_r10.json — gate50_r9_sum
-# 95.2 s builder / 200.8 s driver vs r9's 94.1 — so the r9-set series
+# series (r11-set sum 142.6 s builder calm-box / 165.1 s driver at
+# sentinel drift 2.4 in BENCH_r11.json) stays directly comparable
+# across the rotation (round-11 verdict task 1: "record both gate-50
+# sums"). Every entry is still benched (the bench set is unchanged
+# this round), so the sum is computed from live medians, not replayed.
+# (The round-10 set's crossover sums were recorded in BENCH_r11.json —
+# gate50_r10_sum 147.7 s driver vs r10's 220.0 — so the r10-set series
 # is already closed.)
-GATE_ORDER_R10 = (
+GATE_ORDER_R11 = (
+    "dedup_clusters_pruned",
+    "dedup_jaccard_pruned",
+    "dedup_span_ngrams",
+    "dedup_semantic_prune",
+    "pipeline_training_shards",
+    "text_winnow",
+    "dedup_winnow_pairs",
+    "dedup_winnow_incremental",
+    "pipeline_temperature_mix",
+    "pipeline_dsir_sample",
+    "pipeline_dsir_incremental",
+    "streaming_dsir_scores",
+    "pipeline_leakage_split",
+    "multimodal_resize",
+    "multimodal_wav_resample",
+    "multimodal_video_thumbs",
+    "dedup_image_dhash",
+    "dedup_image_neardup",
     "dedup_clusters_incremental",
     "streaming_dedup_clusters",
     "dedup_jaccard_incremental",
@@ -185,38 +224,20 @@ GATE_ORDER_R10 = (
     "sketch_hll_cube",
     "sketch_join_size",
     "streaming_cms_tokens",
-    "multimodal_mp4_keyframes",
-    "sketch_hll_parts_per_flag",
-    "sketch_kmv_custkeys",
-    "sketch_kmv_overlap",
-    "sketch_cms_tokens",
-    "sketch_hll_merged_modes",
     "sketch_qhist_prices",
-    "sketch_qhist_token_mass",
-    "streaming_hll_distinct",
-    "text_heavy_hitters",
     "text_bm25_appended",
     "multimodal_mp4_frames",
     "pipeline_quantile_trim",
     "join_auto_strategy",
-    "text_bm25_search",
-    "text_bm25_indexed",
-    "text_hybrid_search",
-    "graph_pagerank_nations",
     "graph_triangle_parts",
     "cdc_scd2_history",
-    "knn_cosine_ivf_appended",
     "multimodal_png",
     "events_cube",
-    "events_props_variant",
     "events_ewma",
     "pipeline_weighted_sample",
     "window_rank_kit",
     "multimodal_jpeg",
-    "text_surprisal",
-    "text_source_kl",
     "knn_cosine_ivf_probe",
-    "text_bm25_probe",
     "text_repetition",
     "bloom_pruned_join",
     "streaming_asof_join",
@@ -297,6 +318,38 @@ _ROTATED_OUT_R10 = (
 # streaming_cms_tokens / sketch_qhist_prices, the IVF composite on
 # knn_cosine_ivf_probe, the text metrics on text_repetition, the
 # keyframe demux on multimodal_mp4_frames).
+# Rotated out of the gate in ROUND 12 (the CDC trio and the sketch
+# join-size planner driver-green r9–r11, the jaccard incremental
+# r10–r11, the rest r7/r8–r11) to hand their slots to the 11-entry
+# never-hashed round-11 pool — the rotation the round-11 verdict
+# mandated (task 1), following the r8–r11 precedent. All stay benched
+# every round (appended to BENCH_EXTRA below, so the bench SET is
+# identical to round 11's) and hash-checked by the full pytest oracle
+# gate; their operator families keep in-gate anchors
+# (tests/test_gate.py maps each: the CDC shapes anchor on the in-gate
+# bucketed streaming MERGE, the sketch planner on join_auto_strategy
+# (which consumes the same CMS/KMV estimates), the jaccard incremental
+# on the winnow incremental (the same persisted-band-index append
+# contract), PNG decode on the JPEG twin, triangle counting on the
+# in-gate distributed-CC closer, the MP4 frame demux on the
+# video-thumbs demux∘decode∘resize composite, EWMA and the running
+# windows on the in-gate BPE-budgeted packer, weighted sampling on the
+# temperature mix (same deterministic md5 draw), and the events cube
+# on the HLL cube (same grouping-sets Expand shape)).
+_ROTATED_OUT_R12 = (
+    "cdc_merge_into",
+    "streaming_cdc_merge",
+    "cdc_scd2_history",
+    "sketch_join_size",
+    "dedup_jaccard_incremental",
+    "multimodal_png",
+    "graph_triangle_parts",
+    "multimodal_mp4_frames",
+    "events_ewma",
+    "pipeline_weighted_sample",
+    "events_cube",
+)
+
 _ROTATED_OUT_R11 = (
     "text_bm25_search",
     "text_bm25_indexed",
@@ -389,46 +442,14 @@ BENCH_EXTRA = (
     # pair — were registry-only before, so the bench set grows 117 →
     # 126 this round).
     *_ROTATED_OUT_R11,
-    # Round-11-new (gate re-frozen at the round-11 set, so driver
-    # evidence arrives via the local pytest oracle + the in-gate image
-    # dHash/near-dup family anchors): the audio perceptual fingerprint
-    # (Haitsma–Kalker band-energy sign bits over the sawtooth fixture,
-    # group-dedup window) and its banded Hamming near-dup pairs
-    # (lossless vs the brute-force oracle, the image precedent).
-    "multimodal_audio_fp",
-    "dedup_audio_neardup",
-    # Round-11-new: video-level near-dup — per-frame thumbnail
-    # signatures (demux ∘ decode ∘ resize, the in-gate video-thumbs
-    # path) joined on the signature key with a ½-containment
-    # threshold; brute-force oracle proves the join loses nothing.
-    "dedup_video_neardup",
-    # Round-11-new: the winnow family's streaming drain — 3 real
-    # micro-batches into the bucket-sharded fingerprint index, then a
-    # probe that must answer byte-for-byte like the one-shot build
-    # (dedup_winnow_incremental's oracle SQL verbatim).
-    "streaming_winnow_index",
-    # Round-11-new: subword token accounting — deterministic BPE encode
-    # against the frozen provenance-pinned merge table, one zero-shuffle
-    # Arrow pass; oracle = nested replace chain per word.
-    "text_bpe_tokens",
-    # Round-11-new: packing budgeted in SUBWORD tokens — bpe_token_counts
-    # composed into pack_sequences' one-shuffle concat-and-chunk layout.
-    "pipeline_pack_bpe",
-    # Round-11-new: the persisted fingerprint band index — the media
-    # modalities' incremental near-dup screen (index half the corpus's
-    # fingerprints, probe each increment; O(increment) appends,
-    # nothing frozen).
-    "dedup_image_fp_incremental",
-    "dedup_audio_fp_incremental",
-    # ... and its streaming drain (3 real micro-batches, probe ==
-    # one-shot oracle verbatim).
-    "streaming_fp_index",
-    # ... and its retention path (prune to a keep set, probe survivors).
-    "dedup_image_fp_pruned",
-    # Round-11-new: image near-dup CLUSTERING — banded Hamming pairs
-    # (including exact dups) under distributed CC, min-id labels; the
-    # canonical-group composition retention/splits consume.
-    "dedup_image_clusters",
+    # Rotated out in ROUND 12 (see _ROTATED_OUT_R12 above): the 11
+    # multi-round-green entries whose gate slots went to the 11-entry
+    # never-hashed round-11 pool (the audio fp pair, video near-dup,
+    # the persisted media fp band index family, the winnow streaming
+    # drain, image clustering, and the BPE pair — all of which moved
+    # OUT of this tuple and INTO the gate, so the bench set is
+    # unchanged at 137).
+    *_ROTATED_OUT_R12,
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or
