@@ -131,16 +131,26 @@ def bpe_train_merges(
 ) -> list[tuple[str, str]]:
     """Train a merge table on a BOUNDED deterministic corpus sample —
     the driver-side utility that produces the frozen artifact
-    :func:`bpe_token_counts` consumes. Word counts come from the first
-    ``sample_limit`` documents in ``id_col`` order (deterministic at
-    any cluster size); training is the classical greedy loop: count
-    adjacent symbol pairs weighted by word frequency, merge the most
-    frequent (ties broken lexicographically so the table is unique),
-    repeat. The distinct-word map collected to the driver is vocabulary-
-    sized (Heaps-law bounded), never corpus-sized."""
+    :func:`bpe_token_counts` consumes. A corpus within ``sample_limit``
+    trains on every document; a larger one keeps a deterministic
+    ~``sample_limit``-document hash spread (``xxhash64(id) % ceil(n /
+    limit) == 0`` — stable at any cluster size or partitioning, and
+    never a corpus-wide sort the way a prefix-by-id bound would plan;
+    a hash spread also samples the whole crawl instead of its earliest
+    ids). Training is the classical greedy loop: count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent (ties
+    broken lexicographically so the table is unique), repeat. The
+    distinct-word map collected to the driver is vocabulary-sized
+    (Heaps-law bounded), never corpus-sized."""
+    n_docs = df.count()
+    sample = df
+    if n_docs > sample_limit:
+        stride = -(-n_docs // sample_limit)  # ceil
+        sample = df.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+        )
     words = (
-        df.orderBy(id_col)
-        .limit(sample_limit)
+        sample
         .select(F.explode(F.split(F.lower(F.trim(F.regexp_replace(
             text_col, r"\s+", " "))), " ")).alias("w"))
         .groupBy("w")

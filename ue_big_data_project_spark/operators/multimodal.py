@@ -3506,14 +3506,21 @@ def video_neardup_pairs(
     winnow/Jaccard stop-fingerprint discipline.
     """
     sig = list(sig_cols)
-    # CACHE the distinct signature table: it feeds the size agg AND
-    # both join sides, and without the plan barrier each consumer
-    # re-runs the upstream demux→decode→thumbnail pipeline (the
-    # dedup_winnow_pairs precedent — measured here: 11 exchanges and
-    # 3× the Arrow decode work vs 6 exchanges with the barrier). The
-    # cached table is O(distinct frame signatures) small rows — frame
-    # rasters and payloads are already gone.
-    sigs = frame_sigs.select(id_col, *sig).distinct().cache()
+    # Materialize the distinct signature table as a plan barrier: it
+    # feeds the size agg AND both join sides, and without the barrier
+    # each consumer re-runs the upstream demux→decode→thumbnail
+    # pipeline (the dedup_winnow_pairs precedent — measured here: 11
+    # exchanges and 3× the Arrow decode work vs 6 with the barrier).
+    # localCheckpoint rather than cache() so nothing leaks into the
+    # session's cache registry across invocations (the blocks are
+    # freed by the ContextCleaner when the result is dropped — the
+    # fp_probe_index lifecycle); the table is O(distinct frame
+    # signatures) small rows — frame rasters and payloads are gone.
+    sigs = (
+        frame_sigs.select(id_col, *sig)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sigs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sig"))
     left = sigs.select(F.col(id_col).alias("id_a"), *sig)
     right = sigs.select(F.col(id_col).alias("id_b"), *sig)

@@ -452,7 +452,13 @@ def streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ][0]
             dst = _os.path.join(stage, f"b{i}.parquet")
             _os.symlink(_os.path.join(bdir, part), dst)
-            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+            # utime the TARGET: Hadoop's local FS stats the link
+            # target, so touching the symlink itself would not enforce
+            # the intended FileStreamSource batch order (round-11
+            # advice). The downstream index is batch-order-invariant
+            # either way; this makes the staged order real, not
+            # decorative.
+            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
         sdf = spark.readStream.schema("doc_id long, text string").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
@@ -1721,7 +1727,13 @@ def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ][0]
             dst = _os.path.join(stage, f"b{i}.parquet")
             _os.symlink(_os.path.join(bdir, part), dst)
-            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+            # utime the TARGET: Hadoop's local FS stats the link
+            # target, so touching the symlink itself would not enforce
+            # the intended FileStreamSource batch order (round-11
+            # advice). The downstream index is batch-order-invariant
+            # either way; this makes the staged order real, not
+            # decorative.
+            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
         sdf = spark.readStream.schema("doc_id long, text string").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
@@ -1810,8 +1822,14 @@ def _bpe_sql_chain(expr: str) -> str:
 # the f-string: expression parts cannot carry the \1 backref).
 _BPE_WRAPPED = _bpe_sql_chain("regexp_replace(word, '(.)', '(\\1)', 'g')")
 
+# Empty-word guard (round-11 advice): Python's .split() yields [] for
+# empty/whitespace-only text while DuckDB string_split('') yields [''],
+# so the word list filters '' to keep n_words aligned. The (sym)(sym)
+# wrapped-spelling token count assumes no document word contains a
+# literal paren — pinned by test_fixture_documents_have_no_parens.
 TEXT_BPE_TOKENS_SQL = f"""
-WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+WITH toks AS (SELECT doc_id, list_filter({_WORDS}, w -> w <> '') AS words
+              FROM documents),
 w AS (SELECT doc_id, len(words) AS n_words, unnest(words) AS word
       FROM toks),
 enc AS (
@@ -2313,7 +2331,8 @@ def pipeline_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIPELINE_PACK_BPE_SQL = f"""
-WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+WITH toks AS (SELECT doc_id, list_filter({_WORDS}, w -> w <> '') AS words
+              FROM documents),
 w AS (SELECT doc_id, unnest(words) AS word FROM toks),
 enc AS (
   SELECT doc_id, {_BPE_WRAPPED} AS s
@@ -3130,7 +3149,13 @@ def streaming_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ][0]
             dst = _os.path.join(stage, f"b{i}.parquet")
             _os.symlink(_os.path.join(bdir, part), dst)
-            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+            # utime the TARGET: Hadoop's local FS stats the link
+            # target, so touching the symlink itself would not enforce
+            # the intended FileStreamSource batch order (round-11
+            # advice). The downstream index is batch-order-invariant
+            # either way; this makes the staged order real, not
+            # decorative.
+            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
         sdf = spark.readStream.schema("doc_id long, text string").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
