@@ -465,3 +465,50 @@ def test_append_components_ignores_phantom_endpoints(spark):
     )
     got = dict(_cc_rows(append_components(base, new_nodes, new_edges)))
     assert got == {5: 5, 6: 5, 9: 5}
+
+
+def test_append_components_driver_cc_equals_distributed(spark):
+    """The driver_cc_max fast path (round-12 job diet): union-find over
+    the collected contracted graph must produce BIT-IDENTICAL
+    assignments to the distributed contracted CC — the IVF
+    driver-Lloyd contract. Forced both ways (driver_cc_max=0 vs the
+    default) over random splits, including merges of existing
+    components through new nodes."""
+    import random
+
+    from ue_big_data_project_spark.operators.graph import (
+        append_components,
+        connected_components,
+    )
+
+    rng = random.Random(20260816)
+    n = 80
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(n), 2))) for _ in range(90)}
+    )
+    split = 50
+    base_nodes = spark.createDataFrame(
+        [(i,) for i in range(split)], "id long"
+    )
+    new_nodes = spark.createDataFrame(
+        [(i,) for i in range(split, n)], "id long"
+    )
+    base_edges = spark.createDataFrame(
+        [e for e in edges if e[0] < split and e[1] < split],
+        "src long, dst long",
+    )
+    inc_edges = spark.createDataFrame(
+        [e for e in edges if e[0] >= split or e[1] >= split],
+        "src long, dst long",
+    )
+    base = connected_components(base_nodes, base_edges)
+    fast = append_components(base, new_nodes, inc_edges, node_col="id")
+    slow = append_components(
+        base, new_nodes, inc_edges, node_col="id", driver_cc_max=0
+    )
+    assert _cc_rows(fast) == _cc_rows(slow)
+    # and both equal the full rebuild
+    all_nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    all_edges = spark.createDataFrame(edges, "src long, dst long")
+    want = connected_components(all_nodes, all_edges)
+    assert _cc_rows(fast) == _cc_rows(want)
