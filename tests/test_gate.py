@@ -46,6 +46,13 @@ PROXIED = {
     # drain, image clustering, and the BPE pair — rotated INTO the
     # gate in round 12; both pools face the driver's hash directly,
     # per the round-10/round-11 verdicts' task 1.)
+    # Round-12-new, post-re-freeze: video near-dup over the PRODUCTION
+    # per-frame dHash signature (round-11 verdict task 4) — the same
+    # video_neardup_pairs operator as the IN-GATE raster-digest entry,
+    # fed by mp4_frame_dhash over the textured fixture; closed-form
+    # dHash replay + brute-force containment oracle MATCH at both SFs,
+    # budget pinned (5, the pair-shape budget).
+    "dedup_video_neardup_dhash": "dedup_video_neardup",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -602,3 +602,57 @@ def test_video_neardup_containment_semantics(spark):
         ).collect()
     }
     assert strict == {(1, 2), (1, 3)}
+
+
+def test_mp4_frame_dhash_matches_direct_hash_and_is_nondegenerate(spark):
+    """The production video signature (round-11 verdict task 4):
+    mp4_frame_dhash's demux∘decode∘hash pass must equal dHashing each
+    decoded frame directly, and the TEXTURED fixture must exercise a
+    rich hash space (the block-constant fixture collapses to ~72
+    distinct dHashes over 500 docs — the degeneracy that forced the
+    raster-digest signature)."""
+    import numpy as np
+
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(0, 120, 3)], "doc_id long"
+    )
+    rows = MM.mp4_frame_dhash(MM.attach_mp4_textured(ids)).collect()
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["dhash_hi"], r["dhash_lo"])
+        for r in rows
+    }
+    hashes = set()
+    for doc in range(0, 120, 3):
+        payload = MM.synth_mp4_textured(doc)
+        for fi, _pts, sample in MM.mp4_frames(payload, 1):
+            px = MM.decode_jpeg_pixels(sample)
+            want = MM.dhash_pixels(px[:, :, None])
+            assert got[(doc, fi)] == want, (doc, fi)
+            hashes.add(want)
+    assert len(got) == sum(1 + d % 8 for d in range(0, 120, 3))
+    # Non-degenerate: most frames carry distinct hashes (the closed
+    # form has 350 possible (offset, step) patterns).
+    assert len(hashes) > 100
+
+
+def test_video_neardup_dhash_containment_semantics(spark):
+    """A clip embedded in a longer cut pairs through the dHash
+    signature at the ½-containment threshold — the same semantics the
+    raster-digest entry pins, now over the production signature."""
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    # doc 7 has 8 frames, doc 357 (= 7 + 350) has 8 frames with the
+    # SAME (offset, step) closed form — identical signature sets, a
+    # guaranteed pair; doc 8 (1 frame, different step) does not pair
+    # with either unless its single hash collides AND meets ½.
+    ids = spark.createDataFrame([(7,), (357,), (8,)], "doc_id long")
+    sigs = MM.mp4_frame_dhash(MM.attach_mp4_textured(ids))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["match_frac"]
+        for r in MM.video_neardup_pairs(
+            sigs, sig_cols=("dhash_hi", "dhash_lo")
+        ).collect()
+    }
+    assert pairs.get((7, 357)) == 1.0

@@ -317,6 +317,9 @@ SHUFFLE_BUDGETS = {
                                     # runs ONCE) + size agg + sig-key
                                     # join + pair-count agg; size joins
                                     # broadcast
+    "dedup_video_neardup_dhash": 5,  # the same pair shape over the
+                                    # production per-frame dHash
+                                    # signature (textured fixture)
     "dedup_image_fp_incremental": 0,  # the probe materializes via an
                                     # eager localCheckpoint (results
                                     # must not lazily re-read expirable

@@ -3465,6 +3465,121 @@ def mp4_keyframe_samples(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, MP4_KEYFRAMES_SCHEMA)
 
 
+def synth_mp4_textured_pixels(doc_id: int, frame_idx: int) -> np.ndarray:
+    """TEXTURED per-frame raster for the production-signature video
+    near-dup path: a fixed 9×8 grid of DC-only 8×8 blocks (72×64 px)
+    whose values follow the exactly-quantizable ``128 + 2·((…%50)−25)``
+    scheme, with a per-document gradient step ``3 + doc_id % 7`` mixed
+    into the column term. The 9×8 nearest resize inside
+    :func:`dhash_pixels` samples EXACTLY one block per grid cell
+    (``src_x = (2j+1)·4 → block j``, ``src_y = (2i+1)·4 → block i``),
+    so every frame's dHash is a closed-form function of (doc_id,
+    frame_idx) the oracle replays bit-for-bit — and the gradient signs
+    are rich instead of the block-constant fixture's degenerate ones
+    (that fixture's 1–5-block-wide frames collapse to 72 distinct
+    dHashes over 500 docs; see :func:`video_neardup_pairs`)."""
+    bx = np.arange(9)[None, :]
+    by = np.arange(8)[:, None]
+    v = 128 + 2 * (
+        ((doc_id + 11 * frame_idx + (3 + doc_id % 7) * bx + 5 * by) % 50)
+        - 25
+    )
+    return np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+def synth_mp4_textured(doc_id: int) -> bytes:
+    """Deterministic MJPEG-in-MP4 container with TEXTURED frames
+    (:func:`synth_mp4_textured_pixels`): same frame count (1 + doc_id %
+    8), timing, and alternating 2/3 chunk plan as :func:`synth_mp4`."""
+    n_frames = 1 + doc_id % 8
+    frames = [
+        encode_jpeg_baseline(synth_mp4_textured_pixels(doc_id, fi))
+        for fi in range(n_frames)
+    ]
+    h, w = synth_mp4_textured_pixels(doc_id, 0).shape
+    plan, left, nxt = [], n_frames, 2
+    while left > 0:
+        take = min(nxt, left)
+        plan.append(take)
+        left -= take
+        nxt = 5 - nxt  # alternate 2, 3
+    return encode_mp4_mjpeg(frames, width=w, height=h, chunk_plan=plan)
+
+
+def attach_mp4_textured(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload) with a textured MJPEG-in-MP4 container
+    per row, built in the Arrow workers (:func:`synth_mp4_textured`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synth_mp4_textured(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+MP4_FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+    ]
+)
+
+
+def mp4_frame_dhash(df: DataFrame, every: int = 1) -> DataFrame:
+    """The PRODUCTION video near-dup signature: demux each MP4's sample
+    table, decode every ``every``-th frame (native MJPEG), and dHash it
+    (:func:`dhash_pixels` — 9×8 nearest resize + 64 horizontal-gradient
+    sign bits, re-encoding-tolerant) — demux ∘ decode ∘ hash composed
+    inside the partition that read the bytes, one Arrow pass, payloads
+    never shuffle, O(kept frames) per video. Feed the output to
+    :func:`video_neardup_pairs` with ``sig_cols=("dhash_hi",
+    "dhash_lo")`` for signature-containment pairing, or through
+    :func:`fp_band_rows` banding for per-frame Hamming slack."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "dhash_hi": [],
+                "dhash_lo": [],
+            }
+            for did, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                for fi, _pts, sample in mp4_frames(bytes(payload), every):
+                    px = decode_jpeg_pixels(sample)
+                    if px.ndim == 2:  # grayscale JPEG → (h, w, 1)
+                        px = px[:, :, None]
+                    hi, lo = dhash_pixels(px)
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(fi)
+                    out["dhash_hi"].append(hi)
+                    out["dhash_lo"].append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(
+                        out["frame_idx"], dtype="int32"
+                    ),
+                    "dhash_hi": pd.Series(out["dhash_hi"], dtype="int64"),
+                    "dhash_lo": pd.Series(out["dhash_lo"], dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        gen, MP4_FRAME_DHASH_SCHEMA
+    )
+
+
 def video_neardup_pairs(
     frame_sigs: DataFrame,
     id_col: str = "doc_id",

@@ -450,6 +450,10 @@ BENCH_EXTRA = (
     # OUT of this tuple and INTO the gate, so the bench set is
     # unchanged at 137).
     *_ROTATED_OUT_R12,
+    # Round-12-new (post-re-freeze; proxied on the in-gate
+    # dedup_video_neardup per tests/test_gate.py): the production
+    # dHash-signature video near-dup over the textured MP4 fixture.
+    "dedup_video_neardup_dhash",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -955,6 +955,85 @@ WHERE 2 * matched >= least(sa.n_sig, sb.n_sig)
 """
 
 
+def dedup_video_neardup_dhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video near-dup over the PRODUCTION frame signature (round-11
+    verdict task 4): per-frame dHash — demux ∘ decode ∘ hash in one
+    Arrow pass (``operators/multimodal.mp4_frame_dhash``) — joined by
+    ``video_neardup_pairs`` on the 64-bit hash halves with the same
+    ½-containment threshold. Runs over the TEXTURED MP4 fixture
+    (``attach_mp4_textured``: a 9×8 grid of DC-only blocks with a
+    per-document gradient step), whose frame dHashes are
+    non-degenerate — the block-constant fixture collapses to 72
+    distinct hashes over 500 docs, which is why the raster-digest
+    twin (``dedup_video_neardup``) exists; this entry exercises the
+    signature the operator docstring names for corpus scale. The
+    oracle replays the dHash bits from the closed-form block values
+    and brute-forces the containment sweep."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sigs = MM.mp4_frame_dhash(MM.attach_mp4_textured(ids), every=1)
+    return MM.video_neardup_pairs(
+        sigs, sig_cols=("dhash_hi", "dhash_lo")
+    )
+
+
+# dHash replay: the textured fixture's 9×8 nearest resize samples one
+# DC-only block per grid cell, so gray[i][j] is the closed-form block
+# value; bit i*8+j = (v[i][j+1] > v[i][j]), packed into two 32-bit
+# halves (bits ≥ 32 into hi) so everything rides signed BIGINTs.
+MULTIMODAL_VIDEO_NEARDUP_DHASH_SQL = """
+WITH frames AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, 1 + doc_id % 8)) AS INTEGER) AS f
+  FROM documents
+), g AS (
+  SELECT doc_id, f, i, j,
+         128 + 2 * (((doc_id + 11 * f + (3 + doc_id % 7) * j + 5 * i)
+                     % 50) - 25) AS v
+  FROM frames, range(0, 8) t1(i), range(0, 9) t2(j)
+), bits AS (
+  SELECT a.doc_id, a.f, a.i, a.j,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM g a
+  JOIN g b ON b.doc_id = a.doc_id AND b.f = a.f
+          AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 8
+), hash AS (
+  SELECT doc_id, f,
+         CAST(sum(CASE WHEN i * 8 + j >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j - 32))
+                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+         CAST(sum(CASE WHEN i * 8 + j < 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j))
+                       ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY doc_id, f
+), sigs AS (
+  SELECT DISTINCT doc_id, dhash_hi, dhash_lo FROM hash
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sig FROM sigs GROUP BY doc_id
+), m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS matched
+  FROM sigs a
+  JOIN sigs b ON a.dhash_hi = b.dhash_hi
+             AND a.dhash_lo = b.dhash_lo
+             AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(sa.n_sig AS BIGINT) AS n_sig_a,
+       CAST(sb.n_sig AS BIGINT) AS n_sig_b,
+       CAST(matched AS BIGINT) AS matched,
+       CAST(matched AS DOUBLE) / CAST(least(sa.n_sig, sb.n_sig) AS DOUBLE)
+         AS match_frac
+FROM m
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 2 * matched >= least(sa.n_sig, sb.n_sig)
+"""
+
+
 QUERIES = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL),
@@ -976,6 +1055,9 @@ QUERIES = {
     ),
     "dedup_video_neardup": QuerySpec(
         dedup_video_neardup, MULTIMODAL_VIDEO_NEARDUP_SQL
+    ),
+    "dedup_video_neardup_dhash": QuerySpec(
+        dedup_video_neardup_dhash, MULTIMODAL_VIDEO_NEARDUP_DHASH_SQL
     ),
     "dedup_image_fp_incremental": QuerySpec(
         dedup_image_fp_incremental, MULTIMODAL_FP_INCREMENTAL_SQL
