@@ -35,14 +35,49 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+BPE_END_MARKER = "</w>"
+
+
+def bpe_byte_symbols(ch: str) -> list[str]:
+    """UTF-8 byte-fallback spelling of one character: ``<0xAB>`` per
+    byte — the GPT-2/SentencePiece escape hatch that guarantees EVERY
+    character is representable, so unseen unicode never drops tokens
+    or maps to a lossy UNK."""
+    return [f"<0x{b:02X}>" for b in ch.encode("utf-8")]
+
+
 def bpe_encode_word(
-    word: str, merges: list[tuple[str, str]]
+    word: str,
+    merges: list[tuple[str, str]],
+    end_marker: str | None = None,
+    byte_fallback: bool = False,
+    alphabet: set[str] | None = None,
 ) -> list[str]:
     """Encode one word: character symbols, then each merge rule in
-    rank order, left-to-right, non-overlapping, to exhaustion. No
-    end-of-word marker (documented simplification; add one by
-    appending a sentinel symbol to the word before encoding)."""
-    syms = list(word)
+    rank order, left-to-right, non-overlapping, to exhaustion.
+
+    ``end_marker`` appends the sentinel symbol (Sennrich et al. 2016's
+    ``</w>``) before merging, so word-final subwords are distinct
+    symbols from word-internal ones ("sort" the word vs "sort" the
+    prefix of "sorting") — pass the SAME marker the table was trained
+    with. ``byte_fallback`` (with the training ``alphabet``) expands
+    any character outside the alphabet into its UTF-8 byte symbols
+    (:func:`bpe_byte_symbols`) BEFORE merging — every emitted token is
+    then either built from training-alphabet symbols or a byte symbol,
+    never an out-of-vocabulary surprise, and no input is ever dropped.
+    Both options keep the nested-replace oracle replay property: the
+    initial spelling changes, the merge mechanics do not."""
+    if byte_fallback and alphabet is not None:
+        syms = []
+        for ch in word:
+            if ch in alphabet:
+                syms.append(ch)
+            else:
+                syms.extend(bpe_byte_symbols(ch))
+    else:
+        syms = list(word)
+    if end_marker is not None:
+        syms.append(end_marker)
     for a, b in merges:
         if len(syms) < 2:
             break
@@ -75,6 +110,9 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    end_marker: str | None = None,
+    byte_fallback: bool = False,
+    alphabet: set[str] | None = None,
 ) -> DataFrame:
     """Per-document subword token accounting: whitespace-normalized
     words (``functions.text.tokens``' convention: lower → collapse →
@@ -97,7 +135,15 @@ def bpe_token_counts(
         def n_sub(word: str) -> int:
             n = memo.get(word)
             if n is None:
-                n = len(bpe_encode_word(word, merges))
+                n = len(
+                    bpe_encode_word(
+                        word,
+                        merges,
+                        end_marker=end_marker,
+                        byte_fallback=byte_fallback,
+                        alphabet=alphabet,
+                    )
+                )
                 memo[word] = n
             return n
 
@@ -128,6 +174,7 @@ def bpe_train_merges(
     id_col: str = "doc_id",
     text_col: str = "text",
     sample_limit: int = 100_000,
+    end_marker: str | None = None,
 ) -> list[tuple[str, str]]:
     """Train a merge table on a BOUNDED deterministic corpus sample —
     the driver-side utility that produces the frozen artifact
@@ -159,7 +206,9 @@ def bpe_train_merges(
     )
     vocab: dict[tuple[str, ...], int] = {}
     for r in words:
-        key = tuple(r["w"])
+        key = tuple(r["w"]) + (
+            (end_marker,) if end_marker is not None else ()
+        )
         vocab[key] = vocab.get(key, 0) + int(r["c"])
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -1766,31 +1766,34 @@ def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # discipline: the table is versioned WITH the code because token
 # budgets computed against different merge tables are not comparable;
 # retrain deliberately, never implicitly.
+# Round 12: retrained WITH the Sennrich end-of-word marker (verdict
+# task 8) — word-final subwords are distinct symbols from word-internal
+# ones, so the marker shows up merged into frequent suffixes.
 BPE_MERGES: tuple[tuple[str, str], ...] = (
     ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
     ("o", "r"),
-    ("i", "n"),
+    ("t", "</w>"),
+    ("er", "</w>"),
     ("o", "w"),
-    ("s", "t"),
+    ("ow", "</w>"),
     ("l", "u"),
+    ("i", "n"),
+    ("y", "</w>"),
     ("a", "r"),
     ("p", "ar"),
-    ("m", "er"),
+    ("g", "</w>"),
+    ("a", "s"),
+    ("h", "</w>"),
+    ("a", "</w>"),
+    ("s", "t"),
     ("a", "t"),
-    ("a", "n"),
-    ("c", "an"),
-    ("s", "can"),
+    ("a", "n</w>"),
+    ("c", "an</w>"),
+    ("s", "can</w>"),
     ("c", "o"),
     ("co", "lu"),
-    ("colu", "m"),
-    ("colum", "n"),
-    ("d", "ow"),
-    ("in", "dow"),
-    ("w", "indow"),
-    ("d", "er"),
-    ("or", "der"),
-    ("or", "t"),
-    ("s", "ort"),
 )
 
 
@@ -1809,7 +1812,9 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ue_big_data_project_spark.operators import bpe as BPE
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return BPE.bpe_token_counts(d, list(BPE_MERGES))
+    return BPE.bpe_token_counts(
+        d, list(BPE_MERGES), end_marker=BPE.BPE_END_MARKER
+    )
 
 
 def _bpe_sql_chain(expr: str) -> str:
@@ -1820,7 +1825,12 @@ def _bpe_sql_chain(expr: str) -> str:
 
 # Wrap every char as (c), then apply the merge chain (computed outside
 # the f-string: expression parts cannot carry the \1 backref).
-_BPE_WRAPPED = _bpe_sql_chain("regexp_replace(word, '(.)', '(\\1)', 'g')")
+# The wrapped spelling appends the end-of-word sentinel (</w>) before
+# the merge chain — the marker is a symbol like any other, and the
+# '('-count token arithmetic is unchanged (no parens in the marker).
+_BPE_WRAPPED = _bpe_sql_chain(
+    "regexp_replace(word, '(.)', '(\\1)', 'g') || '(</w>)'"
+)
 
 # Empty-word guard (round-11 advice): Python's .split() yields [] for
 # empty/whitespace-only text while DuckDB string_split('') yields [''],
@@ -2322,7 +2332,9 @@ def pipeline_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ue_big_data_project_spark.pipelines import pack_sequences
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    counted = BPE.bpe_token_counts(d, list(BPE_MERGES)).select(
+    counted = BPE.bpe_token_counts(
+        d, list(BPE_MERGES), end_marker=BPE.BPE_END_MARKER
+    ).select(
         "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
     )
     return pack_sequences(
