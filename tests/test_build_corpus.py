@@ -59,6 +59,75 @@ def test_build_corpus_end_to_end(spark):
         ).distinct().count()
 
 
+def test_build_corpus_media_stage_prunes_and_persists_index(spark):
+    """The optional media stage (round-11 verdict task 5): image
+    payloads of the text survivors fingerprint, cluster (banded
+    Hamming + CC), and one doc per image cluster survives; the kept
+    fingerprints persist as an fp band index future increments probe.
+    Checked against the standalone media_dedup_components leg and a
+    direct fp_probe_index of a known near-duplicate."""
+    import os
+    import tempfile
+
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    inp = docs.select("doc_id", "text")
+    media = MM.attach_bmp(inp.select("doc_id"))
+    with tempfile.TemporaryDirectory() as d:
+        base = P.build_corpus(spark, inp, d + "/plain", min_quality=0.75)
+        stats = P.build_corpus(
+            spark, inp, d + "/media", min_quality=0.75, media=media
+        )
+        # The media stage prunes ON TOP of the text stages.
+        assert stats["n_media_pruned"] > 0
+        assert stats["n_docs"] == base["n_docs"] - stats["n_media_pruned"]
+
+        out = spark.read.parquet(os.path.join(d, "media", "documents"))
+        kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+        # Parity with the standalone leg: among text survivors, the
+        # written ids are exactly the image-cluster canonical ids.
+        plain = spark.read.parquet(os.path.join(d, "plain", "documents"))
+        text_ids = {r["doc_id"] for r in plain.select("doc_id").collect()}
+        comps = P.media_dedup_components(
+            media.join(
+                plain.select("doc_id"), "doc_id", "left_semi"
+            )
+        ).collect()
+        want = {r["doc_id"] for r in comps if r["doc_id"] == r["component"]}
+        assert kept == want
+        assert kept < text_ids
+
+        # The persisted index answers probes: a pruned doc's
+        # fingerprint still finds its kept near-dup mate.
+        idx = stats["media_fp_index"]
+        assert os.path.isdir(idx)
+        pruned_id = sorted(text_ids - kept)[0]
+        probe = MM.image_dhash(
+            MM.attach_bmp(
+                spark.createDataFrame([(pruned_id,)], "doc_id long")
+            )
+        )
+        hits = MM.fp_probe_index(spark, idx, probe).collect()
+        mates = {r["id_a"] for r in hits} | {r["id_b"] for r in hits}
+        exact = MM.image_dhash(media).filter(
+            F.col("doc_id") == pruned_id
+        ).collect()[0]
+        # near-dup mates (Hamming >= 1) OR an exact-dup keeper (the
+        # probe op excludes Hamming 0; check via the hash directly).
+        same_hash_keepers = {
+            r["doc_id"]
+            for r in MM.image_dhash(media)
+            .filter(
+                (F.col("dhash_hi") == exact["dhash_hi"])
+                & (F.col("dhash_lo") == exact["dhash_lo"])
+            )
+            .collect()
+        } & kept
+        assert (mates - {pruned_id}) & kept or same_hash_keepers
+
+
 def test_build_corpus_near_dup_collapses_clusters(spark):
     # Two near-identical docs (one token apart) + one distinct: the
     # cluster keeps the min id only; exact dedup alone would keep both.

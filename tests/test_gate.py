@@ -53,6 +53,12 @@ PROXIED = {
     # dHash replay + brute-force containment oracle MATCH at both SFs,
     # budget pinned (5, the pair-shape budget).
     "dedup_video_neardup_dhash": "dedup_video_neardup",
+    # Round-12-new: build_corpus's media-dedup stage standalone — the
+    # kept-id fixpoints of the IN-GATE dedup_image_clusters closure
+    # (same hash → band-pair → CC machinery, restricted to canonical
+    # ids); the composed pipeline is pytest-covered end to end in
+    # tests/test_build_corpus.py.
+    "pipeline_media_prune": "dedup_image_clusters",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -320,6 +320,10 @@ SHUFFLE_BUDGETS = {
     "dedup_video_neardup_dhash": 5,  # the same pair shape over the
                                     # production per-frame dHash
                                     # signature (textured fixture)
+    "pipeline_media_prune": 2,      # ids repartition + the CC iterate
+                                    # partitioning (pairs ride the
+                                    # checkpointed hash table; returned
+                                    # plan is the CC tail)
     "dedup_image_fp_incremental": 0,  # the probe materializes via an
                                     # eager localCheckpoint (results
                                     # must not lazily re-read expirable

@@ -375,6 +375,64 @@ def corpus_stats(prepped: DataFrame) -> DataFrame:
     )
 
 
+def media_dedup_components(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """The media-dedup leg of :func:`build_corpus`, standalone:
+    ``(id, payload)`` image containers (any ``decode_pixels``-supported
+    format) → per-image dHash in the Arrow workers → banded pairs at
+    ``0 ≤ Hamming ≤ max_hamming`` (``min_hamming=0`` — exact and near
+    dups share a cluster) → distributed connected components. Returns
+    ``(id, component=min id)``; keep-one-per-cluster is ``id ==
+    component``. ``max_band_freq`` forwards the stop-band cap for
+    corpora with pathological constant bands (black frames).
+
+    Scale shape: decode+hash never shuffle (one Arrow pass), the pair
+    join is the pigeonhole band join (never all-pairs), CC is the
+    engine's flagship distributed closer — identical machinery to the
+    text near-dup stage, on the image axis."""
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    src = media.select(F.col(id_col).alias("doc_id"), "payload")
+    # One decode pass feeds the node set and both pair-join sides.
+    h = MM.image_dhash(src).localCheckpoint(eager=True)
+    return _media_components_of_hashes(
+        h, max_hamming=max_hamming, max_band_freq=max_band_freq
+    ).select(F.col("doc_id").alias(id_col), F.col("component"))
+
+
+def _media_components_of_hashes(
+    h: DataFrame,
+    max_hamming: int = 2,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Banded pairs (exact dups included) + CC over a (doc_id,
+    dhash_hi, dhash_lo) table — the shared leg of
+    :func:`media_dedup_components` and :func:`build_corpus`'s media
+    stage."""
+    from ue_big_data_project_spark.operators import multimodal as MM
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = MM.dhash_neardup_pairs(
+        h,
+        max_hamming=max_hamming,
+        min_hamming=0,
+        max_band_freq=max_band_freq,
+    )
+    return connected_components(
+        h.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+
+
 def build_corpus(
     spark,
     docs: DataFrame,
@@ -388,6 +446,9 @@ def build_corpus(
     writers: int = 64,
     val_pct: int = 5,
     test_pct: int = 5,
+    media: DataFrame | None = None,
+    media_max_hamming: int = 2,
+    media_max_band_freq: int | None = None,
 ) -> dict:
     """The whole corpus build, end to end: quarantine malformed records,
     language-filter, quality-score, exact-dedup, near-dup-cluster,
@@ -459,6 +520,53 @@ def build_corpus(
     final = kept_docs.join(canonical, id_col, "left_semi").join(
         prepped, id_col
     )
+
+    # 4b. OPTIONAL media stage: the text survivors' payloads
+    # fingerprint (image dHash, Arrow decode — any decode_pixels
+    # container), cluster under banded Hamming + CC, and keep one doc
+    # per image cluster — the text near-dup machinery on the image
+    # axis. The fingerprints also persist as an fp band index
+    # (write_fp_index) so FUTURE increments screen against this
+    # corpus's media with O(increment) probes instead of a re-hash
+    # (fp_probe_index / fp_index_append — the incremental contract the
+    # text stages already have via their own persisted indexes).
+    if media is not None:
+        from ue_big_data_project_spark.operators.multimodal import (
+            image_dhash,
+            write_fp_index,
+        )
+
+        msrc = media.select(
+            F.col(id_col).alias("doc_id"), "payload"
+        ).join(
+            final.select(F.col(id_col).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        mh = image_dhash(msrc).localCheckpoint(eager=True)
+        mcomps = _media_components_of_hashes(
+            mh,
+            max_hamming=media_max_hamming,
+            max_band_freq=media_max_band_freq,
+        ).localCheckpoint(eager=True)  # feeds keep-join + the count
+        mkeep = mcomps.filter(
+            F.col("doc_id") == F.col("component")
+        ).select(F.col("doc_id").alias(id_col))
+        stats["n_media_pruned"] = (
+            mcomps.filter(F.col("doc_id") != F.col("component")).count()
+        )
+        final = final.join(mkeep, id_col, "left_semi")
+        fp_path = os.path.join(out_dir, "media_fp_index")
+        write_fp_index(
+            mh.join(
+                mkeep.select(F.col(id_col).alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            ),
+            fp_path,
+            max_hamming=media_max_hamming,
+        )
+        stats["media_fp_index"] = fp_path
 
     # 5. Split + write (split is the partition dir -> free pruning).
     assigned = split_assign(

@@ -454,6 +454,9 @@ BENCH_EXTRA = (
     # dedup_video_neardup per tests/test_gate.py): the production
     # dHash-signature video near-dup over the textured MP4 fixture.
     "dedup_video_neardup_dhash",
+    # Round-12-new: the build_corpus media stage's kept-id set
+    # (proxied on the in-gate dedup_image_clusters).
+    "pipeline_media_prune",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

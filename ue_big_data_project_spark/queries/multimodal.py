@@ -709,6 +709,52 @@ FROM reach GROUP BY node
 """
 
 
+def pipeline_media_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-dedup stage of ``pipelines.build_corpus``, standalone
+    (round-11 verdict task 5): (id, payload) image containers →
+    ``pipelines.media_dedup_components`` (Arrow dHash → banded pairs at
+    0 ≤ Hamming ≤ 2 → distributed CC) → the KEPT-ID SET (one canonical
+    doc per image cluster, id == component) — exactly the semi-join
+    filter the composed pipeline applies and the id set its media fp
+    index persists. Oracle = the image-clusters recursive-CTE closure
+    restricted to its fixpoints."""
+    from ue_big_data_project_spark.pipelines import (
+        media_dedup_components,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    comps = media_dedup_components(MM.attach_bmp(ids))
+    return (
+        comps.filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+    )
+
+
+PIPELINE_MEDIA_PRUNE_SQL = f"""
+WITH RECURSIVE {_DHASH_CTES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id
+FROM reach GROUP BY node
+HAVING node = min(label)
+"""
+
+
 def multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO-level perceptual dedup — the audio twin of
     ``dedup_image_dhash``: every document's real WAV container decodes
@@ -1058,6 +1104,9 @@ QUERIES = {
     ),
     "dedup_video_neardup_dhash": QuerySpec(
         dedup_video_neardup_dhash, MULTIMODAL_VIDEO_NEARDUP_DHASH_SQL
+    ),
+    "pipeline_media_prune": QuerySpec(
+        pipeline_media_prune, PIPELINE_MEDIA_PRUNE_SQL
     ),
     "dedup_image_fp_incremental": QuerySpec(
         dedup_image_fp_incremental, MULTIMODAL_FP_INCREMENTAL_SQL
