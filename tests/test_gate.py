@@ -59,6 +59,13 @@ PROXIED = {
     # ids); the composed pipeline is pytest-covered end to end in
     # tests/test_build_corpus.py.
     "pipeline_media_prune": "dedup_image_clusters",
+    # Round-12-new: the persisted VIDEO signature index probe — the
+    # video modality's incremental screen, anchored on the in-gate
+    # image/audio fp-index incremental entries (the same index-probe
+    # restriction contract; the sig-key pair shape is the in-gate
+    # video near-dup). Probe == union restriction and append ==
+    # rebuild pinned in tests/test_mp4.py.
+    "dedup_video_fp_incremental": "dedup_image_fp_incremental",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

@@ -656,3 +656,124 @@ def test_video_neardup_dhash_containment_semantics(spark):
         ).collect()
     }
     assert pairs.get((7, 357)) == 1.0
+
+
+def test_video_neardup_stop_sig_cap(spark):
+    """max_sig_freq (the video stop-signature cap): a slate signature
+    shared by every video leaves the join AND the containment
+    denominators, so (a) slate-only overlap never pairs, (b) real
+    overlap still pairs with the threshold computed over informative
+    frames only, and (c) the capped result equals a pure-Python replay
+    with hot signatures removed."""
+    from itertools import combinations
+
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    SLATE = (0, 0)
+    vids = {
+        # 1 and 2: share 2 of their 3 informative frames -> pair
+        1: [SLATE, (10, 1), (11, 1), (12, 1)],
+        2: [SLATE, (10, 1), (11, 1), (13, 1)],
+        # 3: shares ONLY the slate with everyone -> no pairs
+        3: [SLATE, (30, 1), (31, 1)],
+        # 4: slate-only video -> drops out entirely under the cap
+        4: [SLATE],
+    }
+    rows = [
+        (v, s[0], s[1]) for v, sigs in vids.items() for s in sigs
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, sum_luma long, pos_digest long"
+    )
+    capped = {
+        (r["id_a"], r["id_b"]): (
+            r["n_sig_a"], r["n_sig_b"], r["matched"]
+        )
+        for r in MM.video_neardup_pairs(df, max_sig_freq=3).collect()
+    }
+    # replay: drop sigs in > 3 videos, then containment at 1/2
+    from collections import Counter
+
+    freq = Counter(s for sigs in vids.values() for s in set(sigs))
+    surv = {v: {s for s in sigs if freq[s] <= 3}
+            for v, sigs in vids.items()}
+    want = {}
+    for a, b in combinations(sorted(vids), 2):
+        m = len(surv[a] & surv[b])
+        lo = min(len(surv[a]), len(surv[b]))
+        if lo and 2 * m >= lo:
+            want[(a, b)] = (len(surv[a]), len(surv[b]), m)
+    assert capped == want
+    assert (1, 2) in capped and capped[(1, 2)] == (3, 3, 2)
+    assert not any(3 in p or 4 in p for p in capped)
+    # uncapped: the slate makes everything pair with the slate-only
+    # video (its single sig is contained everywhere) — the
+    # pathological fan-out the cap removes.
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in MM.video_neardup_pairs(df).collect()
+    }
+    assert all((v, 4) in uncapped for v in (1, 2, 3))
+
+
+def test_video_sig_index_probe_equals_neardup_restriction_and_append(
+    spark, tmp_path
+):
+    """The persisted video signature index answers a one-sided probe
+    EXACTLY like video_neardup_pairs over the union corpus restricted
+    to probe-incident pairs, and an O(increment) append leaves it
+    answering like a fresh build — signatures are stateless, nothing
+    drifts (the fp-band-index contract on the video axis, with the
+    sizes sidecar carrying the true containment denominators)."""
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(80)], "doc_id long"
+    )
+    def sigs_of(pred):
+        return MM.mp4_frame_dhash(
+            MM.attach_mp4_textured(ids.filter(pred))
+        )
+
+    old = sigs_of("doc_id % 2 = 0")
+    probe = sigs_of("doc_id % 4 = 1")
+    late = sigs_of("doc_id % 4 = 3")
+
+    idx = str(tmp_path / "vsig")
+    MM.write_video_sig_index(
+        old, idx, sig_cols=("dhash_hi", "dhash_lo")
+    )
+
+    def rows(df):
+        return {
+            (
+                r["id_a"], r["id_b"], r["n_sig_a"], r["n_sig_b"],
+                r["matched"],
+            )
+            for r in df.collect()
+        }
+
+    got = rows(MM.video_probe_sig_index(spark, idx, probe))
+    union = old.unionByName(probe)
+    probe_ids = set(range(1, 80, 4))
+    want = {
+        t
+        for t in rows(
+            MM.video_neardup_pairs(
+                union, sig_cols=("dhash_hi", "dhash_lo")
+            )
+        )
+        if t[0] in probe_ids or t[1] in probe_ids
+    }
+    assert got == want
+    assert want  # the textured fixture's residue classes guarantee pairs
+
+    MM.video_sig_index_append(spark, idx, late)
+    got2 = rows(MM.video_probe_sig_index(spark, idx, probe))
+    fresh = str(tmp_path / "vsig_fresh")
+    MM.write_video_sig_index(
+        old.unionByName(late), fresh, sig_cols=("dhash_hi", "dhash_lo")
+    )
+    want2 = rows(MM.video_probe_sig_index(spark, fresh, probe))
+    assert got2 == want2
+    assert got2 != got  # the appended quarter changed the answer

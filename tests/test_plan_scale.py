@@ -324,6 +324,10 @@ SHUFFLE_BUDGETS = {
                                     # partitioning (pairs ride the
                                     # checkpointed hash table; returned
                                     # plan is the CC tail)
+    "dedup_video_fp_incremental": 0,  # probe materializes via an eager
+                                    # localCheckpoint (fp-probe
+                                    # precedent) — returned plan is the
+                                    # truncated checkpoint scan
     "dedup_image_fp_incremental": 0,  # the probe materializes via an
                                     # eager localCheckpoint (results
                                     # must not lazily re-read expirable

@@ -3586,6 +3586,7 @@ def video_neardup_pairs(
     sig_cols: tuple[str, ...] = ("sum_luma", "pos_digest"),
     min_frac_num: int = 1,
     min_frac_den: int = 2,
+    max_sig_freq: int | None = None,
 ) -> DataFrame:
     """VIDEO-level near-duplicate pairs from a per-frame signature
     table — the last modality without a dedup operator of its own
@@ -3616,9 +3617,23 @@ def video_neardup_pairs(
     key (never all-pairs — fan-out bounded per signature bucket); the
     distinct/size aggs and the pair count group shuffle on the
     signature and pair keys only, frame rasters and payloads never
-    shuffle. At corpus scale cap pathological constant signatures
-    (black frames, slates) with a signature-frequency window — the
-    winnow/Jaccard stop-fingerprint discipline.
+    shuffle. ``max_sig_freq`` is the stop-signature cap for
+    pathological constant signatures (black frames, slates — the
+    winnow/Jaccard stop-fingerprint discipline, IMPLEMENTED here like
+    the fp family's ``max_band_freq``): signatures appearing in MORE
+    than ``max_sig_freq`` videos leave the candidate join, bounding
+    per-signature fan-out at C(cap, 2).
+
+    SEMANTICS of the cap — stricter than the band cap's, document it:
+    dropped signatures leave the join AND the per-video ``n_sig``
+    denominators (a black frame stops counting toward containment on
+    both axes, so the threshold compares informative frames against
+    informative frames; keeping hot sigs in the denominator would
+    silently raise the bar for videos containing boilerplate frames).
+    A pair whose overlap is ONLY hot signatures is missed by design —
+    two videos sharing nothing but black frames are near-dups of
+    black, not of each other. Default ``None`` = off (the oracle
+    entries run uncapped).
     """
     sig = list(sig_cols)
     # Materialize the distinct signature table as a plan barrier: it
@@ -3636,6 +3651,19 @@ def video_neardup_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if max_sig_freq is not None:
+        # Per-VIDEO signature frequency over the already-distinct
+        # rows; the hot set is bounded (≤ distinct-sigs/cap rows) and
+        # eagerly materialized so the sizes agg and both join sides
+        # don't re-run the count (the max_band_freq precedent).
+        hot = (
+            sigs.groupBy(*sig)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_sig_freq)
+            .select(*sig)
+            .localCheckpoint(eager=True)
+        )
+        sigs = sigs.join(F.broadcast(hot), sig, "left_anti")
     sizes = sigs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sig"))
     left = sigs.select(F.col(id_col).alias("id_a"), *sig)
     right = sigs.select(F.col(id_col).alias("id_b"), *sig)
@@ -3949,3 +3977,211 @@ def fp_band_stats(spark, path: str, top_k: int = 20) -> DataFrame:
         ),
         (F.col("_rk") <= top_k).alias("hot"),
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted VIDEO signature index (round-12): the video modality's
+# incremental near-dup screen — the sixth persisted-index family,
+# completing the lifecycle parity with image/audio (fp band index),
+# text (dedup bands / Jaccard / winnow / BM25), and embeddings (IVF).
+# Videos pair by frame-signature CONTAINMENT, so the unit indexed is a
+# distinct (video, signature) row plus a per-video signature-count
+# sidecar (the containment denominator must be the video's TRUE
+# distinct-signature count, which a bucket-pruned probe read cannot
+# reconstruct).
+# --------------------------------------------------------------------------
+
+
+def _sig_bucket(sig_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*sig_cols), F.lit(n_buckets)).cast("int")
+
+
+def write_video_sig_index(
+    frame_sigs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    sig_cols: tuple[str, ...] = ("sum_luma", "pos_digest"),
+    min_frac_num: int = 1,
+    min_frac_den: int = 2,
+    n_buckets: int = 16,
+) -> str:
+    """Persist the corpus side of the video near-dup screen: distinct
+    ``(id, *sig_cols)`` frame-signature rows hash-partitioned by
+    ``_bucket = pmod(xxhash64(sigs), n_buckets)`` (probes read only
+    the buckets their signatures fall in), a per-video
+    ``<path>_sizes`` sidecar carrying the TRUE distinct-signature
+    count (the containment denominator), and ``<path>_stats`` with the
+    constants. Like the fp band index there is NOTHING frozen —
+    signatures are pure functions of the frames — so appends are
+    O(increment) and no staleness audit ever exists; unlike it, the
+    sizes sidecar must append in lockstep (new ids are disjoint, so
+    lockstep is a plain row append)."""
+    spark = frame_sigs.sparkSession
+    root = path.rstrip("/")
+    sig = list(sig_cols)
+    sigs = (
+        frame_sigs.select(F.col(id_col).alias("id"), *sig)
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds rows AND sizes
+    )
+    (
+        sigs.withColumn("_bucket", _sig_bucket(sig, n_buckets))
+        .repartition(n_buckets, "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(root)
+    )
+    (
+        sigs.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sig"))
+        .write.mode("overwrite")
+        .parquet(root + "_sizes")
+    )
+    spark.createDataFrame(
+        [
+            (
+                id_col,
+                ",".join(sig),
+                min_frac_num,
+                min_frac_den,
+                n_buckets,
+            )
+        ],
+        "id_col string, sig_cols string, min_frac_num int, "
+        "min_frac_den int, n_buckets int",
+    ).write.mode("overwrite").parquet(root + "_stats")
+    return root
+
+
+def video_sig_index_append(
+    spark, path: str, new_frame_sigs: DataFrame
+) -> None:
+    """Append an increment's frame signatures: distinct the increment
+    ONLY, append its rows into the bucket partitions and its per-video
+    counts into the sizes sidecar. O(increment) — existing rows are
+    never read or rewritten. New ids must be disjoint from indexed ids
+    (the fp/jaccard/winnow probe contract; sizes would double-count
+    otherwise)."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col = meta["id_col"]
+    sig = meta["sig_cols"].split(",")
+    n_buckets = int(meta["n_buckets"])
+    sigs = (
+        new_frame_sigs.select(F.col(id_col).alias("id"), *sig)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    (
+        sigs.withColumn("_bucket", _sig_bucket(sig, n_buckets))
+        .repartition("_bucket")
+        .write.mode("append")
+        .partitionBy("_bucket")
+        .parquet(root)
+    )
+    (
+        sigs.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sig"))
+        .write.mode("append")
+        .parquet(root + "_sizes")
+    )
+
+
+def video_probe_sig_index(
+    spark, path: str, new_frame_sigs: DataFrame
+) -> DataFrame:
+    """One-sided video near-dup screen: every containment pair with AT
+    LEAST ONE endpoint in the probe — probe-vs-index plus
+    probe-vs-probe — without re-reading (most of) the corpus. Results
+    are EXACTLY :func:`video_neardup_pairs` over (indexed ∪ probe)
+    restricted to probe-incident pairs (equivalence-tested).
+
+    Scale shape: the probe reads only the ``_bucket`` partitions its
+    signatures fall in (bounded bucket-id collect) and index rows
+    equi-join to the probe's signature set, so candidate fan-out is
+    probe-signature-incident — but the containment DENOMINATORS come
+    from the sizes sidecar (a video's signatures span buckets; counts
+    reconstructed from a pruned read would be silently low). Output
+    columns match :func:`video_neardup_pairs`."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    id_col = meta["id_col"]
+    sig = meta["sig_cols"].split(",")
+    num, den = int(meta["min_frac_num"]), int(meta["min_frac_den"])
+    n_buckets = int(meta["n_buckets"])
+    probe = (
+        new_frame_sigs.select(F.col(id_col).alias("id"), *sig)
+        .distinct()
+        .localCheckpoint(eager=True)  # buckets, join, sizes, in-probe
+    )
+    buckets = sorted(
+        r.b
+        for r in probe.select(_sig_bucket(sig, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    idx = (
+        spark.read.parquet(root)
+        .filter(F.col("_bucket").isin(buckets))
+        .join(probe.select(*sig).distinct(), sig)
+        .select("id", *sig)
+    )
+    rows = probe.withColumn("_probe", F.lit(1)).unionByName(
+        idx.withColumn("_probe", F.lit(0))
+    )
+    a = rows.select(
+        F.col("id").alias("id_a"), F.col("_probe").alias("_pa"), *sig
+    )
+    b = rows.select(
+        F.col("id").alias("id_b"), F.col("_probe").alias("_pb"), *sig
+    )
+    matched = (
+        a.join(b, sig)
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_pa") + F.col("_pb") >= 1)
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    # TRUE denominators: indexed videos from the sidecar, probe videos
+    # from the probe itself; a replayed probe id may exist in both
+    # (at-least-once delivery) — the union dedupes by id, keeping the
+    # sidecar row (counts are equal by the disjoint-id contract).
+    probe_sizes = probe.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sig")
+    )
+    sizes = (
+        spark.read.parquet(root + "_sizes")
+        .unionByName(probe_sizes)
+        .groupBy("id")
+        .agg(F.max("n_sig").alias("n_sig"))
+    )
+    sa = sizes.select(
+        F.col("id").alias("id_a"), F.col("n_sig").alias("n_sig_a")
+    )
+    sb = sizes.select(
+        F.col("id").alias("id_b"), F.col("n_sig").alias("n_sig_b")
+    )
+    least = F.least("n_sig_a", "n_sig_b")
+    out = (
+        matched.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("matched") * F.lit(den) >= least * F.lit(num)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_sig_a",
+            "n_sig_b",
+            "matched",
+            (
+                F.col("matched").cast("double") / least.cast("double")
+            ).alias("match_frac"),
+        )
+    )
+    # Materialize before returning (the fp/jaccard/winnow probe
+    # precedent): the result must not lazily re-read index files a
+    # caller may have already expired; O(qualifying pairs) rows.
+    return out.localCheckpoint(eager=True)

@@ -457,6 +457,9 @@ BENCH_EXTRA = (
     # Round-12-new: the build_corpus media stage's kept-id set
     # (proxied on the in-gate dedup_image_clusters).
     "pipeline_media_prune",
+    # Round-12-new: the persisted video signature index probe (proxied
+    # on the in-gate dedup_image_fp_incremental).
+    "dedup_video_fp_incremental",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

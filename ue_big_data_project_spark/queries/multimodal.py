@@ -709,6 +709,101 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_video_fp_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL video near-dup (round-12): the even half of the
+    corpus persists as a video signature index
+    (``operators/multimodal.write_video_sig_index`` — distinct
+    per-frame dHash rows bucket-sharded by signature hash + the
+    per-video size sidecar that carries the TRUE containment
+    denominators), and the ``% 4 == 1`` quarter probes it: every
+    containment pair with ≥ 1 probe endpoint, WITHOUT re-demuxing the
+    corpus. Signatures are stateless (nothing frozen, no staleness
+    audit — the fp-band-index property on the video axis). The oracle
+    is the full brute-force dHash containment sweep restricted to
+    (index ∪ probe) membership and probe-incident pairs."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def sigs_of(pred: str) -> DataFrame:
+        return MM.mp4_frame_dhash(
+            MM.attach_mp4_textured(ids.filter(pred)), every=1
+        )
+
+    root = _tf.mkdtemp(prefix="spark_graft_vsig_")
+    try:
+        idx = root + "/vsig"
+        MM.write_video_sig_index(
+            sigs_of("doc_id % 2 = 0"), idx,
+            sig_cols=("dhash_hi", "dhash_lo"),
+        )
+        return MM.video_probe_sig_index(
+            spark, idx, sigs_of("doc_id % 4 = 1")
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+# Containment is PAIRWISE over per-video signature sets, so restricting
+# the full sweep to (index ∪ probe) membership with ≥1 probe endpoint
+# is exact (the jaccard/fp incremental oracle precedent).
+MULTIMODAL_VIDEO_FP_INCREMENTAL_SQL = """
+WITH frames AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, 1 + doc_id % 8)) AS INTEGER) AS f
+  FROM documents
+  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+), g AS (
+  SELECT doc_id, f, i, j,
+         128 + 2 * (((doc_id + 11 * f + (3 + doc_id % 7) * j + 5 * i)
+                     % 50) - 25) AS v
+  FROM frames, range(0, 8) t1(i), range(0, 9) t2(j)
+), bits AS (
+  SELECT a.doc_id, a.f, a.i, a.j,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM g a
+  JOIN g b ON b.doc_id = a.doc_id AND b.f = a.f
+          AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 8
+), hash AS (
+  SELECT doc_id, f,
+         CAST(sum(CASE WHEN i * 8 + j >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j - 32))
+                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+         CAST(sum(CASE WHEN i * 8 + j < 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j))
+                       ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY doc_id, f
+), sigs AS (
+  SELECT DISTINCT doc_id, dhash_hi, dhash_lo FROM hash
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sig FROM sigs GROUP BY doc_id
+), m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS matched
+  FROM sigs a
+  JOIN sigs b ON a.dhash_hi = b.dhash_hi
+             AND a.dhash_lo = b.dhash_lo
+             AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(sa.n_sig AS BIGINT) AS n_sig_a,
+       CAST(sb.n_sig AS BIGINT) AS n_sig_b,
+       CAST(matched AS BIGINT) AS matched,
+       CAST(matched AS DOUBLE) / CAST(least(sa.n_sig, sb.n_sig) AS DOUBLE)
+         AS match_frac
+FROM m
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 2 * matched >= least(sa.n_sig, sb.n_sig)
+  AND (id_a % 4 = 1 OR id_b % 4 = 1)
+"""
+
+
 def pipeline_media_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media-dedup stage of ``pipelines.build_corpus``, standalone
     (round-11 verdict task 5): (id, payload) image containers →
@@ -1107,6 +1202,9 @@ QUERIES = {
     ),
     "pipeline_media_prune": QuerySpec(
         pipeline_media_prune, PIPELINE_MEDIA_PRUNE_SQL
+    ),
+    "dedup_video_fp_incremental": QuerySpec(
+        dedup_video_fp_incremental, MULTIMODAL_VIDEO_FP_INCREMENTAL_SQL
     ),
     "dedup_image_fp_incremental": QuerySpec(
         dedup_image_fp_incremental, MULTIMODAL_FP_INCREMENTAL_SQL
