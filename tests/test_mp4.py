@@ -777,3 +777,86 @@ def test_video_sig_index_probe_equals_neardup_restriction_and_append(
     want2 = rows(MM.video_probe_sig_index(spark, fresh, probe))
     assert got2 == want2
     assert got2 != got  # the appended quarter changed the answer
+
+
+def test_video_sig_index_rewrite_prunes_rows_and_sizes(spark, tmp_path):
+    """Retention: rewrite_video_sig_index sheds expired videos' rows
+    AND sidecar sizes in lockstep — the post-prune probe answers like
+    a fresh build on the kept videos (an un-pruned sidecar would
+    inflate containment denominators through the union-max)."""
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+
+    def sigs_of(pred):
+        return MM.mp4_frame_dhash(
+            MM.attach_mp4_textured(ids.filter(pred))
+        )
+
+    old = sigs_of("doc_id % 2 = 0")
+    probe = sigs_of("doc_id % 4 = 1")
+    idx = str(tmp_path / "vsig")
+    MM.write_video_sig_index(old, idx, sig_cols=("dhash_hi", "dhash_lo"))
+
+    def rows(df):
+        return {
+            (r["id_a"], r["id_b"], r["n_sig_a"], r["n_sig_b"],
+             r["matched"])
+            for r in df.collect()
+        }
+
+    # Pick an expired doc GUARANTEED to matter: an even endpoint of a
+    # probe-incident pair in the un-pruned answer.
+    all_rows = rows(MM.video_probe_sig_index(spark, idx, probe))
+    assert all_rows
+    expired = next(
+        e
+        for t in sorted(all_rows)
+        for e in (t[0], t[1])
+        if e % 2 == 0
+    )
+    keep = ids.filter(f"doc_id % 2 = 0 AND doc_id <> {expired}")
+    n = MM.rewrite_video_sig_index(spark, idx, keep)
+    assert n > 0
+    kept_ids = {r["doc_id"] for r in keep.collect()}
+    assert {
+        r["id"] for r in spark.read.parquet(idx + "_sizes").collect()
+    } == kept_ids
+
+    got = rows(MM.video_probe_sig_index(spark, idx, probe))
+    fresh = str(tmp_path / "vsig_fresh")
+    MM.write_video_sig_index(
+        sigs_of(f"doc_id % 2 = 0 AND doc_id <> {expired}"),
+        fresh,
+        sig_cols=("dhash_hi", "dhash_lo"),
+    )
+    want = rows(MM.video_probe_sig_index(spark, fresh, probe))
+    assert got == want
+    # the prune removed the expired doc's pairs and nothing else that
+    # a fresh build would keep
+    assert got < all_rows
+    assert not any(expired in (t[0], t[1]) for t in got)
+
+
+def test_video_sig_stats_flags_hot_signatures(spark, tmp_path):
+    """The hot-signature monitor: shares sum to 1, skew centers at 1,
+    and a deliberately shared slate signature ranks hottest."""
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    rows = [(v, 0, 0) for v in range(30)] + [
+        (v, 100 + v, 200 + v) for v in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, dhash_hi long, dhash_lo long"
+    )
+    idx = str(tmp_path / "vsigstats")
+    MM.write_video_sig_index(df, idx, sig_cols=("dhash_hi", "dhash_lo"))
+    stats = MM.video_sig_stats(spark, idx, top_k=1).collect()
+    assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-9
+    assert abs(sum(r["skew"] for r in stats) / len(stats) - 1.0) < 1e-9
+    hot = [r for r in stats if r["hot"]]
+    assert len(hot) == 1
+    assert (hot[0]["dhash_hi"], hot[0]["dhash_lo"]) == (0, 0)
+    assert hot[0]["n_docs"] == 30

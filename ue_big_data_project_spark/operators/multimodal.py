@@ -4185,3 +4185,80 @@ def video_probe_sig_index(
     # precedent): the result must not lazily re-read index files a
     # caller may have already expired; O(qualifying pairs) rows.
     return out.localCheckpoint(eager=True)
+
+
+def rewrite_video_sig_index(
+    spark, path: str, keep_docs: DataFrame
+) -> int:
+    """RETENTION for the video signature index: drop signature rows
+    AND size-sidecar rows of videos not in ``keep_docs``, rewriting
+    both artifacts in place (the sidecar must shed in lockstep or
+    expired videos would keep inflating probe denominators via the
+    union-max — the fp/winnow retention contract extended to the
+    two-artifact layout). Signatures are stateless, so the prune is
+    exact by construction; also doubles as compaction (rows land back
+    in the canonical ``_bucket`` sharding). Returns the surviving
+    signature-row count."""
+    root = path.rstrip("/")
+    meta = spark.read.parquet(root + "_stats").first()
+    n_buckets = int(meta["n_buckets"])
+    keep = keep_docs.select(
+        F.col(keep_docs.columns[0]).alias("id")
+    ).distinct()
+    rows = (
+        spark.read.parquet(root)
+        .join(keep, "id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n = rows.count()
+    (
+        rows.repartition(n_buckets, "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(root)
+    )
+    sizes = (
+        spark.read.parquet(root + "_sizes")
+        .join(keep, "id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    sizes.write.mode("overwrite").parquet(root + "_sizes")
+    return n
+
+
+def video_sig_stats(spark, path: str, top_k: int = 20) -> DataFrame:
+    """Hot-signature monitor for a persisted video signature index —
+    the measured basis for :func:`video_neardup_pairs`' /
+    :func:`video_probe_sig_index`'s stop-signature decision: a
+    signature shared by df videos fans df index rows into every probe
+    carrying it (black frames, slates). One aggregate over the
+    signature rows, O(distinct signatures) output, frame rasters never
+    read. Columns: the signature columns, n_docs, share, skew, hot
+    (ranks in the ``top_k`` largest — the candidate stop set; apply
+    via ``max_sig_freq``)."""
+    from pyspark.sql import Window as W
+
+    meta = spark.read.parquet(path.rstrip("/") + "_stats").first()
+    sig = meta["sig_cols"].split(",")
+    rows = (
+        spark.read.parquet(path.rstrip("/"))
+        .groupBy(*sig)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = rows.agg(
+        F.sum("n_docs").alias("_total"),
+        F.count(F.lit(1)).alias("_sigs"),
+    )
+    order = [F.desc("n_docs")] + [F.asc(c) for c in sig]
+    ranked = rows.withColumn(
+        "_rk", F.row_number().over(W.orderBy(*order))
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        *sig,
+        "n_docs",
+        (F.col("n_docs") / F.col("_total")).alias("share"),
+        (F.col("n_docs") * F.col("_sigs") / F.col("_total")).alias(
+            "skew"
+        ),
+        (F.col("_rk") <= top_k).alias("hot"),
+    )
