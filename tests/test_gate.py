@@ -66,6 +66,11 @@ PROXIED = {
     # video near-dup). Probe == union restriction and append ==
     # rebuild pinned in tests/test_mp4.py.
     "dedup_video_fp_incremental": "dedup_image_fp_incremental",
+    # Round-12-new: the video sig index's streaming drain — streamed
+    # index must answer the probe like the one-shot build (same oracle
+    # verbatim); the per-batch crash-safe drain shape anchors on the
+    # in-gate streaming_fp_index.
+    "streaming_video_sig_index": "streaming_fp_index",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

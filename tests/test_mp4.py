@@ -860,3 +860,95 @@ def test_video_sig_stats_flags_hot_signatures(spark, tmp_path):
     assert len(hot) == 1
     assert (hot[0]["dhash_hi"], hot[0]["dhash_lo"]) == (0, 0)
     assert hot[0]["n_docs"] == 30
+
+
+def test_video_sig_stream_equals_one_shot_guard_and_rewrite(
+    spark, tmp_path
+):
+    """The STREAMED video signature index answers a probe exactly like
+    a one-shot write_video_sig_index build; flat appends onto the
+    streamed layout are rejected; rewrite_video_sig_index compacts the
+    streamed layout (rows AND sizes) back to the flat appendable
+    sharding."""
+    import os
+    import time
+
+    import pytest
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators import multimodal as MM
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    ids = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+
+    def sigs_of(df):
+        return MM.mp4_frame_dhash(MM.attach_mp4_textured(df))
+
+    probe = sigs_of(ids.filter("doc_id % 4 = 1"))
+    root = str(tmp_path / "vstream")
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    now = time.time()
+    for i in range(2):
+        bdir = os.path.join(root, f"b{i}")
+        ids.filter(f"doc_id % 4 = {2 * i}").coalesce(1).write.parquet(
+            bdir
+        )
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"b{i}.parquet")
+        os.symlink(os.path.join(bdir, part), dst)
+        os.utime(os.path.join(bdir, part), (now + i, now + i))
+    sdf = spark.readStream.schema("doc_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    idx = os.path.join(root, "vsig")
+    q = ST.video_sig_ingest_stream(
+        sdf,
+        index_path=idx,
+        ledger_dir=os.path.join(root, "_ledger"),
+        signatures=lambda bdf: sigs_of(bdf),
+        sig_cols=("dhash_hi", "dhash_lo"),
+    )
+    ST.run_until_drained(q)
+
+    def rows(df):
+        return {
+            (r["id_a"], r["id_b"], r["n_sig_a"], r["n_sig_b"],
+             r["matched"])
+            for r in df.collect()
+        }
+
+    got = rows(MM.video_probe_sig_index(spark, idx, probe))
+    one_shot = str(tmp_path / "vsig_oneshot")
+    MM.write_video_sig_index(
+        sigs_of(ids.filter("doc_id % 2 = 0")),
+        one_shot,
+        sig_cols=("dhash_hi", "dhash_lo"),
+    )
+    want = rows(MM.video_probe_sig_index(spark, one_shot, probe))
+    assert got == want
+    assert want
+
+    # flat appends onto the streamed layout must be rejected
+    late = sigs_of(ids.filter("doc_id % 4 = 3"))
+    with pytest.raises(ValueError, match="batch_id"):
+        MM.video_sig_index_append(spark, idx, late)
+
+    # rewrite compacts (prune = keep everything) back to flat; the
+    # append then works and the probe sees the late quarter
+    MM.rewrite_video_sig_index(
+        spark, idx, ids.filter("doc_id % 2 = 0")
+    )
+    MM.video_sig_index_append(spark, idx, late)
+    got2 = rows(MM.video_probe_sig_index(spark, idx, probe))
+    fresh = str(tmp_path / "vsig_fresh")
+    MM.write_video_sig_index(
+        sigs_of(ids.filter("doc_id % 2 = 0 OR doc_id % 4 = 3")),
+        fresh,
+        sig_cols=("dhash_hi", "dhash_lo"),
+    )
+    want2 = rows(MM.video_probe_sig_index(spark, fresh, probe))
+    assert got2 == want2

@@ -328,6 +328,8 @@ SHUFFLE_BUDGETS = {
                                     # localCheckpoint (fp-probe
                                     # precedent) — returned plan is the
                                     # truncated checkpoint scan
+    "streaming_video_sig_index": 0,  # same checkpointed probe tail
+                                    # after the streaming drain
     "dedup_image_fp_incremental": 0,  # the probe materializes via an
                                     # eager localCheckpoint (results
                                     # must not lazily re-read expirable

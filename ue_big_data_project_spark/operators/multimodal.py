@@ -4067,6 +4067,17 @@ def video_sig_index_append(
     id_col = meta["id_col"]
     sig = meta["sig_cols"].split(",")
     n_buckets = int(meta["n_buckets"])
+    if "batch_id" in spark.read.parquet(root).columns:
+        # The winnow/ivf/fp append guard, same hazard: flat _bucket=M
+        # dirs appended next to a stream's batch_id=N/_bucket=M
+        # partitions give conflicting partition schemas and brick
+        # reads (and the sizes sidecar would mix layouts too).
+        raise ValueError(
+            f"{root} uses the stream-ingested batch_id=N/_bucket=M "
+            "layout; a flat append would conflict with it — ingest "
+            "increments through video_sig_ingest_stream, or compact "
+            "with rewrite_video_sig_index first"
+        )
     sigs = (
         new_frame_sigs.select(F.col(id_col).alias("id"), *sig)
         .distinct()
@@ -4153,6 +4164,9 @@ def video_probe_sig_index(
     )
     sizes = (
         spark.read.parquet(root + "_sizes")
+        # explicit select: a streamed sidecar carries the batch_id
+        # partition column
+        .select("id", "n_sig")
         .unionByName(probe_sizes)
         .groupBy("id")
         .agg(F.max("n_sig").alias("n_sig"))
@@ -4202,12 +4216,17 @@ def rewrite_video_sig_index(
     root = path.rstrip("/")
     meta = spark.read.parquet(root + "_stats").first()
     n_buckets = int(meta["n_buckets"])
+    sig = meta["sig_cols"].split(",")
     keep = keep_docs.select(
         F.col(keep_docs.columns[0]).alias("id")
     ).distinct()
     rows = (
         spark.read.parquet(root)
         .join(keep, "id", "left_semi")
+        # explicit columns: a streamed batch_id=N/_bucket=M layout
+        # carries batch_id, which must not persist into the compacted
+        # flat sharding
+        .select("id", *sig, "_bucket")
         .localCheckpoint(eager=True)
     )
     n = rows.count()
@@ -4220,6 +4239,7 @@ def rewrite_video_sig_index(
     sizes = (
         spark.read.parquet(root + "_sizes")
         .join(keep, "id", "left_semi")
+        .select("id", "n_sig")
         .localCheckpoint(eager=True)
     )
     sizes.write.mode("overwrite").parquet(root + "_sizes")

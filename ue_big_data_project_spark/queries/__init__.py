@@ -458,8 +458,10 @@ BENCH_EXTRA = (
     # (proxied on the in-gate dedup_image_clusters).
     "pipeline_media_prune",
     # Round-12-new: the persisted video signature index probe (proxied
-    # on the in-gate dedup_image_fp_incremental).
+    # on the in-gate dedup_image_fp_incremental) and its streaming
+    # drain (proxied on streaming_fp_index).
     "dedup_video_fp_incremental",
+    "streaming_video_sig_index",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

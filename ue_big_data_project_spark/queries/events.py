@@ -1260,7 +1260,10 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Strictly increasing mtimes pin micro-batch ORDER (the
             # file source sorts by modification time; MERGE is
             # order-sensitive, unlike the commutative HLL rollup).
-            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+            # utime the TARGET: Hadoop's local FS stats the link
+            # target, so touching the symlink would leave the order to
+            # the targets' natural write mtimes (round-11 advice).
+            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
         sdf = spark.readStream.schema("c_custkey long, n long").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
@@ -1380,7 +1383,10 @@ def streaming_cdc_merge_bucketed(
             ][0]
             dst = _os.path.join(stage, f"b{i}.parquet")
             _os.symlink(_os.path.join(bdir, part), dst)
-            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+            # utime the TARGET: Hadoop's local FS stats the link
+            # target, so touching the symlink would leave batch order
+            # to the targets' natural write mtimes (round-11 advice).
+            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
         sdf = spark.readStream.schema("c_custkey long, n long").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)

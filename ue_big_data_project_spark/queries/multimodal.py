@@ -607,7 +607,10 @@ def streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ][0]
             dst = _os.path.join(stage, f"b{i}.parquet")
             _os.symlink(_os.path.join(bdir, part), dst)
-            _os.utime(dst, (now + i, now + i), follow_symlinks=False)
+            # utime the TARGET: Hadoop's local FS stats the link
+            # target, so touching the symlink would leave batch order
+            # to the targets' natural write mtimes (round-11 advice).
+            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
         sdf = spark.readStream.schema("doc_id long").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
@@ -802,6 +805,82 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE 2 * matched >= least(sa.n_sig, sb.n_sig)
   AND (id_a % 4 = 1 OR id_b % 4 = 1)
 """
+
+
+def streaming_video_sig_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous video-signature index maintenance end-to-end: the
+    even half of the corpus replays as 3 REAL micro-batches through
+    ``streaming.video_sig_ingest_stream`` — each batch attaches its
+    textured MP4 containers, demux+decode+dHashes every frame in the
+    Arrow workers, and lands its distinct signature rows + per-video
+    sizes in crash-safe ``batch_id=N`` partitions — then the odd
+    quarter probes the STREAMED index. Signatures are stateless, so
+    batching must be invisible: the oracle is
+    ``dedup_video_fp_incremental``'s brute-force probe-incident SQL
+    VERBATIM."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    old_ids = ids.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    new = MM.mp4_frame_dhash(
+        MM.attach_mp4_textured(ids.filter(F.col("doc_id") % 4 == 1)),
+        every=1,
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_vsigstream_")
+    try:
+        stage = _os.path.join(root, "stage")
+        _os.makedirs(stage)
+        now = _time.time()
+        for i in range(3):
+            bdir = _os.path.join(root, f"b{i}")
+            (
+                old_ids.filter((F.col("doc_id") / 2) % 3 == i)
+                .coalesce(1)
+                .write.parquet(bdir)
+            )
+            part = [
+                f for f in _os.listdir(bdir) if f.endswith(".parquet")
+            ][0]
+            dst = _os.path.join(stage, f"b{i}.parquet")
+            _os.symlink(_os.path.join(bdir, part), dst)
+            # utime the TARGET (Hadoop stats the link target); order
+            # is irrelevant here anyway — the index is batch-order-
+            # invariant by construction.
+            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        sdf = spark.readStream.schema("doc_id long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = ST.video_sig_ingest_stream(
+                sdf,
+                index_path=_os.path.join(root, "vsig"),
+                ledger_dir=_os.path.join(root, "_ledger"),
+                signatures=lambda bdf: MM.mp4_frame_dhash(
+                    MM.attach_mp4_textured(bdf), every=1
+                ),
+                sig_cols=("dhash_hi", "dhash_lo"),
+            )
+            ST.run_until_drained(q)
+        finally:
+            spark.conf.set(key, prev)
+        return MM.video_probe_sig_index(
+            spark, _os.path.join(root, "vsig"), new
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
 
 
 def pipeline_media_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,6 +1284,11 @@ QUERIES = {
     ),
     "dedup_video_fp_incremental": QuerySpec(
         dedup_video_fp_incremental, MULTIMODAL_VIDEO_FP_INCREMENTAL_SQL
+    ),
+    # Batching must be invisible (stateless signatures): the streamed
+    # index's probe hashes the ONE-SHOT incremental oracle verbatim.
+    "streaming_video_sig_index": QuerySpec(
+        streaming_video_sig_index, MULTIMODAL_VIDEO_FP_INCREMENTAL_SQL
     ),
     "dedup_image_fp_incremental": QuerySpec(
         dedup_image_fp_incremental, MULTIMODAL_FP_INCREMENTAL_SQL

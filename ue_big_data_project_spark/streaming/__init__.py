@@ -1035,6 +1035,87 @@ def fp_ingest_stream(
     return idempotent_foreach_batch(sdf, apply, ledger_dir)
 
 
+def video_sig_ingest_stream(
+    sdf: DataFrame,
+    index_path: str,
+    ledger_dir: str,
+    signatures,
+    id_col: str = "doc_id",
+    sig_cols: tuple[str, ...] = ("sum_luma", "pos_digest"),
+    min_frac_num: int = 1,
+    min_frac_den: int = 2,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Continuous maintenance of the video signature index — the sixth
+    persisted family's streaming drain: each micro-batch is turned
+    into per-frame signature rows by the caller-supplied
+    ``signatures(batch_df) → (id, *sig_cols)`` stage
+    (``multimodal.mp4_frame_dhash`` over attached containers,
+    ``mp4_thumbnail_features``, …) and its distinct rows plus the
+    per-video size rows land under the batch's own partitions, after
+    which ``video_probe_sig_index`` answers against the streamed index
+    exactly as against a one-shot ``write_video_sig_index`` build
+    (signatures are stateless and the sizes union-max dedupes
+    replays — batching is invisible by construction). A video's frames
+    must arrive in ONE batch (the payload row carries the whole
+    container, so this is structural, not a constraint the caller
+    manages).
+
+    Crash/replay safety is the :func:`fp_ingest_stream` contract: each
+    batch OVERWRITES its own ``batch_id=N`` partitions in BOTH the row
+    and sizes layouts, the stats sidecar bootstraps deterministically,
+    the ledger commits last. Flat ``video_sig_index_append`` calls on
+    a streamed layout are rejected; RETENTION/compaction is
+    ``multimodal.rewrite_video_sig_index``, which prunes any layout
+    back to the flat appendable sharding (sizes in lockstep)."""
+    from ue_big_data_project_spark.operators.multimodal import (
+        _sig_bucket,
+    )
+
+    root = index_path.rstrip("/")
+    sig = list(sig_cols)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        sigs = (
+            signatures(batch_df)
+            .select(F.col(id_col).alias("id"), *sig)
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds rows AND sizes
+        )
+        (
+            sigs.withColumn("_bucket", _sig_bucket(sig, n_buckets))
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(root, f"batch_id={batch_id}"))
+        )
+        (
+            sigs.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_sig"))
+            .write.mode("overwrite")
+            .parquet(
+                os.path.join(root + "_sizes", f"batch_id={batch_id}")
+            )
+        )
+        if not fs.exists(root + "_stats"):
+            sp.createDataFrame(
+                [
+                    (
+                        id_col,
+                        ",".join(sig),
+                        min_frac_num,
+                        min_frac_den,
+                        n_buckets,
+                    )
+                ],
+                "id_col string, sig_cols string, min_frac_num int, "
+                "min_frac_den int, n_buckets int",
+            ).write.mode("overwrite").parquet(root + "_stats")
+
+    return idempotent_foreach_batch(sdf, apply, ledger_dir)
+
+
 def ivf_ingest_stream(
     sdf: DataFrame,
     index_path: str,
