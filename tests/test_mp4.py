@@ -778,6 +778,27 @@ def test_video_sig_index_probe_equals_neardup_restriction_and_append(
     assert got2 == want2
     assert got2 != got  # the appended quarter changed the answer
 
+    # REPLAY tolerance: a probe that re-presents already-indexed
+    # videos (at-least-once delivery) must not double-count their
+    # signatures into `matched` — the answer is the union-corpus
+    # restriction with the replayed ids counting as probe endpoints.
+    replay = sigs_of("doc_id % 4 = 1 OR doc_id IN (0, 2)")
+    got3 = rows(MM.video_probe_sig_index(spark, idx, replay))
+    # union corpus: index (old + late) plus the probe; the operator's
+    # internal distinct dedupes the replayed ids' signature rows
+    union3 = old.unionByName(late).unionByName(replay)
+    replay_ids = set(range(1, 80, 4)) | {0, 2}
+    want3 = {
+        t
+        for t in rows(
+            MM.video_neardup_pairs(
+                union3, sig_cols=("dhash_hi", "dhash_lo")
+            )
+        )
+        if t[0] in replay_ids or t[1] in replay_ids
+    }
+    assert got3 == want3
+
 
 def test_video_sig_index_rewrite_prunes_rows_and_sizes(spark, tmp_path):
     """Retention: rewrite_video_sig_index sheds expired videos' rows

@@ -4137,8 +4137,17 @@ def video_probe_sig_index(
         .join(probe.select(*sig).distinct(), sig)
         .select("id", *sig)
     )
-    rows = probe.withColumn("_probe", F.lit(1)).unionByName(
-        idx.withColumn("_probe", F.lit(0))
+    rows = (
+        probe.withColumn("_probe", F.lit(1))
+        .unionByName(idx.withColumn("_probe", F.lit(0)))
+        # A replayed probe id that is ALREADY indexed (at-least-once
+        # delivery) contributes the same (id, sig) row from BOTH union
+        # sides; without this dedup the self-join would count that
+        # signature twice into `matched`. One bounded exchange over
+        # probe-incident rows; max(_probe) keeps the probe marking so
+        # replayed ids still count as probe endpoints.
+        .groupBy("id", *sig)
+        .agg(F.max("_probe").alias("_probe"))
     )
     a = rows.select(
         F.col("id").alias("id_a"), F.col("_probe").alias("_pa"), *sig
