@@ -398,3 +398,82 @@ def test_semdedup_matches_within_cell_brute_force(spark, sf_dir):
     assert {r.vec_id for r in got if r.kept == 0} == expected_drop
     assert len(got) == len(vecs)  # every item reported exactly once
     spark.catalog.clearCache()
+
+
+def test_rewrite_ivf_index_equals_fresh_kept_and_compacts_streamed(
+    spark, tmp_path
+):
+    """rewrite_ivf_index (retention): the pruned index must equal a
+    fresh tag-and-write of the kept corpus against the SAME frozen
+    centroids — row for row and probe for probe — and it compacts the
+    stream-ingested batch_id=N/cell=C layout back into the flat
+    appendable sharding."""
+    from ue_big_data_project_spark.operators.similarity import (
+        _write_tagged,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_knn_indexed,
+        rewrite_ivf_index,
+    )
+
+    e = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    kept = e.filter(F.col("vec_id") % 3 != 0)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    idx = str(tmp_path / "ivf_prune")
+    build_ivf_index(e, idx, n_centroids=8, kmeans_iters=2)
+    n = rewrite_ivf_index(spark, idx, kept.select("vec_id"))
+    assert n == kept.count()
+    cents = spark.read.parquet(idx + "_centroids")
+
+    fresh = str(tmp_path / "ivf_fresh_kept")
+    _write_tagged(kept, cents, fresh, "vec_id", "embedding", 6, "overwrite")
+    cents.write.parquet(fresh + "_centroids")
+
+    assert sorted(
+        map(tuple, spark.read.parquet(idx).select("vec_id", "cell").collect())
+    ) == sorted(
+        map(
+            tuple,
+            spark.read.parquet(fresh).select("vec_id", "cell").collect(),
+        )
+    )
+    got = ivf_knn_indexed(spark, idx, queries, k=5, nprobe=2)
+    want = ivf_knn_indexed(spark, fresh, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # Streamed layout (batch_id=N/cell=C, the ivf_ingest_stream shape):
+    # the rewrite prunes it back to flat, after which flat appends work.
+    streamed = str(tmp_path / "ivf_streamed")
+    for b, pred in enumerate(("vec_id % 2 = 0", "vec_id % 2 = 1")):
+        _write_tagged(
+            e.filter(pred),
+            cents,
+            f"{streamed}/batch_id={b}",
+            "vec_id",
+            "embedding",
+            6,
+            "overwrite",
+        )
+    cents.write.parquet(streamed + "_centroids")
+    assert "batch_id" in spark.read.parquet(streamed).columns
+    with pytest.raises(ValueError, match="batch_id"):
+        ivf_index_append(spark, streamed, e.limit(1))
+    n2 = rewrite_ivf_index(spark, streamed, kept.select("vec_id"))
+    assert n2 == n
+    assert "batch_id" not in spark.read.parquet(streamed).columns
+    late = e.filter(F.col("vec_id") % 3 == 0)
+    ivf_index_append(spark, streamed, late)  # flat layout again
+    got2 = ivf_knn_indexed(spark, streamed, queries, k=5, nprobe=2)
+    full = str(tmp_path / "ivf_full_again")
+    _write_tagged(e, cents, full, "vec_id", "embedding", 6, "overwrite")
+    cents.write.parquet(full + "_centroids")
+    want2 = ivf_knn_indexed(spark, full, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )

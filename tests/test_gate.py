@@ -71,6 +71,20 @@ PROXIED = {
     # verbatim); the per-batch crash-safe drain shape anchors on the
     # in-gate streaming_fp_index.
     "streaming_video_sig_index": "streaming_fp_index",
+    # Round-12-new: RETENTION for the BM25 inverted index — the same
+    # bm25_topk_indexed probe contract as the in-gate appended entry
+    # (rewrite == fresh build over the kept corpus, sidecars
+    # recomputed exactly; equivalence in tests/test_retrieval.py).
+    "text_bm25_pruned": "text_bm25_appended",
+    # Round-12-new: the BM25 index's streaming drain — streamed index
+    # must answer the probe like the one-shot build (full-corpus
+    # search oracle verbatim); the per-batch crash-safe drain shape
+    # anchors on the in-gate streaming_fp_index.
+    "streaming_bm25_index": "streaming_fp_index",
+    # Round-12-new: RETENTION for the persisted IVF index — frozen
+    # quantizer, cell layout rewritten to survivors only; anchors on
+    # the in-gate IVF probe twin (same pruned-probe plan shape).
+    "knn_cosine_ivf_pruned": "knn_cosine_ivf_probe",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

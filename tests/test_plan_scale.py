@@ -342,6 +342,16 @@ SHUFFLE_BUDGETS = {
                                     # (per-batch work happens in the
                                     # drained stream)
     "dedup_image_fp_pruned": 0,     # same checkpoint-truncated probe
+    "text_bm25_pruned": 0,          # retention rewrite runs eagerly;
+                                    # the returned probe is the
+                                    # checkpoint scan (probe shape
+                                    # pinned via text_bm25_probe)
+    "streaming_bm25_index": 0,      # probe returns the checkpoint scan
+                                    # (per-batch work happens in the
+                                    # drained stream)
+    "knn_cosine_ivf_pruned": 0,     # same checkpoint-truncated probe
+                                    # (probe shape pinned via
+                                    # knn_cosine_ivf_probe)
     "dedup_image_clusters": 2,      # final label join + projection; the
                                     # CC iterations run behind their own
                                     # checkpoints (convergence-bounded,

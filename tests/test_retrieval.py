@@ -472,3 +472,169 @@ def test_compaction_preserves_appended_index_layout_and_answers(
         bm25_topk_indexed(spark, compacted, q, k=3).collect(), key=key
     )
     assert [r.asDict() for r in after] == [r.asDict() for r in before]
+
+
+def test_rewrite_text_index_equals_fresh_kept_build(spark, tmp_path):
+    """rewrite_text_index (retention) must be EXACTLY a fresh build
+    over the kept corpus: same probe answers, same sidecars — N, avgdl
+    and df_t genuinely stop counting removed documents."""
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+        rewrite_text_index,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    kept = docs.filter(F.col("doc_id") % 3 != 0)
+    q = spark.createDataFrame(
+        [(0, "spark join window"), (1, "customer order data")],
+        "query_id int, query_text string",
+    )
+    pruned_idx = str(tmp_path / "pruned")
+    fresh_idx = str(tmp_path / "fresh")
+    build_text_index(docs, pruned_idx, n_buckets=8)
+    n = rewrite_text_index(spark, pruned_idx, kept.select("doc_id"))
+    build_text_index(kept, fresh_idx, n_buckets=8)
+    assert n == spark.read.parquet(fresh_idx).count()
+
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    got = sorted(
+        bm25_topk_indexed(spark, pruned_idx, q, k=5).collect(), key=key
+    )
+    want = sorted(
+        bm25_topk_indexed(spark, fresh_idx, q, k=5).collect(), key=key
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert got  # non-vacuous
+
+    s_p = spark.read.parquet(pruned_idx + "_stats").first().asDict()
+    s_f = spark.read.parquet(fresh_idx + "_stats").first().asDict()
+    assert s_p == s_f
+    tf_p = {
+        r.term: r.df_t
+        for r in spark.read.parquet(pruned_idx + "_termdf").collect()
+    }
+    tf_f = {
+        r.term: r.df_t
+        for r in spark.read.parquet(fresh_idx + "_termdf").collect()
+    }
+    assert tf_p == tf_f
+
+
+def test_bm25_stream_equals_one_shot_guard_and_rewrite(spark, tmp_path):
+    """The STREAMED BM25 index answers exactly like a one-shot build
+    over the union corpus (sidecars aggregate on read); a full replay
+    against the same ledger is byte-stable; flat appends onto the
+    streamed layout are rejected; rewrite_text_index prunes + compacts
+    back to the flat appendable layout."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators.retrieval import (
+        append_text_index,
+        bm25_topk_indexed,
+        build_text_index,
+        rewrite_text_index,
+    )
+    from ue_big_data_project_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ].select("doc_id", "text")
+    corpus = docs.filter("doc_id % 2 = 0")
+    late = docs.filter("doc_id % 4 = 3")
+    q = spark.createDataFrame(
+        [(0, "spark join window"), (1, "customer order data")],
+        "query_id int, query_text string",
+    )
+
+    root = str(tmp_path / "bm25stream")
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    now = time.time()
+    for i in range(2):
+        bdir = os.path.join(root, f"b{i}")
+        corpus.filter(f"doc_id % 4 = {2 * i}").coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        os.symlink(
+            os.path.join(bdir, part), os.path.join(stage, f"b{i}.parquet")
+        )
+        os.utime(os.path.join(bdir, part), (now + i, now + i))
+
+    idx = os.path.join(root, "bm25idx")
+    ledger = os.path.join(root, "_ledger")
+
+    def drain():
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        ST.run_until_drained(
+            ST.bm25_ingest_stream(sdf, idx, ledger, n_buckets=8)
+        )
+
+    drain()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    got = sorted(bm25_topk_indexed(spark, idx, q, k=5).collect(), key=key)
+    flat = str(tmp_path / "oneshot")
+    build_text_index(corpus, flat, n_buckets=8)
+    want = sorted(bm25_topk_indexed(spark, flat, q, k=5).collect(), key=key)
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert got
+
+    # Replay: ledger skips committed batches; all three layouts stable.
+    def files(p):
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _, fns in os.walk(p)
+            for f in fns
+            if f.endswith(".parquet")
+        )
+
+    before = [files(idx), files(idx + "_termdf"), files(idx + "_stats")]
+    drain()
+    assert [files(idx), files(idx + "_termdf"), files(idx + "_stats")] == before
+
+    with pytest.raises(ValueError, match="stream-ingested"):
+        append_text_index(spark, late, idx)
+
+    kept = corpus.filter(F.col("doc_id") % 16 != 0)
+    n = rewrite_text_index(spark, idx, kept.select("doc_id"))
+    assert n > 0
+    assert "batch_id" not in spark.read.parquet(idx).columns
+    append_text_index(spark, late, idx)  # flat layout again
+    got2 = sorted(bm25_topk_indexed(spark, idx, q, k=5).collect(), key=key)
+    fresh = str(tmp_path / "fresh_kept_late")
+    build_text_index(kept.unionByName(late), fresh, n_buckets=8)
+    want2 = sorted(bm25_topk_indexed(spark, fresh, q, k=5).collect(), key=key)
+    assert [r.asDict() for r in got2] == [r.asDict() for r in want2]
+
+
+def test_text_index_term_stats_flags_hot_terms(spark, tmp_path, toy):
+    """text_index_term_stats: shares sum to 1, skew centers at 1, the
+    most document-frequent term ranks hot, exactly top_k rows flagged."""
+    from ue_big_data_project_spark.operators.retrieval import (
+        build_text_index,
+        text_index_term_stats,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_text_index(toy, idx, n_buckets=4)
+    rows = text_index_term_stats(spark, idx, top_k=1).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    mean_skew = sum(r.skew for r in rows) / len(rows)
+    assert abs(mean_skew - 1.0) < 1e-9
+    hot = [r.term for r in rows if r.hot]
+    # df: "spark" and "join" both appear in 3 docs; the (df desc, term
+    # asc) comparator makes "join" the single hot row at top_k=1.
+    assert hot == ["join"]
+    assert max((r.df_t, r.term == "join") for r in rows)[0] == 3

@@ -303,6 +303,17 @@ def append_text_index(
     layout probes prune on) when frequent increments fragment them.
     """
     root = path.rstrip("/")
+    if "batch_id" in spark.read.parquet(root).columns:
+        # Flat bucket files appended next to a stream's
+        # batch_id=N/term_bucket=M partitions would brick every
+        # subsequent read with conflicting partition schemas — the
+        # ivf_index_append / fp_index_append guard.
+        raise ValueError(
+            f"{root} uses the stream-ingested batch_id=N/term_bucket=M "
+            "layout; a flat append would conflict with it — ingest the "
+            "increment via streaming.bm25_ingest_stream, or compact "
+            "with rewrite_text_index first"
+        )
     stats_row = spark.read.parquet(root + "_stats").first()
     n_buckets = int(stats_row["n_buckets"])
     postings, _doclen = build_postings(docs, id_col, text_col)
@@ -377,7 +388,27 @@ def bm25_topk_indexed(
     """
     root = path.rstrip("/")
     stats = spark.read.parquet(root + "_stats")
-    n_buckets = stats.select("n_buckets").first()[0]
+    n_buckets = int(stats.select("n_buckets").first()[0])
+    # On the stream-ingested layout (streaming.bm25_ingest_stream lands
+    # per-batch DELTA rows under batch_id=N partitions) the sidecars
+    # AGGREGATE ON READ: n_docs/total_len sum across batches, and a
+    # term's df_t is the sum of its per-batch document frequencies —
+    # exactly what a one-shot build would have counted, because a
+    # document's postings live in exactly one batch. Both aggregates
+    # are bounded (1 row; ≤ |query terms| after the term prune). The
+    # flat build/append layout — the 100 TB steady state — skips them
+    # (the sums would be identity), keeping the probe at its pinned
+    # 2-exchange plan; the branch is a schema check (partition-column
+    # presence), no data read.
+    streamed = "batch_id" in stats.columns
+    corpus = (
+        stats.groupBy().agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+        if streamed
+        else stats.select("n_docs", "total_len")
+    )
     qterms = _query_terms(queries).localCheckpoint(eager=True)
     # Two pruning levels, each with a BOUNDED driver cost: the bucket
     # list (≤ n_buckets distinct values by construction — it is a mod)
@@ -413,10 +444,112 @@ def bm25_topk_indexed(
         tkeys = F.broadcast(qterms.select("term"))
         postings = postings.join(tkeys, "term", "leftsemi")
         termdf = termdf.join(tkeys, "term", "leftsemi")
-    qstats = _query_stats(
-        termdf, qterms, stats.select("n_docs", "total_len")
-    )
+    if streamed:
+        # Collapse per-batch df deltas AFTER the term prune
+        # (≤ |query terms| groups).
+        termdf = termdf.groupBy("term").agg(
+            F.sum("df_t").cast("long").alias("df_t")
+        )
+    qstats = _query_stats(termdf, qterms, corpus)
     return _rank_candidates(postings, qstats, k, k1, b)
+
+
+def rewrite_text_index(spark: SparkSession, path: str, keep_docs: DataFrame) -> int:
+    """RETENTION for the persisted BM25 index: drop the postings of
+    documents not in ``keep_docs`` (takedowns, licence expiry, quality
+    re-filters) and recompute BOTH sidecars exactly from the survivors,
+    rewriting the term-bucket sharding in place. Nothing in this index
+    is frozen — ``_termdf`` document frequencies and the ``_stats``
+    corpus aggregates are pure functions of the posting rows — so the
+    pruned index answers byte-for-byte like a fresh
+    :func:`build_text_index` over the kept corpus (equivalence-tested
+    in tests/test_retrieval.py); unlike a tombstone overlay, scores
+    genuinely stop counting removed documents in N/avgdl/df.
+
+    Accepts BOTH layouts (flat ``term_bucket=M`` and the
+    stream-ingested ``batch_id=N/term_bucket=M``) and always emits the
+    canonical flat sharding — doubling as the compaction that retires a
+    streamed index into an :func:`append_text_index`-able artifact (the
+    ``rewrite_fp_index`` / ``rewrite_winnow_index`` contract). Cost is
+    one semi-join scan of the postings (never a re-tokenize: ``tf`` and
+    ``dl`` ride the surviving rows) + the build's sidecar aggregates.
+    Returns the surviving posting-row count."""
+    root = path.rstrip("/")
+    n_buckets = int(
+        spark.read.parquet(root + "_stats").select("n_buckets").first()[0]
+    )
+    keep = keep_docs.select(
+        F.col(keep_docs.columns[0]).alias("doc_id")
+    ).distinct()
+    rows = (
+        spark.read.parquet(root)
+        .join(keep, "doc_id", "left_semi")
+        # explicit columns: a streamed batch_id=N/term_bucket=M layout
+        # surfaces batch_id as a partition column — dropped here so the
+        # rewrite always lands flat.
+        .select("doc_id", "term", "tf", "dl", "term_bucket")
+        .localCheckpoint(eager=True)  # materialize before the overwrite
+    )
+    n = rows.count()
+    (
+        rows.repartition(n_buckets, "term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(root)
+    )
+    # Sidecars recomputed EXACTLY from the surviving postings (the
+    # checkpointed rows — never a second scan of the rewritten dir):
+    # df_t per term, then the 1-row corpus stats. dl is constant per
+    # doc, so max() collapses map-side like the build's read-back.
+    rows.groupBy("term").agg(F.count(F.lit(1)).alias("df_t")).write.mode(
+        "overwrite"
+    ).parquet(root + "_termdf")
+    rows.groupBy("doc_id").agg(F.max("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).write.mode("overwrite").parquet(root + "_stats")
+    return n
+
+
+def text_index_term_stats(
+    spark: SparkSession, path: str, top_k: int = 20
+) -> DataFrame:
+    """Hot-term monitor for a persisted BM25 index — the measured basis
+    for stopword policy, the text twin of
+    :func:`~ue_big_data_project_spark.operators.multimodal.fp_band_stats`:
+    a term in df_t documents fans df_t posting rows into EVERY probe
+    that carries it, and while BM25's idf already scores such terms
+    near zero, the probe still pays their candidate rows — so extreme
+    ``skew`` here (boilerplate tokens, markup fragments) is the signal
+    to normalize them out upstream or drop them from query strings.
+    Layout-agnostic (flat or streamed — df sums across batch deltas):
+    one aggregate over the ``_termdf`` sidecar, O(vocabulary) output,
+    postings never read.
+
+    Columns: term, df_t, share (of all postings' df mass), skew (df_t
+    / mean df_t), hot (term ranks in the ``top_k`` most frequent)."""
+    rows = (
+        spark.read.parquet(path.rstrip("/") + "_termdf")
+        .groupBy("term")
+        .agg(F.sum("df_t").cast("long").alias("df_t"))
+    )
+    totals = rows.agg(
+        F.sum("df_t").alias("_total"), F.count(F.lit(1)).alias("_terms")
+    )
+    ranked = rows.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("df_t"), F.asc("term"))
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "df_t",
+        (F.col("df_t") / F.col("_total")).alias("share"),
+        (F.col("df_t") * F.col("_terms") / F.col("_total")).alias("skew"),
+        (F.col("_rk") <= top_k).alias("hot"),
+    )
 
 
 def unigram_surprisal(

@@ -1041,6 +1041,63 @@ def ivf_index_append(
     )
 
 
+def rewrite_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    keep_items: DataFrame,
+    item_id: str = "vec_id",
+) -> int:
+    """RETENTION for a persisted IVF index: drop the vectors of items
+    not in ``keep_items`` (takedowns, licence expiry, re-embedding
+    waves), rewriting the cell-partitioned layout in place. The frozen
+    coarse quantizer (``<index>_centroids``) is deliberately UNTOUCHED:
+    cell boundaries — and therefore every survivor's placement and
+    every probe plan — don't depend on which vectors exist, so the
+    pruned index answers exactly like a fresh
+    :func:`build_ivf_index` tag-and-write of the kept corpus against
+    the same centroids (equivalence-tested in tests/test_approx.py);
+    removed vectors simply stop appearing among any probe's
+    candidates. (If heavy pruning shifts the corpus distribution away
+    from the trained centroids, that is the same rebuild decision
+    appends face — monitor via :func:`ivf_cell_stats`.)
+
+    Accepts BOTH layouts (flat ``cell=C`` and the stream-ingested
+    ``batch_id=N/cell=C``) and always emits the canonical flat
+    sharding — doubling as the compaction that retires a streamed
+    index into an :func:`ivf_index_append`-able artifact and the
+    windowed-retention primitive ``ivf_ingest_stream``'s batch_id
+    partitions only approximate. Cost is one semi-join scan of the
+    index (never a re-assignment: the ``cell`` tag rides each
+    surviving row). Returns the surviving vector count."""
+    root = index_path.rstrip("/")
+    keep = keep_items.select(
+        F.col(keep_items.columns[0]).alias(item_id)
+    ).distinct()
+    src = spark.read.parquet(root)
+    # explicit column cut: a streamed batch_id=N/cell=C layout
+    # surfaces batch_id as a partition column — dropped so the rewrite
+    # always lands flat.
+    cols = [c for c in src.columns if c != "batch_id"]
+    rows = (
+        src.join(keep, item_id, "left_semi")
+        .select(*cols)
+        .localCheckpoint(eager=True)  # materialize before the overwrite
+    )
+    n = rows.count()
+    # Width-capped hash-clustering on the cell — the _write_tagged
+    # sizing: each cell lands wholly in one task (one file per cell),
+    # without paying one near-empty writer task per cell.
+    n_cells = spark.read.parquet(root + "_centroids").count()
+    width = spark.sparkContext.defaultParallelism
+    (
+        rows.repartition(max(1, min(int(n_cells), width)), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(root)
+    )
+    return n
+
+
 def ivf_cell_stats(spark: SparkSession, index_path: str) -> DataFrame:
     """Per-cell occupancy of a persisted IVF index — the quantizer-drift
     monitor :func:`ivf_index_append`'s contract points at: appends with

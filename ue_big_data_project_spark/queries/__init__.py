@@ -462,6 +462,14 @@ BENCH_EXTRA = (
     # drain (proxied on streaming_fp_index).
     "dedup_video_fp_incremental",
     "streaming_video_sig_index",
+    # Round-12-new: the retention + streaming-drain closers for the
+    # two persisted families that still lacked them — BM25 prune
+    # (proxied on the in-gate text_bm25_appended), the BM25 streaming
+    # drain (proxied on streaming_fp_index), and IVF prune (proxied on
+    # knn_cosine_ivf_probe).
+    "text_bm25_pruned",
+    "streaming_bm25_index",
+    "knn_cosine_ivf_pruned",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

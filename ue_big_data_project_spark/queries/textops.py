@@ -1006,6 +1006,52 @@ def knn_cosine_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(root, ignore_errors=True)
 
 
+def knn_cosine_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION for the persisted IVF index — the embeddings family's
+    prune path (the `dedup_image_fp_pruned` / `dedup_jaccard_pruned`
+    precedent): the session-scoped full-corpus index is cloned,
+    operators/similarity.rewrite_ivf_index drops every 3rd vector
+    (takedowns) while the frozen quantizer stays untouched, and the
+    standard query batch probes the SURVIVORS. Cell boundaries don't
+    depend on which vectors exist, so the oracle is the IVF SQL replay
+    with ONLY the scored-corpus CTE restricted to kept ids — the Lloyd
+    chain still trains on the full sample, exactly as the persisted
+    centroids did."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.similarity import (
+        rewrite_ivf_index,
+    )
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = _session_index(
+        "ivf",
+        sf_dir,
+        lambda p: build_ivf_index(e, p, n_centroids=16, kmeans_iters=2),
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_ivf_prune_")
+    idx = root + "/ivf"
+    try:
+        # The rewrite mutates the index in place, so each run works on
+        # a fresh clone of the session base (a few MB of parquet —
+        # filesystem copy, no Spark job).
+        _sh.copytree(base, idx)
+        _sh.copytree(base + "_centroids", idx + "_centroids")
+        rewrite_ivf_index(
+            spark, idx, e.filter(F.col("vec_id") % 3 != 0).select("vec_id")
+        )
+        queries = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return ivf_knn_indexed(
+            spark, idx, queries, k=5, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 # Session-scoped prebuilt scratch indexes for the probe-only bench
 # twins below: built ONCE per (kind, sf_dir) per process, removed at
 # interpreter exit. The build+probe gate entries (knn_cosine_ivf_indexed
@@ -1348,17 +1394,23 @@ def _ivf_sql(
     nprobe: int = 2,
     k: int = 5,
     train_mod: int = 4,
+    item_where: str | None = None,
 ) -> str:
     """DuckDB replay of kmeans_centroids + ivf_knn (Lloyd chain from
-    :func:`_lloyd_chain_sql` + tag/probe/score/rank tail)."""
+    :func:`_lloyd_chain_sql` + tag/probe/score/rank tail).
+    ``item_where`` restricts the SCORED corpus only (``item_sc``) — the
+    retention oracle's shape: the quantizer is a frozen artifact, so
+    the Lloyd chain still trains on the full sample while pruned
+    vectors merely vanish from every probe's candidates."""
     parts = _lloyd_chain_sql(n_centroids, iters, train_mod)
     cent = f"c{iters}"
+    item_cond = f" WHERE {item_where}" if item_where else ""
     parts.append(
         f""",
 item_sc AS (
   SELECT e.vec_id, e.embedding, c.cent_id,
          {_cos_sql("e.embedding", "c.cent_vec")} AS cent_sim
-  FROM embeddings e, {cent} c
+  FROM embeddings e, {cent} c{item_cond}
 ),
 tagged AS (
   SELECT vec_id, embedding, cent_id AS cell FROM (
@@ -1401,6 +1453,10 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
 
 
 KNN_IVF_SQL = _ivf_sql()
+
+# Retention twin: same replay, scored corpus restricted to the kept
+# vectors (quantizer-training CTEs untouched — frozen artifact).
+KNN_IVF_PRUNED_SQL = _ivf_sql(item_where="e.vec_id % 3 <> 0")
 
 
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2675,11 +2731,16 @@ def _bm25_sql(
     b: float = 0.75,
     k: int = 5,
     queries: tuple[tuple[int, str], ...] = _BM25_QUERIES,
+    where: str | None = None,
 ) -> str:
     """Oracle twin of operators/retrieval.bm25_topk: identical token
     stream, query normalization, idf form, FP op order, 6-dp per-term
-    rounding, decimal sum."""
+    rounding, decimal sum. ``where`` restricts the CORPUS (the ``base``
+    CTE — every downstream stat, df and posting derives from it), the
+    retention oracle's shape: scoring a pruned index must equal scoring
+    the kept corpus from scratch."""
     values = ", ".join(f"({i}, '{t}')" for i, t in queries)
+    corpus_cond = f" WHERE {where}" if where else ""
     avgdl = "(total_len::DOUBLE / n_docs)"
     idf = "ln(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))"
     partial = sql_round(
@@ -2689,7 +2750,8 @@ def _bm25_sql(
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, list_filter({_WORDS}, w -> w <> '') AS words FROM documents
+  SELECT doc_id, list_filter({_WORDS}, w -> w <> '') AS words
+  FROM documents{corpus_cond}
 ),
 toks AS (
   SELECT doc_id, len(words) AS dl, unnest(words) AS term FROM base
@@ -2891,6 +2953,130 @@ def text_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bm25_topk_indexed(spark, idx, q, k=5).localCheckpoint(
             eager=True
         )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+def text_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION for the persisted BM25 index — the text-retrieval
+    family's prune path: the session-scoped full-corpus index is
+    cloned, operators/retrieval.rewrite_text_index drops every 3rd
+    document (takedowns) and recomputes BOTH sidecars exactly from the
+    surviving postings, and the standard query batch probes the
+    SURVIVORS. Nothing in this index is frozen, so the oracle is the
+    BM25 SQL replay over the kept corpus alone — N, avgdl and every
+    df_t genuinely stop counting removed documents (a tombstone overlay
+    would get the stats wrong; hash-equality here proves the rewrite
+    doesn't)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+        rewrite_text_index,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = _session_index(
+        "bm25", sf_dir, lambda p: build_text_index(d, p, n_buckets=16)
+    )
+    root = _tf.mkdtemp(prefix="spark_graft_bm25_prune_")
+    idx = root + "/text_index"
+    try:
+        # The rewrite mutates all three layouts in place, so each run
+        # clones the session base (filesystem copy, no Spark job).
+        for suf in ("", "_termdf", "_stats"):
+            _sh.copytree(base + suf, idx + suf)
+        rewrite_text_index(
+            spark, idx, d.filter(F.col("doc_id") % 3 != 0).select("doc_id")
+        )
+        q = spark.createDataFrame(
+            list(_BM25_QUERIES), "query_id int, query_text string"
+        )
+        return bm25_topk_indexed(spark, idx, q, k=5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+TEXT_BM25_PRUNED_SQL = _bm25_sql(where="doc_id % 3 <> 0")
+
+
+def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous BM25-index maintenance end-to-end — the streaming
+    drain for the text-retrieval persisted family: the corpus replays
+    as 3 REAL micro-batches through ``streaming.bm25_ingest_stream``
+    (each batch tokenizes ONLY itself and lands its term-bucket posting
+    rows plus df/stats DELTA rows in its own crash-safe ``batch_id=N``
+    partitions), then the standard query batch probes the STREAMED
+    index. The probe aggregates the sidecars on read, so batching must
+    be invisible: the oracle is ``text_bm25_search``'s full-corpus SQL
+    VERBATIM — the streamed index has to answer byte-for-byte like the
+    one-shot ``build_text_index`` build."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+    )
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    root = _tf.mkdtemp(prefix="spark_graft_bm25stream_")
+    try:
+        stage = _os.path.join(root, "stage")
+        _os.makedirs(stage)
+        now = _time.time()
+        for i in range(3):
+            bdir = _os.path.join(root, f"b{i}")
+            (
+                d.filter(F.col("doc_id") % 3 == i)
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.parquet(bdir)
+            )
+            part = [
+                f for f in _os.listdir(bdir) if f.endswith(".parquet")
+            ][0]
+            _os.symlink(
+                _os.path.join(bdir, part),
+                _os.path.join(stage, f"b{i}.parquet"),
+            )
+            # utime the TARGET (Hadoop's local FS stats the link
+            # target) so the staged mtimes actually govern the
+            # FileStreamSource order; the index is batch-order-
+            # invariant either way.
+            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        sdf = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        # Right-size per-batch shuffles for the bounded replay (the
+        # cluster-stream precedent).
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = ST.bm25_ingest_stream(
+                sdf,
+                index_path=_os.path.join(root, "bm25idx"),
+                ledger_dir=_os.path.join(root, "_ledger"),
+                n_buckets=16,
+            )
+            ST.run_until_drained(q)
+        finally:
+            spark.conf.set(key, prev)
+        queries = spark.createDataFrame(
+            list(_BM25_QUERIES), "query_id int, query_text string"
+        )
+        return bm25_topk_indexed(
+            spark, _os.path.join(root, "bm25idx"), queries, k=5
+        ).localCheckpoint(eager=True)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -3374,6 +3560,11 @@ QUERIES = {
     "text_bm25_search": QuerySpec(text_bm25_search, TEXT_BM25_SQL),
     "text_bm25_indexed": QuerySpec(text_bm25_indexed, TEXT_BM25_SQL),
     "text_bm25_appended": QuerySpec(text_bm25_appended, TEXT_BM25_SQL),
+    "text_bm25_pruned": QuerySpec(text_bm25_pruned, TEXT_BM25_PRUNED_SQL),
+    # The streamed index must answer exactly like the one-shot build —
+    # the full-corpus search oracle VERBATIM (sidecars aggregate on
+    # read, so batching is invisible by construction).
+    "streaming_bm25_index": QuerySpec(streaming_bm25_index, TEXT_BM25_SQL),
     "text_hybrid_search": QuerySpec(text_hybrid_search, TEXT_HYBRID_SQL),
     "knn_cosine_brute": QuerySpec(knn_cosine_brute, KNN_BRUTE_SQL),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_LSH_SQL),
@@ -3381,6 +3572,9 @@ QUERIES = {
     "knn_cosine_ivf_indexed": QuerySpec(knn_cosine_ivf_indexed, KNN_IVF_SQL),
     "knn_cosine_ivf_appended": QuerySpec(knn_cosine_ivf_appended, KNN_IVF_SQL),
     "knn_cosine_ivf_probe": QuerySpec(knn_cosine_ivf_probe, KNN_IVF_SQL),
+    "knn_cosine_ivf_pruned": QuerySpec(
+        knn_cosine_ivf_pruned, KNN_IVF_PRUNED_SQL
+    ),
     "text_bm25_probe": QuerySpec(text_bm25_probe, TEXT_BM25_SQL),
     "knn_cosine_pq": QuerySpec(knn_cosine_pq, KNN_PQ_SQL),
 }

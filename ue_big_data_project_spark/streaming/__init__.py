@@ -1191,6 +1191,107 @@ def ivf_ingest_stream(
     return idempotent_foreach_batch(sdf, ingest, ledger_dir)
 
 
+def bm25_ingest_stream(
+    sdf: DataFrame,
+    index_path: str,
+    ledger_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Continuous document ingestion into a persisted BM25 inverted
+    index (the :func:`~ue_big_data_project_spark.operators.retrieval.build_text_index`
+    family's streaming drain): each micro-batch is tokenized ONCE
+    (an increment-scale ``build_postings`` — the existing corpus is
+    never re-scanned) and lands three per-batch artifacts, so lexical
+    search sees new documents as soon as their batch commits:
+
+    - posting rows under ``<index>/batch_id=N/term_bucket=M`` — the
+      same term-bucket sharding a flat build uses, nested inside the
+      batch partition, so a probe's bucket pruning keeps working;
+    - its document-frequency DELTA under ``<index>_termdf/batch_id=N``
+      (a term's true df is the SUM of its per-batch deltas — exact,
+      because a document's postings live in exactly one batch);
+    - its corpus-stats delta (doc count, total length) under
+      ``<index>_stats/batch_id=N``.
+
+    ``bm25_topk_indexed`` aggregates the sidecars on read (identity
+    over a flat layout), so the streamed index answers byte-for-byte
+    like a one-shot build over the union corpus — batching is
+    invisible, the property `streaming_bm25_index`'s oracle pins.
+
+    Crash/replay safety is the :func:`fp_ingest_stream` contract: every
+    batch OVERWRITES its own ``batch_id=N`` partition in all three
+    layouts, the ledger marker commits last, replays rewrite
+    byte-identically. Documents must be NEW ids (re-crawls are an
+    upsert — route through ``cdc.upsert_latest`` and rebuild). Flat
+    :func:`~ue_big_data_project_spark.operators.retrieval.append_text_index`
+    calls on a streamed layout are rejected; RETENTION/compaction is
+    :func:`~ue_big_data_project_spark.operators.retrieval.rewrite_text_index`,
+    which recomputes both sidecars from surviving postings and emits
+    the flat appendable sharding from either layout.
+
+    Per-batch cost: one tokenize + one (doc, term) shuffle of the
+    batch plus a batch-vocabulary aggregate — O(batch), independent of
+    index size."""
+    from pyspark.errors import AnalysisException
+
+    from ue_big_data_project_spark.operators.retrieval import build_postings
+
+    root = index_path.rstrip("/")
+    layout_checked = False
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        nonlocal layout_checked
+        if not layout_checked:
+            try:
+                if "batch_id" not in sp.read.parquet(root).columns:
+                    raise ValueError(
+                        f"{root} uses the flat build_text_index layout; "
+                        "stream batches would conflict with it — append "
+                        "via retrieval.append_text_index, or point the "
+                        "stream at a fresh index path"
+                    )
+            except AnalysisException:
+                pass  # no data yet: this stream creates the layout
+            layout_checked = True
+        postings, _doclen = build_postings(batch_df, id_col, text_col)
+        # One eager materialization of the increment's postings feeds
+        # the bucket write AND both sidecar deltas — the batch is
+        # tokenized exactly once (the append_text_index lesson).
+        inc = postings.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        ).localCheckpoint(eager=True)
+        (
+            inc.repartition(n_buckets, "term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(root, f"batch_id={batch_id}"))
+        )
+        inc.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df_t")
+        ).write.mode("overwrite").parquet(
+            os.path.join(root + "_termdf", f"batch_id={batch_id}")
+        )
+        delta = (
+            inc.groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+            .first()
+        )
+        sp.createDataFrame(
+            [(int(delta["n"] or 0), int(delta["t"] or 0), n_buckets)],
+            "n_docs long, total_len long, n_buckets int",
+        ).write.mode("overwrite").parquet(
+            os.path.join(root + "_stats", f"batch_id={batch_id}")
+        )
+
+    return idempotent_foreach_batch(sdf, ingest, ledger_dir)
+
+
 def hll_ingest_stream(
     sdf: DataFrame,
     registers_path: str,
