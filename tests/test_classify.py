@@ -1,0 +1,136 @@
+"""Multinomial NB classification semantics on a hand-checkable toy
+corpus, including an exact bit-level replication of the decimal score
+pipeline."""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from ue_big_data_project_spark.operators.classify import (
+    nb_classify,
+    nb_self_classify,
+    nb_train,
+)
+
+TOY = [
+    (1, "ham", "eggs bacon eggs"),
+    (2, "ham", "eggs toast"),
+    (3, "ham", "bacon toast bacon"),
+    (4, "spam", "deal viagra deal deal"),
+    (5, "spam", "viagra viagra deal"),
+    (6, "ham", ""),  # empty: scored on priors alone
+    (7, "ham", "zzz qqq"),  # every term unseen: prior + dl*floor
+]
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    return spark.createDataFrame(TOY, "doc_id long, source string, text string")
+
+
+def _r6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _d6(x: float) -> Decimal:
+    # Spark/DuckDB cast double -> DECIMAL(18,6): the double's exact
+    # decimal expansion rounded HALF_UP at scale 6.
+    return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+
+def _expected(rows, alpha=1.0):
+    """Pure-Python replication of nb_train + nb_classify, same formula
+    text, same 6-dp rounding, same decimal combination."""
+    toks = {i: t.lower().split() for i, _, t in rows}
+    labels = {}
+    for i, lab, _ in rows:
+        labels.setdefault(lab, []).append(i)
+    c_lt: dict = {}
+    for i, lab, _ in rows:
+        for t in toks[i]:
+            c_lt[(lab, t)] = c_lt.get((lab, t), 0) + 1
+    n_l = {}
+    for (lab, _t), c in c_lt.items():
+        n_l[lab] = n_l.get(lab, 0) + c
+    vocab = len({t for (_l, t) in c_lt})
+    total_docs = len(rows)
+    prior = {
+        lab: _r6(math.log(len(ids) / total_docs))
+        for lab, ids in labels.items()
+    }
+    unseen = {
+        lab: _r6(math.log(alpha / (n_l.get(lab, 0) + alpha * vocab)))
+        for lab in labels
+    }
+    delta = {
+        key: _r6(math.log((c + alpha) / alpha)) for key, c in c_lt.items()
+    }
+    out = {}
+    for i, truth, _ in rows:
+        tf: dict = {}
+        for t in toks[i]:
+            tf[t] = tf.get(t, 0) + 1
+        dl = len(toks[i])
+        best = None
+        for lab in sorted(labels):  # label-asc tie-break
+            s = _d6(prior[lab]) + _d6(unseen[lab]) * dl
+            for t, f in tf.items():
+                if (lab, t) in delta:
+                    s += _d6(delta[(lab, t)]) * f
+            score = _r6(float(s))
+            if best is None or score > best[1]:
+                best = (lab, score)
+        out[i] = (best[0], best[1], best[0] == truth)
+    return out
+
+
+def test_nb_self_classify_matches_exact_replication(spark, toy):
+    got = {
+        r.doc_id: (r.pred, r.score, r.is_correct)
+        for r in nb_self_classify(toy).collect()
+    }
+    assert got == _expected(TOY)
+
+
+def test_nb_separable_labels_all_correct(spark, toy):
+    got = {r.doc_id: r for r in nb_self_classify(toy).collect()}
+    # Distinctive-vocabulary docs classify correctly.
+    for i in (1, 2, 3, 4, 5):
+        assert got[i].is_correct, (i, got[i])
+    # Empty doc and all-unseen doc fall back to priors (+ the per-label
+    # alpha floor): ham has more docs AND the larger smoothed floor
+    # denominator competes per-token — replication above pins the exact
+    # outcome; here we pin that they were scored at all.
+    assert got[6].pred in {"ham", "spam"}
+    assert got[7].pred in {"ham", "spam"}
+    assert len(got) == len(TOY)  # every doc scored exactly once
+
+
+def test_nb_train_model_values(spark, toy):
+    model, labels = nb_train(toy)
+    m = {(r.label, r.term): r.delta for r in model.collect()}
+    # "eggs" appears 3x in ham: delta = ln((3+1)/1) rounded at 6 dp.
+    assert m[("ham", "eggs")] == _r6(math.log(4.0))
+    assert ("spam", "eggs") not in m  # unseen rows omitted by design
+    lab = {r.label: (r.prior, r.unseen) for r in labels.collect()}
+    assert lab["ham"][0] == _r6(math.log(5.0 / 7.0))
+    assert lab["spam"][0] == _r6(math.log(2.0 / 7.0))
+    # V = 7 distinct corpus terms (eggs bacon toast zzz qqq deal
+    # viagra); ham has 10 tokens total, spam 7.
+    assert lab["ham"][1] == _r6(math.log(1.0 / (10 + 7)))
+    assert lab["spam"][1] == _r6(math.log(1.0 / (7 + 7)))
+
+
+def test_nb_classify_held_out_batch(spark, toy):
+    """Score a frame the model never saw — the production shape (train
+    once, score increments)."""
+    model, labels = nb_train(toy)
+    batch = spark.createDataFrame(
+        [(100, "viagra deal viagra"), (101, "toast eggs bacon")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred for r in nb_classify(batch, model, labels).collect()}
+    assert got == {100: "spam", 101: "ham"}

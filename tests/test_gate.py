@@ -85,6 +85,10 @@ PROXIED = {
     # quantizer, cell layout rewritten to survivors only; anchors on
     # the in-gate IVF probe twin (same pruned-probe plan shape).
     "knn_cosine_ivf_pruned": "knn_cosine_ivf_probe",
+    # Round-12-new: multinomial NB source classifier — postings build
+    # + broadcast-joined per-term stats + decimal score sum + argmax
+    # window, the in-gate BM25 appended entry's machinery end to end.
+    "text_classify_nb": "text_bm25_appended",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

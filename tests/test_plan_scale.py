@@ -352,6 +352,18 @@ SHUFFLE_BUDGETS = {
     "knn_cosine_ivf_pruned": 0,     # same checkpoint-truncated probe
                                     # (probe shape pinned via
                                     # knn_cosine_ivf_probe)
+    "text_classify_nb": 13,         # train: (label,term) count + label
+                                    # rollup + vocab count-distinct (2)
+                                    # + doc-count priors (2); score:
+                                    # (doc,term) postings agg + model
+                                    # join + (doc,label) partial agg +
+                                    # dl rollup + completion join +
+                                    # argmax window — TWO corpus
+                                    # tokenizes total (train + score);
+                                    # everything else derives (the
+                                    # per-doc lengths ride the
+                                    # postings, so the completion's
+                                    # docs scan prunes to ids)
     "dedup_image_clusters": 2,      # final label join + projection; the
                                     # CC iterations run behind their own
                                     # checkpoints (convergence-bounded,

@@ -470,6 +470,10 @@ BENCH_EXTRA = (
     "text_bm25_pruned",
     "streaming_bm25_index",
     "knn_cosine_ivf_pruned",
+    # Round-12-new: multinomial Naive Bayes source classifier (proxied
+    # on the in-gate text_bm25_appended — same postings + broadcast
+    # stats + decimal-sum + window machinery).
+    "text_classify_nb",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -2009,6 +2009,93 @@ FROM j GROUP BY grp
 """
 
 
+def text_classify_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source attribution
+    (operators/classify.nb_train → nb_classify): train add-1-smoothed
+    NB on the corpus's source labels, score every document, return the
+    argmax label with its log-posterior and a correctness flag — the
+    fastText-classifier role (source/domain/quality routing) in pure
+    DataFrame algebra. Scoring avoids the V×L unseen-term expansion:
+    the α-floor factors into a per-label constant times the doc's
+    token count, so the join touches only label-OBSERVED (term, label)
+    pairs plus L broadcast rows per doc. Logs round at 6 dp and
+    combine through exact DECIMAL (the BM25 discipline), so the
+    argmax — ties broken label-ascending — hashes cross-engine."""
+    from ue_big_data_project_spark.operators.classify import (
+        nb_self_classify,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return nb_self_classify(d)
+
+
+TEXT_CLASSIFY_NB_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, list_filter({_WORDS}, w -> w <> '') AS words
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, source AS label, unnest(words) AS term FROM base
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+lab_counts AS (
+  SELECT label, term, count(*) AS c_lt FROM toks GROUP BY 1, 2
+),
+lab_tot AS (
+  SELECT label, CAST(sum(c_lt) AS BIGINT) AS n_l FROM lab_counts GROUP BY 1
+),
+vocab AS (SELECT count(DISTINCT term) AS v FROM lab_counts),
+model AS (
+  SELECT label, term,
+         {sql_round("ln((c_lt + 1.0) / 1.0)", 6)} AS delta
+  FROM lab_counts
+),
+doc_counts AS (
+  SELECT source AS label, count(*) AS docs_l FROM base GROUP BY 1
+),
+total AS (SELECT count(*) AS docs_total FROM base),
+labels AS (
+  SELECT d.label,
+         {sql_round("ln(CAST(docs_l AS DOUBLE) / docs_total)", 6)} AS prior,
+         {sql_round(
+             "ln(1.0 / (CAST(coalesce(n_l, 0) AS DOUBLE) + 1.0 * v))", 6
+         )} AS unseen
+  FROM doc_counts d
+  CROSS JOIN total
+  LEFT JOIN lab_tot lt ON d.label = lt.label
+  CROSS JOIN vocab
+),
+partial AS (
+  SELECT p.doc_id, m.label,
+         sum(CAST(m.delta AS DECIMAL(18,6)) * p.tf) AS s_seen
+  FROM postings p JOIN model m USING (term) GROUP BY 1, 2
+),
+per_doc AS (SELECT doc_id, source, len(words) AS dl FROM base),
+scored AS (
+  SELECT d.doc_id, l.label, d.source,
+         {sql_round(
+             "CAST(CAST(l.prior AS DECIMAL(18,6)) "
+             "+ CAST(l.unseen AS DECIMAL(18,6)) * d.dl "
+             "+ coalesce(s.s_seen, CAST(0 AS DECIMAL(18,6))) AS DOUBLE)",
+             6,
+         )} AS score
+  FROM per_doc d
+  CROSS JOIN labels l
+  LEFT JOIN partial s ON s.doc_id = d.doc_id AND s.label = l.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, label ASC
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, label AS pred, score, (label = source) AS is_correct
+FROM ranked WHERE rk = 1
+"""
+
+
 def text_nlp_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate kit: language-ID + token counting + document fingerprinting
     in ONE per-document pass.
@@ -3557,6 +3644,7 @@ QUERIES = {
     "text_nlp_kit": QuerySpec(text_nlp_kit, TEXT_NLP_KIT_SQL),
     "text_surprisal": QuerySpec(text_surprisal, TEXT_SURPRISAL_SQL),
     "text_source_kl": QuerySpec(text_source_kl, TEXT_SOURCE_KL_SQL),
+    "text_classify_nb": QuerySpec(text_classify_nb, TEXT_CLASSIFY_NB_SQL),
     "text_bm25_search": QuerySpec(text_bm25_search, TEXT_BM25_SQL),
     "text_bm25_indexed": QuerySpec(text_bm25_indexed, TEXT_BM25_SQL),
     "text_bm25_appended": QuerySpec(text_bm25_appended, TEXT_BM25_SQL),
