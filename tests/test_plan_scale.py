@@ -352,6 +352,9 @@ SHUFFLE_BUDGETS = {
     "knn_cosine_ivf_pruned": 0,     # same checkpoint-truncated probe
                                     # (probe shape pinned via
                                     # knn_cosine_ivf_probe)
+    "pipeline_expectations": 2,     # ONE aggregation pass (the exact
+                                    # doc_id distinct adds the Expand
+                                    # exchange); bounds join broadcasts
     "text_classify_nb": 13,         # train: (label,term) count + label
                                     # rollup + vocab count-distinct (2)
                                     # + doc-count priors (2); score:

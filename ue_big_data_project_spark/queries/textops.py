@@ -2598,6 +2598,78 @@ FROM k GROUP BY doc_id
 """
 
 
+def pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level constraint verification (observability.
+    check_constraints — the Deequ VerificationSuite role): one
+    aggregate pass over the documents table renders the suite verdict
+    a pipeline gates a source drop on — row count, id distinctness,
+    text completeness, language/source domain checks, n_chars
+    range + decimal-exact mean — each as (constraint, observed,
+    passed). The lang in-set bound is deliberately set above the
+    fixture's share so the suite exercises a FAILED row (a verifier
+    whose fixtures always pass can't prove it fails). One scan, one
+    scalar row, a literal unpivot — verification costs what one
+    aggregation of the ingest already costs."""
+    from ue_big_data_project_spark.observability import (
+        c_completeness,
+        c_distinct_ratio,
+        c_in_set,
+        c_matches,
+        c_max,
+        c_mean,
+        c_min,
+        c_row_count,
+        check_constraints,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return check_constraints(
+        d,
+        [
+            c_row_count(lo=1.0),
+            c_distinct_ratio("doc_id", lo=1.0),
+            c_completeness("text", lo=1.0),
+            c_in_set("lang", ["en", "fr", "es", "de"], lo=0.95),
+            c_matches("source", "^src[0-9]+$", lo=1.0),
+            c_min("n_chars", lo=1.0),
+            c_max("n_chars", hi=500.0),
+            c_mean("n_chars", lo=100.0, hi=400.0),
+        ],
+    )
+
+
+PIPELINE_EXPECTATIONS_SQL = f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+         CAST(count(DISTINCT doc_id) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dr,
+         CAST(count(*) FILTER (text IS NOT NULL) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS comp,
+         CAST(count(*) FILTER (lang IN ('en','fr','es','de')) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS inset,
+         CAST(count(*) FILTER (regexp_matches(source, '^src[0-9]+$'))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mt,
+         CAST(min(n_chars) AS DOUBLE) AS mn,
+         CAST(max(n_chars) AS DOUBLE) AS mx,
+         {sql_round(
+             "CAST(sum(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE)"
+             " / CAST(count(*) AS DOUBLE)", 6
+         )} AS mean_nc
+  FROM documents
+)
+SELECT 'row_count' AS "constraint", n_rows AS observed,
+       n_rows >= 1.0 AS passed FROM agg
+UNION ALL SELECT 'distinct_ratio(doc_id)', dr, dr >= 1.0 FROM agg
+UNION ALL SELECT 'completeness(text)', comp, comp >= 1.0 FROM agg
+UNION ALL SELECT 'in_set(lang)', inset, inset >= 0.95 FROM agg
+UNION ALL SELECT 'matches(source)', mt, mt >= 1.0 FROM agg
+UNION ALL SELECT 'min(n_chars)', mn, mn >= 1.0 FROM agg
+UNION ALL SELECT 'max(n_chars)', mx, mx <= 500.0 FROM agg
+UNION ALL SELECT 'mean(n_chars)', mean_nc,
+                 mean_nc >= 100.0 AND mean_nc <= 400.0 FROM agg
+"""
+
+
 def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass table profile of the documents table (per-column row/
     null/exact-distinct counts + numeric min/max —
@@ -3554,6 +3626,9 @@ QUERIES = {
         pipeline_stratified_sample, PIPELINE_STRATIFIED_SQL
     ),
     "pipeline_profile": QuerySpec(pipeline_profile, PIPELINE_PROFILE_SQL),
+    "pipeline_expectations": QuerySpec(
+        pipeline_expectations, PIPELINE_EXPECTATIONS_SQL
+    ),
     "pipeline_chunk_documents": QuerySpec(
         pipeline_chunk_documents, PIPELINE_CHUNK_SQL
     ),
