@@ -134,3 +134,51 @@ def test_nb_classify_held_out_batch(spark, toy):
     )
     got = {r.doc_id: r.pred for r in nb_classify(batch, model, labels).collect()}
     assert got == {100: "spam", 101: "ham"}
+
+
+def test_nb_persisted_model_roundtrip_guards_and_staleness(
+    spark, toy, tmp_path
+):
+    """write_nb_model -> nb_classify_increment answers exactly like
+    the in-memory model; non-model tables and empty models fail
+    loudly; staleness reports OOV mass against the frozen vocab."""
+    from ue_big_data_project_spark.operators.classify import (
+        nb_classify,
+        nb_classify_increment,
+        nb_model_scorer,
+        nb_model_staleness,
+        write_nb_model,
+    )
+
+    path = str(tmp_path / "nb_model")
+    write_nb_model(toy, path)
+    batch = spark.createDataFrame(
+        [(100, "viagra deal viagra"), (101, "toast eggs bacon"), (102, "")],
+        "doc_id long, text string",
+    )
+    model, labels = nb_train(toy)
+    key = lambda r: r.doc_id  # noqa: E731
+    got = sorted(nb_classify_increment(spark, path, batch).collect(), key=key)
+    want = sorted(nb_classify(batch, model, labels).collect(), key=key)
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert len(got) == 3  # empty doc scored on priors, not dropped
+
+    # Guards: a random table is rejected; an empty model is rejected.
+    bad = str(tmp_path / "not_a_model")
+    toy.write.parquet(bad)
+    with pytest.raises(ValueError, match="not a write_nb_model"):
+        nb_model_scorer(spark, bad)
+    empty = str(tmp_path / "empty_model")
+    write_nb_model(toy.filter("doc_id < 0"), empty)
+    with pytest.raises(ValueError, match="no label rows"):
+        nb_model_scorer(spark, empty)
+
+    # Staleness: the training corpus itself has zero OOV; a disjoint-
+    # vocabulary batch is 100% OOV.
+    s0 = nb_model_staleness(spark, path, toy)
+    assert s0["n_oov"] == 0 and s0["oov_mass"] == 0.0
+    drift = spark.createDataFrame(
+        [(200, "quantum blockchain")], "doc_id long, text string"
+    )
+    s1 = nb_model_staleness(spark, path, drift)
+    assert s1 == {"n_tokens": 2, "n_oov": 2, "oov_mass": 1.0}

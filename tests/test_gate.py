@@ -89,6 +89,10 @@ PROXIED = {
     # + broadcast-joined per-term stats + decimal score sum + argmax
     # window, the in-gate BM25 appended entry's machinery end to end.
     "text_classify_nb": "text_bm25_appended",
+    # Round-12-new: the classifier's persisted-model increment path —
+    # frozen one-artifact model + O(increment) scoring, the DSIR
+    # model-persistence contract; same anchor as the in-memory twin.
+    "text_classify_nb_incremental": "text_bm25_appended",
     # Round-12-new: Deequ-style constraint verification — one grouped
     # multi-aggregate over the documents scan + literal unpivot, the
     # in-gate grouped-agg kit's machinery (scan_filter_agg_kit).

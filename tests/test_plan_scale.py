@@ -352,6 +352,11 @@ SHUFFLE_BUDGETS = {
     "knn_cosine_ivf_pruned": 0,     # same checkpoint-truncated probe
                                     # (probe shape pinned via
                                     # knn_cosine_ivf_probe)
+    "text_classify_nb_incremental": 0,  # returns an eager
+                                    # localCheckpoint (results must not
+                                    # lazily re-read the scratch model
+                                    # artifact) — the classify shape is
+                                    # pinned via text_classify_nb
     "pipeline_expectations": 2,     # ONE aggregation pass (the exact
                                     # doc_id distinct adds the Expand
                                     # exchange); bounds join broadcasts

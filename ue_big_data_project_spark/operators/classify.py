@@ -208,6 +208,149 @@ def nb_classify(
     )
 
 
+def write_nb_model(
+    docs: DataFrame,
+    path: str,
+    label_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> str:
+    """Persist a trained NB model as ONE artifact, so later crawl
+    increments classify in O(increment) without re-scanning the corpus
+    the model was fit on (the ``write_dsir_model`` discipline).
+
+    Layout: a single parquet table holding BOTH model tables —
+    per-(label, term) rows carry ``delta`` with ``prior``/``unseen``
+    null; one row per label (``term`` null) carries the label
+    constants. One artifact means no crash window can leave term
+    weights and label constants mutually inconsistent the way a
+    model-dir + labels-sidecar pair could. ``alpha`` and the trained
+    column names record as column metadata on ``label`` (the
+    cms_counters discipline), so a table that is not an NB model fails
+    loudly at read time instead of silently mis-scoring.
+
+    The frozen-state pattern of the IVF quantizer: distributions
+    freeze at fit time; drift is a measurable re-fit decision
+    (:func:`nb_model_staleness`)."""
+    model, labels = nb_train(docs, label_col, id_col, text_col, alpha)
+    meta = {
+        "nb_alpha": float(alpha),
+        "nb_label_col": label_col,
+        "nb_text_col": text_col,
+    }
+    root = path.rstrip("/")
+    rows = model.select(
+        F.col("label").alias("label", metadata=meta),
+        "term",
+        "delta",
+        F.lit(None).cast("double").alias("prior"),
+        F.lit(None).cast("double").alias("unseen"),
+    ).unionByName(
+        labels.select(
+            F.col("label").alias("label", metadata=meta),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("double").alias("delta"),
+            "prior",
+            "unseen",
+        )
+    )
+    rows.write.mode("overwrite").parquet(root)
+    return root
+
+
+def nb_model_scorer(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read + validate a persisted NB model ONCE; return ``(model,
+    labels)`` ready for :func:`nb_classify`. The bounded label table
+    (L rows) materializes eagerly so looping consumers (every
+    micro-batch of a stream) never re-read the artifact for the
+    constants; the V×L term table stays a lazy scan — at 100 TB
+    vocabulary scale it belongs in the join, not on the driver.
+    Raises on a table without the recorded params or with no label
+    rows (an empty model would score everything on zeros)."""
+    rows = spark.read.parquet(path.rstrip("/"))
+    if "label" not in rows.columns or "delta" not in rows.columns:
+        raise ValueError(
+            f"{path} is not a write_nb_model artifact (missing columns)"
+        )
+    md = rows.schema["label"].metadata
+    if not md or "nb_alpha" not in md:
+        raise ValueError(
+            f"{path} is not a write_nb_model artifact (no recorded nb "
+            "params on the label column)"
+        )
+    labels = (
+        rows.filter(F.col("term").isNull())
+        .select("label", "prior", "unseen")
+        .localCheckpoint(eager=True)
+    )
+    if labels.first() is None:
+        raise ValueError(
+            f"model at {path} has no label rows — fit it on a "
+            "non-empty labeled corpus"
+        )
+    model = rows.filter(F.col("term").isNotNull()).select(
+        "label", "term", "delta"
+    )
+    return model, labels
+
+
+def nb_classify_increment(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify a crawl increment against the FROZEN persisted model —
+    O(increment): tokenize the increment only, join the persisted term
+    table, broadcast the label constants. The corpus the model was fit
+    on is never touched. Increment terms unseen at fit time contribute
+    zero lift by construction (the α-floor already rides the per-label
+    constant), so out-of-vocabulary text degrades gracefully toward
+    the priors; monitor OOV mass via :func:`nb_model_staleness`."""
+    model, labels = nb_model_scorer(spark, path)
+    return nb_classify(new_docs, model, labels, id_col, text_col)
+
+
+def nb_model_staleness(
+    spark, path: str, docs: DataFrame, text_col: str = "text"
+) -> dict:
+    """Measured re-fit decision for a frozen NB model (the
+    ``dsir_model_staleness`` symmetry), two drift observables in one
+    increment-scale pass each:
+
+    - ``oov_mass``: fraction of the current corpus's TOKENS whose term
+      the model has never seen — unseen terms score as pure α-floor,
+      so growing OOV mass means scores degenerate toward priors.
+    - ``n_tokens`` / ``n_oov``: the raw counts behind it.
+
+    Near-zero OOV: the frozen vocabulary still covers the stream; set
+    a re-fit threshold on the mass, not on time."""
+    model, _labels = nb_model_scorer(spark, path)
+    vocab = model.select("term").distinct()
+    toks = docs.select(
+        F.explode(_token_array(text_col)).alias("term")
+    )
+    row = (
+        toks.join(vocab.withColumn("_seen", F.lit(1)), "term", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_seen").isNull()).alias("n_oov"),
+        )
+        .first()
+    )
+    n = int(row["n_tokens"])
+    oov = int(row["n_oov"])
+    return {
+        "n_tokens": n,
+        "n_oov": oov,
+        "oov_mass": (oov / n) if n else 0.0,
+    }
+
+
 def nb_self_classify(
     docs: DataFrame,
     label_col: str = "source",

@@ -474,6 +474,9 @@ BENCH_EXTRA = (
     # on the in-gate text_bm25_appended — same postings + broadcast
     # stats + decimal-sum + window machinery).
     "text_classify_nb",
+    # Round-12-new: the classifier's persisted-model increment path
+    # (write_nb_model → nb_classify_increment; same anchor).
+    "text_classify_nb_incremental",
     # Round-12-new: Deequ-style one-pass constraint verification
     # (proxied on the in-gate scan_filter_agg_kit).
     "pipeline_expectations",

@@ -2029,19 +2029,36 @@ def text_classify_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_self_classify(d)
 
 
-TEXT_CLASSIFY_NB_SQL = f"""
-WITH base AS (
+def _nb_sql(
+    train_where: str | None = None, score_where: str | None = None
+) -> str:
+    """Oracle twin of operators/classify.nb_train + nb_classify:
+    identical token stream, formula text, 6-dp rounding, decimal
+    combination, (score desc, label asc) argmax. ``train_where``
+    restricts the corpus the model fits on; ``score_where`` the
+    documents scored — the persisted-model increment shape (train on
+    the frozen half, classify the increment)."""
+    tw = f" WHERE {train_where}" if train_where else ""
+    sw = f" WHERE {score_where}" if score_where else ""
+    return f"""
+WITH base_train AS (
   SELECT doc_id, source, list_filter({_WORDS}, w -> w <> '') AS words
-  FROM documents
+  FROM documents{tw}
 ),
-toks AS (
-  SELECT doc_id, source AS label, unnest(words) AS term FROM base
+base_score AS (
+  SELECT doc_id, source, list_filter({_WORDS}, w -> w <> '') AS words
+  FROM documents{sw}
+),
+ttoks AS (
+  SELECT doc_id, source AS label, unnest(words) AS term FROM base_train
 ),
 postings AS (
-  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(words) AS term FROM base_score)
+  GROUP BY 1, 2
 ),
 lab_counts AS (
-  SELECT label, term, count(*) AS c_lt FROM toks GROUP BY 1, 2
+  SELECT label, term, count(*) AS c_lt FROM ttoks GROUP BY 1, 2
 ),
 lab_tot AS (
   SELECT label, CAST(sum(c_lt) AS BIGINT) AS n_l FROM lab_counts GROUP BY 1
@@ -2053,9 +2070,9 @@ model AS (
   FROM lab_counts
 ),
 doc_counts AS (
-  SELECT source AS label, count(*) AS docs_l FROM base GROUP BY 1
+  SELECT source AS label, count(*) AS docs_l FROM base_train GROUP BY 1
 ),
-total AS (SELECT count(*) AS docs_total FROM base),
+total AS (SELECT count(*) AS docs_total FROM base_train),
 labels AS (
   SELECT d.label,
          {sql_round("ln(CAST(docs_l AS DOUBLE) / docs_total)", 6)} AS prior,
@@ -2072,7 +2089,7 @@ partial AS (
          sum(CAST(m.delta AS DECIMAL(18,6)) * p.tf) AS s_seen
   FROM postings p JOIN model m USING (term) GROUP BY 1, 2
 ),
-per_doc AS (SELECT doc_id, source, len(words) AS dl FROM base),
+per_doc AS (SELECT doc_id, source, len(words) AS dl FROM base_score),
 scored AS (
   SELECT d.doc_id, l.label, d.source,
          {sql_round(
@@ -2094,6 +2111,57 @@ ranked AS (
 SELECT doc_id, label AS pred, score, (label = source) AS is_correct
 FROM ranked WHERE rk = 1
 """
+
+
+TEXT_CLASSIFY_NB_SQL = _nb_sql()
+
+# Increment twin: model frozen on the even half, odd half classified
+# against it — priors, floors and deltas all from the TRAIN corpus
+# alone.
+TEXT_CLASSIFY_NB_INC_SQL = _nb_sql("doc_id % 2 = 0", "doc_id % 2 = 1")
+
+
+def text_classify_nb_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classify a crawl increment against a FROZEN persisted NB model
+    (operators/classify.write_nb_model → nb_classify_increment): the
+    even half trains and persists as ONE artifact (term lifts + label
+    constants in a single table, params as column metadata — no
+    model/labels crash window), the odd half classifies in
+    O(increment) — the model corpus is never re-scanned. Increment
+    terms unseen at fit time contribute zero lift by construction (the
+    α-floor rides the per-label constant), so the oracle is the NB
+    replay with the model CTEs restricted to the train half and the
+    scoring CTEs to the increment."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ue_big_data_project_spark.operators.classify import (
+        nb_classify_increment,
+        write_nb_model,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    root = _tf.mkdtemp(prefix="spark_graft_nb_")
+    try:
+        write_nb_model(d.filter(F.col("doc_id") % 2 == 0), root + "/model")
+        out = nb_classify_increment(
+            spark, root + "/model", d.filter(F.col("doc_id") % 2 == 1)
+        )
+        truth = d.select("doc_id", F.col("source").alias("_truth"))
+        return (
+            out.join(truth, "doc_id")
+            .select(
+                "doc_id",
+                "pred",
+                "score",
+                (F.col("pred") == F.col("_truth")).alias("is_correct"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
 
 
 def text_nlp_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3720,6 +3788,9 @@ QUERIES = {
     "text_surprisal": QuerySpec(text_surprisal, TEXT_SURPRISAL_SQL),
     "text_source_kl": QuerySpec(text_source_kl, TEXT_SOURCE_KL_SQL),
     "text_classify_nb": QuerySpec(text_classify_nb, TEXT_CLASSIFY_NB_SQL),
+    "text_classify_nb_incremental": QuerySpec(
+        text_classify_nb_incremental, TEXT_CLASSIFY_NB_INC_SQL
+    ),
     "text_bm25_search": QuerySpec(text_bm25_search, TEXT_BM25_SQL),
     "text_bm25_indexed": QuerySpec(text_bm25_indexed, TEXT_BM25_SQL),
     "text_bm25_appended": QuerySpec(text_bm25_appended, TEXT_BM25_SQL),
