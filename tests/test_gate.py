@@ -97,6 +97,12 @@ PROXIED = {
     # multi-aggregate over the documents scan + literal unpivot, the
     # in-gate grouped-agg kit's machinery (scan_filter_agg_kit).
     "pipeline_expectations": "scan_filter_agg_kit",
+    # Round-12-new: sliding/hopping event-time windows, batch and
+    # end-to-end streamed — the in-gate tumbling drain exercises the
+    # same windowed stateful-agg machinery (window() expansion is the
+    # only delta, and both hash the same closed-form oracle).
+    "events_sliding_window": "streaming_tumbling_window",
+    "streaming_sliding_window": "streaming_tumbling_window",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

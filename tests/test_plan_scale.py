@@ -404,6 +404,9 @@ SHUFFLE_BUDGETS = {
                                     # (the advice fix that makes
                                     # mismatched sketches fail loudly)
     "events_cube": 1,               # Expand feeds one aggregation exchange
+    "events_sliding_window": 1,     # the 2x window Expand feeds ONE
+                                    # aggregation exchange (fan-out is
+                                    # map-side, never an extra shuffle)
     "events_props_variant": 1,      # variant path walk + one agg exchange
     # Corpus-size-dependent: (doc,term) postings + term df + stats
     # single-partition + score agg + per-query rank; the query-term

@@ -480,6 +480,10 @@ BENCH_EXTRA = (
     # Round-12-new: Deequ-style one-pass constraint verification
     # (proxied on the in-gate scan_filter_agg_kit).
     "pipeline_expectations",
+    # Round-12-new: sliding/hopping windows, batch + streamed twins
+    # (proxied on the in-gate streaming_tumbling_window).
+    "events_sliding_window",
+    "streaming_sliding_window",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

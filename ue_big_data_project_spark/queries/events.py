@@ -78,6 +78,51 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows, batch form: 30-minute
+    windows every 15 minutes — each event lands in exactly 2
+    overlapping windows (``F.window(ts, '30 minutes', '15 minutes')``,
+    which Spark expands row→windows before one aggregation pass). The
+    oracle replays the expansion as a UNION ALL of the two shifted
+    15-minute buckets, the closed form of Spark's window-start rule
+    (starts in (ts − 30 min, ts] at 15-minute boundaries)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(d2(F.col("value"))).alias("avg_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH assigned AS (
+  SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts))
+           AS window_start_us, event_type, value
+  FROM events
+  UNION ALL
+  SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)
+                  - INTERVAL '15 minutes'), event_type, value
+  FROM events
+)
+SELECT window_start_us, event_type,
+       count(*) AS n_events,
+       {sql_davg(sql_d2("value"))} AS avg_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
 EVENTS_TUMBLING_SQL = f"""
 SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS window_start_us,
        event_type,
@@ -572,6 +617,45 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not wrote:
         raise RuntimeError("artifact sink wrote no batch artifacts")
     return snap
+
+
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SLIDING-window agg end-to-end through Structured Streaming:
+    file-replay source → watermark → stateful 30 min/15 min hopping
+    windows → memory-sink drain — hash-matching the batch form's
+    oracle (events_sliding_window), the tumbling twin's batch/stream
+    equivalence proof for the overlapping-window state shape. State is
+    keyed by (window, event_type) with each row feeding 2 windows, so
+    the watermark bounds exactly 2× the tumbling state."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ue_big_data_project_spark import streaming as ST
+
+    apply_session_conf(spark)
+    sdf = ST.replay_parquet(spark, _os.path.join(sf_dir, "events.parquet"))
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = ST.windowed_agg(
+        sdf,
+        ts_col="ts",
+        window_duration="30 minutes",
+        slide="15 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            davg(d2(F.col("value"))).alias("avg_value"),
+        ],
+        group_cols=["event_type"],
+        watermark="1 hour",
+    )
+    out = agg.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "avg_value",
+    )
+    return ST.drain_to_table(spark, out, mode="complete")
 
 
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,6 +1203,14 @@ QUERIES = {
     ),
     "streaming_asof_join": QuerySpec(streaming_asof_join, STREAMING_ASOF_SQL),
     "events_tumbling_window": QuerySpec(events_tumbling_window, EVENTS_TUMBLING_SQL),
+    "events_sliding_window": QuerySpec(
+        events_sliding_window, EVENTS_SLIDING_SQL
+    ),
+    # The streamed sliding agg must hash like the batch form — same
+    # oracle (the tumbling twin's batch/stream equivalence proof).
+    "streaming_sliding_window": QuerySpec(
+        streaming_sliding_window, EVENTS_SLIDING_SQL
+    ),
     "events_dedup_first": QuerySpec(events_dedup_first, EVENTS_DEDUP_SQL),
     "events_props_json": QuerySpec(events_props_json, EVENTS_PROPS_SQL),
     "events_props_variant": QuerySpec(

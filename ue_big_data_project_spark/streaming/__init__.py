@@ -102,18 +102,26 @@ def windowed_agg(
     aggs: list[Column],
     group_cols: list[str] | None = None,
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window aggregation (A4/X12).
+    """Tumbling — or, with ``slide``, SLIDING/hopping — event-time
+    window aggregation (A4/X12).
 
     Works identically on batch and streaming inputs; on streams pass
     ``watermark`` to bound state and enable append-mode emission
-    (src/naolib_consumer.py:79-85 shape).
+    (src/naolib_consumer.py:79-85 shape). A sliding window fans each
+    row into duration/slide overlapping windows (Spark expands this
+    before the aggregation), so state and shuffle grow by that factor —
+    keep the ratio small on unbounded streams.
     """
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    keys = [F.window(ts_col, window_duration).alias("window")] + [
-        F.col(c) for c in (group_cols or [])
-    ]
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    keys = [win.alias("window")] + [F.col(c) for c in (group_cols or [])]
     return df.groupBy(*keys).agg(*aggs)
 
 
