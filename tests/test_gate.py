@@ -103,6 +103,11 @@ PROXIED = {
     # only delta, and both hash the same closed-form oracle).
     "events_sliding_window": "streaming_tumbling_window",
     "streaming_sliding_window": "streaming_tumbling_window",
+    # Round-12-new: the constraint suite's streaming drain — per-batch
+    # crash-safe verdict partitions, the streaming_fp_index drain
+    # shape; the suite machinery itself anchors with the batch entry
+    # on scan_filter_agg_kit.
+    "streaming_expectations": "streaming_fp_index",
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds

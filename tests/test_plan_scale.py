@@ -360,6 +360,9 @@ SHUFFLE_BUDGETS = {
     "pipeline_expectations": 2,     # ONE aggregation pass (the exact
                                     # doc_id distinct adds the Expand
                                     # exchange); bounds join broadcasts
+    "streaming_expectations": 0,    # verdict table returns as an eager
+                                    # localCheckpoint scan (per-batch
+                                    # suites ran in the drained stream)
     "text_classify_nb": 13,         # train: (label,term) count + label
                                     # rollup + vocab count-distinct (2)
                                     # + doc-count priors (2); score:

@@ -1302,3 +1302,77 @@ def test_ledger_compaction_in_live_stream(spark, tmp_path, monkeypatch):
     loose = [f for f in os.listdir(ledger) if f.startswith("batch-")]
     assert len(loose) <= 4
     assert ST._committed_batch_ids(ledger) == list(range(10))
+
+
+def test_constraints_ingest_stream_verdicts_and_replay(spark, tmp_path):
+    """Per-batch suite verdicts land under batch_id=N and equal the
+    batch-scoped one-shot suite; a replay against the same ledger is
+    byte-stable."""
+    import os
+
+    from ue_big_data_project_spark import streaming as S
+    from ue_big_data_project_spark.observability import (
+        c_completeness,
+        c_row_count,
+        check_constraints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" if i % 4 else None) for i in range(20)],
+        "doc_id long, text string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    import time as _t
+
+    now = _t.time()
+    for i in range(2):
+        bdir = str(tmp_path / f"b{i}")
+        docs.filter(f"doc_id % 2 = {i}").coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        os.symlink(os.path.join(bdir, part), os.path.join(stage, f"b{i}.pq"))
+        os.utime(os.path.join(bdir, part), (now + i, now + i))
+
+    suite = [c_row_count(lo=1.0), c_completeness("text", lo=1.0)]
+    verdicts = str(tmp_path / "verdicts")
+    ledger = str(tmp_path / "ledger")
+
+    def drain():
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        S.run_until_drained(
+            S.constraints_ingest_stream(sdf, verdicts, suite, ledger)
+        )
+
+    drain()
+    got = {
+        (r.batch_id, r.constraint): (r.observed, r.passed)
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    assert len(got) == 4  # 2 batches x 2 constraints
+    for i in range(2):
+        want = {
+            r.constraint: (r.observed, r.passed)
+            for r in check_constraints(
+                docs.filter(f"doc_id % 2 = {i}"), suite
+            ).collect()
+        }
+        for c, v in want.items():
+            assert got[(i, c)] == v
+    # Nulls sit at multiples of 4 (all even), so batch 0 fails
+    # completeness while batch 1 is all-complete.
+    assert got[(0, "completeness(text)")][1] is False
+    assert got[(1, "completeness(text)")] == (1.0, True)
+
+    files = lambda: sorted(  # noqa: E731
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(verdicts)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    before = files()
+    drain()  # replay: ledger skips committed batches
+    assert files() == before

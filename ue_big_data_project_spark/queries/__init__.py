@@ -484,6 +484,9 @@ BENCH_EXTRA = (
     # (proxied on the in-gate streaming_tumbling_window).
     "events_sliding_window",
     "streaming_sliding_window",
+    # Round-12-new: the constraint suite's streaming drain (proxied on
+    # the in-gate streaming_fp_index).
+    "streaming_expectations",
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or

@@ -2678,6 +2678,91 @@ def pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose fixtures always pass can't prove it fails). One scan, one
     scalar row, a literal unpivot — verification costs what one
     aggregation of the ingest already costs."""
+    from ue_big_data_project_spark.observability import check_constraints
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return check_constraints(d, _documents_suite())
+
+
+def streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring end-to-end
+    (streaming.constraints_ingest_stream): the documents corpus
+    replays as 3 REAL micro-batches, each batch's suite verdict
+    landing crash-safe under its own ``batch_id=N`` partition of the
+    verdict ledger table — the quality timeline a 100 TB ingest alerts
+    on (a drop that fails ``in_set(lang)`` shows up in ITS batch's
+    rows). Per-batch cost is one aggregation of the batch; earlier
+    batches are never re-scanned. Batch order is enforced by staged
+    mtimes, so the oracle is the batch suite SQL evaluated per batch
+    membership, batch ids in replay order."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from ue_big_data_project_spark import streaming as ST
+    from ue_big_data_project_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    root = _tf.mkdtemp(prefix="spark_graft_expstream_")
+    try:
+        stage = _os.path.join(root, "stage")
+        _os.makedirs(stage)
+        now = _time.time()
+        for i in range(3):
+            bdir = _os.path.join(root, f"b{i}")
+            (
+                d.filter(F.col("doc_id") % 3 == i)
+                .select("doc_id", "text", "lang", "source", "n_chars")
+                .coalesce(1)
+                .write.parquet(bdir)
+            )
+            part = [
+                f for f in _os.listdir(bdir) if f.endswith(".parquet")
+            ][0]
+            _os.symlink(
+                _os.path.join(bdir, part),
+                _os.path.join(stage, f"b{i}.parquet"),
+            )
+            # utime the TARGET so the staged mtimes govern the
+            # FileStreamSource order — here the order is SEMANTIC
+            # (batch_id i must verify membership class i).
+            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        sdf = spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).option("maxFilesPerTrigger", 1).parquet(stage)
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = ST.constraints_ingest_stream(
+                sdf,
+                verdict_path=_os.path.join(root, "verdicts"),
+                constraints=_documents_suite(),
+                ledger_dir=_os.path.join(root, "_ledger"),
+            )
+            ST.run_until_drained(q)
+        finally:
+            spark.conf.set(key, prev)
+        return (
+            spark.read.parquet(_os.path.join(root, "verdicts"))
+            .select(
+                F.col("batch_id").cast("int").alias("batch_id"),
+                "constraint",
+                "observed",
+                "passed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+def _documents_suite():
+    """The shared 8-constraint documents suite (batch entry + the
+    streaming drain's per-batch evaluation)."""
     from ue_big_data_project_spark.observability import (
         c_completeness,
         c_distinct_ratio,
@@ -2687,26 +2772,32 @@ def pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_mean,
         c_min,
         c_row_count,
-        check_constraints,
     )
 
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return check_constraints(
-        d,
-        [
-            c_row_count(lo=1.0),
-            c_distinct_ratio("doc_id", lo=1.0),
-            c_completeness("text", lo=1.0),
-            c_in_set("lang", ["en", "fr", "es", "de"], lo=0.95),
-            c_matches("source", "^src[0-9]+$", lo=1.0),
-            c_min("n_chars", lo=1.0),
-            c_max("n_chars", hi=500.0),
-            c_mean("n_chars", lo=100.0, hi=400.0),
-        ],
+    return [
+        c_row_count(lo=1.0),
+        c_distinct_ratio("doc_id", lo=1.0),
+        c_completeness("text", lo=1.0),
+        c_in_set("lang", ["en", "fr", "es", "de"], lo=0.95),
+        c_matches("source", "^src[0-9]+$", lo=1.0),
+        c_min("n_chars", lo=1.0),
+        c_max("n_chars", hi=500.0),
+        c_mean("n_chars", lo=100.0, hi=400.0),
+    ]
+
+
+def _expectations_sql(
+    where: str | None = None, batch_id: int | None = None
+) -> str:
+    """Oracle twin of the shared documents suite; ``where`` scopes the
+    verified corpus (the streaming drain's per-batch shape),
+    ``batch_id`` prepends the batch's literal id column."""
+    cond = f" WHERE {where}" if where else ""
+    bsel = (
+        f"CAST({batch_id} AS INTEGER) AS batch_id, " if batch_id is not None
+        else ""
     )
-
-
-PIPELINE_EXPECTATIONS_SQL = f"""
+    return f"""
 WITH agg AS (
   SELECT CAST(count(*) AS DOUBLE) AS n_rows,
          CAST(count(DISTINCT doc_id) AS DOUBLE)
@@ -2723,19 +2814,29 @@ WITH agg AS (
              "CAST(sum(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE)"
              " / CAST(count(*) AS DOUBLE)", 6
          )} AS mean_nc
-  FROM documents
+  FROM documents{cond}
 )
-SELECT 'row_count' AS "constraint", n_rows AS observed,
+SELECT {bsel}'row_count' AS "constraint", n_rows AS observed,
        n_rows >= 1.0 AS passed FROM agg
-UNION ALL SELECT 'distinct_ratio(doc_id)', dr, dr >= 1.0 FROM agg
-UNION ALL SELECT 'completeness(text)', comp, comp >= 1.0 FROM agg
-UNION ALL SELECT 'in_set(lang)', inset, inset >= 0.95 FROM agg
-UNION ALL SELECT 'matches(source)', mt, mt >= 1.0 FROM agg
-UNION ALL SELECT 'min(n_chars)', mn, mn >= 1.0 FROM agg
-UNION ALL SELECT 'max(n_chars)', mx, mx <= 500.0 FROM agg
-UNION ALL SELECT 'mean(n_chars)', mean_nc,
+UNION ALL SELECT {bsel}'distinct_ratio(doc_id)', dr, dr >= 1.0 FROM agg
+UNION ALL SELECT {bsel}'completeness(text)', comp, comp >= 1.0 FROM agg
+UNION ALL SELECT {bsel}'in_set(lang)', inset, inset >= 0.95 FROM agg
+UNION ALL SELECT {bsel}'matches(source)', mt, mt >= 1.0 FROM agg
+UNION ALL SELECT {bsel}'min(n_chars)', mn, mn >= 1.0 FROM agg
+UNION ALL SELECT {bsel}'max(n_chars)', mx, mx <= 500.0 FROM agg
+UNION ALL SELECT {bsel}'mean(n_chars)', mean_nc,
                  mean_nc >= 100.0 AND mean_nc <= 400.0 FROM agg
 """
+
+
+PIPELINE_EXPECTATIONS_SQL = _expectations_sql()
+
+# Per-batch verdicts for the streamed suite: the same SQL evaluated
+# over each batch's membership, batch ids in staged-mtime order.
+STREAMING_EXPECTATIONS_SQL = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_expectations_sql(f'doc_id % 3 = {i}', batch_id=i)})"
+    for i in range(3)
+)
 
 
 def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3696,6 +3797,9 @@ QUERIES = {
     "pipeline_profile": QuerySpec(pipeline_profile, PIPELINE_PROFILE_SQL),
     "pipeline_expectations": QuerySpec(
         pipeline_expectations, PIPELINE_EXPECTATIONS_SQL
+    ),
+    "streaming_expectations": QuerySpec(
+        streaming_expectations, STREAMING_EXPECTATIONS_SQL
     ),
     "pipeline_chunk_documents": QuerySpec(
         pipeline_chunk_documents, PIPELINE_CHUNK_SQL

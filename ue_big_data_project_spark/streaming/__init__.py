@@ -1300,6 +1300,45 @@ def bm25_ingest_stream(
     return idempotent_foreach_batch(sdf, ingest, ledger_dir)
 
 
+def constraints_ingest_stream(
+    sdf: DataFrame,
+    verdict_path: str,
+    constraints,
+    ledger_dir: str,
+) -> StreamingQuery:
+    """Continuous data-quality monitoring — the
+    :func:`~ue_big_data_project_spark.observability.check_constraints`
+    suite evaluated PER MICRO-BATCH, each batch's verdict rows
+    ``(constraint, observed, passed)`` landing under their own
+    ``batch_id=N`` partition of a verdict ledger table. The table is
+    the quality timeline a 100 TB ingest alerts on: a source drop that
+    suddenly fails ``completeness(text)`` or ``in_set(lang)`` shows up
+    as a ``passed=false`` row in ITS batch, without anything ever
+    re-scanning earlier batches (per-batch cost = one aggregation of
+    the batch — the suite's one-pass contract, streamed).
+
+    Crash/replay safety is the :func:`fp_ingest_stream` contract: each
+    batch OVERWRITES its own partition (the suite is a pure function
+    of the batch, so a replayed batch rewrites byte-identical verdict
+    rows), the ledger marker commits last. Batch-level verdicts
+    deliberately complement — not replace — the row-level dead-letter
+    split (``split_by_expectations``): the split quarantines records,
+    this records the evidence."""
+    from ue_big_data_project_spark.observability import check_constraints
+
+    root = verdict_path.rstrip("/")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            check_constraints(batch_df, constraints)
+            .coalesce(1)  # a suite verdict is O(constraints) rows
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, f"batch_id={batch_id}"))
+        )
+
+    return idempotent_foreach_batch(sdf, apply, ledger_dir)
+
+
 def hll_ingest_stream(
     sdf: DataFrame,
     registers_path: str,
