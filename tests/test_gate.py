@@ -76,6 +76,10 @@ PROXIED = {
     # (rewrite == fresh build over the kept corpus, sidecars
     # recomputed exactly; equivalence in tests/test_retrieval.py).
     "text_bm25_pruned": "text_bm25_appended",
+    # Round-12-new: the BM25 stop-term cap (the family's hot-key
+    # discipline, winnow max_df / fp max_band_freq edition) — same
+    # indexed-probe machinery, anchored with the family.
+    "text_bm25_capped": "text_bm25_appended",
     # Round-12-new: the BM25 index's streaming drain — streamed index
     # must answer the probe like the one-shot build (full-corpus
     # search oracle verbatim); the per-batch crash-safe drain shape

@@ -421,6 +421,10 @@ SHUFFLE_BUDGETS = {
     # probe result), so the probe twins pin the 100 TB-relevant probe
     # shape instead.
     "text_bm25_probe": 2,           # bucket-pruned postings scan + score agg
+    "text_bm25_capped": 2,          # same probe shape; the stop-term
+                                    # prune is a bounded checkpointed
+                                    # sidecar filter + broadcast semi
+                                    # join — no extra exchange
     "knn_cosine_ivf_probe": 3,      # pruned cell scan + rescore + per-query rank
     "text_hybrid_search": 6,        # BM25 pool (6); rerank joins broadcast
     # Degree-oriented triangle chain at fixture stats, with the

@@ -638,3 +638,51 @@ def test_text_index_term_stats_flags_hot_terms(spark, tmp_path, toy):
     # asc) comparator makes "join" the single hot row at top_k=1.
     assert hot == ["join"]
     assert max((r.df_t, r.term == "join") for r in rows)[0] == 3
+
+
+def test_bm25_stop_term_cap_semantics(spark, tmp_path):
+    """max_term_df drops a hot term from scoring EXACTLY as if it were
+    removed from every query string (surviving terms' tf/df
+    untouched); the in-flight and indexed forms agree; and the cap is
+    non-vacuous (capped ranking differs from uncapped)."""
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "common apple apple"),
+            (2, "common banana"),
+            (3, "common apple banana"),
+            (4, "common cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    q_full = spark.createDataFrame(
+        [(0, "common apple")], "query_id int, query_text string"
+    )
+    q_stripped = spark.createDataFrame(
+        [(0, "apple")], "query_id int, query_text string"
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+
+    # "common" has df 4; cap at 3 removes it.
+    capped = sorted(
+        bm25_topk(corpus, q_full, k=4, max_term_df=3).collect(), key=key
+    )
+    stripped = sorted(bm25_topk(corpus, q_stripped, k=4).collect(), key=key)
+    assert [r.asDict() for r in capped] == [r.asDict() for r in stripped]
+    assert capped  # apple docs still score
+
+    uncapped = sorted(bm25_topk(corpus, q_full, k=4).collect(), key=key)
+    assert [r.asDict() for r in capped] != [r.asDict() for r in uncapped]
+
+    idx = str(tmp_path / "idx")
+    build_text_index(corpus, idx, n_buckets=4)
+    got_idx = sorted(
+        bm25_topk_indexed(spark, idx, q_full, k=4, max_term_df=3).collect(),
+        key=key,
+    )
+    assert [r.asDict() for r in got_idx] == [r.asDict() for r in capped]

@@ -106,6 +106,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_term_df: int | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
@@ -146,6 +147,18 @@ def bm25_topk(
     # Already filtered to query terms; (doc, term) rows are unique, so
     # count(*) is exactly each term's document frequency.
     termdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    if max_term_df is not None:
+        # STOP-TERM CAP — the hot-key discipline of winnow max_df /
+        # fp max_band_freq, lexical edition: a term in df documents
+        # fans df candidate rows into every query carrying it, and at
+        # stopword df that fan-out dominates the probe while idf has
+        # already scored the term near zero. Capped terms leave the
+        # per-query stats, so their candidates die IN THE BROADCAST
+        # JOIN (map-side — the rows never reach the score shuffle).
+        # Semantics: a capped term contributes nothing to any score —
+        # exactly as if it were removed from every query string;
+        # per-term tf/df of SURVIVING terms are unchanged.
+        termdf = termdf.filter(F.col("df_t") <= F.lit(max_term_df))
     qstats = _query_stats(termdf, qterms, stats)
     return _rank_candidates(postings, qstats, k, k1, b)
 
@@ -377,6 +390,7 @@ def bm25_topk_indexed(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    max_term_df: int | None = None,
 ) -> DataFrame:
     """Top-``k`` per query against a :func:`build_text_index` layout.
 
@@ -449,6 +463,20 @@ def bm25_topk_indexed(
         # (≤ |query terms| groups).
         termdf = termdf.groupBy("term").agg(
             F.sum("df_t").cast("long").alias("df_t")
+        )
+    if max_term_df is not None:
+        # STOP-TERM CAP (see bm25_topk): here the persisted ``_termdf``
+        # sidecar knows every df BEFORE any posting row is read, so
+        # capped terms leave the probe's SCAN too — the postings
+        # semi-join below restricts to surviving terms, and a stopword
+        # in the query batch costs the vocabulary lookup alone, never
+        # its df-sized posting fan-out. Capped semantics match the
+        # in-flight form: the term scores as if absent from the query.
+        termdf = termdf.filter(
+            F.col("df_t") <= F.lit(max_term_df)
+        ).localCheckpoint(eager=True)  # bounded: ≤ |query terms| rows
+        postings = postings.join(
+            F.broadcast(termdf.select("term")), "term", "leftsemi"
         )
     qstats = _query_stats(termdf, qterms, corpus)
     return _rank_candidates(postings, qstats, k, k1, b)

@@ -468,6 +468,7 @@ BENCH_EXTRA = (
     # drain (proxied on streaming_fp_index), and IVF prune (proxied on
     # knn_cosine_ivf_probe).
     "text_bm25_pruned",
+    "text_bm25_capped",
     "streaming_bm25_index",
     "knn_cosine_ivf_pruned",
     # Round-12-new: multinomial Naive Bayes source classifier (proxied

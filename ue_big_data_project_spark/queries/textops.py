@@ -3060,15 +3060,19 @@ def _bm25_sql(
     k: int = 5,
     queries: tuple[tuple[int, str], ...] = _BM25_QUERIES,
     where: str | None = None,
+    max_df_expr: str | None = None,
 ) -> str:
     """Oracle twin of operators/retrieval.bm25_topk: identical token
     stream, query normalization, idf form, FP op order, 6-dp per-term
     rounding, decimal sum. ``where`` restricts the CORPUS (the ``base``
     CTE — every downstream stat, df and posting derives from it), the
     retention oracle's shape: scoring a pruned index must equal scoring
-    the kept corpus from scratch."""
+    the kept corpus from scratch. ``max_df_expr`` is a SQL expression
+    (may reference ``n_docs``) replaying the stop-term cap: candidate
+    rows of terms past it never score."""
     values = ", ".join(f"({i}, '{t}')" for i, t in queries)
     corpus_cond = f" WHERE {where}" if where else ""
+    cap_cond = f"\n  WHERE df_t <= {max_df_expr}" if max_df_expr else ""
     avgdl = "(total_len::DOUBLE / n_docs)"
     idf = "ln(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))"
     partial = sql_round(
@@ -3111,7 +3115,7 @@ cand AS (
   FROM postings p
   JOIN qterms qt USING (term)
   JOIN termdf USING (term)
-  CROSS JOIN stats
+  CROSS JOIN stats{cap_cond}
 ),
 scores AS (
   SELECT query_id, doc_id,
@@ -3330,6 +3334,42 @@ def text_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_BM25_PRUNED_SQL = _bm25_sql(where="doc_id % 3 <> 0")
+
+# Stop-term-capped twin: terms in more than 78% of documents leave the
+# scoring (exact integer arithmetic so the threshold is identical in
+# both engines at any corpus size).
+TEXT_BM25_CAPPED_SQL = _bm25_sql(max_df_expr="(78 * n_docs) // 100")
+
+
+def text_bm25_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 probe under the STOP-TERM CAP (max_term_df — the lexical
+    edition of winnow max_df / fp max_band_freq): terms in more than
+    78% of documents leave the scoring entirely, and — against the
+    persisted index, where the ``_termdf`` sidecar knows every df
+    before any posting row is read — their df-sized posting fan-out
+    leaves the probe's SCAN too. On this synthetic corpus the query
+    vocabulary's df spread straddles the threshold (df 382–402 of
+    500), so the cap genuinely drops some query terms and keeps
+    others — the capped ranking differs from the uncapped one, which
+    is what makes this entry non-vacuous. Semantics: a capped term
+    scores as if absent from every query; surviving terms' tf/df are
+    untouched."""
+    from ue_big_data_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    idx = _session_index(
+        "bm25", sf_dir, lambda p: build_text_index(d, p, n_buckets=16)
+    )
+    n_docs = int(spark.read.parquet(idx + "_stats").first()["n_docs"])
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, query_text string"
+    )
+    return bm25_topk_indexed(
+        spark, idx, q, k=5, max_term_df=(78 * n_docs) // 100
+    )
 
 
 def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3899,6 +3939,7 @@ QUERIES = {
     "text_bm25_indexed": QuerySpec(text_bm25_indexed, TEXT_BM25_SQL),
     "text_bm25_appended": QuerySpec(text_bm25_appended, TEXT_BM25_SQL),
     "text_bm25_pruned": QuerySpec(text_bm25_pruned, TEXT_BM25_PRUNED_SQL),
+    "text_bm25_capped": QuerySpec(text_bm25_capped, TEXT_BM25_CAPPED_SQL),
     # The streamed index must answer exactly like the one-shot build —
     # the full-corpus search oracle VERBATIM (sidecars aggregate on
     # read, so batching is invisible by construction).
