@@ -49,7 +49,12 @@ def _spark_result(df) -> dict[int, int]:
     return {r["id"]: r["component"] for r in df.collect()}
 
 
-@pytest.mark.parametrize("algorithm", ["label", "star"])
+# "label" runs the round-12 driver union-find shortcut (the edge list
+# fits driver_cc_max); "label-distributed" forces the iterative loop —
+# both must match the ground truth, which IS the shortcut-vs-loop
+# equivalence proof on a mixed-shape graph (cliques, chain, random,
+# isolated vertices).
+@pytest.mark.parametrize("algorithm", ["label", "label-distributed", "star"])
 def test_components_match_union_find(spark, algorithm):
     rng = random.Random(7)
     nodes = list(range(120))
@@ -67,9 +72,12 @@ def test_components_match_union_find(spark, algorithm):
 
     nodes_df = spark.createDataFrame([(v,) for v in nodes], "id int")
     edges_df = spark.createDataFrame(edges, "src int, dst int")
-    got = _spark_result(
-        connected_components(nodes_df, edges_df, algorithm=algorithm)
+    kwargs = (
+        {"algorithm": "label", "driver_cc_max": 0}
+        if algorithm == "label-distributed"
+        else {"algorithm": algorithm}
     )
+    got = _spark_result(connected_components(nodes_df, edges_df, **kwargs))
     assert got == expected
 
 
@@ -95,7 +103,10 @@ def test_label_raises_rather_than_silently_wrong(spark):
         [(i, i + 1) for i in range(n - 1)], "src int, dst int"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes_df, edges_df, max_iters=5)
+        # driver_cc_max=0 forces the iterative path — the driver
+        # union-find shortcut would otherwise solve the chain exactly
+        # and never hit the convergence budget this test pins.
+        connected_components(nodes_df, edges_df, max_iters=5, driver_cc_max=0)
 
 
 @pytest.mark.parametrize("algorithm", ["label", "star"])
@@ -108,16 +119,23 @@ def test_empty_edges_all_singletons(spark, algorithm):
     assert got == {1: 1, 2: 2, 9: 9}
 
 
-def test_phantom_edge_endpoints_never_become_labels(spark):
+# Both the driver union-find shortcut and the iterative loop must hold
+# the phantom contract (and agree with each other).
+@pytest.mark.parametrize("driver_cc_max", [200_000, 0])
+def test_phantom_edge_endpoints_never_become_labels(spark, driver_cc_max):
     # An edge endpoint absent from the node set must not label a
-    # component (the keep-min pattern would otherwise drop the cluster).
+    # component (the keep-min pattern would otherwise drop the cluster)
+    # — and must not RELAY connectivity either: 5—0—7 with phantom 0
+    # leaves 5 and 7 in separate singletons.
     from ue_big_data_project_spark.operators.graph import connected_components
 
     nodes = spark.createDataFrame([(5,), (7,)], "id long")
-    edges = spark.createDataFrame([(5, 0)], "src long, dst long")
+    edges = spark.createDataFrame([(5, 0), (0, 7)], "src long, dst long")
     got = {
         r["id"]: r["component"]
-        for r in connected_components(nodes, edges).collect()
+        for r in connected_components(
+            nodes, edges, driver_cc_max=driver_cc_max
+        ).collect()
     }
     assert got == {5: 5, 7: 7}
 

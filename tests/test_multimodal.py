@@ -1343,3 +1343,61 @@ def test_fp_stop_band_cap_bounds_hot_bucket_fanout(spark, tmp_path):
     }
     assert got_probe == want_probe
     assert want_probe  # non-vacuous: (2000, 2001) is probe-incident
+
+
+def test_media_components_clique_collapse_equals_full_pairs(spark):
+    """Round-12 optimization pin: the clique-collapsed edge set
+    (exact-dup star + rep-to-rep band pairs over DISTINCT hashes) in
+    pipelines._media_components_of_hashes yields the SAME component
+    labels as CC over the full min_hamming=0 pair list — on a fixture
+    mixing big exact-dup cliques, near-dup chains across distinct
+    hashes, and isolated singletons."""
+    from ue_big_data_project_spark.operators.graph import (
+        connected_components,
+    )
+    from ue_big_data_project_spark.pipelines import (
+        _media_components_of_hashes,
+    )
+
+    rows = []
+    # Clique A: 7 docs sharing one hash; clique B: 5 docs sharing a
+    # hash 1 bit away (A and B merge through a rep pair). Clique C: 4
+    # docs on a hash far from everything. Singletons: distinct hashes
+    # 1 bit apart chain-wise (near-dup chain), plus one isolate.
+    for i in range(7):
+        rows.append((100 + i, 0x5A5A5A5A, 0x0F0F0F0F))
+    for i in range(5):
+        rows.append((200 + i, 0x5A5A5A5B, 0x0F0F0F0F))  # Hamming 1 vs A
+    for i in range(4):
+        rows.append((300 + i, 0x12345678, 0x76543210))
+    rows += [
+        (400, 0x7777, 0x1),
+        (401, 0x7777, 0x3),  # Hamming 1 vs 400
+        (402, 0x7777, 0x7),  # Hamming 1 vs 401, 2 vs 400
+        (500, 0x0, 0x424242),  # isolate
+    ]
+    h = spark.createDataFrame(
+        rows, "doc_id long, dhash_hi long, dhash_lo long"
+    ).localCheckpoint(eager=True)
+    got = {
+        (r["doc_id"], r["component"])
+        for r in _media_components_of_hashes(h, max_hamming=2).collect()
+    }
+    full_pairs = MM.dhash_neardup_pairs(h, max_hamming=2, min_hamming=0)
+    want = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(
+            h.select("doc_id"),
+            full_pairs,
+            node_col="doc_id",
+            src_col="id_a",
+            dst_col="id_b",
+        ).collect()
+    }
+    assert got == want
+    # Non-vacuous: A∪B merged through the rep pair, chain merged, the
+    # isolate and clique C label themselves.
+    comp_of = dict(got)
+    assert comp_of[204] == 100 and comp_of[106] == 100
+    assert comp_of[402] == 400 and comp_of[500] == 500
+    assert comp_of[303] == 300

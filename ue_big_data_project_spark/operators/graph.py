@@ -39,6 +39,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iters: int = 25,
     algorithm: str = "label",
+    driver_cc_max: int = 200_000,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
@@ -51,6 +52,26 @@ def connected_components(
     clusters. ``algorithm="star"`` is large-star/small-star contraction —
     O(log² n) rounds regardless of diameter, right for unknown or
     chain-heavy graph shapes at scale.
+
+    ``driver_cc_max`` (round-12 optimization, guide §2.4/§5): near-dup
+    pair graphs are SPARSE by construction — every upstream generator
+    (banding, prefix-filtered Jaccard, winnowing, Hamming banding) emits
+    a pair list that is orders of magnitude smaller than the corpus, and
+    the iterative loop costs ~3 scheduled jobs per round (join + grouped
+    min + checkpoint + convergence collect) regardless of how tiny the
+    edge set is. When the materialized edge list fits under this bound,
+    the labels are computed with driver-side union-find instead — ONE
+    bounded collect replaces the whole loop, bit-identical labels (the
+    ``append_components_detail`` / IVF driver-Lloyd precedent: bounded
+    input ⇒ driver compute, distributed past the bound). The node set is
+    never collected: edge-endpoint membership is resolved with one
+    map-side semi-join (output ≤ 2·|edges| rows), and the final label
+    attach streams ``nodes`` against the broadcast label map exactly
+    like the distributed path's tail join. Set 0 to force the iterative
+    path (the convergence tests do). Only the ``label`` algorithm
+    shortcuts: the star path's phantom-endpoint semantics differ
+    (documented there), and callers choosing it are asking for the
+    planet-scale contraction.
     """
     if algorithm == "star":
         return connected_components_star(
@@ -66,6 +87,14 @@ def connected_components(
     fwd = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).localCheckpoint(eager=True)
+    if driver_cc_max > 0:
+        # Size with count() FIRST (a scalar job over the checkpoint
+        # blocks), and only then collect: a limit(n+1).collect() probe
+        # would serialize up to n rows to Python just to discover an
+        # over-bound edge set (the image near-dup graph at sf0.1 is
+        # ~480k edges — 200k wasted row fetches per call).
+        if fwd.count() <= driver_cc_max:
+            return _driver_cc_label_join(nodes, node_col, fwd.collect())
     sym = fwd.union(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -134,6 +163,67 @@ def connected_components(
         ),
         node_col,
         "left",
+    ).select(
+        node_col,
+        F.coalesce("component", F.col(node_col)).alias("component"),
+    )
+
+
+def _driver_cc_label_join(
+    nodes: DataFrame, node_col: str, edge_rows: list
+) -> DataFrame:
+    """Driver-side tail of :func:`connected_components` for a BOUNDED
+    collected edge list: union-find over the edges whose endpoints are
+    both real nodes, then the same nodes-streamed label attach the
+    distributed path ends with.
+
+    Phantom-endpoint parity with the iterative path: an edge endpoint
+    absent from ``nodes`` never relays connectivity and never becomes a
+    label (the distributed loop's semi-joined label set drops it), so
+    edges touching one are filtered out here before the union-find.
+    Membership is resolved distributedly — ``nodes`` is unbounded at
+    corpus scale, so it streams map-side against the broadcast endpoint
+    set and only the ≤ 2·|edges| matches are collected.
+    """
+    spark = nodes.sparkSession
+    vt = nodes.select(node_col).schema[0].dataType
+    ends = sorted(
+        {r["a"] for r in edge_rows if r["a"] is not None}
+        | {r["b"] for r in edge_rows if r["b"] is not None}
+    )
+    if not ends:
+        return nodes.select(
+            F.col(node_col), F.col(node_col).alias("component")
+        )
+    ends_df = spark.createDataFrame(
+        [(x,) for x in ends],
+        SparkTypes.StructType([SparkTypes.StructField("_x", vt)]),
+    )
+    known = {
+        r["_x"]
+        for r in nodes.select(F.col(node_col).alias("_x"))
+        .join(F.broadcast(ends_df), "_x", "left_semi")
+        .collect()
+    }
+    labels = _driver_components(
+        [],
+        [
+            (r["a"], r["b"])
+            for r in edge_rows
+            if r["a"] in known and r["b"] in known
+        ],
+    )
+    lbl_df = spark.createDataFrame(
+        sorted(labels.items()),
+        SparkTypes.StructType(
+            [
+                SparkTypes.StructField(node_col, vt),
+                SparkTypes.StructField("component", vt),
+            ]
+        ),
+    )
+    return nodes.select(F.col(node_col)).join(
+        F.broadcast(lbl_df), node_col, "left"
     ).select(
         node_col,
         F.coalesce("component", F.col(node_col)).alias("component"),

@@ -409,24 +409,66 @@ def _media_components_of_hashes(
     max_hamming: int = 2,
     max_band_freq: int | None = None,
 ) -> DataFrame:
-    """Banded pairs (exact dups included) + CC over a (doc_id,
-    dhash_hi, dhash_lo) table — the shared leg of
-    :func:`media_dedup_components` and :func:`build_corpus`'s media
-    stage."""
+    """Connected components over a (doc_id, dhash_hi, dhash_lo) table —
+    the shared leg of :func:`media_dedup_components` and
+    :func:`build_corpus`'s media stage.
+
+    Round-12 optimization (guide §2.3 "shuffle fewer bytes" / §8 "move
+    decisions to a lightweight proxy"): identical hashes are collapsed
+    to their min-id REPRESENTATIVE before any pairing. A clique of n
+    exact duplicates contributes C(n,2) rows to a ``min_hamming=0``
+    pair list but connectivity needs only its n−1 star edges to the
+    group min, and the near-dup band join only needs to run over
+    DISTINCT hashes (a cross-group pair exists iff the two HASHES are
+    within ``max_hamming``, so one rep↔rep edge carries the whole
+    group×group pair block). Measured at sf0.1: 483,006 pair rows →
+    ~5k star + rep-pair edges, and the contracted edge set now fits
+    :func:`~ue_big_data_project_spark.operators.graph.connected_components`'s
+    driver union-find bound instead of the iterative loop. Component
+    labels are IDENTICAL (min reachable doc_id over unchanged
+    connectivity; oracle-pinned by dedup_image_clusters /
+    pipeline_media_prune and
+    tests/test_multimodal.py::test_media_components_clique_collapse_
+    equals_full_pairs).
+
+    ``max_band_freq`` now counts band values over DISTINCT hashes, not
+    documents — strictly harder to trip (an exact-dup pile of black
+    frames is ONE distinct hash here), which is the right reading for
+    a components consumer: the quadratic all-dups bucket the cap
+    existed to bound never enters this band join at all.
+    """
     from ue_big_data_project_spark.operators import multimodal as MM
     from ue_big_data_project_spark.operators.graph import (
         connected_components,
     )
 
-    pairs = MM.dhash_neardup_pairs(
-        h,
-        max_hamming=max_hamming,
-        min_hamming=0,
-        max_band_freq=max_band_freq,
+    reps = (
+        h.groupBy("dhash_hi", "dhash_lo")
+        .agg(F.min("doc_id").alias("doc_id"))
+        # Feeds the star join AND both band-join sides below.
+        .localCheckpoint(eager=True)
     )
+    star = (
+        h.join(
+            reps.select(
+                "dhash_hi", "dhash_lo", F.col("doc_id").alias("_rep")
+            ),
+            ["dhash_hi", "dhash_lo"],
+        )
+        .where(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    # min_hamming=1 ≡ the old min_hamming=0 here: reps are distinct
+    # hashes, so Hamming 0 cannot occur between them.
+    rep_pairs = MM.dhash_neardup_pairs(
+        reps,
+        max_hamming=max_hamming,
+        min_hamming=1,
+        max_band_freq=max_band_freq,
+    ).select("id_a", "id_b")
     return connected_components(
         h.select("doc_id"),
-        pairs,
+        star.unionByName(rep_pairs),
         node_col="doc_id",
         src_col="id_a",
         dst_col="id_b",

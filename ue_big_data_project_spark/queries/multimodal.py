@@ -671,22 +671,20 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one-per-cluster ops reuse the text-dedup machinery unchanged
     on the image axis. Oracle = brute-force pair sweep under the
     recursive-CTE closure (the dedup_clusters precedent)."""
-    from ue_big_data_project_spark.operators.graph import (
-        connected_components,
+    from ue_big_data_project_spark.pipelines import (
+        _media_components_of_hashes,
     )
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    # One decode pass feeds the node set and both pair-join sides.
+    # One decode pass feeds the node set and both pair-join sides;
+    # the shared helper collapses exact-dup cliques to star edges and
+    # bands only DISTINCT hashes before CC (round-12 — its docstring
+    # has the equivalence argument; same labels, oracle unchanged).
     h = MM.image_dhash(MM.attach_bmp(ids)).localCheckpoint(eager=True)
-    pairs = MM.dhash_neardup_pairs(h, max_hamming=2, min_hamming=0)
-    return connected_components(
-        h.select("doc_id"),
-        pairs,
-        node_col="doc_id",
-        src_col="id_a",
-        dst_col="id_b",
-    ).select("doc_id", "component")
+    return _media_components_of_hashes(h, max_hamming=2).select(
+        "doc_id", "component"
+    )
 
 
 MULTIMODAL_IMAGE_CLUSTERS_SQL = f"""
