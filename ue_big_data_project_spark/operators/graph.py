@@ -698,6 +698,100 @@ def _driver_components(
     return {v: comp_min[find(v)] for v in parent}
 
 
+def _append_components_driver(
+    b: DataFrame,
+    e_rows: list,
+    nn_rows: list,
+    node_col: str,
+    comp_col: str,
+    vt,
+) -> AppendParts:
+    """Driver-side tail of :func:`append_components_detail` for a
+    bounded increment — semantics identical to the distributed
+    formulation (same union-find labels, same phantom/replay/null
+    handling), with ONE map-side scan of the base serving both the
+    endpoint-label pass and the new-node overlap pass:
+
+    - an edge endpoint is KNOWN iff it is in the base or in the
+      increment's node set; edges with an unknown (phantom) endpoint
+      are dropped before contraction (a phantom must never become a
+      label);
+    - base labels that can merge all appear among edge endpoints, so
+      the relabel map derives from the collected endpoint hits alone;
+    - a "new" node already in the base (at-least-once replay) keeps its
+      base-row assignment and is excluded from ``fresh``.
+    """
+    spark = b.sparkSession
+    nn_list = [r["_v"] for r in nn_rows]
+    nn_set = set(nn_list)
+    ends = {r["_s"] for r in e_rows if r["_s"] is not None} | {
+        r["_d"] for r in e_rows if r["_d"] is not None
+    }
+    keys = sorted(ends | (nn_set - {None}))
+    base_hits: dict = {}
+    if keys:
+        keys_df = spark.createDataFrame(
+            [(k,) for k in keys],
+            SparkTypes.StructType([SparkTypes.StructField("_n", vt)]),
+        )
+        base_hits = {
+            r["_n"]: r["_c"]
+            for r in b.join(F.broadcast(keys_df), "_n").collect()
+        }
+    base_labels = set()
+    contracted = []
+    for r in e_rows:
+        s, d = r["_s"], r["_d"]
+        if s in base_hits:
+            base_labels.add(base_hits[s])
+        if d in base_hits:
+            base_labels.add(base_hits[d])
+        ks = s is not None and (s in base_hits or s in nn_set)
+        kd = d is not None and (d in base_hits or d in nn_set)
+        if not (ks and kd):
+            continue
+        la = base_hits.get(s, s)
+        lb = base_hits.get(d, d)
+        if la != lb:
+            contracted.append((la, lb))
+    labels = _driver_components(
+        [v for v in nn_list if v is not None], contracted
+    )
+    relabel_df = spark.createDataFrame(
+        sorted(
+            (v, c)
+            for v, c in labels.items()
+            if v in base_labels and v != c
+        ),
+        SparkTypes.StructType(
+            [
+                SparkTypes.StructField("_old", vt),
+                SparkTypes.StructField("_new", vt),
+            ]
+        ),
+    )
+    fresh_df = spark.createDataFrame(
+        [(v, labels.get(v, v)) for v in nn_list if v not in base_hits],
+        SparkTypes.StructType(
+            [
+                SparkTypes.StructField(node_col, vt),
+                SparkTypes.StructField(comp_col, vt),
+            ]
+        ),
+    )
+    updated = b.join(
+        F.broadcast(relabel_df), b["_c"] == F.col("_old"), "left"
+    ).select(
+        F.col("_n").alias(node_col),
+        F.coalesce("_new", F.col("_c")).alias(comp_col),
+    )
+    return AppendParts(
+        assignment=updated.unionByName(fresh_df),
+        relabel=relabel_df,
+        fresh=fresh_df,
+    )
+
+
 def append_components_detail(
     base: DataFrame,
     new_nodes: DataFrame,
@@ -731,6 +825,40 @@ def append_components_detail(
     e = new_edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     )
+    # Round-12 job diet: when the increment's NODES and RAW EDGES both
+    # fit under ``driver_cc_max``, the entire contraction — endpoint
+    # labeling, phantom filtering, union-find, relabel map, fresh set —
+    # runs driver-side off THREE bounded collects (nodes, edges, and
+    # ONE map-side base scan against the broadcast key set that serves
+    # both the endpoint-label pass and the new-node overlap pass).
+    # That replaces the distributed formulation's per-append job train
+    # (endpoint-label checkpoint + contracted-edge collect + relabel/
+    # fresh checkpoints + touched-set collect in the cluster-map
+    # consumer ≈ 0.4-0.5 s of scheduling each on this box) and one of
+    # its two base scans. Labels are bit-identical (same union-find the
+    # distributed path's driver-CC shortcut runs); the base is still
+    # never shuffled, never broadcast, and the returned relabel/fresh
+    # are local relations (audit-clean by construction). Raw |edges| ≥
+    # |contracted edges|, so this bound is STRICTER than the old
+    # contracted-graph probe — an increment that exceeds it falls
+    # through to the unchanged distributed path below, which keeps its
+    # own contracted-graph driver shortcut.
+    nn_rows = None
+    if driver_cc_max > 0:
+        nn_rows = (
+            new_nodes.select(F.col(node_col).alias("_v"))
+            .limit(driver_cc_max + 1)
+            .collect()
+        )
+        if len(nn_rows) > driver_cc_max:
+            nn_rows = None
+    if nn_rows is not None:
+        e_rows = e.limit(driver_cc_max + 1).collect()
+        if len(e_rows) <= driver_cc_max:
+            return _append_components_driver(
+                b, e_rows, nn_rows, node_col, comp_col,
+                new_nodes.select(node_col).schema[0].dataType,
+            )
     # Contract endpoints to their current labels. The increment is the
     # small side: broadcast IT against the base map, never the reverse
     # (the base map is unbounded).
@@ -793,32 +921,26 @@ def append_components_detail(
         .distinct()
     )
     sub = None
-    if driver_cc_max > 0:
-        # limit(n+1).collect() sizes and fetches in ONE bounded job per
-        # side (a separate count would be a second pass); > n rows ⇒
-        # fall through to the distributed loop.
-        nn_rows = (
-            new_nodes.select(F.col(node_col).alias("_v"))
-            .limit(driver_cc_max + 1)
-            .collect()
-        )
-        if len(nn_rows) <= driver_cc_max:
-            ce_rows = ce.limit(driver_cc_max + 1).collect()
-            if len(ce_rows) <= driver_cc_max:
-                labels = _driver_components(
-                    [r["_v"] for r in nn_rows],
-                    [(r["_la"], r["_lb"]) for r in ce_rows],
-                )
-                vt = new_nodes.select(node_col).schema[0].dataType
-                sub = base.sparkSession.createDataFrame(
-                    sorted(labels.items()),
-                    SparkTypes.StructType(
-                        [
-                            SparkTypes.StructField("_v", vt),
-                            SparkTypes.StructField("component", vt),
-                        ]
-                    ),
-                )
+    if nn_rows is not None:
+        # The increment's nodes fit (collected above) but its raw edge
+        # list did not; the CONTRACTED edge set can still be small —
+        # probe it with the same one-job limit(n+1).collect().
+        ce_rows = ce.limit(driver_cc_max + 1).collect()
+        if len(ce_rows) <= driver_cc_max:
+            labels = _driver_components(
+                [r["_v"] for r in nn_rows],
+                [(r["_la"], r["_lb"]) for r in ce_rows],
+            )
+            vt = new_nodes.select(node_col).schema[0].dataType
+            sub = base.sparkSession.createDataFrame(
+                sorted(labels.items()),
+                SparkTypes.StructType(
+                    [
+                        SparkTypes.StructField("_v", vt),
+                        SparkTypes.StructField("component", vt),
+                    ]
+                ),
+            )
     if sub is None:
         cc_nodes = (
             new_nodes.select(F.col(node_col).alias("_v"))
