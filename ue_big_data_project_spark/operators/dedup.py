@@ -245,8 +245,13 @@ def ngram_jaccard_pairs(
     shh = sh.select(
         F.col(id_col), F.xxhash64("shingle").alias("_h")
     )
-    freq = shh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = shh.join(freq, "_h").select(
+    # df as a WINDOW over the hash key instead of a groupBy + join-back
+    # (round-12, guide §2.4 "share one exchange"): one exchange on _h
+    # feeds the count, where the join formulation paid the aggregate's
+    # exchange AND re-shuffled the postings to meet it.
+    ranked = shh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    ).select(
         id_col,
         "_h",
         F.row_number()
