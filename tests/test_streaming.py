@@ -1376,3 +1376,56 @@ def test_constraints_ingest_stream_verdicts_and_replay(spark, tmp_path):
     before = files()
     drain()  # replay: ledger skips committed batches
     assert files() == before
+
+
+def test_stage_batches_one_job_layout(spark, tmp_path):
+    """stage_batches writes every batch as ONE parquet file whose rows
+    equal the per-batch filter, staged with strictly increasing target
+    mtimes (the FileStreamSource replay-order contract the old
+    per-batch coalesce(1) loop enforced)."""
+    import os
+
+    from ue_big_data_project_spark.queries._replay import stage_batches
+
+    df = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    root = str(tmp_path / "stg")
+    os.makedirs(root)
+    stage = stage_batches(df, F.col("doc_id") % 3, root, n=3)
+    mtimes = []
+    for i in range(3):
+        link = os.path.join(stage, f"b{i}.parquet")
+        assert os.path.islink(link)
+        got = spark.read.parquet(link)
+        assert got.columns == ["doc_id", "text"]
+        expect = df.filter(F.col("doc_id") % 3 == i)
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
+        mtimes.append(os.stat(link).st_mtime)  # stats the TARGET
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+
+def test_stage_batches_empty_batch_keeps_position(spark, tmp_path):
+    """A batch value with no rows still stages an (empty) file so later
+    batches keep their replay positions — order-sensitive consumers
+    (CDC MERGE, the constraints ledger) count on batch ids."""
+    import os
+
+    from ue_big_data_project_spark.queries._replay import stage_batches
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+    )
+    root = str(tmp_path / "stg")
+    os.makedirs(root)
+    # batch 1 is empty: doc_id % 4 in {0..3} mapped so value 1 never occurs
+    batch = F.when(F.col("doc_id") < 5, F.lit(0)).otherwise(F.lit(2))
+    stage = stage_batches(df, batch, root, n=3)
+    counts = [
+        spark.read.parquet(os.path.join(stage, f"b{i}.parquet")).count()
+        for i in range(3)
+    ]
+    assert counts == [5, 0, 5]

@@ -16,6 +16,7 @@ from ue_big_data_project_spark import schemas
 from ue_big_data_project_spark.functions import pround, sql_round
 from ue_big_data_project_spark.operators.asof import asof_join
 from ue_big_data_project_spark.queries import QuerySpec
+from ue_big_data_project_spark.queries._replay import stage_batches
 from ue_big_data_project_spark.queries.tpch import (
     d2,
     davg,
@@ -1322,7 +1323,6 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.session import apply_session_conf
@@ -1331,31 +1331,20 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     root = _tf.mkdtemp(prefix="spark_graft_cdcmerge_")
     try:
-        stage = _os.path.join(root, "stage")
-        _os.makedirs(stage)
-        now = _time.time()
-        for i in range(3):
-            bdir = _os.path.join(root, f"b{i}")
-            (
-                t["orders"]
-                .filter(F.col("o_orderkey") % 3 == i)
-                .groupBy(F.col("o_custkey").alias("c_custkey"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .coalesce(1)
-                .write.parquet(bdir)
-            )
-            part = [
-                f for f in _os.listdir(bdir) if f.endswith(".parquet")
-            ][0]
-            dst = _os.path.join(stage, f"b{i}.parquet")
-            _os.symlink(_os.path.join(bdir, part), dst)
-            # Strictly increasing mtimes pin micro-batch ORDER (the
-            # file source sorts by modification time; MERGE is
-            # order-sensitive, unlike the commutative HLL rollup).
-            # utime the TARGET: Hadoop's local FS stats the link
-            # target, so touching the symlink would leave the order to
-            # the targets' natural write mtimes (round-11 advice).
-            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        # One staging job for all 3 batch files (round-12, guide §2.4):
+        # grouping by (_b, custkey) yields exactly the per-batch
+        # aggregates the per-batch filter+groupBy loop produced. The
+        # staged mtimes still pin micro-batch ORDER (the file source
+        # sorts by modification time; MERGE is order-sensitive, unlike
+        # the commutative HLL rollup).
+        stage = stage_batches(
+            t["orders"]
+            .withColumn("_b", F.col("o_orderkey") % 3)
+            .groupBy("_b", F.col("o_custkey").alias("c_custkey"))
+            .agg(F.count(F.lit(1)).alias("n")),
+            F.col("_b"),
+            root,
+        )
         sdf = spark.readStream.schema("c_custkey long, n long").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
@@ -1448,7 +1437,6 @@ def streaming_cdc_merge_bucketed(
     import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.session import apply_session_conf
@@ -1457,28 +1445,16 @@ def streaming_cdc_merge_bucketed(
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     root = _tf.mkdtemp(prefix="spark_graft_cdcmergeb_")
     try:
-        stage = _os.path.join(root, "stage")
-        _os.makedirs(stage)
-        now = _time.time()
-        for i in range(3):
-            bdir = _os.path.join(root, f"b{i}")
-            (
-                t["orders"]
-                .filter(F.col("o_orderkey") % 3 == i)
-                .groupBy(F.col("o_custkey").alias("c_custkey"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .coalesce(1)
-                .write.parquet(bdir)
-            )
-            part = [
-                f for f in _os.listdir(bdir) if f.endswith(".parquet")
-            ][0]
-            dst = _os.path.join(stage, f"b{i}.parquet")
-            _os.symlink(_os.path.join(bdir, part), dst)
-            # utime the TARGET: Hadoop's local FS stats the link
-            # target, so touching the symlink would leave batch order
-            # to the targets' natural write mtimes (round-11 advice).
-            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        # One staging job for all 3 batch files (round-12, guide §2.4);
+        # staged mtimes still pin micro-batch order.
+        stage = stage_batches(
+            t["orders"]
+            .withColumn("_b", F.col("o_orderkey") % 3)
+            .groupBy("_b", F.col("o_custkey").alias("c_custkey"))
+            .agg(F.count(F.lit(1)).alias("n")),
+            F.col("_b"),
+            root,
+        )
         sdf = spark.readStream.schema("c_custkey long, n long").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ue_big_data_project_spark.operators import multimodal as MM
 from ue_big_data_project_spark.queries import QuerySpec
+from ue_big_data_project_spark.queries._replay import stage_batches
 from ue_big_data_project_spark.session import load_tables
 
 _MEDIA_TYPE_SQL = (
@@ -575,7 +576,6 @@ def streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.session import apply_session_conf
@@ -592,25 +592,10 @@ def streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _tf.mkdtemp(prefix="spark_graft_fpstream_")
     try:
-        stage = _os.path.join(root, "stage")
-        _os.makedirs(stage)
-        now = _time.time()
-        for i in range(3):
-            bdir = _os.path.join(root, f"b{i}")
-            (
-                old_ids.filter((F.col("doc_id") / 2) % 3 == i)
-                .coalesce(1)
-                .write.parquet(bdir)
-            )
-            part = [
-                f for f in _os.listdir(bdir) if f.endswith(".parquet")
-            ][0]
-            dst = _os.path.join(stage, f"b{i}.parquet")
-            _os.symlink(_os.path.join(bdir, part), dst)
-            # utime the TARGET: Hadoop's local FS stats the link
-            # target, so touching the symlink would leave batch order
-            # to the targets' natural write mtimes (round-11 advice).
-            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        # One staging job for all 3 batch files (round-12, guide §2.4).
+        stage = stage_batches(
+            old_ids, (F.col("doc_id") / 2) % 3, root
+        )
         sdf = spark.readStream.schema("doc_id long").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
@@ -821,7 +806,6 @@ def streaming_video_sig_index(
     import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.session import apply_session_conf
@@ -836,25 +820,10 @@ def streaming_video_sig_index(
     )
     root = _tf.mkdtemp(prefix="spark_graft_vsigstream_")
     try:
-        stage = _os.path.join(root, "stage")
-        _os.makedirs(stage)
-        now = _time.time()
-        for i in range(3):
-            bdir = _os.path.join(root, f"b{i}")
-            (
-                old_ids.filter((F.col("doc_id") / 2) % 3 == i)
-                .coalesce(1)
-                .write.parquet(bdir)
-            )
-            part = [
-                f for f in _os.listdir(bdir) if f.endswith(".parquet")
-            ][0]
-            dst = _os.path.join(stage, f"b{i}.parquet")
-            _os.symlink(_os.path.join(bdir, part), dst)
-            # utime the TARGET (Hadoop stats the link target); order
-            # is irrelevant here anyway — the index is batch-order-
-            # invariant by construction.
-            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        # One staging job for all 3 batch files (round-12, guide §2.4).
+        stage = stage_batches(
+            old_ids, (F.col("doc_id") / 2) % 3, root
+        )
         sdf = spark.readStream.schema("doc_id long").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)

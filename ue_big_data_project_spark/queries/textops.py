@@ -30,6 +30,7 @@ from ue_big_data_project_spark.operators.similarity import (
     pq_knn,
 )
 from ue_big_data_project_spark.queries import QuerySpec
+from ue_big_data_project_spark.queries._replay import stage_batches
 from ue_big_data_project_spark.session import load_tables
 
 # Shared SQL fragments ------------------------------------------------------
@@ -419,7 +420,6 @@ def streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.operators.dedup import read_cluster_map
@@ -436,29 +436,12 @@ def streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _tf.mkdtemp(prefix="spark_graft_cluststream_")
     try:
-        stage = _os.path.join(root, "stage")
-        _os.makedirs(stage)
-        now = _time.time()
-        for i in range(3):
-            bdir = _os.path.join(root, f"b{i}")
-            (
-                d.filter((F.col("doc_id") / 2) % 3 == i)
-                .select("doc_id", "text")
-                .coalesce(1)
-                .write.parquet(bdir)
-            )
-            part = [
-                f for f in _os.listdir(bdir) if f.endswith(".parquet")
-            ][0]
-            dst = _os.path.join(stage, f"b{i}.parquet")
-            _os.symlink(_os.path.join(bdir, part), dst)
-            # utime the TARGET: Hadoop's local FS stats the link
-            # target, so touching the symlink itself would not enforce
-            # the intended FileStreamSource batch order (round-11
-            # advice). The downstream index is batch-order-invariant
-            # either way; this makes the staged order real, not
-            # decorative.
-            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        # One staging job for all 3 batch files (round-12, guide §2.4).
+        stage = stage_batches(
+            d.select("doc_id", "text"),
+            (F.col("doc_id") / 2) % 3,
+            root,
+        )
         sdf = spark.readStream.schema("doc_id long, text string").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
@@ -1753,7 +1736,6 @@ def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.operators.dedup import (
@@ -1767,29 +1749,12 @@ def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 4 == 1)
     root = _tf.mkdtemp(prefix="spark_graft_winstream_")
     try:
-        stage = _os.path.join(root, "stage")
-        _os.makedirs(stage)
-        now = _time.time()
-        for i in range(3):
-            bdir = _os.path.join(root, f"b{i}")
-            (
-                old.filter((F.col("doc_id") / 2) % 3 == i)
-                .select("doc_id", "text")
-                .coalesce(1)
-                .write.parquet(bdir)
-            )
-            part = [
-                f for f in _os.listdir(bdir) if f.endswith(".parquet")
-            ][0]
-            dst = _os.path.join(stage, f"b{i}.parquet")
-            _os.symlink(_os.path.join(bdir, part), dst)
-            # utime the TARGET: Hadoop's local FS stats the link
-            # target, so touching the symlink itself would not enforce
-            # the intended FileStreamSource batch order (round-11
-            # advice). The downstream index is batch-order-invariant
-            # either way; this makes the staged order real, not
-            # decorative.
-            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        # One staging job for all 3 batch files (round-12, guide §2.4).
+        stage = stage_batches(
+            old.select("doc_id", "text"),
+            (F.col("doc_id") / 2) % 3,
+            root,
+        )
         sdf = spark.readStream.schema("doc_id long, text string").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
@@ -2698,7 +2663,6 @@ def streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.session import apply_session_conf
@@ -2707,28 +2671,15 @@ def streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     root = _tf.mkdtemp(prefix="spark_graft_expstream_")
     try:
-        stage = _os.path.join(root, "stage")
-        _os.makedirs(stage)
-        now = _time.time()
-        for i in range(3):
-            bdir = _os.path.join(root, f"b{i}")
-            (
-                d.filter(F.col("doc_id") % 3 == i)
-                .select("doc_id", "text", "lang", "source", "n_chars")
-                .coalesce(1)
-                .write.parquet(bdir)
-            )
-            part = [
-                f for f in _os.listdir(bdir) if f.endswith(".parquet")
-            ][0]
-            _os.symlink(
-                _os.path.join(bdir, part),
-                _os.path.join(stage, f"b{i}.parquet"),
-            )
-            # utime the TARGET so the staged mtimes govern the
-            # FileStreamSource order — here the order is SEMANTIC
-            # (batch_id i must verify membership class i).
-            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        # One staging job for all 3 batch files (round-12, guide §2.4);
+        # the staged mtimes still govern the FileStreamSource order —
+        # here the order is SEMANTIC (batch_id i must verify membership
+        # class i).
+        stage = stage_batches(
+            d.select("doc_id", "text", "lang", "source", "n_chars"),
+            F.col("doc_id") % 3,
+            root,
+        )
         sdf = spark.readStream.schema(
             "doc_id long, text string, lang string, source string, "
             "n_chars long"
@@ -3386,7 +3337,6 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.operators.retrieval import (
@@ -3398,29 +3348,10 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     root = _tf.mkdtemp(prefix="spark_graft_bm25stream_")
     try:
-        stage = _os.path.join(root, "stage")
-        _os.makedirs(stage)
-        now = _time.time()
-        for i in range(3):
-            bdir = _os.path.join(root, f"b{i}")
-            (
-                d.filter(F.col("doc_id") % 3 == i)
-                .select("doc_id", "text")
-                .coalesce(1)
-                .write.parquet(bdir)
-            )
-            part = [
-                f for f in _os.listdir(bdir) if f.endswith(".parquet")
-            ][0]
-            _os.symlink(
-                _os.path.join(bdir, part),
-                _os.path.join(stage, f"b{i}.parquet"),
-            )
-            # utime the TARGET (Hadoop's local FS stats the link
-            # target) so the staged mtimes actually govern the
-            # FileStreamSource order; the index is batch-order-
-            # invariant either way.
-            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        # One staging job for all 3 batch files (round-12, guide §2.4).
+        stage = stage_batches(
+            d.select("doc_id", "text"), F.col("doc_id") % 3, root
+        )
         sdf = spark.readStream.schema("doc_id long, text string").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
@@ -3683,7 +3614,6 @@ def streaming_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from ue_big_data_project_spark import streaming as ST
     from ue_big_data_project_spark.pipelines import write_dsir_model
@@ -3699,29 +3629,12 @@ def streaming_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_dsir_model(
             base, F.col("source").isin("src1", "src2", "src3"), model
         )
-        stage = _os.path.join(root, "stage")
-        _os.makedirs(stage)
-        now = _time.time()
-        for i in range(3):
-            bdir = _os.path.join(root, f"b{i}")
-            (
-                inc.filter((F.col("doc_id") / 4) % 3 == i)
-                .select("doc_id", "text")
-                .coalesce(1)
-                .write.parquet(bdir)
-            )
-            part = [
-                f for f in _os.listdir(bdir) if f.endswith(".parquet")
-            ][0]
-            dst = _os.path.join(stage, f"b{i}.parquet")
-            _os.symlink(_os.path.join(bdir, part), dst)
-            # utime the TARGET: Hadoop's local FS stats the link
-            # target, so touching the symlink itself would not enforce
-            # the intended FileStreamSource batch order (round-11
-            # advice). The downstream index is batch-order-invariant
-            # either way; this makes the staged order real, not
-            # decorative.
-            _os.utime(_os.path.join(bdir, part), (now + i, now + i))
+        # One staging job for all 3 batch files (round-12, guide §2.4).
+        stage = stage_batches(
+            inc.select("doc_id", "text"),
+            (F.col("doc_id") / 4) % 3,
+            root,
+        )
         sdf = spark.readStream.schema("doc_id long, text string").option(
             "maxFilesPerTrigger", 1
         ).parquet(stage)
