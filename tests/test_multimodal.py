@@ -1401,3 +1401,36 @@ def test_media_components_clique_collapse_equals_full_pairs(spark):
     assert comp_of[204] == 100 and comp_of[106] == 100
     assert comp_of[402] == 400 and comp_of[500] == 500
     assert comp_of[303] == 300
+
+
+def test_baseline_encoder_bytes_pinned():
+    """Golden byte pin for the vectorized baseline encoder (round-12):
+    the whole-plane `_quantize_plane` FDCT + sparse entropy walk must
+    keep producing EXACTLY the bytes of the original per-block path
+    (verified byte-identical over 240 randomized gray/RGB ×
+    subsampling × restart cases at the refactor). Any future change
+    that shifts a single coefficient or run symbol trips this."""
+    import hashlib
+
+    import numpy as np
+
+    from ue_big_data_project_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (21, 13)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (17, 26, 3)).astype(np.uint8)
+    for name, px, sub, ri, want in [
+        ("gray_444_r0", gray, "444", 0, "bee096dbbea5ef57"),
+        ("gray_444_r2", gray, "444", 2, "a32196da0cb6b31e"),
+        ("rgb_444_r0", rgb, "444", 0, "faac7e26e71e9903"),
+        ("rgb_422_r0", rgb, "422", 0, "576c902dbdb3d794"),
+        ("rgb_420_r3", rgb, "420", 3, "a8a7ebf980b6c030"),
+    ]:
+        got = hashlib.sha256(
+            MM.encode_jpeg_baseline(px, ri, sub)
+        ).hexdigest()[:16]
+        assert got == want, name
+    assert (
+        hashlib.sha256(MM.synth_mp4_textured(37)).hexdigest()[:16]
+        == "9cd26f3bcc82b240"
+    )

@@ -1233,46 +1233,42 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _encode_block(
+def _encode_block_zz(
     writer: _BitWriter,
-    block: np.ndarray,
-    quant: np.ndarray,
+    zz: np.ndarray,
     dc_codes: dict,
     ac_codes: dict,
     dc_pred: int,
 ) -> int:
-    s = _DCT_C @ (block.astype(np.float64) - 128.0) @ _DCT_C.T
-    q = np.round(s / quant).astype(np.int64)
-    zz = q.reshape(-1)[_ZIGZAG_FLAT]
-
-    def put_sym(codes, sym):
-        length, code = codes[sym]
-        writer.put(code, length)
-
-    def magnitude(v: int) -> tuple[int, int]:
-        size = int(v != 0 and int(abs(v)).bit_length())
-        return size, (v if v >= 0 else v + (1 << size) - 1)
-
+    """Entropy-code one block from its PRECOMPUTED zigzag coefficient
+    vector (``_quantize_plane`` output row). The round-12 split of the
+    old per-block ``_encode_block``: the FDCT+quantize now runs once
+    per plane as a broadcast matmul (guide §4.2 — batch the numeric
+    work, keep Python for the sequential entropy state), and the AC
+    walk visits only the nonzero coefficients — zero runs come from
+    index gaps, an identical symbol stream to the 1..63 scan."""
     diff = int(zz[0]) - dc_pred
-    size, bits = magnitude(diff)
-    put_sym(dc_codes, size)
+    size, bits = _jpeg_magnitude(diff)
+    length, code = dc_codes[size]
+    writer.put(code, length)
     if size:
         writer.put(bits, size)
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    prev = 0  # position of the last emitted coefficient (0 = DC)
+    for idx in np.flatnonzero(zz[1:]):
+        k = int(idx) + 1
+        run = k - prev - 1
         while run > 15:
-            put_sym(ac_codes, 0xF0)  # ZRL
+            length, code = ac_codes[0xF0]  # ZRL
+            writer.put(code, length)
             run -= 16
-        size, bits = magnitude(v)
-        put_sym(ac_codes, (run << 4) | size)
+        size, bits = _jpeg_magnitude(int(zz[k]))
+        length, code = ac_codes[(run << 4) | size]
+        writer.put(code, length)
         writer.put(bits, size)
-        run = 0
-    if run:
-        put_sym(ac_codes, 0x00)  # EOB
+        prev = k
+    if prev != 63:
+        length, code = ac_codes[0x00]  # EOB
+        writer.put(code, length)
     return int(zz[0])
 
 
@@ -1379,6 +1375,14 @@ def encode_jpeg_baseline(
     ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    # Whole-plane FDCT+quantize up front (round-12, guide §4.2):
+    # `_quantize_plane` is documented + round-trip-test-pinned as
+    # bit-identical to the old per-block `C @ x @ C.T` path, so the MCU
+    # loop below is entropy coding only.
+    qplanes = [
+        _quantize_plane(padded[ci], quants[min(ci, len(quants) - 1)])
+        for ci in range(ncomp)
+    ]
     writer = _BitWriter()
     preds = [0] * ncomp
     rst = 0
@@ -1391,16 +1395,12 @@ def encode_jpeg_baseline(
         my, mx = divmod(mcu, mcux)
         for ci in range(ncomp):
             fh, fv = factors[ci]
-            quant = quants[min(ci, len(quants) - 1)]
             dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
             for byi in range(fv):
                 for bxi in range(fh):
                     by, bx = my * fv + byi, mx * fh + bxi
-                    block = padded[ci][
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ]
-                    preds[ci] = _encode_block(
-                        writer, block, quant, dc, ac, preds[ci]
+                    preds[ci] = _encode_block_zz(
+                        writer, qplanes[ci][by, bx], dc, ac, preds[ci]
                     )
     out += writer.flush()
     out += b"\xff\xd9"
