@@ -508,6 +508,20 @@ def winnow_pairs(
     )
 
 
+# Stats-sidecar schemas, shared by writer and readers: an explicit
+# read schema skips the one-task parquet footer-inference job every
+# spark.read.parquet() otherwise schedules (round-12, guide §1.2 —
+# fewer scheduled jobs; partition columns of streamed layouts are
+# still discovered and appended).
+WINNOW_STATS_SCHEMA = (
+    "id_col string, k int, w int, min_shared int, "
+    "max_df int, n_buckets int"
+)
+JACCARD_STATS_SCHEMA = (
+    "shingle_n int, threshold double, n_buckets int, id_col string"
+)
+
+
 def write_winnow_index(
     df: DataFrame,
     path: str,
@@ -572,7 +586,9 @@ def append_winnow_index(
     O(increment), no corpus scan, no rewrite. Because df aggregates on
     read, the cap stays exact (no frozen-order drift)."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(WINNOW_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col, k, w = meta["id_col"], int(meta["k"]), int(meta["w"])
     n_buckets = int(meta["n_buckets"])
     if "batch_id" in spark.read.parquet(root).columns:
@@ -629,7 +645,9 @@ def winnow_probe_index(
     corpus × corpus. ``new_docs`` ids must be disjoint from indexed
     ids (same contract as :func:`jaccard_probe_index`)."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(WINNOW_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col, k, w = meta["id_col"], int(meta["k"]), int(meta["w"])
     min_shared, max_df = int(meta["min_shared"]), int(meta["max_df"])
     n_buckets = int(meta["n_buckets"])
@@ -722,7 +740,9 @@ def rewrite_winnow_index(spark, path: str, keep_docs: DataFrame) -> int:
     artifact (the overwrite drops the old batch directories with the
     rest of the previous layout)."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(WINNOW_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col, n_buckets = meta["id_col"], int(meta["n_buckets"])
     keep = keep_docs.select(
         F.col(keep_docs.columns[0]).alias(id_col)
@@ -1215,7 +1235,9 @@ def append_jaccard_index(
     The frequency table stays frozen (the quantizer-freeze pattern), so
     the append never scans the corpus."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(JACCARD_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col, shingle_n = meta["id_col"], int(meta["shingle_n"])
     threshold, n_buckets = float(meta["threshold"]), int(meta["n_buckets"])
     sh = shingle_rows(new_docs, id_col, text_col, shingle_n).cache()
@@ -1259,7 +1281,9 @@ def jaccard_probe_index(
     matched postings, never corpus × corpus. ``new_docs`` ids must be
     disjoint from the indexed ids."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(JACCARD_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col, shingle_n = meta["id_col"], int(meta["shingle_n"])
     threshold, n_buckets = float(meta["threshold"]), int(meta["n_buckets"])
     sh = shingle_rows(new_docs, id_col, text_col, shingle_n).cache()
@@ -1429,7 +1453,9 @@ def rewrite_jaccard_index(spark, path: str, keep_docs: DataFrame) -> int:
     pre-prune results restricted to pairs whose INDEX endpoint
     survives. Returns the surviving prefix-row count."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(JACCARD_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col, n_buckets = meta["id_col"], int(meta["n_buckets"])
     keep = keep_docs.select(
         F.col(keep_docs.columns[0]).alias(id_col)
@@ -1483,7 +1509,9 @@ def jaccard_index_staleness(spark, path: str) -> dict:
     OFFLINE audit/retention decision, not a probe-path cost.
     """
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(JACCARD_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col, threshold = meta["id_col"], float(meta["threshold"])
     postings = (
         spark.read.parquet(root + "_arrays")

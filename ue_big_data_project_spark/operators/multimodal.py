@@ -3701,6 +3701,20 @@ def video_neardup_pairs(
     )
 
 
+# Stats-sidecar schemas shared by writers and readers: an explicit
+# read schema skips the parquet footer-inference job (round-12;
+# streamed layouts' batch_id partition column is still discovered
+# and appended).
+FP_STATS_SCHEMA = (
+    "id_col string, hi_col string, lo_col string, "
+    "max_hamming int, n_buckets int"
+)
+VIDEO_SIG_STATS_SCHEMA = (
+    "id_col string, sig_cols string, min_frac_num int, "
+    "min_frac_den int, n_buckets int"
+)
+
+
 def write_fp_index(
     hashes: DataFrame,
     path: str,
@@ -3761,7 +3775,9 @@ def fp_index_append(spark, path: str, new_hashes: DataFrame) -> None:
     the union (test-pinned). New ids must be disjoint from indexed
     ids (the jaccard/winnow probe contract)."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(FP_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col, n_buckets = meta["id_col"], int(meta["n_buckets"])
     hi_col, lo_col = meta["hi_col"], meta["lo_col"]
     if "batch_id" in spark.read.parquet(root).columns:
@@ -3821,7 +3837,9 @@ def fp_probe_index(
     monitor that tells an operator when the corpus needs the cap —
     its ``hot`` column names exactly the bands this parameter drops."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(FP_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col = meta["id_col"]
     hi_col, lo_col = meta["hi_col"], meta["lo_col"]
     max_hamming, n_buckets = int(meta["max_hamming"]), int(meta["n_buckets"])
@@ -3916,7 +3934,9 @@ def rewrite_fp_index(spark, path: str, keep_docs: DataFrame) -> int:
     index into an :func:`fp_index_append`-able artifact. Returns the
     surviving band-row count."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(FP_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     n_buckets = int(meta["n_buckets"])
     keep = keep_docs.select(
         F.col(keep_docs.columns[0]).alias("id")
@@ -4063,7 +4083,9 @@ def video_sig_index_append(
     (the fp/jaccard/winnow probe contract; sizes would double-count
     otherwise)."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(VIDEO_SIG_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col = meta["id_col"]
     sig = meta["sig_cols"].split(",")
     n_buckets = int(meta["n_buckets"])
@@ -4115,7 +4137,9 @@ def video_probe_sig_index(
     reconstructed from a pruned read would be silently low). Output
     columns match :func:`video_neardup_pairs`."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(VIDEO_SIG_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     id_col = meta["id_col"]
     sig = meta["sig_cols"].split(",")
     num, den = int(meta["min_frac_num"]), int(meta["min_frac_den"])
@@ -4223,7 +4247,9 @@ def rewrite_video_sig_index(
     in the canonical ``_bucket`` sharding). Returns the surviving
     signature-row count."""
     root = path.rstrip("/")
-    meta = spark.read.parquet(root + "_stats").first()
+    meta = spark.read.schema(VIDEO_SIG_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     n_buckets = int(meta["n_buckets"])
     sig = meta["sig_cols"].split(",")
     keep = keep_docs.select(
@@ -4267,7 +4293,9 @@ def video_sig_stats(spark, path: str, top_k: int = 20) -> DataFrame:
     via ``max_sig_freq``)."""
     from pyspark.sql import Window as W
 
-    meta = spark.read.parquet(path.rstrip("/") + "_stats").first()
+    meta = spark.read.schema(VIDEO_SIG_STATS_SCHEMA).parquet(
+        path.rstrip("/") + "_stats"
+    ).first()
     sig = meta["sig_cols"].split(",")
     rows = (
         spark.read.parquet(path.rstrip("/"))

@@ -227,6 +227,12 @@ def _rank_candidates(
     )
 
 
+# Stats-sidecar schema shared by writer and readers: an explicit read
+# schema skips the parquet footer-inference job (round-12; streamed
+# layouts' batch_id partition column is still discovered/appended).
+BM25_STATS_SCHEMA = "n_docs long, total_len long, n_buckets int"
+
+
 def build_text_index(
     docs: DataFrame,
     path: str,
@@ -327,7 +333,9 @@ def append_text_index(
             "increment via streaming.bm25_ingest_stream, or compact "
             "with rewrite_text_index first"
         )
-    stats_row = spark.read.parquet(root + "_stats").first()
+    stats_row = spark.read.schema(BM25_STATS_SCHEMA).parquet(
+        root + "_stats"
+    ).first()
     n_buckets = int(stats_row["n_buckets"])
     postings, _doclen = build_postings(docs, id_col, text_col)
     # One eager materialization of the increment's postings feeds the
@@ -401,7 +409,9 @@ def bm25_topk_indexed(
     persisting the index must not change any answer.
     """
     root = path.rstrip("/")
-    stats = spark.read.parquet(root + "_stats")
+    stats = spark.read.schema(BM25_STATS_SCHEMA).parquet(
+        root + "_stats"
+    )
     n_buckets = int(stats.select("n_buckets").first()[0])
     # On the stream-ingested layout (streaming.bm25_ingest_stream lands
     # per-batch DELTA rows under batch_id=N partitions) the sidecars
@@ -504,7 +514,8 @@ def rewrite_text_index(spark: SparkSession, path: str, keep_docs: DataFrame) -> 
     Returns the surviving posting-row count."""
     root = path.rstrip("/")
     n_buckets = int(
-        spark.read.parquet(root + "_stats").select("n_buckets").first()[0]
+        spark.read.schema(BM25_STATS_SCHEMA)
+        .parquet(root + "_stats").select("n_buckets").first()[0]
     )
     keep = keep_docs.select(
         F.col(keep_docs.columns[0]).alias("doc_id")

@@ -3314,7 +3314,15 @@ def text_bm25_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _session_index(
         "bm25", sf_dir, lambda p: build_text_index(d, p, n_buckets=16)
     )
-    n_docs = int(spark.read.parquet(idx + "_stats").first()["n_docs"])
+    from ue_big_data_project_spark.operators.retrieval import (
+        BM25_STATS_SCHEMA,
+    )
+
+    n_docs = int(
+        spark.read.schema(BM25_STATS_SCHEMA)
+        .parquet(idx + "_stats")
+        .first()["n_docs"]
+    )
     q = spark.createDataFrame(
         list(_BM25_QUERIES), "query_id int, query_text string"
     )
