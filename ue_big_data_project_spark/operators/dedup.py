@@ -520,6 +520,11 @@ WINNOW_STATS_SCHEMA = (
 JACCARD_STATS_SCHEMA = (
     "shingle_n int, threshold double, n_buckets int, id_col string"
 )
+# Frequency-sidecar data schemas (hash + count are longs in every
+# layout; the _hbucket / batch_id partition columns are discovered
+# and appended on read).
+WINNOW_FREQ_SCHEMA = "h long, _df long"
+JACCARD_FREQ_SCHEMA = "_h long, _df long"
 
 
 def write_winnow_index(
@@ -672,7 +677,8 @@ def winnow_probe_index(
         .select(id_col, "h")
     )
     idx_df = (
-        spark.read.parquet(root + "_freq")
+        spark.read.schema(WINNOW_FREQ_SCHEMA)
+        .parquet(root + "_freq")
         .filter(F.col("_hbucket").isin(buckets))
         .join(probe_h, "h")
         .groupBy("h")
@@ -1243,7 +1249,11 @@ def append_jaccard_index(
     sh = shingle_rows(new_docs, id_col, text_col, shingle_n).cache()
     try:
         shh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("_h"))
-        freq = spark.read.parquet(root + "_freq").drop("_hbucket")
+        freq = (
+            spark.read.schema(JACCARD_FREQ_SCHEMA)
+            .parquet(root + "_freq")
+            .drop("_hbucket")
+        )
         prefix = _jaccard_prefix(shh, freq, id_col, threshold)
         bucket = F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
         (
@@ -1298,7 +1308,8 @@ def jaccard_probe_index(
             .collect()
         )
         freq = (
-            spark.read.parquet(root + "_freq")
+            spark.read.schema(JACCARD_FREQ_SCHEMA)
+            .parquet(root + "_freq")
             .filter(F.col("_hbucket").isin(buckets))
             .drop("_hbucket")
         )
