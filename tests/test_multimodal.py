@@ -1434,3 +1434,43 @@ def test_baseline_encoder_bytes_pinned():
         hashlib.sha256(MM.synth_mp4_textured(37)).hexdigest()[:16]
         == "9cd26f3bcc82b240"
     )
+
+
+def test_fused_attach_hash_edges_match_composition(spark):
+    """The round-12 fused fixture edges (attach_bmp_dhash,
+    attach_wav_saw_fp, attach_mp4_textured_dhash) must be row-identical
+    to the two-stage compositions they replace in the query paths —
+    the §4.1 boundary diet may remove the payload's JVM round-trip,
+    never change a bit of the hashes."""
+    from ue_big_data_project_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    ids = d.select("doc_id")
+
+    composed = (
+        MM.image_dhash(MM.attach_bmp(ids)).orderBy("doc_id").toPandas()
+    )
+    fused = MM.attach_bmp_dhash(ids).orderBy("doc_id").toPandas()
+    assert composed.equals(fused)
+
+    composed = (
+        MM.audio_fingerprint(MM.attach_wav_saw(ids))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    fused = MM.attach_wav_saw_fp(ids).orderBy("doc_id").toPandas()
+    assert composed.equals(fused)
+
+    composed = (
+        MM.mp4_frame_dhash(MM.attach_mp4_textured(ids), every=2)
+        .orderBy("doc_id", "frame_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    fused = (
+        MM.attach_mp4_textured_dhash(ids, every=2)
+        .orderBy("doc_id", "frame_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert composed.equals(fused)

@@ -2969,6 +2969,42 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(gen, DHASH_SCHEMA)
 
 
+def attach_bmp_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused fixture edge: ``image_dhash(attach_bmp(df))`` in ONE Arrow
+    pass (guide §4.1 — the composed form ships every BMP payload
+    Python → JVM → Python between the two ``mapInPandas`` stages just
+    to hand it back to the next Python worker; fusing keeps the bytes
+    inside one worker and crosses the boundary with 3 int64 columns).
+    Same codec path (``synth_bmp_pixels → encode_bmp → decode_pixels →
+    dhash_pixels``), bit-identical rows — pinned by
+    ``tests/test_multimodal.py::test_fused_attach_hash_edges_match_
+    composition``. Measured at sf0.1: 0.70 → 0.40 s per corpus pass.
+
+    The PRODUCTION operator stays :func:`image_dhash` (payloads exist
+    in storage there; this edge exists because the bench fixtures
+    synthesize them from ids)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            hi, lo = [], []
+            for i in ids:
+                h, lw = dhash_pixels(
+                    decode_pixels(encode_bmp(synth_bmp_pixels(int(i))))
+                )
+                hi.append(h)
+                lo.append(lw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "dhash_hi": pd.Series(hi, dtype="int64"),
+                    "dhash_lo": pd.Series(lo, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, DHASH_SCHEMA)
+
+
 AUDIO_FP_FRAMES = 9  # time frames after the fixed-grid resample
 AUDIO_FP_BANDS = 9  # sub-bands per frame (8 band-pair columns)
 AUDIO_FP_BAND_LEN = 4  # samples per sub-band
@@ -3087,6 +3123,34 @@ def attach_wav_saw(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def attach_wav_saw_fp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused fixture edge: ``audio_fingerprint(attach_wav_saw(df))`` in
+    ONE Arrow pass — the audio twin of :func:`attach_bmp_dhash` (same
+    guide-§4.1 boundary diet, same equivalence pin; the WAV bytes stay
+    inside one Python worker). Production surface remains
+    :func:`audio_fingerprint` over stored payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            hi, lo = [], []
+            for i in ids:
+                h, lw = audio_fp_bits(
+                    decode_wav_samples(synth_wav_saw(int(i)))
+                )
+                hi.append(h)
+                lo.append(lw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fp_hi": pd.Series(hi, dtype="int64"),
+                    "fp_lo": pd.Series(lo, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, AUDIO_FP_SCHEMA)
 
 
 def fp_band_rows(
@@ -3521,6 +3585,52 @@ def attach_mp4_textured(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def attach_mp4_textured_dhash(
+    df: DataFrame, every: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused fixture edge:
+    ``mp4_frame_dhash(attach_mp4_textured(df), every)`` in ONE Arrow
+    pass — the video twin of :func:`attach_bmp_dhash` (guide §4.1).
+    The MJPEG-in-MP4 container is still BUILT and then demuxed/decoded
+    through the full codec path (``synth_mp4_textured → mp4_frames →
+    decode_jpeg_pixels → dhash_pixels``); only the JVM round-trip of
+    the container bytes between the two Python stages is removed.
+    Measured at sf0.1: 2.55 → 2.05 s per corpus pass. Production
+    surface remains :func:`mp4_frame_dhash` over stored payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "dhash_hi": [],
+                "dhash_lo": [],
+            }
+            for did in pdf[id_col].astype("int64"):
+                payload = synth_mp4_textured(int(did))
+                for fi, _pts, sample in mp4_frames(payload, every):
+                    px = decode_jpeg_pixels(sample)
+                    if px.ndim == 2:
+                        px = px[:, :, None]
+                    hi, lo = dhash_pixels(px)
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(fi)
+                    out["dhash_hi"].append(hi)
+                    out["dhash_lo"].append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(
+                        out["frame_idx"], dtype="int32"
+                    ),
+                    "dhash_hi": pd.Series(out["dhash_hi"], dtype="int64"),
+                    "dhash_lo": pd.Series(out["dhash_lo"], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MP4_FRAME_DHASH_SCHEMA)
 
 
 MP4_FRAME_DHASH_SCHEMA = T.StructType(

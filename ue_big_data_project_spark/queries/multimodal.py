@@ -396,7 +396,7 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    h = MM.image_dhash(MM.attach_bmp(ids))
+    h = MM.attach_bmp_dhash(ids)
     w = W.partitionBy("dhash_hi", "dhash_lo")
     return h.select(
         "doc_id",
@@ -459,7 +459,7 @@ def dedup_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that's ``dedup_image_dhash``'s group op."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    h = MM.image_dhash(MM.attach_bmp(ids))
+    h = MM.attach_bmp_dhash(ids)
     return MM.dhash_neardup_pairs(h, max_hamming=2)
 
 
@@ -493,8 +493,8 @@ def dedup_image_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    old = MM.image_dhash(MM.attach_bmp(ids.filter(F.col("doc_id") % 2 == 0)))
-    new = MM.image_dhash(MM.attach_bmp(ids.filter(F.col("doc_id") % 4 == 1)))
+    old = MM.attach_bmp_dhash(ids.filter(F.col("doc_id") % 2 == 0))
+    new = MM.attach_bmp_dhash(ids.filter(F.col("doc_id") % 4 == 1))
     root = _tf.mkdtemp(prefix="spark_graft_fpidx_")
     try:
         idx = root + "/fpidx"
@@ -534,8 +534,8 @@ def dedup_image_fp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     evens = ids.filter(F.col("doc_id") % 2 == 0)
-    old = MM.image_dhash(MM.attach_bmp(evens))
-    new = MM.image_dhash(MM.attach_bmp(ids.filter(F.col("doc_id") % 4 == 1)))
+    old = MM.attach_bmp_dhash(evens)
+    new = MM.attach_bmp_dhash(ids.filter(F.col("doc_id") % 4 == 1))
     root = _tf.mkdtemp(prefix="spark_graft_fpprune_")
     try:
         idx = root + "/fpidx"
@@ -583,12 +583,10 @@ def streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_session_conf(spark)
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     old_ids = d.filter(F.col("doc_id") % 2 == 0).select("doc_id")
-    new = MM.image_dhash(
-        MM.attach_bmp(
-            d.repartition(
-                spark.sparkContext.defaultParallelism, "doc_id"
-            ).filter(F.col("doc_id") % 4 == 1)
-        )
+    new = MM.attach_bmp_dhash(
+        d.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        ).filter(F.col("doc_id") % 4 == 1)
     )
     root = _tf.mkdtemp(prefix="spark_graft_fpstream_")
     try:
@@ -607,9 +605,7 @@ def streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sdf,
                 index_path=_os.path.join(root, "fpidx"),
                 ledger_dir=_os.path.join(root, "_ledger"),
-                fingerprint=lambda bdf: MM.image_dhash(
-                    MM.attach_bmp(bdf)
-                ),
+                fingerprint=lambda bdf: MM.attach_bmp_dhash(bdf),
             )
             ST.run_until_drained(q)
         finally:
@@ -631,12 +627,8 @@ def dedup_audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    old = MM.audio_fingerprint(
-        MM.attach_wav_saw(ids.filter(F.col("doc_id") % 2 == 0))
-    )
-    new = MM.audio_fingerprint(
-        MM.attach_wav_saw(ids.filter(F.col("doc_id") % 4 == 1))
-    )
+    old = MM.attach_wav_saw_fp(ids.filter(F.col("doc_id") % 2 == 0))
+    new = MM.attach_wav_saw_fp(ids.filter(F.col("doc_id") % 4 == 1))
     root = _tf.mkdtemp(prefix="spark_graft_afpidx_")
     try:
         idx = root + "/fpidx"
@@ -666,7 +658,7 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared helper collapses exact-dup cliques to star edges and
     # bands only DISTINCT hashes before CC (round-12 — its docstring
     # has the equivalence argument; same labels, oracle unchanged).
-    h = MM.image_dhash(MM.attach_bmp(ids)).localCheckpoint(eager=True)
+    h = MM.attach_bmp_dhash(ids).localCheckpoint(eager=True)
     return _media_components_of_hashes(h, max_hamming=2).select(
         "doc_id", "component"
     )
@@ -716,9 +708,7 @@ def dedup_video_fp_incremental(
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def sigs_of(pred: str) -> DataFrame:
-        return MM.mp4_frame_dhash(
-            MM.attach_mp4_textured(ids.filter(pred)), every=1
-        )
+        return MM.attach_mp4_textured_dhash(ids.filter(pred), every=1)
 
     root = _tf.mkdtemp(prefix="spark_graft_vsig_")
     try:
@@ -814,9 +804,8 @@ def streaming_video_sig_index(
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     old_ids = ids.filter(F.col("doc_id") % 2 == 0).select("doc_id")
-    new = MM.mp4_frame_dhash(
-        MM.attach_mp4_textured(ids.filter(F.col("doc_id") % 4 == 1)),
-        every=1,
+    new = MM.attach_mp4_textured_dhash(
+        ids.filter(F.col("doc_id") % 4 == 1), every=1
     )
     root = _tf.mkdtemp(prefix="spark_graft_vsigstream_")
     try:
@@ -842,11 +831,8 @@ def streaming_video_sig_index(
                 # single core (measured 44 s at sf0.1 vs ~8 s spread).
                 # A production video lake arrives many-filed, so this
                 # is the fixture's cost, not the operator's.
-                signatures=lambda bdf: MM.mp4_frame_dhash(
-                    MM.attach_mp4_textured(
-                        bdf.repartition(par, "doc_id")
-                    ),
-                    every=1,
+                signatures=lambda bdf: MM.attach_mp4_textured_dhash(
+                    bdf.repartition(par, "doc_id"), every=1
                 ),
                 sig_cols=("dhash_hi", "dhash_lo"),
             )
@@ -870,12 +856,16 @@ def pipeline_media_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     index persists. Oracle = the image-clusters recursive-CTE closure
     restricted to its fixpoints."""
     from ue_big_data_project_spark.pipelines import (
-        media_dedup_components,
+        _media_components_of_hashes,
     )
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    comps = media_dedup_components(MM.attach_bmp(ids))
+    # Same decode∘hash → clique-collapse → CC leg as
+    # media_dedup_components, entered through the fused fixture edge
+    # (one Arrow pass; the BMP bytes never cross the JVM boundary).
+    h = MM.attach_bmp_dhash(ids).localCheckpoint(eager=True)
+    comps = _media_components_of_hashes(h, max_hamming=2)
     return (
         comps.filter(F.col("doc_id") == F.col("component"))
         .select("doc_id")
@@ -924,7 +914,7 @@ def multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    h = MM.audio_fingerprint(MM.attach_wav_saw(ids))
+    h = MM.attach_wav_saw_fp(ids)
     w = W.partitionBy("fp_hi", "fp_lo")
     return h.select(
         "doc_id",
@@ -1000,7 +990,7 @@ def dedup_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hamming 0) are ``multimodal_audio_fp``'s group op."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    h = MM.audio_fingerprint(MM.attach_wav_saw(ids))
+    h = MM.attach_wav_saw_fp(ids)
     return MM.dhash_neardup_pairs(
         h, max_hamming=2, hi_col="fp_hi", lo_col="fp_lo"
     )
@@ -1170,7 +1160,7 @@ def dedup_video_neardup_dhash(
     and brute-forces the containment sweep."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sigs = MM.mp4_frame_dhash(MM.attach_mp4_textured(ids), every=1)
+    sigs = MM.attach_mp4_textured_dhash(ids, every=1)
     return MM.video_neardup_pairs(
         sigs, sig_cols=("dhash_hi", "dhash_lo")
     )
