@@ -1474,3 +1474,33 @@ def test_fused_attach_hash_edges_match_composition(spark):
         .reset_index(drop=True)
     )
     assert composed.equals(fused)
+
+    composed = (
+        MM.mp4_thumbnail_features(
+            MM.attach_mp4(ids), every=2, out_w=8, out_h=8
+        )
+        .orderBy("doc_id", "frame_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    fused = (
+        MM.attach_mp4_thumbs(ids, every=2, out_w=8, out_h=8)
+        .orderBy("doc_id", "frame_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert composed.equals(fused)
+
+    composed = (
+        MM.mp4_keyframe_samples(MM.attach_mp4(ids, keyframe_stride=3))
+        .orderBy("doc_id", "frame_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    fused = (
+        MM.attach_mp4_keyframes(ids, keyframe_stride=3)
+        .orderBy("doc_id", "frame_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert composed.equals(fused)

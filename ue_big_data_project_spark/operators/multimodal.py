@@ -3302,18 +3302,29 @@ MP4_THUMBS_SCHEMA = T.StructType(
 )
 
 
-def mp4_thumbnail_features(
-    df: DataFrame, every: int = 1, out_w: int = 8, out_h: int = 8
-) -> DataFrame:
-    """The video THUMBNAIL-GRID pipeline in one Arrow pass: demux each
-    MP4's sample table, seek every ``every``-th frame (skipped frames
-    never touched), decode it (native MJPEG), and resize it to a fixed
-    ``out_w × out_h`` preview with integer-exact nearest sampling
-    (:func:`resize_pixels`) — frame-sample ∘ decode ∘ resize composed
-    inside the partition that read the bytes. Emits the resized luma
-    sum and the position-weighted digest per kept frame, so the oracle
-    pins the exact thumbnail rasters. O(kept frames) work per video
-    regardless of its length."""
+def _synth_payload_batches(
+    batches: Iterator[pd.DataFrame], synth, id_col: str = "doc_id"
+) -> Iterator[pd.DataFrame]:
+    """Adapt (id) Arrow batches into (doc_id, payload) pandas frames by
+    building each container INSIDE the worker — the shared edge of the
+    fused ``attach_*`` operators (guide §4.1): the synthesized payload
+    feeds the very same row generator the payload-column operator runs,
+    so the fused form is bit-identical to the composition by
+    construction, and the container bytes never cross the JVM
+    boundary."""
+    for pdf in batches:
+        ids = pdf[id_col].astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [synth(int(i)) for i in ids],
+            }
+        )
+
+
+def _thumb_rows_gen(every: int, out_w: int, out_h: int):
+    """Row generator behind :func:`mp4_thumbnail_features` — shared
+    with the fused :func:`attach_mp4_thumbs` fixture edge."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3359,9 +3370,46 @@ def mp4_thumbnail_features(
                 }
             )
 
+    return gen
+
+
+def mp4_thumbnail_features(
+    df: DataFrame, every: int = 1, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """The video THUMBNAIL-GRID pipeline in one Arrow pass: demux each
+    MP4's sample table, seek every ``every``-th frame (skipped frames
+    never touched), decode it (native MJPEG), and resize it to a fixed
+    ``out_w × out_h`` preview with integer-exact nearest sampling
+    (:func:`resize_pixels`) — frame-sample ∘ decode ∘ resize composed
+    inside the partition that read the bytes. Emits the resized luma
+    sum and the position-weighted digest per kept frame, so the oracle
+    pins the exact thumbnail rasters. O(kept frames) work per video
+    regardless of its length."""
     return df.select("doc_id", "payload").mapInPandas(
-        gen, MP4_THUMBS_SCHEMA
+        _thumb_rows_gen(every, out_w, out_h), MP4_THUMBS_SCHEMA
     )
+
+
+def attach_mp4_thumbs(
+    df: DataFrame,
+    every: int = 1,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused fixture edge:
+    ``mp4_thumbnail_features(attach_mp4(df), every, out_w, out_h)`` in
+    ONE Arrow pass (guide §4.1 — same boundary diet as
+    :func:`attach_bmp_dhash`; the shared ``_thumb_rows_gen`` consumes
+    worker-local synthesized containers, so the rows are identical by
+    construction and pinned by the fused-edge equivalence test).
+    Production surface remains :func:`mp4_thumbnail_features`."""
+    gen = _thumb_rows_gen(every, out_w, out_h)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return gen(_synth_payload_batches(batches, synth_mp4, id_col))
+
+    return df.select(id_col).mapInPandas(fused, MP4_THUMBS_SCHEMA)
 
 
 def synth_mp4_frame_pixels(doc_id: int, frame_idx: int) -> np.ndarray:
@@ -3497,36 +3545,63 @@ def mp4_keyframe_samples(df: DataFrame) -> DataFrame:
     downstream decode parallelism comes from repartitioning the
     emitted keyframes, which are the small fraction a preview/
     thumbnail/contact-sheet pipeline actually wants."""
+    return df.mapInPandas(_keyframe_rows_gen, MP4_KEYFRAMES_SCHEMA)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list] = {
-                f.name: [] for f in MP4_KEYFRAMES_SCHEMA.fields
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                info = parse_mp4(raw)
-                for fi, pts_ms, sample in mp4_keyframes(raw, info=info):
-                    rows["doc_id"].append(int(doc_id))
-                    rows["frame_idx"].append(fi)
-                    rows["pts_ms"].append(pts_ms)
-                    rows["codec"].append(info["codec"])
-                    rows["codec_config"].append(info["codec_config"])
-                    rows["sample"].append(sample)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
-                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
-                    "pts_ms": pd.Series(rows["pts_ms"], dtype="int64"),
-                    "codec": pd.Series(rows["codec"], dtype="object"),
-                    "codec_config": pd.Series(
-                        rows["codec_config"], dtype="object"
-                    ),
-                    "sample": pd.Series(rows["sample"], dtype="object"),
-                }
+
+def attach_mp4_keyframes(
+    df: DataFrame, keyframe_stride: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused fixture edge: ``mp4_keyframe_samples(attach_mp4(df,
+    keyframe_stride))`` in ONE Arrow pass (guide §4.1). The emitted
+    rows still carry STILL-ENCODED samples — the external-decoder
+    handoff property is the OUTPUT's, not the input edge's — only the
+    synthesized container's JVM round-trip between the two Python
+    stages is removed. Shares :func:`_keyframe_rows_gen` with the
+    production operator, so rows are identical by construction."""
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _keyframe_rows_gen(
+            _synth_payload_batches(
+                batches,
+                lambda i: synth_mp4(i, keyframe_stride=keyframe_stride),
+                id_col,
             )
+        )
 
-    return df.mapInPandas(gen, MP4_KEYFRAMES_SCHEMA)
+    return df.select(id_col).mapInPandas(fused, MP4_KEYFRAMES_SCHEMA)
+
+
+def _keyframe_rows_gen(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Row generator behind :func:`mp4_keyframe_samples` — shared with
+    the fused :func:`attach_mp4_keyframes` fixture edge."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            f.name: [] for f in MP4_KEYFRAMES_SCHEMA.fields
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            info = parse_mp4(raw)
+            for fi, pts_ms, sample in mp4_keyframes(raw, info=info):
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(fi)
+                rows["pts_ms"].append(pts_ms)
+                rows["codec"].append(info["codec"])
+                rows["codec_config"].append(info["codec_config"])
+                rows["sample"].append(sample)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "pts_ms": pd.Series(rows["pts_ms"], dtype="int64"),
+                "codec": pd.Series(rows["codec"], dtype="object"),
+                "codec_config": pd.Series(
+                    rows["codec_config"], dtype="object"
+                ),
+                "sample": pd.Series(rows["sample"], dtype="object"),
+            }
+        )
 
 
 def synth_mp4_textured_pixels(doc_id: int, frame_idx: int) -> np.ndarray:

@@ -1033,9 +1033,7 @@ def multimodal_video_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return MM.mp4_thumbnail_features(
-        MM.attach_mp4(ids), every=2, out_w=8, out_h=8
-    )
+    return MM.attach_mp4_thumbs(ids, every=2, out_w=8, out_h=8)
 
 
 # Fixture frames are block-constant (synth_mp4_frame_pixels): src dims
@@ -1085,9 +1083,7 @@ def dedup_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set, proving the signature join loses nothing."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    thumbs = MM.mp4_thumbnail_features(
-        MM.attach_mp4(ids), every=1, out_w=8, out_h=8
-    )
+    thumbs = MM.attach_mp4_thumbs(ids, every=1, out_w=8, out_h=8)
     return MM.video_neardup_pairs(
         thumbs, sig_cols=("sum_luma", "pos_digest")
     )
@@ -1306,7 +1302,7 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    kf = MM.mp4_keyframe_samples(MM.attach_mp4(ids, keyframe_stride=3))
+    kf = MM.attach_mp4_keyframes(ids, keyframe_stride=3)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
