@@ -425,6 +425,29 @@ def stream_interval_join(
     return left.join(right, cond, how)
 
 
+def _parallel_batch_writes(*thunks) -> None:
+    """Run a micro-batch's INDEPENDENT write jobs concurrently (guide
+    §2.6 — overlap independent jobs: the driver submits them from a
+    small pool so the second job's tasks back-fill executors freed by
+    the first's tail instead of waiting for its commit).
+
+    Only used where the batch's artifacts are mutually independent
+    derivations of one already-materialized frame, each landing in its
+    own ``batch_id=N`` overwrite partition: the crash window "some
+    artifacts written, others not" already existed between the
+    sequential writes and is absorbed by replay (the ledger marker
+    commits only after EVERY future resolves). Any write failure
+    re-raises here, failing the batch before the ledger exactly like
+    the sequential form. NOT used for :func:`dedup_ingest_stream`,
+    whose write ORDER (bloom superset before any index write) is a
+    tested crash contract."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 def run_until_drained(query: StreamingQuery) -> None:
     """Process everything currently available, then stop (K7 lifecycle,
     deterministic test variant of ``awaitTermination``)."""
@@ -877,26 +900,37 @@ def cluster_ingest_stream(
         # single most expensive plan.
         pairs = pairs.localCheckpoint(eager=True)
         new_nodes = batch_df.select(id_col).distinct()
-        if fs.exists(os.path.join(map_path, "_cluster_meta.json")):
-            append_cluster_map(
-                sp, map_path, new_nodes, pairs,
-                src_col="id_a", dst_col="id_b",
+
+        def fold_map() -> None:
+            if fs.exists(os.path.join(map_path, "_cluster_meta.json")):
+                append_cluster_map(
+                    sp, map_path, new_nodes, pairs,
+                    src_col="id_a", dst_col="id_b",
+                )
+            else:
+                # Bootstrap: the first batch IS the corpus;
+                # deterministic overwrite makes a replayed bootstrap
+                # byte-identical.
+                write_cluster_map(
+                    connected_components(
+                        new_nodes, pairs,
+                        node_col=id_col, src_col="id_a", dst_col="id_b",
+                    ),
+                    map_path,
+                    node_col=id_col,
+                    n_buckets=n_buckets,
+                )
+
+        def write_bands() -> None:
+            band_rows.write.mode("overwrite").parquet(
+                os.path.join(band_index_path, f"batch_id={batch_id}")
             )
-        else:
-            # Bootstrap: the first batch IS the corpus; deterministic
-            # overwrite makes a replayed bootstrap byte-identical.
-            write_cluster_map(
-                connected_components(
-                    new_nodes, pairs,
-                    node_col=id_col, src_col="id_a", dst_col="id_b",
-                ),
-                map_path,
-                node_col=id_col,
-                n_buckets=n_buckets,
-            )
-        band_rows.write.mode("overwrite").parquet(
-            os.path.join(band_index_path, f"batch_id={batch_id}")
-        )
+
+        # The map fold and the band append consume only checkpointed
+        # frames and touch disjoint directories; the probe above already
+        # excluded this batch's partition, so overlapping them (§2.6)
+        # leaves the crash/replay contract exactly as sequential.
+        _parallel_batch_writes(fold_map, write_bands)
 
     return idempotent_foreach_batch(sdf, apply, ledger_dir)
 
@@ -951,23 +985,34 @@ def winnow_ingest_stream(
             rows = fps.withColumn("_hbucket", bucket).localCheckpoint(
                 eager=True
             )
-            (
-                rows.repartition("_hbucket")
-                .write.mode("overwrite")
-                .partitionBy("_hbucket")
-                .parquet(os.path.join(root, f"batch_id={batch_id}"))
-            )
-            freq = rows.groupBy("h", "_hbucket").agg(
-                F.count(F.lit(1)).alias("_df")
-            )
-            (
-                freq.repartition("_hbucket")
-                .write.mode("overwrite")
-                .partitionBy("_hbucket")
-                .parquet(
-                    os.path.join(root + "_freq", f"batch_id={batch_id}")
+
+            def write_rows() -> None:
+                (
+                    rows.repartition("_hbucket")
+                    .write.mode("overwrite")
+                    .partitionBy("_hbucket")
+                    .parquet(os.path.join(root, f"batch_id={batch_id}"))
                 )
-            )
+
+            def write_freq() -> None:
+                freq = rows.groupBy("h", "_hbucket").agg(
+                    F.count(F.lit(1)).alias("_df")
+                )
+                (
+                    freq.repartition("_hbucket")
+                    .write.mode("overwrite")
+                    .partitionBy("_hbucket")
+                    .parquet(
+                        os.path.join(
+                            root + "_freq", f"batch_id={batch_id}"
+                        )
+                    )
+                )
+
+            # Both artifacts derive from the checkpointed rows and land
+            # in this batch's own partitions — overlap them (§2.6;
+            # measured 1.5-2.1 -> 1.1-1.5 s per batch at sf0.1).
+            _parallel_batch_writes(write_rows, write_freq)
             if not fs.exists(root + "_stats"):
                 sp.createDataFrame(
                     [(id_col, k, w, min_shared, max_df, n_buckets)],
@@ -1091,21 +1136,28 @@ def video_sig_ingest_stream(
             .distinct()
             .localCheckpoint(eager=True)  # feeds rows AND sizes
         )
-        (
-            sigs.withColumn("_bucket", _sig_bucket(sig, n_buckets))
-            .repartition("_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(os.path.join(root, f"batch_id={batch_id}"))
-        )
-        (
-            sigs.groupBy("id")
-            .agg(F.count(F.lit(1)).alias("n_sig"))
-            .write.mode("overwrite")
-            .parquet(
-                os.path.join(root + "_sizes", f"batch_id={batch_id}")
+        def write_rows() -> None:
+            (
+                sigs.withColumn("_bucket", _sig_bucket(sig, n_buckets))
+                .repartition("_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(os.path.join(root, f"batch_id={batch_id}"))
             )
-        )
+
+        def write_sizes() -> None:
+            (
+                sigs.groupBy("id")
+                .agg(F.count(F.lit(1)).alias("n_sig"))
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(root + "_sizes", f"batch_id={batch_id}")
+                )
+            )
+
+        # Independent derivations of the checkpointed sigs, each in its
+        # own batch partition — overlap them (§2.6).
+        _parallel_batch_writes(write_rows, write_sizes)
         if not fs.exists(root + "_stats"):
             sp.createDataFrame(
                 [
@@ -1273,29 +1325,40 @@ def bm25_ingest_stream(
         inc = postings.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
         ).localCheckpoint(eager=True)
-        (
-            inc.repartition(n_buckets, "term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(os.path.join(root, f"batch_id={batch_id}"))
-        )
-        inc.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df_t")
-        ).write.mode("overwrite").parquet(
-            os.path.join(root + "_termdf", f"batch_id={batch_id}")
-        )
-        delta = (
-            inc.groupBy("doc_id")
-            .agg(F.max("dl").alias("dl"))
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
-            .first()
-        )
-        sp.createDataFrame(
-            [(int(delta["n"] or 0), int(delta["t"] or 0), n_buckets)],
-            "n_docs long, total_len long, n_buckets int",
-        ).write.mode("overwrite").parquet(
-            os.path.join(root + "_stats", f"batch_id={batch_id}")
-        )
+        def write_postings() -> None:
+            (
+                inc.repartition(n_buckets, "term_bucket")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(os.path.join(root, f"batch_id={batch_id}"))
+            )
+
+        def write_termdf() -> None:
+            inc.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df_t")
+            ).write.mode("overwrite").parquet(
+                os.path.join(root + "_termdf", f"batch_id={batch_id}")
+            )
+
+        def write_stats() -> None:
+            delta = (
+                inc.groupBy("doc_id")
+                .agg(F.max("dl").alias("dl"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+                )
+                .first()
+            )
+            sp.createDataFrame(
+                [(int(delta["n"] or 0), int(delta["t"] or 0), n_buckets)],
+                "n_docs long, total_len long, n_buckets int",
+            ).write.mode("overwrite").parquet(
+                os.path.join(root + "_stats", f"batch_id={batch_id}")
+            )
+
+        # All three artifacts derive from the checkpointed increment
+        # and land in this batch's own partitions — overlap them (§2.6).
+        _parallel_batch_writes(write_postings, write_termdf, write_stats)
 
     return idempotent_foreach_batch(sdf, ingest, ledger_dir)
 
