@@ -436,16 +436,44 @@ def _parallel_batch_writes(*thunks) -> None:
     own ``batch_id=N`` overwrite partition: the crash window "some
     artifacts written, others not" already existed between the
     sequential writes and is absorbed by replay (the ledger marker
-    commits only after EVERY future resolves). Any write failure
+    commits only after EVERY thread joins). Any write failure
     re-raises here, failing the batch before the ledger exactly like
-    the sequential form. NOT used for :func:`dedup_ingest_stream`,
-    whose write ORDER (bloom superset before any index write) is a
-    tested crash contract."""
-    from concurrent.futures import ThreadPoolExecutor
+    the sequential form — every thunk's exception is gathered, the
+    FIRST (by thunk order) re-raised and the rest logged, so a
+    multi-failure batch never hides a cause. Threads are
+    ``pyspark.InheritableThread`` so each write job inherits the
+    caller's JVM thread-locals (job group/description/tags — under
+    pinned-thread mode a bare pool thread would not), keeping the
+    jobs cancellable via the streaming query's group. NOT used for
+    :func:`dedup_ingest_stream`, whose write ORDER (bloom superset
+    before any index write) is a tested crash contract."""
+    import logging
 
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        for f in [pool.submit(t) for t in thunks]:
-            f.result()
+    from pyspark import InheritableThread
+
+    errors: list[BaseException | None] = [None] * len(thunks)
+
+    def _run(i: int, thunk) -> None:
+        try:
+            thunk()
+        except BaseException as exc:  # gathered; first re-raised below
+            errors[i] = exc
+
+    threads = [
+        InheritableThread(target=_run, args=(i, t), daemon=True)
+        for i, t in enumerate(thunks)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    raised = [e for e in errors if e is not None]
+    if raised:
+        for extra in raised[1:]:
+            logging.getLogger(__name__).error(
+                "parallel batch write also failed: %r", extra
+            )
+        raise raised[0]
 
 
 def run_until_drained(query: StreamingQuery) -> None:
