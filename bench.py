@@ -298,20 +298,19 @@ def main() -> None:
             iso.append(time.perf_counter() - t0)
         isolates[name] = round(statistics.median(iso), 2)
 
-    # Round-12 rotation continuity (round-11 verdict task 1): report the
-    # sum over the NEW gate-50 next to the sum over the round-11
+    # Round-13 rotation continuity (round-12 verdict task 2): report the
+    # sum over the NEW gate-50 next to the sum over the round-12
     # gate-50. Both sets are fully contained in the bench set (which is
     # unchanged this round), so both sums come from this run's live
-    # medians and the r11 perf series (r11-set sum 142.6 s builder
-    # calm-box / 165.1 s driver at drift 2.4 in BENCH_r11.json) stays
-    # directly comparable.
-    from ue_big_data_project_spark.queries import GATE_ORDER, GATE_ORDER_R11
+    # medians and the r12 perf series (r12-set sum 152.6 s driver at
+    # drift 4.16 in BENCH_r12.json) stays directly comparable.
+    from ue_big_data_project_spark.queries import GATE_ORDER, GATE_ORDER_R12
 
     gate_sum = round(
         sum(timings[n] for n in GATE_ORDER if n in timings), 3
     )
-    gate_r11_sum = round(
-        sum(timings[n] for n in GATE_ORDER_R11 if n in timings), 3
+    gate_r12_sum = round(
+        sum(timings[n] for n in GATE_ORDER_R12 if n in timings), 3
     )
 
     # The driver records only the LAST 2000 BYTES of stdout; round 4's
@@ -328,7 +327,7 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": passes,
         "gate50_sum": gate_sum,
-        "gate50_r11_sum": gate_r11_sum,
+        "gate50_r12_sum": gate_r12_sum,
     }
     if isolates:
         full["isolates"] = isolates
@@ -380,7 +379,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": passes,
                 "gate50_sum": gate_sum,
-                "gate50_r11_sum": gate_r11_sum,
+                "gate50_r12_sum": gate_r12_sum,
                 "isolates": isolates,
                 "bench_n": len(timings),
                 # Truncation must be detectable from stdout ALONE

@@ -46,72 +46,13 @@ PROXIED = {
     # drain, image clustering, and the BPE pair — rotated INTO the
     # gate in round 12; both pools face the driver's hash directly,
     # per the round-10/round-11 verdicts' task 1.)
-    # Round-12-new, post-re-freeze: video near-dup over the PRODUCTION
-    # per-frame dHash signature (round-11 verdict task 4) — the same
-    # video_neardup_pairs operator as the IN-GATE raster-digest entry,
-    # fed by mp4_frame_dhash over the textured fixture; closed-form
-    # dHash replay + brute-force containment oracle MATCH at both SFs,
-    # budget pinned (5, the pair-shape budget).
-    "dedup_video_neardup_dhash": "dedup_video_neardup",
-    # Round-12-new: build_corpus's media-dedup stage standalone — the
-    # kept-id fixpoints of the IN-GATE dedup_image_clusters closure
-    # (same hash → band-pair → CC machinery, restricted to canonical
-    # ids); the composed pipeline is pytest-covered end to end in
-    # tests/test_build_corpus.py.
-    "pipeline_media_prune": "dedup_image_clusters",
-    # Round-12-new: the persisted VIDEO signature index probe — the
-    # video modality's incremental screen, anchored on the in-gate
-    # image/audio fp-index incremental entries (the same index-probe
-    # restriction contract; the sig-key pair shape is the in-gate
-    # video near-dup). Probe == union restriction and append ==
-    # rebuild pinned in tests/test_mp4.py.
-    "dedup_video_fp_incremental": "dedup_image_fp_incremental",
-    # Round-12-new: the video sig index's streaming drain — streamed
-    # index must answer the probe like the one-shot build (same oracle
-    # verbatim); the per-batch crash-safe drain shape anchors on the
-    # in-gate streaming_fp_index.
-    "streaming_video_sig_index": "streaming_fp_index",
-    # Round-12-new: RETENTION for the BM25 inverted index — the same
-    # bm25_topk_indexed probe contract as the in-gate appended entry
-    # (rewrite == fresh build over the kept corpus, sidecars
-    # recomputed exactly; equivalence in tests/test_retrieval.py).
-    "text_bm25_pruned": "text_bm25_appended",
-    # Round-12-new: the BM25 stop-term cap (the family's hot-key
-    # discipline, winnow max_df / fp max_band_freq edition) — same
-    # indexed-probe machinery, anchored with the family.
-    "text_bm25_capped": "text_bm25_appended",
-    # Round-12-new: the BM25 index's streaming drain — streamed index
-    # must answer the probe like the one-shot build (full-corpus
-    # search oracle verbatim); the per-batch crash-safe drain shape
-    # anchors on the in-gate streaming_fp_index.
-    "streaming_bm25_index": "streaming_fp_index",
-    # Round-12-new: RETENTION for the persisted IVF index — frozen
-    # quantizer, cell layout rewritten to survivors only; anchors on
-    # the in-gate IVF probe twin (same pruned-probe plan shape).
-    "knn_cosine_ivf_pruned": "knn_cosine_ivf_probe",
-    # Round-12-new: multinomial NB source classifier — postings build
-    # + broadcast-joined per-term stats + decimal score sum + argmax
-    # window, the in-gate BM25 appended entry's machinery end to end.
-    "text_classify_nb": "text_bm25_appended",
-    # Round-12-new: the classifier's persisted-model increment path —
-    # frozen one-artifact model + O(increment) scoring, the DSIR
-    # model-persistence contract; same anchor as the in-memory twin.
-    "text_classify_nb_incremental": "text_bm25_appended",
-    # Round-12-new: Deequ-style constraint verification — one grouped
-    # multi-aggregate over the documents scan + literal unpivot, the
-    # in-gate grouped-agg kit's machinery (scan_filter_agg_kit).
-    "pipeline_expectations": "scan_filter_agg_kit",
-    # Round-12-new: sliding/hopping event-time windows, batch and
-    # end-to-end streamed — the in-gate tumbling drain exercises the
-    # same windowed stateful-agg machinery (window() expansion is the
-    # only delta, and both hash the same closed-form oracle).
-    "events_sliding_window": "streaming_tumbling_window",
-    "streaming_sliding_window": "streaming_tumbling_window",
-    # Round-12-new: the constraint suite's streaming drain — per-batch
-    # crash-safe verdict partitions, the streaming_fp_index drain
-    # shape; the suite machinery itself anchors with the batch entry
-    # on scan_filter_agg_kit.
-    "streaming_expectations": "streaming_fp_index",
+    # (The 14-entry round-12-new pool that was proxied here post-
+    # re-freeze — the dHash video near-dup, media prune, the video
+    # signature index pair, the BM25 lifecycle closers, IVF retention,
+    # the NB classifier pair, the constraint suite pair, and the
+    # sliding-window twins — rotated INTO the gate in round 13 and
+    # faces the driver's hash directly, per the round-12 verdict's
+    # task 2.)
 }
 
 # Rotated OUT of the gate in round 3 after two driver-green rounds
@@ -257,13 +198,32 @@ ROTATED_OUT = {
     "streaming_cdc_merge": "streaming_cdc_merge_bucketed",  # streaming MERGE drain (bucketed twin in gate)
     "cdc_scd2_history": "streaming_cdc_merge_bucketed",  # keyed-version CDC family
     "sketch_join_size": "join_auto_strategy",  # sketch-driven size estimate (the in-gate planner consumes the same CMS/KMV estimates)
-    "dedup_jaccard_incremental": "dedup_winnow_incremental",  # persisted-band-index O(increment) append family
+    "dedup_jaccard_incremental": "dedup_image_fp_incremental",  # persisted-band-index O(increment) append family (winnow incremental rotated out r13; the media fp append runs the same index-probe + batch-partition contract)
     "multimodal_png": "multimodal_jpeg",  # real-codec decode family
     "graph_triangle_parts": "dedup_clusters",  # iterative graph family (distributed CC in gate)
     "multimodal_mp4_frames": "multimodal_video_thumbs",  # MP4 demux+decode family (thumbs = demux o decode o resize superset)
     "events_ewma": "pipeline_pack_bpe",  # running-window accumulation family
     "pipeline_weighted_sample": "pipeline_temperature_mix",  # deterministic md5-draw sampling family
     "events_cube": "sketch_hll_cube",  # CUBE grouping-sets Expand family
+    # Rotated out in ROUND 13 (all driver-green r11–r12) in the
+    # rotation that put the 14-entry never-hashed round-12 pool in
+    # front of the driver's hash (round-12 verdict task 2). All stay
+    # benched every round (BENCH_EXTRA) and full-registry
+    # pytest-oracle-gated:
+    "dedup_clusters_pruned": "dedup_clusters",  # pruned variant of the in-gate CC closer
+    "dedup_span_ngrams": "dedup_jaccard_pruned",  # n-gram candidate-pair family (PPJoin twin in gate)
+    "pipeline_training_shards": "pipeline_pack_bpe",  # sequence-packing shard family (BPE-budgeted packer in gate)
+    "text_winnow": "streaming_winnow_index",  # winnow fingerprint family (streamed index drain in gate)
+    "dedup_winnow_pairs": "streaming_winnow_index",  # winnow pair screen (same fingerprint + probe machinery)
+    "dedup_winnow_incremental": "streaming_winnow_index",  # persisted winnow index append (drain in gate)
+    "pipeline_dsir_sample": "pipeline_temperature_mix",  # deterministic md5-draw against per-doc threshold
+    "pipeline_dsir_incremental": "text_classify_nb_incremental",  # frozen persisted model + O(increment) token-feature scoring
+    "streaming_dsir_scores": "streaming_fp_index",  # per-batch crash-safe drain shape (scoring via the NB increment anchor)
+    "pipeline_leakage_split": "dedup_clusters",  # CC-grouped split (the in-gate closer IS its grouping stage)
+    "multimodal_resize": "multimodal_video_thumbs",  # raster resize (thumbs = demux∘decode∘RESIZE superset)
+    "multimodal_wav_resample": "multimodal_audio_fp",  # audio decode family over wav payloads
+    "dedup_image_dhash": "dedup_image_clusters",  # image dHash (clusters = dHash → band-pair → CC superset)
+    "dedup_image_neardup": "dedup_image_clusters",  # banded Hamming pair screen (clusters consumes it)
 }
 
 
@@ -272,14 +232,15 @@ def test_gate_within_driver_cap():
     assert len(set(GATE_ORDER)) == len(GATE_ORDER)
 
 
-def test_gate_is_frozen_at_round12_set():
-    """The gate froze at the round-5 set for rounds 6–7; rounds 8–12
+def test_gate_is_frozen_at_round13_set():
+    """The gate froze at the round-5 set for rounds 6–7; rounds 8–13
     each ran a verdict-mandated rotation (r8: 13 round-7-new in, 13/13
     green; r9: 7 round-8-new in, 7/7 green; r10: 3 round-9-new in, 3/3
     green; r11: the full 18-entry never-hashed round-10 pool in, 18/18
-    green; r12: the 11-entry never-hashed round-11 pool in, 11
-    multi-round-green entries out to BENCH_EXTRA, bench reports BOTH
-    gate-50 sums for series continuity) and RE-FROZE after each.
+    green; r12: the 11-entry never-hashed round-11 pool in, 11/11
+    green; r13: the 14-entry never-hashed round-12 pool in, 14
+    driver-green r11–r12 entries out to BENCH_EXTRA, bench reports
+    BOTH gate-50 sums for series continuity) and RE-FROZE after each.
     Editing GATE_ORDER again is a deliberate act that requires updating
     this pin (and accepting a delta-baseline reset)."""
     import hashlib
@@ -287,8 +248,8 @@ def test_gate_is_frozen_at_round12_set():
     frozen = hashlib.sha256("\n".join(GATE_ORDER).encode()).hexdigest()
     assert len(GATE_ORDER) == 50
     assert frozen == (
-        "feac560ea40d1a9081b5e1818bdf2256d6f58650305f00805c83d48208478048"
-    ), "GATE_ORDER changed — the gate re-froze at the round-12 set"
+        "e4d0611327f07415702dcfa1a14e40ab2ada877a59397e9b51f9385aea7164a3"
+    ), "GATE_ORDER changed — the gate re-froze at the round-13 set"
 
 
 def test_gate_is_registry_subset():
@@ -316,24 +277,27 @@ def test_gate_entries_all_have_oracles():
 
 
 def test_unhashed_entries_run_first():
-    # CORRECTNESS_r01-r11 covered the rest of the registry; the 11
-    # round-11-new entries the driver has never hashed (the round-12
-    # rotation pool the round-11 verdict named in task 1) must lead the
+    # CORRECTNESS_r01-r12 covered the rest of the registry; the 14
+    # round-12-new entries the driver has never hashed (the round-13
+    # rotation pool the round-12 verdict named in task 2) must lead the
     # gate. Once these hash green, every registry entry is cumulatively
     # driver-verified again.
-    never_hashed = GATE_ORDER[:11]
+    never_hashed = GATE_ORDER[:14]
     assert set(never_hashed) == {
-        "multimodal_audio_fp",
-        "dedup_audio_neardup",
-        "dedup_audio_fp_incremental",
-        "dedup_video_neardup",
-        "dedup_image_fp_incremental",
-        "dedup_image_fp_pruned",
-        "streaming_fp_index",
-        "streaming_winnow_index",
-        "dedup_image_clusters",
-        "text_bpe_tokens",
-        "pipeline_pack_bpe",
+        "dedup_video_neardup_dhash",
+        "pipeline_media_prune",
+        "dedup_video_fp_incremental",
+        "streaming_video_sig_index",
+        "text_bm25_pruned",
+        "text_bm25_capped",
+        "streaming_bm25_index",
+        "knn_cosine_ivf_pruned",
+        "text_classify_nb",
+        "text_classify_nb_incremental",
+        "pipeline_expectations",
+        "events_sliding_window",
+        "streaming_sliding_window",
+        "streaming_expectations",
     }
 
 
@@ -353,7 +317,7 @@ def test_bench_stdout_line_fits_driver_tail():
             "sf": 0.1,
             "runs_per_query": 3,
             "gate50_sum": 99999.999,
-            "gate50_r11_sum": 99999.999,
+            "gate50_r12_sum": 99999.999,
             "bench_n": 99,
             "dropped": 50,
             "full": "bench_full.json",

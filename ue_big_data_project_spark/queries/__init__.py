@@ -89,8 +89,16 @@ def all_queries() -> dict[str, QuerySpec]:
 # side this round so the perf series stays comparable. All rotated-out
 # entries stay in all_queries(), the pytest oracle gate
 # (tests/test_oracle.py, which always hash-checks the FULL registry
-# against DuckDB), and the bench set. tests/test_gate.py pins the new
-# set — editing GATE_ORDER again is a test failure, not a rotation.
+# against DuckDB), and the bench set. ROUND 13 repeats the precedent
+# on the round-12 verdict's mandate (task 2): the 14 round-12-new
+# entries the driver has never hashed swap IN (all 14 pytest-oracle
+# green at both SFs since round 12), and 14 driver-green r11–r12
+# entries swap OUT into BENCH_EXTRA (see _ROTATED_OUT_R13; each with
+# an in-gate family anchor mapped in tests/test_gate.py). The bench
+# SET is unchanged at 151, and bench.py reports the r12-gate-50 and
+# r13-gate-50 dict sums side by side this round so the perf series
+# stays comparable. tests/test_gate.py pins the new set — editing
+# GATE_ORDER again is a test failure, not a rotation.
 #
 # Every registry entry OUTSIDE the gate maps to an in-gate family
 # anchor; the authoritative (test-enforced) mappings live in
@@ -98,16 +106,32 @@ def all_queries() -> dict[str, QuerySpec]:
 # additions) and ::ROTATED_OUT (driver-green rotations, rounds 3–12).
 GATE_CAP = 50
 GATE_ORDER = (
-    # -- never driver-hashed: run first (round-11-new; round-12
-    # rotation, round-11 verdict task 1). The round-11 media-dedup +
-    # subword buildout — the audio perceptual fingerprint and its
-    # banded Hamming near-dup, video-level near-dup, the persisted
-    # media fingerprint band index family (incremental appends for two
-    # modalities, retention prune, streaming drain), the winnow
-    # family's streaming drain, image near-dup clustering under
-    # distributed CC, and BPE subword accounting + BPE-budgeted
-    # packing — faces the driver's independent sf0.01 hash for the
-    # first time. --------------------------------------------------------
+    # -- never driver-hashed: run first (round-12-new; round-13
+    # rotation, round-12 verdict task 2). The round-12 build-round
+    # additions the driver has never hashed — the production
+    # dHash-signature video near-dup, the build_corpus media-prune
+    # stage, the persisted video signature index (incremental probe +
+    # streaming drain), the BM25 lifecycle closers (retention prune,
+    # stop-term cap, streaming drain), IVF retention, the multinomial
+    # NB source classifier (in-memory + persisted-model increment),
+    # Deequ-style constraint verification (batch + streaming drain),
+    # and sliding/hopping windows (batch + streamed twins) — face the
+    # driver's independent sf0.01 hash for the first time. ---------------
+    "dedup_video_neardup_dhash",
+    "pipeline_media_prune",
+    "dedup_video_fp_incremental",
+    "streaming_video_sig_index",
+    "text_bm25_pruned",
+    "text_bm25_capped",
+    "streaming_bm25_index",
+    "knn_cosine_ivf_pruned",
+    "text_classify_nb",
+    "text_classify_nb_incremental",
+    "pipeline_expectations",
+    "events_sliding_window",
+    "streaming_sliding_window",
+    "streaming_expectations",
+    # -- first hashed (green) in round 12 --------------------------------
     "multimodal_audio_fp",
     "dedup_audio_neardup",
     "dedup_audio_fp_incremental",
@@ -120,29 +144,22 @@ GATE_ORDER = (
     "text_bpe_tokens",
     "pipeline_pack_bpe",
     # -- first hashed (green) in round 11 --------------------------------
-    "dedup_clusters_pruned",
+    # (14 of the 18 round-11-first-hashed entries rotated out in ROUND
+    # 13 — see _ROTATED_OUT_R13 below. These four stay in-gate
+    # deliberately: dedup_jaccard_pruned and dedup_semantic_prune are
+    # round-13 optimization targets whose driver-visible series must
+    # not break mid-change; pipeline_temperature_mix anchors the
+    # deterministic md5-draw sampling family (4 proxied dependents);
+    # multimodal_video_thumbs anchors the MP4 demux∘decode∘resize
+    # family (4 proxied dependents) and is the suite's one
+    # genuinely compute-scaling entry.)
     "dedup_jaccard_pruned",
-    "dedup_span_ngrams",
     "dedup_semantic_prune",
-    "pipeline_training_shards",
-    "text_winnow",
-    "dedup_winnow_pairs",
-    "dedup_winnow_incremental",
     "pipeline_temperature_mix",
-    "pipeline_dsir_sample",
-    "pipeline_dsir_incremental",
-    "streaming_dsir_scores",
-    "pipeline_leakage_split",
-    "multimodal_resize",
-    "multimodal_wav_resample",
     "multimodal_video_thumbs",
-    "dedup_image_dhash",
-    "dedup_image_neardup",
     # -- first hashed (green) in round 10 --------------------------------
     # (dedup_jaccard_incremental rotated out in ROUND 12 — see
-    # _ROTATED_OUT_R12 below. dedup_clusters_incremental stays in-gate
-    # deliberately: it is the round-11 verdict's perf watch item and
-    # rotating it out mid-watch would hide the series.)
+    # _ROTATED_OUT_R12 below.)
     "dedup_clusters_incremental",
     "streaming_dedup_clusters",
     # -- first hashed (green) in round 9 ---------------------------------
@@ -186,17 +203,28 @@ GATE_ORDER = (
     "dedup_clusters",
 )
 
-# The round-11 gate set, kept verbatim so bench.py can report the
+# The round-12 gate set, kept verbatim so bench.py can report the
 # old-gate-50 sum NEXT TO the new-gate-50 sum this round — the perf
-# series (r11-set sum 142.6 s builder calm-box / 165.1 s driver at
-# sentinel drift 2.4 in BENCH_r11.json) stays directly comparable
-# across the rotation (round-11 verdict task 1: "record both gate-50
-# sums"). Every entry is still benched (the bench set is unchanged
-# this round), so the sum is computed from live medians, not replayed.
-# (The round-10 set's crossover sums were recorded in BENCH_r11.json —
-# gate50_r10_sum 147.7 s driver vs r10's 220.0 — so the r10-set series
-# is already closed.)
-GATE_ORDER_R11 = (
+# series (r12-set sum 152.6 s driver at sentinel drift 4.16 in
+# BENCH_r12.json) stays directly comparable across the rotation
+# (round-12 verdict task 2, following the r11→r12 precedent: "record
+# both gate-50 sums"). Every entry is still benched (the bench set is
+# unchanged this round), so the sum is computed from live medians, not
+# replayed. (The round-11 set's crossover sums were recorded in
+# BENCH_r12.json — gate50_r11_sum 142.8 s driver vs r11's 165.1 — so
+# the r11-set series is already closed.)
+GATE_ORDER_R12 = (
+    "multimodal_audio_fp",
+    "dedup_audio_neardup",
+    "dedup_audio_fp_incremental",
+    "dedup_video_neardup",
+    "dedup_image_fp_incremental",
+    "dedup_image_fp_pruned",
+    "streaming_fp_index",
+    "streaming_winnow_index",
+    "dedup_image_clusters",
+    "text_bpe_tokens",
+    "pipeline_pack_bpe",
     "dedup_clusters_pruned",
     "dedup_jaccard_pruned",
     "dedup_span_ngrams",
@@ -217,24 +245,13 @@ GATE_ORDER_R11 = (
     "dedup_image_neardup",
     "dedup_clusters_incremental",
     "streaming_dedup_clusters",
-    "dedup_jaccard_incremental",
-    "cdc_merge_into",
-    "streaming_cdc_merge",
     "streaming_cdc_merge_bucketed",
     "sketch_hll_cube",
-    "sketch_join_size",
     "streaming_cms_tokens",
     "sketch_qhist_prices",
     "text_bm25_appended",
-    "multimodal_mp4_frames",
     "pipeline_quantile_trim",
     "join_auto_strategy",
-    "graph_triangle_parts",
-    "cdc_scd2_history",
-    "multimodal_png",
-    "events_cube",
-    "events_ewma",
-    "pipeline_weighted_sample",
     "window_rank_kit",
     "multimodal_jpeg",
     "knn_cosine_ivf_probe",
@@ -350,6 +367,42 @@ _ROTATED_OUT_R12 = (
     "events_cube",
 )
 
+# Rotated out of the gate in ROUND 13 (all driver-green r11–r12,
+# first hashed in round 11) to hand their slots to the 14-entry
+# never-hashed round-12 pool — the rotation the round-12 verdict
+# mandated (task 2), following the r8–r12 precedent. All stay benched
+# every round (appended to BENCH_EXTRA below, so the bench SET is
+# identical to round 12's) and hash-checked by the full pytest oracle
+# gate; their operator families keep in-gate anchors
+# (tests/test_gate.py maps each: the pruned/clique CC shapes anchor on
+# dedup_clusters, span n-grams on the in-gate jaccard-pruned PPJoin
+# twin, the winnow fingerprint family on its in-gate streaming drain,
+# the DSIR sampling draw on the in-gate temperature mix and its
+# frozen-model increment/scoring on the in-gate NB increment twin
+# (the same persisted-model O(increment) contract), the DSIR scoring
+# drain on the in-gate fp-index drain shape, leakage split on the
+# in-gate CC closer, resize on the in-gate thumbs composite (whose
+# decode∘resize superset it is), wav resample on the in-gate audio
+# fingerprint decode family, the image dHash pair on the in-gate
+# image clustering closure over the same hash → band-pair machinery,
+# and the training shards packer on the in-gate BPE-budgeted packer).
+_ROTATED_OUT_R13 = (
+    "dedup_clusters_pruned",
+    "dedup_span_ngrams",
+    "pipeline_training_shards",
+    "text_winnow",
+    "dedup_winnow_pairs",
+    "dedup_winnow_incremental",
+    "pipeline_dsir_sample",
+    "pipeline_dsir_incremental",
+    "streaming_dsir_scores",
+    "pipeline_leakage_split",
+    "multimodal_resize",
+    "multimodal_wav_resample",
+    "dedup_image_dhash",
+    "dedup_image_neardup",
+)
+
 _ROTATED_OUT_R11 = (
     "text_bm25_search",
     "text_bm25_indexed",
@@ -450,44 +503,12 @@ BENCH_EXTRA = (
     # OUT of this tuple and INTO the gate, so the bench set is
     # unchanged at 137).
     *_ROTATED_OUT_R12,
-    # Round-12-new (post-re-freeze; proxied on the in-gate
-    # dedup_video_neardup per tests/test_gate.py): the production
-    # dHash-signature video near-dup over the textured MP4 fixture.
-    "dedup_video_neardup_dhash",
-    # Round-12-new: the build_corpus media stage's kept-id set
-    # (proxied on the in-gate dedup_image_clusters).
-    "pipeline_media_prune",
-    # Round-12-new: the persisted video signature index probe (proxied
-    # on the in-gate dedup_image_fp_incremental) and its streaming
-    # drain (proxied on streaming_fp_index).
-    "dedup_video_fp_incremental",
-    "streaming_video_sig_index",
-    # Round-12-new: the retention + streaming-drain closers for the
-    # two persisted families that still lacked them — BM25 prune
-    # (proxied on the in-gate text_bm25_appended), the BM25 streaming
-    # drain (proxied on streaming_fp_index), and IVF prune (proxied on
-    # knn_cosine_ivf_probe).
-    "text_bm25_pruned",
-    "text_bm25_capped",
-    "streaming_bm25_index",
-    "knn_cosine_ivf_pruned",
-    # Round-12-new: multinomial Naive Bayes source classifier (proxied
-    # on the in-gate text_bm25_appended — same postings + broadcast
-    # stats + decimal-sum + window machinery).
-    "text_classify_nb",
-    # Round-12-new: the classifier's persisted-model increment path
-    # (write_nb_model → nb_classify_increment; same anchor).
-    "text_classify_nb_incremental",
-    # Round-12-new: Deequ-style one-pass constraint verification
-    # (proxied on the in-gate scan_filter_agg_kit).
-    "pipeline_expectations",
-    # Round-12-new: sliding/hopping windows, batch + streamed twins
-    # (proxied on the in-gate streaming_tumbling_window).
-    "events_sliding_window",
-    "streaming_sliding_window",
-    # Round-12-new: the constraint suite's streaming drain (proxied on
-    # the in-gate streaming_fp_index).
-    "streaming_expectations",
+    # Rotated out in ROUND 13 (see _ROTATED_OUT_R13 above): the 14
+    # driver-green r11–r12 entries whose gate slots went to the
+    # 14-entry never-hashed round-12 pool (the round-12-new entries
+    # that sat at the tail of this tuple moved OUT of it and INTO the
+    # gate — the bench set is unchanged at 151).
+    *_ROTATED_OUT_R13,
 )
 
 # BENCH_EXTRA must stay disjoint from the gate and duplicate-free, or
