@@ -106,6 +106,62 @@ def test_jaccard_prefix_filter_is_lossless(spark, texts, threshold):
     assert got == expected
 
 
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy, threshold=st.sampled_from([0.5, 0.8]))
+def test_jaccard_probe_positional_filter_is_lossless(
+    spark, texts, threshold
+):
+    """The PERSISTED-index probe — frozen-order prefixes with stored
+    ranks plus the positional filter on both the cross and in-batch
+    candidate joins — must equal the full ngram_jaccard_pairs output
+    restricted to increment-incident pairs, on random documents."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ue_big_data_project_spark.operators.dedup import (
+        jaccard_probe_index,
+        ngram_jaccard_pairs,
+        write_jaccard_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    old = df.filter(F.col("doc_id") % 2 == 0)
+    new = df.filter(F.col("doc_id") % 2 == 1)
+    if old.count() == 0 or new.count() == 0:
+        return
+    root = tempfile.mkdtemp(prefix="jprobe_hyp_")
+    try:
+        path = root + "/jidx"
+        write_jaccard_index(
+            old, path, threshold=threshold, n_buckets=2
+        )
+        got = sorted(
+            map(tuple, jaccard_probe_index(spark, path, new).collect())
+        )
+        full = ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=threshold
+        )
+        want = sorted(
+            map(
+                tuple,
+                full.filter(
+                    (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+                ).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 vec_strategy = st.lists(
     st.lists(
         st.floats(

@@ -266,6 +266,22 @@ def ngram_jaccard_pairs(
     ) + 1
     prefix = ranked.filter(F.col("_rn") <= prefix_len)
     a, b = prefix.alias("a"), prefix.alias("b")
+    # Positional filter (PPJoin, lossless — round-12 verdict task 4):
+    # take the lexicographically MINIMAL matched (a-rank, b-rank) pair
+    # (i, j) per candidate. Every truly-shared shingle s has global
+    # order ≥ the minimum matched hash's (if o(s) were smaller, s's
+    # ranks in BOTH docs would precede (i, j), putting s inside both
+    # prefixes and making s's hash an earlier match — contradiction),
+    # so s occupies a rank ≥ i in A and ≥ j in B, giving
+    # |A∩B| ≤ 1 + min(n_a − i, n_b − j). J ≥ t requires
+    # |A∩B| ≥ t/(1+t)·(n_a+n_b); pairs whose positional bound cannot
+    # reach that are dropped BEFORE the full-array verification join.
+    # Hash collisions only ADD matched rows, which can only move the
+    # minimum earlier and LOOSEN the bound — a collision never drops a
+    # true pair (the r12 deferral's concern), and spurious survivors
+    # are still rejected by the exact string-array verification. The
+    # former `.distinct()` on (id_a, id_b) becomes a groupBy on the
+    # same keys — one exchange either way, no new shuffle.
     candidates = (
         a.join(
             b,
@@ -279,9 +295,13 @@ def ngram_jaccard_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._rn").alias("_ia"),
+            F.col("b._rn").alias("_jb"),
+            F.col("a.n_sh").alias("_na"),
+            F.col("b.n_sh").alias("_nb"),
         )
-        .distinct()
     )
+    candidates = _positional_prune(candidates, "id_a", "id_b", threshold)
     sets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("_arr"),
         F.count(F.lit(1)).alias("n_sh"),
@@ -1139,19 +1159,65 @@ def append_cluster_map(
 # --------------------------------------------------------------------------
 
 
+def _positional_prune(
+    pairs: DataFrame, left: str, right: str, threshold: float
+) -> DataFrame:
+    """PPJoin positional filter over matched prefix rows (lossless).
+
+    ``pairs`` carries one row per matched prefix hash with the ranks
+    ``_ia``/``_jb`` of the matched rows in each document's frozen-order
+    list and the documents' distinct-shingle counts ``_na``/``_nb``.
+    Take the lexicographically MINIMAL matched ``(_ia, _jb)`` per
+    ``(left, right)`` pair: every truly-shared shingle has global order
+    ≥ the minimum matched hash's (were it smaller, its ranks in both
+    documents would precede the minimum and put it inside both
+    prefixes, making it an earlier match), so it occupies a rank ≥ _ia
+    in A and ≥ _jb in B, giving |A∩B| ≤ 1 + min(n_a−_ia, n_b−_jb).
+    J ≥ t requires |A∩B| ≥ t/(1+t)·(n_a+n_b); pairs whose bound cannot
+    reach it are dropped BEFORE the full-array verification join. Hash
+    collisions only ADD matched rows — the minimum can only move
+    earlier, which LOOSENS the bound, so a collision never drops a
+    true pair; spurious survivors are rejected by the exact
+    verification. The former per-pair ``.distinct()`` becomes a
+    groupBy on the same keys — one exchange either way. The 1e-9 nudge
+    means float error can only KEEP a borderline pair."""
+    return (
+        pairs.groupBy(left, right)
+        .agg(
+            F.min(F.struct("_ia", "_jb")).alias("_m"),
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("_na") - F.col("_m._ia"),
+                F.col("_nb") - F.col("_m._jb"),
+            )
+            >= F.lit(threshold / (1.0 + threshold))
+            * (F.col("_na") + F.col("_nb"))
+            - F.lit(1e-9)
+        )
+        .select(left, right)
+    )
+
+
 def _jaccard_prefix(
     shh: DataFrame,
     freq: DataFrame,
     id_col: str,
     threshold: float,
 ) -> DataFrame:
-    """PPJoin prefix rows ``(id, _h, n_sh)`` under the given FROZEN
-    global order ``(_df asc, _h asc)`` — unseen hashes take _df = 0
-    (front of the order). Losslessness needs only a CONSISTENT total
-    order shared by index and probe, not true frequencies (the
-    Bayardo/PPJoin prefix theorem holds for any fixed order), which is
-    what lets the order freeze at index-build time like the IVF
-    quantizer."""
+    """PPJoin prefix rows ``(id, _h, _rn, n_sh)`` under the given
+    FROZEN global order ``(_df asc, _h asc)`` — unseen hashes take
+    _df = 0 (front of the order). ``_rn`` is the row's rank in its
+    document's full frozen-order shingle list; persisting it is what
+    lets probes run the POSITIONAL filter (:func:`_positional_prune`)
+    against index rows without re-ranking the corpus. Losslessness
+    needs only a CONSISTENT total order shared by index and probe, not
+    true frequencies (the Bayardo/PPJoin prefix theorem holds for any
+    fixed order), which is what lets the order freeze at index-build
+    time like the IVF quantizer."""
     from pyspark.sql import Window
 
     ranked = shh.join(freq, "_h", "left").select(
@@ -1170,7 +1236,7 @@ def _jaccard_prefix(
         F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)
     ) + 1
     return ranked.filter(F.col("_rn") <= prefix_len).select(
-        id_col, "_h", "n_sh"
+        id_col, "_h", "_rn", "n_sh"
     )
 
 
@@ -1322,35 +1388,48 @@ def jaccard_probe_index(
         size_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
             threshold * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
         )
+        pos_cols = (
+            F.col("a._rn").alias("_ia"),
+            F.col("b._rn").alias("_jb"),
+            F.col("a.n_sh").alias("_na"),
+            F.col("b.n_sh").alias("_nb"),
+        )
         a, b = prefix_new.alias("a"), index_prefix.alias("b")
         # id inequality guards a contract violation (probe id also in
         # the index) from surfacing as a jaccard-1.0 self-pair.
-        cand_cross = (
+        # Both candidate sets run the POSITIONAL filter
+        # (:func:`_positional_prune`, lossless under the frozen order
+        # both sides were ranked with) before the exact-array verify.
+        cand_cross = _positional_prune(
             a.join(
                 b,
                 (F.col("a._h") == F.col("b._h"))
                 & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
                 & size_ok,
-            )
-            .select(
+            ).select(
                 F.col(f"a.{id_col}").alias("_new"),
                 F.col(f"b.{id_col}").alias("_old"),
-            )
-            .distinct()
+                *pos_cols,
+            ),
+            "_new",
+            "_old",
+            threshold,
         )
         a2, b2 = prefix_new.alias("a"), prefix_new.alias("b")
-        cand_batch = (
+        cand_batch = _positional_prune(
             a2.join(
                 b2,
                 (F.col("a._h") == F.col("b._h"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                 & size_ok,
-            )
-            .select(
+            ).select(
                 F.col(f"a.{id_col}").alias("_new"),
                 F.col(f"b.{id_col}").alias("_old"),
-            )
-            .distinct()
+                *pos_cols,
+            ),
+            "_new",
+            "_old",
+            threshold,
         )
         batch_sets = sh.groupBy(id_col).agg(
             F.sort_array(F.collect_list("shingle")).alias("_arr"),
