@@ -526,10 +526,15 @@ SHUFFLE_BUDGETS = {
     "dedup_span_ngrams": 5,
     # SemDeDup: quantizer trains driver-side (bounded sample, charged
     # at call time), assignment is the broadcast-centroid Arrow scan
-    # (zero shuffle); the live plan pays only the within-cell pair
-    # stage — drop-id distinct + the kept-flag join key. The cell
-    # self-join broadcasts at fixture stats.
-    "dedup_semantic_prune": 2,
+    # (zero shuffle); the pair stage runs through the cell-scoped
+    # cosine_pairs TILE path (round-13: one numpy matmul per tile +
+    # exact rescore of survivors, replacing the interpreted per-pair
+    # fold cosine). The extra exchanges over the old self-join are all
+    # bounded-or-blocked: the (cell, blk) block agg, the ids-only
+    # block-key distinct, the two tile-payload attach joins, the
+    # candidate rescore attach, and the drop-id distinct — each moves
+    # block rows once or candidate ids, never the corpus per pair.
+    "dedup_semantic_prune": 6,
     # Deterministic training-shard manifest: the position window and
     # the manifest agg share the ONE shard-key exchange.
     "pipeline_training_shards": 1,

@@ -15,6 +15,8 @@ double accumulation in index order — oracle-reproducible).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -175,6 +177,7 @@ def cosine_pairs(
     score_scale: int = 6,
     block_size: int = 2048,
     margin: float = 1e-6,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
     cosine(a, b) ≥ ``threshold``. EXACT results, blocked execution.
@@ -202,12 +205,20 @@ def cosine_pairs(
     quadratic-over-B volume is inherent to an EXACT all-pairs join; at
     100 TB you put an LSH/band prefilter in front and feed only the
     surviving id pairs through the exact rescore below.
+
+    ``partition_col`` scopes the pair search WITHIN equal values of
+    that column (the SemDeDup cell contract): blocks carry the
+    partition key, tile keys pair only same-partition blocks, and the
+    quadratic term drops from N² to Σ|partition|² — identical results
+    to filtering the full pair set to same-partition pairs, at a
+    fraction of the tiles.
     """
     import pandas as pd
 
     sid, svec = F.col(item_id), F.col(item_vec)
+    part = [partition_col] if partition_col else []
     blocks = (
-        items.groupBy(F.floor(sid / block_size).alias("blk"))
+        items.groupBy(*part, F.floor(sid / block_size).alias("blk"))
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(sid.alias("id"), svec.alias("vec")))
@@ -217,14 +228,39 @@ def cosine_pairs(
     # Upper-triangle tile keys from the ids-only block list — the ONLY
     # broadcast side, O(N/B) longs regardless of vector width. The block
     # payloads (unbounded) arrive by equi-join shuffle, never broadcast.
-    blk_ids = items.select(F.floor(sid / block_size).alias("blk")).distinct()
-    pair_keys = blk_ids.select(F.col("blk").alias("blk_a")).join(
-        F.broadcast(blk_ids.select(F.col("blk").alias("blk_b"))),
-        F.col("blk_a") <= F.col("blk_b"),
+    blk_ids = items.select(
+        *part, F.floor(sid / block_size).alias("blk")
+    ).distinct()
+    same_part = (
+        [F.col(f"_pa.{partition_col}") == F.col(f"_pb.{partition_col}")]
+        if partition_col
+        else []
     )
-    a = blocks.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
-    b = blocks.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
-    tiles = pair_keys.join(a, "blk_a").join(b, "blk_b")
+    pair_keys = (
+        blk_ids.select(*part, F.col("blk").alias("blk_a"))
+        .alias("_pa")
+        .join(
+            F.broadcast(
+                blk_ids.select(*part, F.col("blk").alias("blk_b")).alias(
+                    "_pb"
+                )
+            ),
+            functools.reduce(
+                lambda x, y: x & y,
+                same_part + [F.col("blk_a") <= F.col("blk_b")],
+            ),
+        )
+        .select(
+            *[F.col(f"_pa.{c}") for c in part], "blk_a", "blk_b"
+        )
+    )
+    a = blocks.select(
+        *part, F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = blocks.select(
+        *part, F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    tiles = pair_keys.join(a, part + ["blk_a"]).join(b, part + ["blk_b"])
 
     cut = threshold - margin
 
@@ -1811,20 +1847,25 @@ def semdedup(
         .withColumnRenamed("cent_id", "cell")
         .cache()  # feeds both pair sides + the kept-flag epilogue
     )
-    a = tagged.select(
-        "cell", F.col(item_id).alias("_ida"), F.col(item_vec).alias("_va")
-    )
-    b = tagged.select(
-        "cell", F.col(item_id).alias("_idb"), F.col(item_vec).alias("_vb")
-    )
+    # Pair stage through the blocked numpy pruner + exact rescore
+    # (:func:`cosine_pairs` with cell-scoped tiles, round-13): the
+    # former formulation joined the cell's rows and evaluated the
+    # interpreted fold-left cosine on EVERY within-cell pair — µs-scale
+    # closure dispatch per pair × Σ|cell|² pairs. The tile path scores
+    # each cell-block tile with one numpy matmul (a sound pruner:
+    # BLAS-vs-fold divergence ≪ margin), then rescores only the
+    # surviving candidates with the SAME pround(cosine) expressions —
+    # the kept/dropped contract is bit-identical.
     drops = (
-        a.join(b, "cell")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(
-            pround(cosine(F.col("_va"), F.col("_vb")), score_scale)
-            >= threshold
+        cosine_pairs(
+            tagged.select("cell", item_id, item_vec),
+            threshold,
+            item_id=item_id,
+            item_vec=item_vec,
+            score_scale=score_scale,
+            partition_col="cell",
         )
-        .select(F.col("_idb").alias(item_id))
+        .select(F.col("id_b").alias(item_id))
         .distinct()
         .withColumn("_drop", F.lit(1))
     )
