@@ -283,9 +283,37 @@ def main() -> None:
     n_isolates = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATES", "5"))
     isolates: dict[str, float] = {}
     bq = bench_queries()
-    for name in sorted(timings, key=timings.get, reverse=True)[
+    iso_names = sorted(timings, key=timings.get, reverse=True)[
         : max(n_isolates, 0)
-    ]:
+    ]
+    if n_isolates > 0:
+        # Self-acquittal rule (round-12 verdict task 7): the official
+        # artifact has repeatedly recorded contention outliers that
+        # took a round of archaeology to acquit (multimodal_jpeg r10,
+        # dedup_clusters_incremental r11, text_bm25_appended 16.1 s
+        # suite vs 4.1 s isolate r12). Two extensions to the top-N:
+        # (a) any entry whose suite MEDIAN exceeds 2× its own fastest
+        # sample — with ≥3 interleaved passes that means at least two
+        # passes ran >2× slower than the query demonstrably runs,
+        # the within-run contention signature — gets an isolate row
+        # (capped at 8 extra, heaviest first, so a fully-contended box
+        # can't double the bench); (b) the round-12 watch entries
+        # carry isolates unconditionally this round so their
+        # acquittal/confirmation lands in the primary artifact.
+        suspects = [
+            name
+            for name in sorted(timings, key=timings.get, reverse=True)
+            if name not in iso_names
+            and len(samples[name]) >= 2
+            and timings[name] > 2 * min(samples[name])
+        ][:8]
+        watch = [
+            n
+            for n in ("text_bm25_appended", "multimodal_jpeg")
+            if n in timings and n not in iso_names and n not in suspects
+        ]
+        iso_names = iso_names + suspects + watch
+    for name in iso_names:
         iso: list[float] = []
         for _ in range(3):
             spark.catalog.clearCache()
