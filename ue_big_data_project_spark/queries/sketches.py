@@ -845,8 +845,14 @@ def sketch_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = SK.hll_cube(
         li, dims, F.col("l_partkey").cast("string"), p=_P
     )
+    # Pre-aggregate BELOW the Expand (guide §2.5, round-13): distinct
+    # (dims, partkey) triples first, then CUBE the deduped leaf — every
+    # grouping set's COUNT(DISTINCT partkey) is invariant to leaf-level
+    # dedup, so results are identical while the Expand multiplies
+    # |distinct triples| rows instead of every lineitem row × 2^d sets.
+    leaf = li.select(*dims, "l_partkey").distinct()
     exact = (
-        li.cube(*dims)
+        leaf.cube(*dims)
         .agg(
             F.countDistinct("l_partkey").alias("exact_distinct"),
             (
