@@ -346,11 +346,23 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a position-weighted digest, so the oracle replays the exact
     resampled waveform frame-by-frame from the square-wave fixture's
     closed form. Linear interpolation rides the same operator (float
-    path), ramp-exactness-pinned in tests/test_multimodal.py."""
+    path), ramp-exactness-pinned in tests/test_multimodal.py.
+
+    No ids-repartition here, unlike the codec-heavy siblings
+    (round-13, the r12 scaling probe): WAV synth+resample is the
+    lightest Arrow path in the family, and the hash exchange to
+    ``defaultParallelism`` partitions cost more than the spread bought
+    — A/B at sf0.1: repartition(32) 0.79 s vs scan partitioning
+    0.42 s, and the 8-vs-32-core ratio 0.59 was this entry flagging
+    exactly that. At scale the scan is naturally parallel (many
+    files), so the spread derives from input size instead of a
+    constant. multimodal_jpeg measured the OPPOSITE (0.95 s with the
+    repartition vs 2.45 s without — heavy decode starves on the tiny
+    fixture's few non-empty scan splits), so the codec-heavy entries
+    keep theirs."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    ids = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return MM.audio_resample_features(
-        MM.attach_wav(ids), out_n=256, method="nearest"
+        MM.attach_wav(d), out_n=256, method="nearest"
     )
 
 
@@ -649,7 +661,7 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the image axis. Oracle = brute-force pair sweep under the
     recursive-CTE closure (the dedup_clusters precedent)."""
     from ue_big_data_project_spark.pipelines import (
-        _media_components_of_hashes,
+        media_dedup_components_of_hashes,
     )
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -659,7 +671,7 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands only DISTINCT hashes before CC (round-12 — its docstring
     # has the equivalence argument; same labels, oracle unchanged).
     h = MM.attach_bmp_dhash(ids).localCheckpoint(eager=True)
-    return _media_components_of_hashes(h, max_hamming=2).select(
+    return media_dedup_components_of_hashes(h, max_hamming=2).select(
         "doc_id", "component"
     )
 
@@ -856,7 +868,7 @@ def pipeline_media_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     index persists. Oracle = the image-clusters recursive-CTE closure
     restricted to its fixpoints."""
     from ue_big_data_project_spark.pipelines import (
-        _media_components_of_hashes,
+        media_dedup_components_of_hashes,
     )
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -865,7 +877,7 @@ def pipeline_media_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # media_dedup_components, entered through the fused fixture edge
     # (one Arrow pass; the BMP bytes never cross the JVM boundary).
     h = MM.attach_bmp_dhash(ids).localCheckpoint(eager=True)
-    comps = _media_components_of_hashes(h, max_hamming=2)
+    comps = media_dedup_components_of_hashes(h, max_hamming=2)
     return (
         comps.filter(F.col("doc_id") == F.col("component"))
         .select("doc_id")
