@@ -1348,7 +1348,7 @@ def test_fp_stop_band_cap_bounds_hot_bucket_fanout(spark, tmp_path):
 def test_media_components_clique_collapse_equals_full_pairs(spark):
     """Round-12 optimization pin: the clique-collapsed edge set
     (exact-dup star + rep-to-rep band pairs over DISTINCT hashes) in
-    pipelines._media_components_of_hashes yields the SAME component
+    pipelines.media_dedup_components_of_hashes yields the SAME component
     labels as CC over the full min_hamming=0 pair list — on a fixture
     mixing big exact-dup cliques, near-dup chains across distinct
     hashes, and isolated singletons."""
@@ -1356,7 +1356,7 @@ def test_media_components_clique_collapse_equals_full_pairs(spark):
         connected_components,
     )
     from ue_big_data_project_spark.pipelines import (
-        _media_components_of_hashes,
+        media_dedup_components_of_hashes,
     )
 
     rows = []
@@ -1381,7 +1381,7 @@ def test_media_components_clique_collapse_equals_full_pairs(spark):
     ).localCheckpoint(eager=True)
     got = {
         (r["doc_id"], r["component"])
-        for r in _media_components_of_hashes(h, max_hamming=2).collect()
+        for r in media_dedup_components_of_hashes(h, max_hamming=2).collect()
     }
     full_pairs = MM.dhash_neardup_pairs(h, max_hamming=2, min_hamming=0)
     want = {

@@ -2943,6 +2943,37 @@ def dhash_pixels(arr: np.ndarray) -> tuple[int, int]:
     return val >> 32, val & 0xFFFFFFFF
 
 
+def _hash64_rows_gen(hash_of_payload, hi_name: str, lo_name: str):
+    """Row generator shared by the per-payload 64-bit hash operators
+    (:func:`image_dhash`, :func:`audio_fingerprint`) and their fused
+    ``attach_*`` fixture edges (round-12 advice: ONE loop, so a codec
+    change cannot silently diverge the fused edge from the production
+    operator before the equivalence test catches it). Consumes
+    (doc_id, payload) pandas frames; ``hash_of_payload(bytes) →
+    (hi, lo)``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hi, lo = [], []
+            for p in pdf["payload"]:
+                h, lw = hash_of_payload(bytes(p))
+                hi.append(h)
+                lo.append(lw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    hi_name: pd.Series(hi, dtype="int64"),
+                    lo_name: pd.Series(lo, dtype="int64"),
+                }
+            )
+
+    return gen
+
+
+def _image_dhash_of_payload(payload: bytes) -> tuple[int, int]:
+    return dhash_pixels(decode_pixels(payload))
+
+
 def image_dhash(df: DataFrame) -> DataFrame:
     """Per-image dHash over (doc_id, payload) rows — decode (any
     supported container via :func:`decode_pixels`) + hash inside the
@@ -2950,22 +2981,7 @@ def image_dhash(df: DataFrame) -> DataFrame:
     64-bit output for exact or near-duplicate image dedup (identical
     hash = perceptually identical; small Hamming distance = near-dup,
     the SimHash pigeonhole machinery applies unchanged)."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hi, lo = [], []
-            for p in pdf["payload"]:
-                h, lw = dhash_pixels(decode_pixels(bytes(p)))
-                hi.append(h)
-                lo.append(lw)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "dhash_hi": pd.Series(hi, dtype="int64"),
-                    "dhash_lo": pd.Series(lo, dtype="int64"),
-                }
-            )
-
+    gen = _hash64_rows_gen(_image_dhash_of_payload, "dhash_hi", "dhash_lo")
     return df.select("doc_id", "payload").mapInPandas(gen, DHASH_SCHEMA)
 
 
@@ -2976,33 +2992,27 @@ def attach_bmp_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     to hand it back to the next Python worker; fusing keeps the bytes
     inside one worker and crosses the boundary with 3 int64 columns).
     Same codec path (``synth_bmp_pixels → encode_bmp → decode_pixels →
-    dhash_pixels``), bit-identical rows — pinned by
+    dhash_pixels``) through the SAME row loop as the production
+    operator (``_hash64_rows_gen`` composed with
+    ``_synth_payload_batches``), bit-identical rows — pinned by
     ``tests/test_multimodal.py::test_fused_attach_hash_edges_match_
     composition``. Measured at sf0.1: 0.70 → 0.40 s per corpus pass.
 
     The PRODUCTION operator stays :func:`image_dhash` (payloads exist
     in storage there; this edge exists because the bench fixtures
     synthesize them from ids)."""
+    rows = _hash64_rows_gen(_image_dhash_of_payload, "dhash_hi", "dhash_lo")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf[id_col].astype("int64")
-            hi, lo = [], []
-            for i in ids:
-                h, lw = dhash_pixels(
-                    decode_pixels(encode_bmp(synth_bmp_pixels(int(i))))
-                )
-                hi.append(h)
-                lo.append(lw)
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "dhash_hi": pd.Series(hi, dtype="int64"),
-                    "dhash_lo": pd.Series(lo, dtype="int64"),
-                }
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return rows(
+            _synth_payload_batches(
+                batches,
+                lambda i: encode_bmp(synth_bmp_pixels(i)),
+                id_col,
             )
+        )
 
-    return df.select(id_col).mapInPandas(gen, DHASH_SCHEMA)
+    return df.select(id_col).mapInPandas(fused, DHASH_SCHEMA)
 
 
 AUDIO_FP_FRAMES = 9  # time frames after the fixed-grid resample
@@ -3065,28 +3075,17 @@ def audio_fp_bits(samples: np.ndarray) -> tuple[int, int]:
     return val >> 32, val & 0xFFFFFFFF
 
 
+def _audio_fp_of_payload(payload: bytes) -> tuple[int, int]:
+    return audio_fp_bits(decode_wav_samples(payload))
+
+
 def audio_fingerprint(df: DataFrame) -> DataFrame:
     """Per-clip perceptual fingerprint over (doc_id, payload) WAV rows
     — decode + :func:`audio_fp_bits` inside the Arrow workers; payload
     bytes never shuffle. Group the 64-bit output for exact
     perceptual dedup or band it for near-dup Hamming search — the
     :func:`image_dhash` machinery applies unchanged."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hi, lo = [], []
-            for p in pdf["payload"]:
-                h, lw = audio_fp_bits(decode_wav_samples(bytes(p)))
-                hi.append(h)
-                lo.append(lw)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "fp_hi": pd.Series(hi, dtype="int64"),
-                    "fp_lo": pd.Series(lo, dtype="int64"),
-                }
-            )
-
+    gen = _hash64_rows_gen(_audio_fp_of_payload, "fp_hi", "fp_lo")
     return df.select("doc_id", "payload").mapInPandas(gen, AUDIO_FP_SCHEMA)
 
 
@@ -3128,29 +3127,19 @@ def attach_wav_saw(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def attach_wav_saw_fp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fused fixture edge: ``audio_fingerprint(attach_wav_saw(df))`` in
     ONE Arrow pass — the audio twin of :func:`attach_bmp_dhash` (same
-    guide-§4.1 boundary diet, same equivalence pin; the WAV bytes stay
-    inside one Python worker). Production surface remains
-    :func:`audio_fingerprint` over stored payloads."""
+    guide-§4.1 boundary diet, same equivalence pin, same SHARED row
+    loop: ``_hash64_rows_gen`` composed with
+    ``_synth_payload_batches``; the WAV bytes stay inside one Python
+    worker). Production surface remains :func:`audio_fingerprint` over
+    stored payloads."""
+    rows = _hash64_rows_gen(_audio_fp_of_payload, "fp_hi", "fp_lo")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf[id_col].astype("int64")
-            hi, lo = [], []
-            for i in ids:
-                h, lw = audio_fp_bits(
-                    decode_wav_samples(synth_wav_saw(int(i)))
-                )
-                hi.append(h)
-                lo.append(lw)
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "fp_hi": pd.Series(hi, dtype="int64"),
-                    "fp_lo": pd.Series(lo, dtype="int64"),
-                }
-            )
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return rows(
+            _synth_payload_batches(batches, synth_wav_saw, id_col)
+        )
 
-    return df.select(id_col).mapInPandas(gen, AUDIO_FP_SCHEMA)
+    return df.select(id_col).mapInPandas(fused, AUDIO_FP_SCHEMA)
 
 
 def fp_band_rows(
@@ -3672,40 +3661,18 @@ def attach_mp4_textured_dhash(
     through the full codec path (``synth_mp4_textured → mp4_frames →
     decode_jpeg_pixels → dhash_pixels``); only the JVM round-trip of
     the container bytes between the two Python stages is removed.
-    Measured at sf0.1: 2.55 → 2.05 s per corpus pass. Production
+    Measured at sf0.1: 2.55 → 2.05 s per corpus pass. Shares
+    ``_frame_dhash_rows_gen`` with the production operator (round-12
+    advice), so rows are identical by construction. Production
     surface remains :func:`mp4_frame_dhash` over stored payloads."""
+    rows = _frame_dhash_rows_gen(every)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [],
-                "frame_idx": [],
-                "dhash_hi": [],
-                "dhash_lo": [],
-            }
-            for did in pdf[id_col].astype("int64"):
-                payload = synth_mp4_textured(int(did))
-                for fi, _pts, sample in mp4_frames(payload, every):
-                    px = decode_jpeg_pixels(sample)
-                    if px.ndim == 2:
-                        px = px[:, :, None]
-                    hi, lo = dhash_pixels(px)
-                    out["doc_id"].append(int(did))
-                    out["frame_idx"].append(fi)
-                    out["dhash_hi"].append(hi)
-                    out["dhash_lo"].append(lo)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "frame_idx": pd.Series(
-                        out["frame_idx"], dtype="int32"
-                    ),
-                    "dhash_hi": pd.Series(out["dhash_hi"], dtype="int64"),
-                    "dhash_lo": pd.Series(out["dhash_lo"], dtype="int64"),
-                }
-            )
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return rows(
+            _synth_payload_batches(batches, synth_mp4_textured, id_col)
+        )
 
-    return df.select(id_col).mapInPandas(gen, MP4_FRAME_DHASH_SCHEMA)
+    return df.select(id_col).mapInPandas(fused, MP4_FRAME_DHASH_SCHEMA)
 
 
 MP4_FRAME_DHASH_SCHEMA = T.StructType(
@@ -3718,16 +3685,12 @@ MP4_FRAME_DHASH_SCHEMA = T.StructType(
 )
 
 
-def mp4_frame_dhash(df: DataFrame, every: int = 1) -> DataFrame:
-    """The PRODUCTION video near-dup signature: demux each MP4's sample
-    table, decode every ``every``-th frame (native MJPEG), and dHash it
-    (:func:`dhash_pixels` — 9×8 nearest resize + 64 horizontal-gradient
-    sign bits, re-encoding-tolerant) — demux ∘ decode ∘ hash composed
-    inside the partition that read the bytes, one Arrow pass, payloads
-    never shuffle, O(kept frames) per video. Feed the output to
-    :func:`video_neardup_pairs` with ``sig_cols=("dhash_hi",
-    "dhash_lo")`` for signature-containment pairing, or through
-    :func:`fp_band_rows` banding for per-frame Hamming slack."""
+def _frame_dhash_rows_gen(every: int):
+    """Row generator behind :func:`mp4_frame_dhash` — shared with the
+    fused :func:`attach_mp4_textured_dhash` fixture edge (round-12
+    advice: one demux/decode/dhash loop, so a decoder change cannot
+    silently diverge the fused edge). Consumes (doc_id, payload)
+    pandas frames."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3760,8 +3723,21 @@ def mp4_frame_dhash(df: DataFrame, every: int = 1) -> DataFrame:
                 }
             )
 
+    return gen
+
+
+def mp4_frame_dhash(df: DataFrame, every: int = 1) -> DataFrame:
+    """The PRODUCTION video near-dup signature: demux each MP4's sample
+    table, decode every ``every``-th frame (native MJPEG), and dHash it
+    (:func:`dhash_pixels` — 9×8 nearest resize + 64 horizontal-gradient
+    sign bits, re-encoding-tolerant) — demux ∘ decode ∘ hash composed
+    inside the partition that read the bytes, one Arrow pass, payloads
+    never shuffle, O(kept frames) per video. Feed the output to
+    :func:`video_neardup_pairs` with ``sig_cols=("dhash_hi",
+    "dhash_lo")`` for signature-containment pairing, or through
+    :func:`fp_band_rows` banding for per-frame Hamming slack."""
     return df.select("doc_id", "payload").mapInPandas(
-        gen, MP4_FRAME_DHASH_SCHEMA
+        _frame_dhash_rows_gen(every), MP4_FRAME_DHASH_SCHEMA
     )
 
 

@@ -399,19 +399,22 @@ def media_dedup_components(
     src = media.select(F.col(id_col).alias("doc_id"), "payload")
     # One decode pass feeds the node set and both pair-join sides.
     h = MM.image_dhash(src).localCheckpoint(eager=True)
-    return _media_components_of_hashes(
+    return media_dedup_components_of_hashes(
         h, max_hamming=max_hamming, max_band_freq=max_band_freq
     ).select(F.col("doc_id").alias(id_col), F.col("component"))
 
 
-def _media_components_of_hashes(
+def media_dedup_components_of_hashes(
     h: DataFrame,
     max_hamming: int = 2,
     max_band_freq: int | None = None,
 ) -> DataFrame:
     """Connected components over a (doc_id, dhash_hi, dhash_lo) table —
-    the shared leg of :func:`media_dedup_components` and
-    :func:`build_corpus`'s media stage.
+    the shared PUBLIC leg of :func:`media_dedup_components`,
+    :func:`build_corpus`'s media stage, and the dedup_image_clusters /
+    pipeline_media_prune bench entries (round-12 advice: one function,
+    so the documented oracle equivalence between the pipeline and the
+    standalone entries cannot drift by hand-sync).
 
     Round-12 optimization (guide §2.3 "shuffle fewer bytes" / §8 "move
     decisions to a lightweight proxy"): identical hashes are collapsed
@@ -586,7 +589,7 @@ def build_corpus(
             "left_semi",
         )
         mh = image_dhash(msrc).localCheckpoint(eager=True)
-        mcomps = _media_components_of_hashes(
+        mcomps = media_dedup_components_of_hashes(
             mh,
             max_hamming=media_max_hamming,
             max_band_freq=media_max_band_freq,
@@ -1227,3 +1230,7 @@ def dsir_model_staleness(
         "n_frozen_buckets": len(frozen),
         "n_current_buckets": len(now),
     }
+
+
+# Back-compat alias (pre-round-13 private name).
+_media_components_of_hashes = media_dedup_components_of_hashes
