@@ -1,5 +1,5 @@
 """Capture ``.explain("formatted")`` for bench/gate queries into
-``plans/r12/<query>_<tag>.txt`` (round-12 optimization evidence).
+``plans/r13/<query>_<tag>.txt`` (round-13 optimization evidence).
 
 Usage::
 
@@ -33,7 +33,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r12")
+    out_dir = os.path.join(here, "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     registry = all_queries()
     if not names:

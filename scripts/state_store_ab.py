@@ -42,6 +42,19 @@ PROVIDERS = {
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in PROVIDERS:
+        # Structured error before any session build, matching the other
+        # probe scripts' unknown-input handling (round-12 advice).
+        print(
+            json.dumps(
+                {
+                    "error": "unknown provider",
+                    "usage": "state_store_ab.py <provider> [query ...]",
+                    "providers": sorted(PROVIDERS),
+                }
+            )
+        )
+        sys.exit(2)
     provider = sys.argv[1]
     names = sys.argv[2:]
     runs = max(1, int(os.environ.get("SPARK_GRAFT_AB_RUNS", "3")))
