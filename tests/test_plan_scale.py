@@ -390,11 +390,17 @@ SHUFFLE_BUDGETS = {
                                     # the full-outer key join + final
                                     # project; synthetic-insert branch
                                     # reuses the stats agg
-    "sketch_hll_cube": 9,           # leaf registers (checkpointed,
+    "sketch_hll_cube": 10,          # leaf registers (checkpointed,
                                     # counted once) + 4 bounded lattice
                                     # rollups/estimates + the exact
-                                    # Expand-cube verification column +
-                                    # the null-safe est-exact join
+                                    # Expand-cube verification column
+                                    # (round-13: +1 exchange for the
+                                    # (dims, partkey) distinct that now
+                                    # sits BELOW the Expand — it shrinks
+                                    # the Expand's input from raw rows
+                                    # to distinct triples, the §2.5
+                                    # trade this pin deliberately buys)
+                                    # + the null-safe est-exact join
     "sketch_join_size": 17,         # 2 bounded counter builds (orders
                                     # sketch reused by both estimates)
                                     # + 2 inner-product aggs + the

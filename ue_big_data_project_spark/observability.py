@@ -21,6 +21,8 @@ from ue_big_data_project_spark import fs
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.session import local_relation
 from pyspark.sql.streaming import StreamingQueryListener
 
 
@@ -314,7 +316,8 @@ def check_constraints(
             "constraint", "observed"
         )
     )
-    bounds = df.sparkSession.createDataFrame(
+    bounds = local_relation(
+        df.sparkSession,
         [(c.name, c.lo, c.hi) for c in constraints],
         "constraint string, _lo double, _hi double",
     )

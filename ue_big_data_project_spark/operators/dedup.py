@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ue_big_data_project_spark.session import local_relation
+
 from ue_big_data_project_spark.functions import hex_digit_value, pround
 from ue_big_data_project_spark.functions.text import (
     fingerprint,
@@ -592,7 +594,7 @@ def write_winnow_index(
             .partitionBy("_hbucket")
             .parquet(root + "_freq")
         )
-        spark.createDataFrame(
+        local_relation(spark, 
             [(id_col, k, w, min_shared, max_df, n_buckets)],
             "id_col string, k int, w int, min_shared int, "
             "max_df int, n_buckets int",
@@ -1286,7 +1288,7 @@ def write_jaccard_index(
         )
         sets.write.mode("overwrite").parquet(root + "_arrays")
         spark = df.sparkSession
-        spark.createDataFrame(
+        local_relation(spark, 
             [(shingle_n, float(threshold), n_buckets, id_col)],
             "shingle_n int, threshold double, n_buckets int, id_col string",
         ).write.mode("overwrite").parquet(root + "_stats")

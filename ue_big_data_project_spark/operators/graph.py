@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as SparkTypes
 
+from ue_big_data_project_spark.session import local_relation
+
 
 def connected_components(
     nodes: DataFrame,
@@ -195,7 +197,8 @@ def _driver_cc_label_join(
         return nodes.select(
             F.col(node_col), F.col(node_col).alias("component")
         )
-    ends_df = spark.createDataFrame(
+    ends_df = local_relation(
+        spark,
         [(x,) for x in ends],
         SparkTypes.StructType([SparkTypes.StructField("_x", vt)]),
     )
@@ -213,7 +216,8 @@ def _driver_cc_label_join(
             if r["a"] in known and r["b"] in known
         ],
     )
-    lbl_df = spark.createDataFrame(
+    lbl_df = local_relation(
+        spark,
         sorted(labels.items()),
         SparkTypes.StructType(
             [
@@ -730,7 +734,8 @@ def _append_components_driver(
     keys = sorted(ends | (nn_set - {None}))
     base_hits: dict = {}
     if keys:
-        keys_df = spark.createDataFrame(
+        keys_df = local_relation(
+            spark,
             [(k,) for k in keys],
             SparkTypes.StructType([SparkTypes.StructField("_n", vt)]),
         )
@@ -757,7 +762,8 @@ def _append_components_driver(
     labels = _driver_components(
         [v for v in nn_list if v is not None], contracted
     )
-    relabel_df = spark.createDataFrame(
+    relabel_df = local_relation(
+        spark,
         sorted(
             (v, c)
             for v, c in labels.items()
@@ -770,7 +776,8 @@ def _append_components_driver(
             ]
         ),
     )
-    fresh_df = spark.createDataFrame(
+    fresh_df = local_relation(
+        spark,
         [(v, labels.get(v, v)) for v in nn_list if v not in base_hits],
         SparkTypes.StructType(
             [
@@ -932,7 +939,8 @@ def append_components_detail(
                 [(r["_la"], r["_lb"]) for r in ce_rows],
             )
             vt = new_nodes.select(node_col).schema[0].dataType
-            sub = base.sparkSession.createDataFrame(
+            sub = local_relation(
+                base.sparkSession,
                 sorted(labels.items()),
                 SparkTypes.StructType(
                     [

@@ -50,6 +50,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.session import local_relation
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -3919,7 +3921,7 @@ def write_fp_index(
         .partitionBy("_bucket")
         .parquet(root)
     )
-    spark.createDataFrame(
+    local_relation(spark, 
         [(id_col, hi_col, lo_col, max_hamming, n_buckets)],
         "id_col string, hi_col string, lo_col string, "
         "max_hamming int, n_buckets int",
@@ -4218,7 +4220,7 @@ def write_video_sig_index(
         .write.mode("overwrite")
         .parquet(root + "_sizes")
     )
-    spark.createDataFrame(
+    local_relation(spark, 
         [
             (
                 id_col,

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ue_big_data_project_spark.session import local_relation
+
 from ue_big_data_project_spark.functions import pround
 from ue_big_data_project_spark.functions.text import normalize_text
 
@@ -371,7 +373,7 @@ def append_text_index(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
         .first()
     )
-    spark.createDataFrame(
+    local_relation(spark, 
         [
             (
                 int(stats_row["n_docs"]) + int(delta["n"] or 0),

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ue_big_data_project_spark.functions import pround
+from ue_big_data_project_spark.session import local_relation
 from ue_big_data_project_spark.functions.vectors import cosine, dot, norm2
 
 
@@ -743,7 +744,8 @@ def kmeans_centroids(
             cents = _lloyd_driver(
                 sample, n_centroids, iters, metric, score_scale
             )
-            return items.sparkSession.createDataFrame(
+            return local_relation(
+                items.sparkSession,
                 [(int(cid), list(vec)) for cid, vec in cents],
                 T.StructType(
                     [
@@ -1370,7 +1372,8 @@ def pq_codebooks(
                     sorted(cents_j, key=lambda c: c[0])
                 ):
                     out_rows.append((j, code, list(cvec)))
-            return items.sparkSession.createDataFrame(
+            return local_relation(
+                items.sparkSession,
                 out_rows,
                 T.StructType(
                     [

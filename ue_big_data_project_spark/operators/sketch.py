@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ue_big_data_project_spark.session import local_relation
+
 H_HEX_DIGITS = 12
 H_BITS = 4 * H_HEX_DIGITS  # 48
 H_SPACE = 1 << H_BITS
@@ -964,7 +966,7 @@ def qhist_exact_quantiles(
         # Empty input (or all-NULL values): no quantiles exist. Return
         # an empty frame with the contracted schema instead of letting
         # createDataFrame choke on a rows-free names-only schema.
-        return spark.createDataFrame([], out_fields)
+        return local_relation(spark, [], out_fields)
     grp_schema = ", ".join(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols
     )
@@ -972,7 +974,8 @@ def qhist_exact_quantiles(
         (grp_schema + ", " if grp_schema else "")
         + "q_name string, bin bigint, r_within bigint, lo bigint, hi bigint"
     )
-    bounds = spark.createDataFrame(
+    bounds = local_relation(
+        spark,
         [
             (*g, q, b, rw, qhist_lower_py(b, s), qhist_lower_py(b + 1, s) - 1)
             for (g, q, b, rw) in hit_rows

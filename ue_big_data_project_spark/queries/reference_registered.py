@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ue_big_data_project_spark.session import local_relation
+
 from ue_big_data_project_spark.functions import pround, sql_round
 from ue_big_data_project_spark.queries import QuerySpec
 from ue_big_data_project_spark.queries import reference as R
@@ -98,11 +100,11 @@ def _sql_values(rows, cols: str) -> str:
 
 # ---------------------------------------------------------------------------
 def ref_q1_plane_bus_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
-    plane_df = spark.createDataFrame(
+    plane_df = local_relation(spark, 
         [(i, c, ls) for i, c, ls in _PLANES],
         "icao24 string, callsign string, lastSeen long",
     )
-    bus_df = spark.createDataFrame(
+    bus_df = local_relation(spark, 
         _BUS_SCHED, "bus int, heure string, passages array<string>"
     )
     out = R.q1_plane_bus_wait(
@@ -156,7 +158,7 @@ FROM joined WHERE rn = 1
 
 # ---------------------------------------------------------------------------
 def ref_q2_affluence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(
+    df = local_relation(spark, 
         _AFFLUENCE, "numLigne string, stop string, heure string, passage string"
     )
     return R.q2_affluence_per_hour(df, stop="CRQU4", line="23")
@@ -182,7 +184,7 @@ def ref_q3_bus_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture's literal stop order the walk IS SQL-expressible (join
     each walk position against its predecessor), so since round 2 this
     registers WITH a full hash-checked oracle instead of rows-only."""
-    df = spark.createDataFrame(
+    df = local_relation(spark, 
         [
             (sens, "Term", False, temps, tr, stop, "C6", ts)
             for sens, temps, tr, stop, ts in _POSITIONS
@@ -246,7 +248,7 @@ WHERE (c.cur = 0) OR (c.cur > 0 AND p.cur > c.cur)
 
 # ---------------------------------------------------------------------------
 def ref_q4_bike_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(
+    df = local_relation(spark, 
         _BIKES,
         "name string, number string, address string, available_bikes string, "
         "available_bike_stands string, bike_stands int, last_update string",
@@ -298,7 +300,7 @@ FROM agg
 
 # ---------------------------------------------------------------------------
 def ref_wind_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(
+    df = local_relation(spark, 
         _WIND, "created_at string, entry_id int, wind_speed string"
     )
     out = R.wind_rolling_average(df, window="5 minutes")

@@ -31,7 +31,7 @@ from ue_big_data_project_spark.operators.similarity import (
 )
 from ue_big_data_project_spark.queries import QuerySpec
 from ue_big_data_project_spark.queries._replay import stage_batches
-from ue_big_data_project_spark.session import load_tables
+from ue_big_data_project_spark.session import load_tables, local_relation
 
 # Shared SQL fragments ------------------------------------------------------
 # Normalization must mirror functions.text.normalize_text exactly.
@@ -1132,7 +1132,7 @@ def text_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _session_index(
         "bm25", sf_dir, lambda p: build_text_index(d, p, n_buckets=16)
     )
-    q = spark.createDataFrame(
+    q = local_relation(spark, 
         list(_BM25_QUERIES), "query_id int, query_text string"
     )
     return bm25_topk_indexed(spark, idx, q, k=5)
@@ -2999,7 +2999,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ue_big_data_project_spark.operators.retrieval import bm25_topk
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    q = spark.createDataFrame(
+    q = local_relation(spark, 
         list(_BM25_QUERIES), "query_id int, query_text string"
     )
     return bm25_topk(d, q, k=5)
@@ -3102,7 +3102,7 @@ def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    q = spark.createDataFrame(
+    q = local_relation(spark, 
         list(_BM25_QUERIES), "query_id int, query_text string"
     )
     cand = bm25_topk(d, q, k=50)
@@ -3189,7 +3189,7 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    q = spark.createDataFrame(
+    q = local_relation(spark, 
         list(_BM25_QUERIES), "query_id int, query_text string"
     )
     root = _tf.mkdtemp(prefix="spark_graft_bm25_")
@@ -3225,7 +3225,7 @@ def text_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    q = spark.createDataFrame(
+    q = local_relation(spark, 
         list(_BM25_QUERIES), "query_id int, query_text string"
     )
     root = _tf.mkdtemp(prefix="spark_graft_bm25_app_")
@@ -3274,7 +3274,7 @@ def text_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         rewrite_text_index(
             spark, idx, d.filter(F.col("doc_id") % 3 != 0).select("doc_id")
         )
-        q = spark.createDataFrame(
+        q = local_relation(spark, 
             list(_BM25_QUERIES), "query_id int, query_text string"
         )
         return bm25_topk_indexed(spark, idx, q, k=5).localCheckpoint(
@@ -3323,7 +3323,7 @@ def text_bm25_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(idx + "_stats")
         .first()["n_docs"]
     )
-    q = spark.createDataFrame(
+    q = local_relation(spark, 
         list(_BM25_QUERIES), "query_id int, query_text string"
     )
     return bm25_topk_indexed(
@@ -3378,7 +3378,7 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ST.run_until_drained(q)
         finally:
             spark.conf.set(key, prev)
-        queries = spark.createDataFrame(
+        queries = local_relation(spark, 
             list(_BM25_QUERIES), "query_id int, query_text string"
         )
         return bm25_topk_indexed(

@@ -138,3 +138,60 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def local_relation(spark: SparkSession, rows, schema):
+    """Bounded local rows → DataFrame as a pure-JVM ``LocalRelation``.
+
+    ``createDataFrame(list, schema)`` builds a PYTHON-backed RDD with
+    ``defaultParallelism`` slices, and every downstream materialization
+    then pays a Python worker round-trip per slice — measured ~140 ms
+    per slice at local[32], i.e. multiple seconds per action for a
+    3-row stats frame, and the same waste as executor-side Python
+    worker spin-up on a cluster. Routing the same rows through a
+    pandas frame + Arrow (under
+    ``spark.sql.execution.arrow.localRelationThreshold``) yields a
+    ``LocalRelation`` instead: no Python at runtime, no job to build a
+    broadcast from it, and the optimizer can fold/size it. The Arrow
+    path validates values against ``schema``; any conversion failure
+    falls back to the classic list path, so behavior can only match.
+
+    Use for BOUNDED driver-side results (union-find labels, centroid
+    tables, stats sidecars, VALUES-style fixtures) — never for
+    unbounded data, which must not be on the driver at all (guide §5).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    try:
+        data = [tuple(r) for r in rows]
+        names = [f.name for f in schema.fields]
+        if not data:
+            # Zero rows: an empty pyarrow table with the exact Arrow
+            # schema (the pandas path cannot type empty columns).
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            pa_schema = to_arrow_schema(schema)
+            return spark.createDataFrame(
+                pa.table(
+                    {f.name: pa.array([], type=f.type) for f in pa_schema},
+                    schema=pa_schema,
+                )
+            )
+        pdf = pd.DataFrame.from_records(data, columns=names)
+        arrow_prev = spark.conf.get(
+            "spark.sql.execution.arrow.pyspark.enabled", "true"
+        )
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        try:
+            df = spark.createDataFrame(pdf, schema=schema)
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.pyspark.enabled", arrow_prev
+            )
+        return df
+    except Exception:
+        return spark.createDataFrame(list(rows), schema)

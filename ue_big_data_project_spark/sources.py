@@ -17,6 +17,8 @@ from ue_big_data_project_spark import fs
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.session import local_relation
 from pyspark.sql import types as T
 
 
@@ -120,7 +122,7 @@ def rows_source(
     bounded reference/dimension data only (stop lists, station metadata),
     never fact data. Downstream it is a normal (broadcastable) DataFrame.
     """
-    return spark.createDataFrame(list(rows), schema=schema)
+    return local_relation(spark, list(rows), schema=schema)
 
 
 def http_json_source(
@@ -546,7 +548,7 @@ def write_bloom_sidecar(
     # the DIRECTORY LISTING, joined to the hashed set by basename
     # (input_file_name emits file:// URIs, the listing plain paths).
     listing = [(f,) for f, _ in fs.walk_files(path)]
-    all_files = spark.createDataFrame(listing, "file string")
+    all_files = local_relation(spark, listing, "file string")
 
     def base(c: Column) -> Column:
         return F.element_at(F.split(c, "/"), -1)
@@ -645,7 +647,7 @@ def read_bloom_pruned(
     # the canonical string form either way, but the exact IN predicate
     # and any engine cast semantics stay type-faithful.
     col_type = dict(spark.read.parquet(path).dtypes)[col]
-    vals = spark.createDataFrame([(v,) for v in values], f"v {col_type}")
+    vals = local_relation(spark, [(v,) for v in values], f"v {col_type}")
     probes = vals.select(
         F.col("v"),
         F.posexplode(F.array(*_positions(F.col("v"), m_bits, k))).alias(

@@ -26,6 +26,8 @@ from ue_big_data_project_spark import fs
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ue_big_data_project_spark.session import local_relation
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -623,7 +625,7 @@ def drain_to_table_with_artifacts(
             spark.conf.set(key, old)
         fs.rmtree(ckpt)
     if "snapshot" not in holder:
-        return spark.createDataFrame([], df.schema)
+        return local_relation(spark, [], df.schema)
     return holder["snapshot"]
 
 
@@ -1042,7 +1044,7 @@ def winnow_ingest_stream(
             # measured 1.5-2.1 -> 1.1-1.5 s per batch at sf0.1).
             _parallel_batch_writes(write_rows, write_freq)
             if not fs.exists(root + "_stats"):
-                sp.createDataFrame(
+                local_relation(sp, 
                     [(id_col, k, w, min_shared, max_df, n_buckets)],
                     "id_col string, k int, w int, min_shared int, "
                     "max_df int, n_buckets int",
@@ -1107,7 +1109,7 @@ def fp_ingest_stream(
             .parquet(os.path.join(root, f"batch_id={batch_id}"))
         )
         if not fs.exists(root + "_stats"):
-            sp.createDataFrame(
+            local_relation(sp, 
                 [(id_col, hi_col, lo_col, max_hamming, n_buckets)],
                 "id_col string, hi_col string, lo_col string, "
                 "max_hamming int, n_buckets int",
@@ -1187,7 +1189,7 @@ def video_sig_ingest_stream(
         # own batch partition — overlap them (§2.6).
         _parallel_batch_writes(write_rows, write_sizes)
         if not fs.exists(root + "_stats"):
-            sp.createDataFrame(
+            local_relation(sp, 
                 [
                     (
                         id_col,
@@ -1377,7 +1379,7 @@ def bm25_ingest_stream(
                 )
                 .first()
             )
-            sp.createDataFrame(
+            local_relation(sp, 
                 [(int(delta["n"] or 0), int(delta["t"] or 0), n_buckets)],
                 "n_docs long, total_len long, n_buckets int",
             ).write.mode("overwrite").parquet(
